@@ -1,0 +1,83 @@
+#!/usr/bin/env python
+"""Benchmark runner: times the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total_sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <sf>}
+
+Each query is executed with a count()-style action that forces full
+evaluation (collect on the aggregated result — all results are small).
+A warmup run of the smallest query amortises JVM/session startup out of
+the per-query numbers; total excludes warmup.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from crypto_datalake_spark.queries import REGISTRY  # noqa: E402
+from crypto_datalake_spark.session import get_spark  # noqa: E402
+
+BENCH_QUERIES = [
+    # headline mix: scan-agg, joins, as-of, windows, dedup, similarity
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_region_revenue",
+    "q_order_priority_exists",
+    "a1_minute_trade_rollup",
+    "a4_htf_bucket_agg",
+    "j1_spine_left_join",
+    "j2_asof_backward_tolerance",
+    "w4_cumsum",
+    "w5_ffill_limited",
+    "j10_dedup_keep_last",
+    "dedup_exact_hash",
+    "ann_cosine_topk",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    try:
+        sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+    except ValueError:
+        sf = -1.0
+
+    spark = get_spark("cds-bench", master=f"local[{cpus}]")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warmup: JVM + parquet footer caches
+    REGISTRY["s3_minmax_scan"].fn(spark, sf_dir).collect()
+
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        q = REGISTRY[name]
+        t0 = time.perf_counter()
+        rows = q.fn(spark, sf_dir).collect()
+        timings[name] = round(time.perf_counter() - t0, 4)
+        assert rows is not None
+    total = round(sum(timings.values()), 4)
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline-query wall time (13 queries, local[%s])" % cpus,
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

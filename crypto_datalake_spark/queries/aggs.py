@@ -1,0 +1,318 @@
+"""Bucketed aggregations — SURVEY.md §2.4 (A1-A11) and §2.10 derived fields.
+
+Determinism: every float sum goes through DECIMAL (exact, order-free); all
+divisions are double/double on exact operands; first/last-non-null are
+arg-min/max over the explicit event order (see ops.agg docstring).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from crypto_datalake_spark.ops.agg import (
+    dsum,
+    dsum_prod,
+    first_nonnull,
+    last_nonnull,
+    nearest_rank_percentile,
+    ratio_of_sums,
+    wavg,
+    wavg_with_mean_fallback,
+)
+from crypto_datalake_spark.ops.time import bucket_floor
+from crypto_datalake_spark.queries.common import events, t
+from crypto_datalake_spark.queries.registry import register
+
+
+@register(
+    "a1_minute_trade_rollup",
+    sql="""
+    SELECT date_trunc('minute', ts) AS minute_ts,
+      CAST(count(*) AS BIGINT) AS n_events,
+      CASE WHEN sum(CAST(CAST(json_extract_string(props, '$.k') AS BIGINT) AS DECIMAL(18,6))) <> 0
+           THEN CAST(CAST(sum(CAST(value AS DECIMAL(18,6))
+                         * CAST(CAST(json_extract_string(props, '$.k') AS BIGINT) AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS DOUBLE)
+                / CAST(sum(CAST(CAST(json_extract_string(props, '$.k') AS BIGINT) AS DECIMAL(18,6))) AS DOUBLE)
+      END AS vwap_value,
+      CAST(sum(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(28,6)) ELSE CAST(0 AS DECIMAL(28,6)) END) AS DOUBLE) AS purchase_vol,
+      CAST(sum(CASE WHEN event_type = 'click' THEN CAST(value AS DECIMAL(28,6)) ELSE CAST(0 AS DECIMAL(28,6)) END) AS DOUBLE) AS click_vol,
+      CAST(count(*) FILTER (WHERE value >= 150.0) AS BIGINT) AS whale_n,
+      max(value) AS max_value
+    FROM events
+    GROUP BY 1
+    """,
+    doc="A1: raw-events → minute rollup with VWAP (Σpq/Σq, zero-guarded), "
+    "conditional buy/sell sums and whale counts; JSON field extraction for "
+    "the qty (ref: transforms/minute_builder.py:195-259; JSON: "
+    "websocket.py:1064-1088). Single hash-agg, map-side partials.",
+)
+def a1_minute_trade_rollup(spark, sf_dir):
+    ev = events(spark, sf_dir).withColumn(
+        "k", F.get_json_object("props", "$.k").cast("long")
+    )
+    zero = F.lit(0).cast("decimal(28,6)")
+    return ev.groupBy("minute_ts").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        wavg("value", "k").alias("vwap_value"),
+        F.sum(
+            F.when(F.col("event_type") == "purchase", F.col("value").cast("decimal(28,6)")).otherwise(zero)
+        ).cast("double").alias("purchase_vol"),
+        F.sum(
+            F.when(F.col("event_type") == "click", F.col("value").cast("decimal(28,6)")).otherwise(zero)
+        ).cast("double").alias("click_vol"),
+        F.count(F.when(F.col("value") >= 150.0, 1)).alias("whale_n"),
+        F.max("value").alias("max_value"),
+    )
+
+
+@register(
+    "a2_mean_last_rollup",
+    sql="""
+    SELECT date_trunc('minute', ts) AS minute_ts,
+      CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) / CAST(count(value) AS DOUBLE) AS mean_value,
+      arg_max(value, event_id) AS last_value
+    FROM events
+    GROUP BY 1
+    """,
+    doc="A2: per-minute mean + LAST-by-event-order value (the book-ticker "
+    "micro_price_close pattern, ref: transforms/minute_builder.py:261-296). "
+    "Positional last() replaced by max_by over the event order column.",
+)
+def a2_mean_last_rollup(spark, sf_dir):
+    ev = events(spark, sf_dir)
+    return ev.groupBy("minute_ts").agg(
+        (dsum("value") / F.count("value").cast("double")).alias("mean_value"),
+        F.max_by("value", "event_id").alias("last_value"),
+    )
+
+
+_SQL_MINUTE_BARS = """
+  SELECT date_trunc('minute', ts) AS minute_ts,
+         arg_min(value, event_id) AS open,
+         max(value) AS high,
+         min(value) AS low,
+         arg_max(value, event_id) AS close,
+         CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS volume,
+         CAST(count(*) AS BIGINT) AS n_events,
+         bool_or(event_type = 'error') AS has_error,
+         arg_min(CASE WHEN event_type = 'purchase' THEN value END,
+                 CASE WHEN event_type = 'purchase' THEN event_id END) AS first_purchase,
+         arg_max(CASE WHEN event_type = 'purchase' THEN value END,
+                 CASE WHEN event_type = 'purchase' THEN event_id END) AS last_purchase
+  FROM events
+  GROUP BY 1
+"""
+
+
+def minute_bars(spark, sf_dir):
+    """Per-minute OHLC 'bars' from raw events — the §3.2 minute-builder
+    shape re-targeted at the generic events table."""
+    ev = events(spark, sf_dir)
+    return ev.groupBy("minute_ts").agg(
+        F.min_by("value", "event_id").alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max_by("value", "event_id").alias("close"),
+        dsum("value").alias("volume"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.max(F.col("event_type") == "error").alias("has_error"),
+        first_nonnull(
+            F.when(F.col("event_type") == "purchase", F.col("value")), "event_id"
+        ).alias("first_purchase"),
+        last_nonnull(
+            F.when(F.col("event_type") == "purchase", F.col("value")), "event_id"
+        ).alias("last_purchase"),
+    )
+
+
+@register(
+    "a4_htf_bucket_agg",
+    sql=f"""
+    WITH mb AS ({_SQL_MINUTE_BARS})
+    SELECT
+      TIMESTAMP '1970-01-01 00:00:00'
+        + to_seconds(CAST(floor(epoch(minute_ts) / 900) * 900 AS BIGINT)) AS bucket_start,
+      arg_min(open, minute_ts) AS open,
+      max(high) AS high,
+      min(low) AS low,
+      arg_max(close, minute_ts) AS close,
+      CAST(sum(CAST(volume AS DECIMAL(28,6))) AS DOUBLE) AS volume,
+      CAST(sum(n_events) AS BIGINT) AS n_events,
+      bool_or(has_error) AS has_error,
+      arg_min(first_purchase, CASE WHEN first_purchase IS NOT NULL THEN minute_ts END) AS first_purchase,
+      arg_max(last_purchase, CASE WHEN last_purchase IS NOT NULL THEN minute_ts END) AS last_purchase,
+      CAST(count(*) AS BIGINT) AS observed_minutes,
+      CAST(15 AS BIGINT) AS expected_minutes,
+      CAST(15 - count(*) AS BIGINT) AS missing_minutes,
+      (count(*) = 15) AS bucket_complete
+    FROM mb
+    GROUP BY 1
+    """,
+    doc="A4+A10: the HTF bucket aggregation — first/last-by-time open/close, "
+    "min/max, sums, bool-OR flags, first/last-NON-NULL snapshot columns, "
+    "and bucket-completeness accounting (observed vs expected minutes) "
+    "(ref: aggregator/aggregation_rules.py:129-272; bucketing.py:61-68). "
+    "Two-level agg: minute bars then 15-min buckets; both map-side partial.",
+)
+def a4_htf_bucket_agg(spark, sf_dir):
+    mb = minute_bars(spark, sf_dir)
+    b = mb.withColumn("bucket_start", bucket_floor("minute_ts", 15))
+    return b.groupBy("bucket_start").agg(
+        F.min_by("open", "minute_ts").alias("open"),
+        F.max("high").alias("high"),
+        F.min("low").alias("low"),
+        F.max_by("close", "minute_ts").alias("close"),
+        dsum("volume").alias("volume"),
+        F.sum("n_events").alias("n_events"),
+        F.max("has_error").alias("has_error"),
+        first_nonnull("first_purchase", "minute_ts").alias("first_purchase"),
+        last_nonnull("last_purchase", "minute_ts").alias("last_purchase"),
+        F.count(F.lit(1)).alias("observed_minutes"),
+        F.lit(15).cast("long").alias("expected_minutes"),
+        (F.lit(15) - F.count(F.lit(1))).cast("long").alias("missing_minutes"),
+        (F.count(F.lit(1)) == 15).alias("bucket_complete"),
+    )
+
+
+@register(
+    "a5_weighted_avg",
+    sql="""
+    SELECT event_type,
+      CASE WHEN sum(CAST(CAST(json_extract_string(props, '$.k') AS BIGINT) AS DECIMAL(18,6))) <> 0
+           THEN CAST(CAST(sum(CAST(value AS DECIMAL(18,6))
+                         * CAST(CAST(json_extract_string(props, '$.k') AS BIGINT) AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS DOUBLE)
+                / CAST(sum(CAST(CAST(json_extract_string(props, '$.k') AS BIGINT) AS DECIMAL(18,6))) AS DOUBLE)
+      END AS wavg_value,
+      CAST(count(*) AS BIGINT) AS n
+    FROM events
+    GROUP BY 1
+    """,
+    doc="A5: notional-weighted average, NULL when the weight sum is zero "
+    "(ref: aggregator/aggregation_rules.py:138-160, liq_avg_fill_price).",
+)
+def a5_weighted_avg(spark, sf_dir):
+    ev = events(spark, sf_dir).withColumn(
+        "k", F.get_json_object("props", "$.k").cast("long")
+    )
+    return ev.groupBy("event_type").agg(
+        wavg("value", "k").alias("wavg_value"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    "a6_weighted_avg_fallback",
+    sql="""
+    WITH e AS (
+      SELECT event_type, value,
+             CASE WHEN event_type = 'error' THEN 0
+                  ELSE CAST(json_extract_string(props, '$.k') AS BIGINT) END AS w
+      FROM events
+    )
+    SELECT event_type,
+      CASE WHEN sum(CAST(CASE WHEN value IS NOT NULL THEN w END AS DECIMAL(18,6))) <> 0
+           THEN CAST(CAST(sum(CAST(value AS DECIMAL(18,6))
+                         * CAST(CASE WHEN value IS NOT NULL THEN w END AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS DOUBLE)
+                / CAST(sum(CAST(CASE WHEN value IS NOT NULL THEN w END AS DECIMAL(18,6))) AS DOUBLE)
+           ELSE CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) / CAST(count(value) AS DOUBLE)
+      END AS wavg_or_mean
+    FROM e
+    GROUP BY 1
+    """,
+    doc="A6: weighted average with simple-mean fallback when the weight sum "
+    "is zero; weights nulled pairwise where the value is null "
+    "(ref: aggregation_rules.py:143-160, 205-216, depth-quality columns).",
+)
+def a6_weighted_avg_fallback(spark, sf_dir):
+    ev = events(spark, sf_dir).select(
+        "event_type",
+        "value",
+        F.when(F.col("event_type") == "error", F.lit(0))
+        .otherwise(F.get_json_object("props", "$.k").cast("long"))
+        .alias("w"),
+    )
+    return ev.groupBy("event_type").agg(
+        wavg_with_mean_fallback("value", "w").alias("wavg_or_mean")
+    )
+
+
+@register(
+    "a7_ratio_of_sums",
+    sql="""
+    SELECT l_returnflag, l_linestatus,
+      CASE WHEN sum(CAST(l_quantity AS DECIMAL(28,6))) <> 0
+           THEN CAST(sum(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE)
+                / CAST(sum(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE)
+      END AS avg_unit_price,
+      CASE WHEN sum(CAST(l_extendedprice AS DECIMAL(28,6))) <> 0
+           THEN CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6)) * CAST(l_discount AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS DOUBLE)
+                / CAST(sum(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE)
+      END AS effective_discount
+    FROM lineitem
+    GROUP BY 1, 2
+    """,
+    doc="A7: ratio-of-sums recomputation — Σnum/Σden per group, NOT "
+    "avg-of-ratios (ref: aggregation_rules.py:234-245 vwap/avg_trade_size/"
+    "taker_buy_ratio; README.md:283-285).",
+)
+def a7_ratio_of_sums(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    eff = F.sum(
+        F.col("l_extendedprice").cast("decimal(18,6)")
+        * F.col("l_discount").cast("decimal(18,6)")
+    )
+    ep = F.sum(F.col("l_extendedprice").cast("decimal(28,6)"))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        ratio_of_sums("l_extendedprice", "l_quantity").alias("avg_unit_price"),
+        F.when(
+            ep != 0, eff.cast("decimal(38,6)").cast("double") / ep.cast("double")
+        ).alias("effective_discount"),
+    )
+
+
+@register(
+    "a8_p95_nearest_rank",
+    sql="""
+    WITH ranked AS (
+      SELECT event_type, value,
+             row_number() OVER (PARTITION BY event_type ORDER BY value) AS rk,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM events WHERE value IS NOT NULL
+    )
+    SELECT event_type, value AS p95_value
+    FROM ranked
+    WHERE rk = CAST(ceil(CAST(0.95 AS DOUBLE) * n) AS BIGINT)
+    """,
+    doc="W7/A8: exact nearest-rank p95 (value at rank ceil(0.95·n)) — the "
+    "reference's latency percentile (ref: websocket.py:100-105; "
+    "live_data_api_service/aggregation.py:58-59). percentile_approx is the "
+    "scale path; this exact ranking is the oracle-parity path.",
+)
+def a8_p95_nearest_rank(spark, sf_dir):
+    ev = events(spark, sf_dir)
+    return nearest_rank_percentile(ev, "value", 0.95, by=["event_type"], out_col="p95_value")
+
+
+@register(
+    "a10_bucket_completeness",
+    sql="""
+    SELECT date_trunc('hour', ts) AS hour_ts,
+           CAST(count(DISTINCT date_trunc('minute', ts)) AS BIGINT) AS observed_minutes,
+           CAST(60 AS BIGINT) AS expected_minutes,
+           CAST(60 - count(DISTINCT date_trunc('minute', ts)) AS BIGINT) AS missing_minutes,
+           (count(DISTINCT date_trunc('minute', ts)) = 60) AS bucket_complete
+    FROM events
+    GROUP BY 1
+    """,
+    doc="A10: bucket-completeness accounting — observed vs expected minutes "
+    "per hour bucket (ref: aggregator/bucketing.py:61-68; validator.py:22-37).",
+)
+def a10_bucket_completeness(spark, sf_dir):
+    ev = events(spark, sf_dir).withColumn("hour_ts", bucket_floor("ts", 60))
+    obs = F.countDistinct("minute_ts")
+    return ev.groupBy("hour_ts").agg(
+        obs.alias("observed_minutes"),
+        F.lit(60).cast("long").alias("expected_minutes"),
+        (F.lit(60) - obs).cast("long").alias("missing_minutes"),
+        (obs == 60).alias("bucket_complete"),
+    )

@@ -1,0 +1,149 @@
+"""Scans, projections, predicates, dedup, DQ — SURVEY.md §2.1/§2.2 + A3/J9/J10.
+
+Each query certifies one operator row; reference citations in docstrings.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from crypto_datalake_spark.ops.agg import dsum
+from crypto_datalake_spark.ops.dedup import keep_last, union_dedup
+from crypto_datalake_spark.queries.common import events, t
+from crypto_datalake_spark.queries.registry import register
+
+
+@register(
+    "s1_scan_project_filter",
+    sql="""
+    SELECT l_orderkey, l_linenumber, l_extendedprice, l_shipdate
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND l_discount > 0.05
+    """,
+    doc="S1+P1+P2: lazy parquet scan with time-range predicate and column "
+    "projection (ref: aggregator/source_reader.py:44-59). The filter and "
+    "the 4-column projection both reach the parquet scan (PushedFilters).",
+)
+def s1_scan_project_filter(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    return li.where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+        & (F.col("l_discount") > 0.05)
+    ).select("l_orderkey", "l_linenumber", "l_extendedprice", "l_shipdate")
+
+
+@register(
+    "s3_minmax_scan",
+    sql="""
+    SELECT min(ts) AS min_ts, max(ts) AS max_ts, CAST(count(*) AS BIGINT) AS n
+    FROM events
+    """,
+    doc="S3: min/max/latest inspection scan (ref: aggregator/source_reader.py:13-28). "
+    "Parquet footer statistics answer this without a full read.",
+)
+def s3_minmax_scan(spark, sf_dir):
+    return events(spark, sf_dir).agg(
+        F.min("ts").alias("min_ts"),
+        F.max("ts").alias("max_ts"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    "p3_conditional_class",
+    sql="""
+    SELECT
+      CASE WHEN l_quantity >= 40 THEN 'large'
+           WHEN l_quantity >= 20 THEN 'mid'
+           ELSE 'small' END AS qty_class,
+      CAST(count(*) AS BIGINT) AS n,
+      CAST(sum(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) AS sum_price
+    FROM lineitem
+    GROUP BY 1
+    """,
+    doc="P3: multi-branch when/otherwise conditional expressions "
+    "(ref: transforms/minute_builder.py:545-621).",
+)
+def p3_conditional_class(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    cls = (
+        F.when(F.col("l_quantity") >= 40, "large")
+        .when(F.col("l_quantity") >= 20, "mid")
+        .otherwise("small")
+    )
+    return li.groupBy(cls.alias("qty_class")).agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum("l_extendedprice").alias("sum_price"),
+    )
+
+
+@register(
+    "p7_dq_duplicate_keys",
+    sql="""
+    SELECT user_id, date_trunc('minute', ts) AS minute_ts, CAST(count(*) AS BIGINT) AS n
+    FROM events
+    GROUP BY 1, 2
+    HAVING count(*) > 1
+    """,
+    doc="P7/A11: DQ duplicate-key detection "
+    "(ref: validation/dq.py:42-51 unique-timestamp gate).",
+)
+def p7_dq_duplicate_keys(spark, sf_dir):
+    return (
+        events(spark, sf_dir)
+        .groupBy("user_id", "minute_ts")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") > 1)
+    )
+
+
+@register(
+    "j10_dedup_keep_last",
+    sql="""
+    SELECT user_id, date_trunc('minute', ts) AS minute_ts, event_id, value
+    FROM events
+    QUALIFY row_number() OVER (
+      PARTITION BY user_id, date_trunc('minute', ts)
+      ORDER BY ts DESC, event_id DESC
+    ) = 1
+    """,
+    doc="J10/A3: multi-key tie-break dedup, keep latest per key "
+    "(ref: aggregator/source_reader.py:52-59). Polars keep='last' is "
+    "positional; here the order is explicit [ts, event_id] desc.",
+)
+def j10_dedup_keep_last(spark, sf_dir):
+    ev = events(spark, sf_dir)
+    return keep_last(ev, ["user_id", "minute_ts"], ["ts", "event_id"]).select(
+        "user_id", "minute_ts", "event_id", "value"
+    )
+
+
+@register(
+    "j9_union_dedup_priority",
+    sql="""
+    WITH secondary AS (
+      SELECT event_id, user_id, value * 2.0 AS value FROM events
+    ),
+    prim AS (
+      SELECT event_id, user_id, value FROM events WHERE value >= 100.0
+    )
+    SELECT s.event_id, s.user_id,
+           CASE WHEN p.event_id IS NOT NULL THEN p.value ELSE s.value END AS value,
+           CASE WHEN p.event_id IS NOT NULL THEN 'local' ELSE 'remote' END AS src
+    FROM secondary s LEFT JOIN prim p USING (event_id)
+    """,
+    doc="J9: union-dedup merge where the primary (local) frame wins per key "
+    "(ref: live_data_api_service/utils.py:59-70 merge_canonical_frames).",
+)
+def j9_union_dedup_priority(spark, sf_dir):
+    ev = events(spark, sf_dir)
+    primary = ev.where(F.col("value") >= 100.0).select(
+        "event_id", "user_id", "value", F.lit("local").alias("src")
+    )
+    secondary = ev.select(
+        "event_id", "user_id", (F.col("value") * 2.0).alias("value"),
+        F.lit("remote").alias("src"),
+    )
+    return union_dedup(primary, secondary, keys=["event_id"])
