@@ -1,0 +1,78 @@
+"""TradingView-style EMA as a grouped pandas UDF.
+
+Reference semantics (/root/reference/src/live_indicators/ema.py:6-24):
+- SMA seed over the first ``length`` values, materialised at index
+  ``length-1``;
+- thereafter ``ema = α·x + (1−α)·prev`` with ``α = 2/(length+1)``;
+- None before the seed index.
+
+A sequential recurrence has no shuffle-free declarative form; the honest
+Spark mapping is Arrow-batched ``applyInPandas`` per group (one group = one
+symbol/timeframe series — thousands of parallel groups at production scale,
+each small). The closed-form prefix-sum trick (powers of 1−α) is rejected:
+(1−α)^(-i) overflows double for long series.
+
+Float discipline: the loop does exactly ``s += x`` then ``s/length`` for
+the seed and ``α*x + (1.0−α)*prev`` afterwards — the same IEEE-754 op
+sequence a sequential engine (or the DuckDB recursive-CTE oracle) produces,
+so results are bit-identical cross-engine.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructField, StructType
+
+
+def _ema_series(values: Sequence[float], length: int) -> list[float | None]:
+    alpha = 2.0 / (length + 1.0)
+    out: list[float | None] = []
+    s = 0.0
+    prev: float | None = None
+    for i, x in enumerate(values):
+        if i < length:
+            s += x
+        if i < length - 1:
+            out.append(None)
+            continue
+        if i == length - 1:
+            prev = s / length
+        else:
+            assert prev is not None
+            prev = alpha * x + (1.0 - alpha) * prev
+        out.append(prev)
+    return out
+
+
+def ema_by_group(
+    df: DataFrame,
+    value_col: str,
+    order_col: str,
+    group_cols: Sequence[str],
+    length: int,
+    out_col: str = "ema",
+) -> DataFrame:
+    """EMA of ``value_col`` ordered by ``order_col`` within each group.
+
+    Output schema: group_cols + [order_col, value_col, out_col].
+    """
+    schema = StructType(
+        [df.schema[c] for c in [*group_cols, order_col, value_col]]
+        + [StructField(out_col, df.schema[value_col].dataType, True)]
+    )
+    cols = [*group_cols, order_col, value_col]
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_col).reset_index(drop=True)
+        ema = _ema_series(pdf[value_col].tolist(), length)
+        out = pdf[cols].copy()
+        # nullable Float64 so None → Arrow null (NOT NaN) on the way back
+        out[out_col] = pd.array(ema, dtype="Float64")
+        return out
+
+    return df.select(*cols).groupBy(*group_cols).applyInPandas(fn, schema)

@@ -6,6 +6,8 @@ Importing this package populates the registry from every query module.
 from crypto_datalake_spark.queries import (  # noqa: F401  (registration side-effects)
     aggs,
     core,
+    dedup,
+    derived,
     joins,
     llm,
     tpch,

@@ -1,0 +1,280 @@
+"""Near-duplicate detection + document fingerprinting over ``documents``.
+
+Training-data-pipeline operators (BASELINE.json north star). The
+cross-engine hash bridge is md5: Spark ``conv(substr(md5(x),1,15),16,10)``
+and DuckDB ``CAST('0x' || substr(md5(x),1,15) AS BIGINT)`` yield the same
+60-bit integer, so MinHash/SimHash/rolling hashes are bit-identical and
+fully oracle-able.
+
+Scale notes:
+- MinHash-LSH: the shingle explode is the big fan-out (|docs|·|shingles|);
+  band buckets bound the candidate join, so the full O(n²) pair space is
+  never materialised. At 100 TB you'd additionally salt hot band keys and
+  let AQE split skewed buckets.
+- SimHash/rolling fingerprints are embarrassingly parallel scans.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from crypto_datalake_spark.queries.common import t
+from crypto_datalake_spark.queries.registry import register
+
+_N_HASH = 8
+_BAND_SIZE = 4  # 2 bands of 4 → candidate iff J^4-level band collision
+_JACCARD_MIN = 0.5
+
+# Spark-side 60-bit md5 hash of a string expression
+_SP_H = "CAST(conv(substr(md5({x}), 1, 15), 16, 10) AS BIGINT)"
+# DuckDB-side
+_DK_H = "CAST(concat('0x', substr(md5({x}), 1, 15)) AS BIGINT)"
+
+_SP_SHINGLES = (
+    "array_distinct(transform(sequence(0, size(tok) - 3), "
+    "i -> concat(tok[i], ' ', tok[i+1], ' ', tok[i+2])))"
+)
+_DK_SHINGLES = (
+    "list_distinct([tok[i] || ' ' || tok[i+1] || ' ' || tok[i+2] "
+    "for i in range(1, len(tok) - 1)])"
+)
+
+
+def _sp_minhash(i: int) -> str:
+    h = _SP_H.format(x=f"concat('{i}:', s)")
+    return f"array_min(transform(shingles, s -> {h}))"
+
+
+def _dk_minhash(i: int) -> str:
+    h = _DK_H.format(x=f"'{i}:' || s")
+    return f"list_min(list_transform(shingles, s -> {h}))"
+
+
+def _band_cols(n_hash: int, band_size: int):
+    return [
+        [f"h{j}" for j in range(b, b + band_size)]
+        for b in range(0, n_hash, band_size)
+    ]
+
+
+@register(
+    "dedup_minhash_lsh",
+    sql=f"""
+    WITH tk AS (
+      SELECT doc_id, string_split(text, ' ') AS tok FROM documents
+    ),
+    sh AS (
+      SELECT doc_id, {_DK_SHINGLES} AS shingles
+      FROM tk WHERE len(tok) >= 3
+    ),
+    sig AS (
+      SELECT doc_id, shingles,
+             {", ".join(f"{_dk_minhash(i)} AS h{i}" for i in range(_N_HASH))}
+      FROM sh
+    ),
+    bands AS (
+      {" UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_id, "
+        f"concat_ws(',', {', '.join(f'CAST(h{j} AS VARCHAR)' for j in cols)}) AS band_key "
+        f"FROM sig"
+        for b, cols in enumerate(
+            [list(range(b, b + _BAND_SIZE)) for b in range(0, _N_HASH, _BAND_SIZE)]
+        )
+      )}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+    )
+    SELECT c.doc_a, c.doc_b,
+           CAST(len(list_intersect(x.shingles, y.shingles)) AS DOUBLE)
+             / CAST(len(list_distinct(x.shingles || y.shingles)) AS DOUBLE) AS jaccard
+    FROM cand c
+    JOIN sh x ON x.doc_id = c.doc_a
+    JOIN sh y ON y.doc_id = c.doc_b
+    WHERE CAST(len(list_intersect(x.shingles, y.shingles)) AS DOUBLE)
+            / CAST(len(list_distinct(x.shingles || y.shingles)) AS DOUBLE) >= {_JACCARD_MIN}
+    """,
+    doc="MinHash+LSH near-duplicate detection: 3-gram word shingles → "
+    f"{_N_HASH} md5-salted minhashes → {_N_HASH // _BAND_SIZE} bands of "
+    f"{_BAND_SIZE} → bucket-join candidates → exact shingle-set Jaccard "
+    f"≥ {_JACCARD_MIN} verification. Candidate join touches only "
+    "band-bucket collisions, never the O(n²) pair space.",
+)
+def dedup_minhash_lsh(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    sh = (
+        d.select("doc_id", F.split("text", " ").alias("tok"))
+        .where(F.size("tok") >= 3)
+        .select("doc_id", F.expr(_SP_SHINGLES).alias("shingles"))
+    )
+    sig = sh.select(
+        "doc_id",
+        "shingles",
+        *[F.expr(_sp_minhash(i)).alias(f"h{i}") for i in range(_N_HASH)],
+    )
+    band_frames = []
+    for b, cols in enumerate(_band_cols(_N_HASH, _BAND_SIZE)):
+        band_frames.append(
+            sig.select(
+                "doc_id",
+                F.lit(b).alias("band_id"),
+                F.concat_ws(",", *[F.col(c).cast("string") for c in cols]).alias(
+                    "band_key"
+                ),
+            )
+        )
+    bands = band_frames[0]
+    for bf in band_frames[1:]:
+        bands = bands.unionByName(bf)
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    x = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sa"))
+    y = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sb"))
+    jac = (
+        F.size(F.array_intersect("sa", "sb")).cast("double")
+        / F.size(F.array_union("sa", "sb")).cast("double")
+    )
+    return (
+        cand.join(x, "doc_a")
+        .join(y, "doc_b")
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .where(F.col("jaccard") >= _JACCARD_MIN)
+    )
+
+
+_SP_TOKH = _SP_H.format(x="tk")
+_DK_TOKH = _DK_H.format(x="tk")
+
+
+@register(
+    "simhash_fingerprint",
+    sql=f"""
+    WITH tk AS (
+      SELECT doc_id,
+             list_transform(list_distinct(string_split(text, ' ')),
+                            tk -> {_DK_TOKH}) AS hs
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(list_sum(list_transform(range(0, 60), j ->
+             CASE WHEN 2 * CAST(list_sum(list_transform(hs, h -> (h >> j) & 1)) AS BIGINT) > len(hs)
+                  THEN (CAST(1 AS BIGINT) << j) ELSE CAST(0 AS BIGINT) END
+           )) AS BIGINT) AS simhash
+    FROM tk
+    """,
+    doc="SimHash document fingerprint: 60-bit majority vote over md5 token "
+    "hashes — near-dup docs land at small Hamming distance. Integer-only "
+    "higher-order expressions, no UDF, embarrassingly parallel.",
+)
+def simhash_fingerprint(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    hs = f"transform(array_distinct(split(text, ' ')), tk -> {_SP_TOKH})"
+    simhash = (
+        "aggregate(transform(sequence(0, 59), j -> "
+        f"CASE WHEN 2 * aggregate({hs}, CAST(0 AS BIGINT), (acc, h) -> acc + (shiftright(h, CAST(j AS INT)) % 2)) > size({hs}) "
+        "THEN shiftleft(CAST(1 AS BIGINT), CAST(j AS INT)) ELSE CAST(0 AS BIGINT) END), "
+        "CAST(0 AS BIGINT), (a, x) -> a + x)"
+    )
+    return d.select("doc_id", F.expr(simhash).alias("simhash"))
+
+
+@register(
+    "doc_rolling_fingerprint",
+    sql=f"""
+    WITH tk AS (
+      SELECT doc_id,
+             list_transform(string_split(text, ' '),
+                            tk -> {_DK_TOKH} % 2147483647) AS hs
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(list_reduce(hs, (a, b) -> (a * 31 + b) % 2147483647) AS BIGINT) AS fingerprint
+    FROM tk
+    """,
+    doc="Order-sensitive polynomial rolling-hash fingerprint over the token "
+    "sequence (doc identity up to exact token order) — the document "
+    "fingerprinting tier between exact-hash and MinHash.",
+)
+def doc_rolling_fingerprint(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    # per-token pre-mod keeps every fold step < 2^36 (no overflow) and makes
+    # Spark's 0-seeded fold equal DuckDB's first-element-seeded reduce
+    fp = (
+        f"aggregate(transform(split(text, ' '), tk -> {_SP_TOKH} % 2147483647), "
+        "CAST(0 AS BIGINT), (a, b) -> (a * 31 + b) % 2147483647)"
+    )
+    return d.select("doc_id", F.expr(fp).alias("fingerprint"))
+
+
+_MARKERS = {
+    "en": ("the", "a", "is", "and", "of"),
+    "es": ("el", "la", "de", "y", "es"),
+    "fr": ("le", "la", "de", "et", "est"),
+    "de": ("der", "die", "das", "und", "ist"),
+}
+
+
+@register(
+    "lang_id_heuristic",
+    sql=f"""
+    WITH tk AS (SELECT doc_id, lang, string_split(text, ' ') AS tok FROM documents),
+    sc AS (
+      SELECT doc_id, lang,
+        {", ".join(
+            f"CAST(len(list_filter(tok, x -> x IN ({', '.join(repr(w) for w in ws)}))) AS BIGINT) AS c_{lg}"
+            for lg, ws in _MARKERS.items()
+        )}
+      FROM tk
+    )
+    SELECT doc_id, lang,
+           CASE WHEN c_en >= c_es AND c_en >= c_fr AND c_en >= c_de AND c_en > 0 THEN 'en'
+                WHEN c_es >= c_fr AND c_es >= c_de AND c_es > 0 THEN 'es'
+                WHEN c_fr >= c_de AND c_fr > 0 THEN 'fr'
+                WHEN c_de > 0 THEN 'de'
+                ELSE 'unknown' END AS pred_lang,
+           c_en, c_es, c_fr, c_de
+    FROM sc
+    """,
+    doc="Language-ID heuristic: marker-stopword counts per language with a "
+    "deterministic argmax cascade — the n-gram language-ID tier of a "
+    "training-data pipeline (scaffold; marker tables are pluggable).",
+)
+def lang_id_heuristic(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    tok = F.split("text", " ")
+    def marker_count(ws):
+        # factory closure: F.filter treats a 2-arg lambda as (element, index)
+        return F.size(F.filter(tok, lambda x: x.isin(*ws))).cast("long")
+
+    counts = {lg: marker_count(ws) for lg, ws in _MARKERS.items()}
+    pred = (
+        F.when(
+            (counts["en"] >= counts["es"])
+            & (counts["en"] >= counts["fr"])
+            & (counts["en"] >= counts["de"])
+            & (counts["en"] > 0),
+            "en",
+        )
+        .when((counts["es"] >= counts["fr"]) & (counts["es"] >= counts["de"]) & (counts["es"] > 0), "es")
+        .when((counts["fr"] >= counts["de"]) & (counts["fr"] > 0), "fr")
+        .when(counts["de"] > 0, "de")
+        .otherwise("unknown")
+    )
+    return d.select(
+        "doc_id",
+        "lang",
+        pred.alias("pred_lang"),
+        *[counts[lg].alias(f"c_{lg}") for lg in _MARKERS],
+    )
