@@ -294,6 +294,77 @@ def a8_p95_nearest_rank(spark, sf_dir):
 
 
 @register(
+    "a9_ohlc_complete_only",
+    sql=f"""
+    WITH mb AS ({_SQL_MINUTE_BARS})
+    SELECT * FROM (
+      SELECT
+        TIMESTAMP '1970-01-01 00:00:00'
+          + to_seconds(CAST(floor(epoch(minute_ts) / 180) * 180 AS BIGINT)) AS bucket_start,
+        arg_min(open, minute_ts) AS open,
+        max(high) AS high,
+        min(low) AS low,
+        arg_max(close, minute_ts) AS close,
+        CAST(count(*) AS BIGINT) AS observed_minutes
+      FROM mb
+      GROUP BY 1
+    ) WHERE observed_minutes = 3
+    """,
+    doc="A9+P5: OHLC-only indicator-bar aggregation with the complete-"
+    "window-only filter — bars missing any constituent minute are dropped, "
+    "not emitted partially (ref: live_indicators/aggregation.py:22-75; "
+    "completeness predicate live_data_api_service/aggregation.py:114). "
+    "The HAVING-style filter runs post-agg on the reduced side.",
+)
+def a9_ohlc_complete_only(spark, sf_dir):
+    mb = minute_bars(spark, sf_dir)
+    b = mb.withColumn("bucket_start", bucket_floor("minute_ts", 3))
+    return (
+        b.groupBy("bucket_start")
+        .agg(
+            F.min_by("open", "minute_ts").alias("open"),
+            F.max("high").alias("high"),
+            F.min("low").alias("low"),
+            F.max_by("close", "minute_ts").alias("close"),
+            F.count(F.lit(1)).alias("observed_minutes"),
+        )
+        .where(F.col("observed_minutes") == 3)
+    )
+
+
+@register(
+    "a11_populated_count",
+    sql="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CASE WHEN value IS NOT NULL AND props IS NOT NULL
+                          AND user_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_populated,
+           CAST(sum(CASE WHEN json_extract_string(props, '$.k') IS NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_missing_k
+    FROM events
+    GROUP BY 1
+    """,
+    doc="A11: existence/populated-count scans — all-columns-populated count "
+    "(all_horizontal(is_not_null).sum()) and per-field null counts "
+    "(ref: live_data_api_service/service.py:2283-2290; validation/dq.py:42-51).",
+)
+def a11_populated_count(spark, sf_dir):
+    ev = events(spark, sf_dir)
+    populated = (
+        F.col("value").isNotNull()
+        & F.col("props").isNotNull()
+        & F.col("user_id").isNotNull()
+    )
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(populated.cast("long")).alias("n_populated"),
+        F.sum(F.get_json_object("props", "$.k").isNull().cast("long")).alias(
+            "n_missing_k"
+        ),
+    )
+
+
+@register(
     "a10_bucket_completeness",
     sql="""
     SELECT date_trunc('hour', ts) AS hour_ts,

@@ -121,6 +121,73 @@ def j10_dedup_keep_last(spark, sf_dir):
 
 
 @register(
+    "s13_sql_view",
+    sql="""
+    SELECT o.o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(o.o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS sum_total
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate < TIMESTAMP '1997-01-01'
+    GROUP BY 1
+    """,
+    doc="S13: SQL-view materialization — register the lake tables as views "
+    "and answer through spark.sql, the BI surface (ref: "
+    "binance_minute_lake/cli/app.py:112-154 DuckDB view over the parquet "
+    "glob). Catalyst sees through the view: pushdown/pruning identical to "
+    "the DataFrame path.",
+)
+def s13_sql_view(spark, sf_dir):
+    from crypto_datalake_spark.io import load_table
+
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o.o_orderpriority,
+               count(*) AS n_orders,
+               CAST(sum(CAST(o.o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS sum_total
+        FROM orders o
+        WHERE o.o_orderdate >= TIMESTAMP_NTZ '1996-01-01 00:00:00'
+          AND o.o_orderdate < TIMESTAMP_NTZ '1997-01-01 00:00:00'
+        GROUP BY o.o_orderpriority
+        """
+    )
+
+
+@register(
+    "o1_sort_rank_nulls_last",
+    sql="""
+    SELECT event_id, v_nullable, rk FROM (
+      SELECT event_id,
+             CASE WHEN event_type = 'error' THEN NULL ELSE value END AS v_nullable,
+             row_number() OVER (
+               ORDER BY (CASE WHEN event_type = 'error' THEN NULL ELSE value END)
+                 DESC NULLS LAST,
+               event_id ASC
+             ) AS rk
+      FROM events
+    ) WHERE rk <= 500
+    """,
+    doc="O1+W6: multi-column sort with explicit nulls-last placement + "
+    "top-k limit, certified by emitting the rank itself (ref: "
+    "aggregator/source_reader.py:52-56 sort(nulls_last=True); tail(limit) "
+    "live_data_api_service/aggregation.py:170-171). Spark executes "
+    "row_number+filter as TakeOrderedAndProject — no full sort at scale.",
+)
+def o1_sort_rank_nulls_last(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = events(spark, sf_dir).select(
+        "event_id",
+        F.when(F.col("event_type") == "error", F.lit(None))
+        .otherwise(F.col("value"))
+        .alias("v_nullable"),
+    )
+    w = Window.orderBy(F.col("v_nullable").desc_nulls_last(), F.col("event_id").asc())
+    return ev.withColumn("rk", F.row_number().over(w)).where(F.col("rk") <= 500)
+
+
+@register(
     "j9_union_dedup_priority",
     sql="""
     WITH secondary AS (

@@ -154,6 +154,73 @@ def dedup_minhash_lsh(spark, sf_dir):
     )
 
 
+@register(
+    "dedup_ngram_jaccard",
+    sql="""
+    WITH g AS (
+      SELECT doc_id, lang, n_chars // 64 AS len_bucket,
+             list_distinct([tok[i] || ' ' || tok[i+1]
+                            for i in range(1, len(tok))]) AS grams
+      FROM (SELECT doc_id, lang, n_chars, string_split(text, ' ') AS tok
+            FROM documents)
+      WHERE len(tok) >= 2
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+             / CAST(len(list_distinct(a.grams || b.grams)) AS DOUBLE) AS jaccard
+    FROM g a JOIN g b
+      ON a.lang = b.lang AND a.len_bucket = b.len_bucket AND a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+            / CAST(len(list_distinct(a.grams || b.grams)) AS DOUBLE) >= 0.3
+    """,
+    doc="N-gram Jaccard near-dup with blocking: word-bigram sets compared "
+    "only within (lang, length-bucket) blocks — the pair space is bounded "
+    "by the largest block, never O(n²) over the corpus. The mid tier "
+    "between exact-hash and MinHash-LSH: exact Jaccard, cheaper candidate "
+    "generation. At 100 TB the block key shuffles once; skewed blocks "
+    "split by AQE.",
+)
+def dedup_ngram_jaccard(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    g = (
+        d.select(
+            "doc_id",
+            "lang",
+            (F.col("n_chars") / F.lit(64)).cast("long").alias("len_bucket"),
+            F.split("text", " ").alias("tok"),
+        )
+        .where(F.size("tok") >= 2)
+        .select(
+            "doc_id",
+            "lang",
+            "len_bucket",
+            F.expr(
+                "array_distinct(transform(sequence(0, size(tok) - 2), "
+                "i -> concat(tok[i], ' ', tok[i+1])))"
+            ).alias("grams"),
+        )
+    )
+    a, b = g.alias("a"), g.alias("b")
+    jac = (
+        F.size(F.array_intersect("a.grams", "b.grams")).cast("double")
+        / F.size(F.array_union("a.grams", "b.grams")).cast("double")
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.len_bucket") == F.col("b.len_bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            jac.alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= 0.3)
+    )
+
+
 _SP_TOKH = _SP_H.format(x="tk")
 _DK_TOKH = _DK_H.format(x="tk")
 

@@ -235,6 +235,129 @@ def j5_asof_max_age(spark, sf_dir):
 
 
 @register(
+    "j3_exact_bucket_align",
+    sql=f"""
+    WITH bars AS (
+      SELECT DISTINCT TIMESTAMP '1970-01-01 00:00:00'
+        + to_seconds(CAST(floor(epoch(ts) / 900) * 900 AS BIGINT)) AS bucket_ts
+      FROM events
+      WHERE ts >= TIMESTAMP '{SPINE_START}' AND ts < TIMESTAMP '{SPINE_END}'
+    ),
+    aux AS (
+      SELECT TIMESTAMP '1970-01-01 00:00:00'
+        + to_seconds(CAST(floor(epoch(ts) / 900) * 900 AS BIGINT)) AS bucket_ts,
+             value AS aux_value
+      FROM events WHERE event_type = 'purchase'
+      QUALIFY row_number() OVER (
+        PARTITION BY TIMESTAMP '1970-01-01 00:00:00'
+          + to_seconds(CAST(floor(epoch(ts) / 900) * 900 AS BIGINT))
+        ORDER BY ts DESC, event_id DESC
+      ) = 1
+    )
+    SELECT b.bucket_ts, a.aux_value
+    FROM bars b LEFT JOIN aux a USING (bucket_ts)
+    """,
+    doc="J3: EXACT_TIMESTAMP alignment — normalize the aux series timestamp "
+    "to the bar-open bucket (keep-last within bucket), then left equi-join "
+    "(ref: live_data_api_service/alignment.py:15-34, 37-79). Equi-join on "
+    "the bucketed key → plain hash join, broadcastable aux side.",
+)
+def j3_exact_bucket_align(spark, sf_dir):
+    from crypto_datalake_spark.ops.dedup import keep_last
+    from crypto_datalake_spark.ops.time import bucket_floor
+
+    ev = events(spark, sf_dir)
+    bars = (
+        ev.where(
+            (F.col("ts") >= F.lit(SPINE_START).cast("timestamp_ntz"))
+            & (F.col("ts") < F.lit(SPINE_END).cast("timestamp_ntz"))
+        )
+        .select(bucket_floor("ts", 15).alias("bucket_ts"))
+        .distinct()
+    )
+    aux = keep_last(
+        ev.where(F.col("event_type") == "purchase").withColumn(
+            "bucket_ts", bucket_floor("ts", 15)
+        ),
+        ["bucket_ts"],
+        ["ts", "event_id"],
+    ).select("bucket_ts", F.col("value").alias("aux_value"))
+    return bars.join(aux, "bucket_ts", "left")
+
+
+@register(
+    "j6_exact_asof_fallback",
+    sql=_SQL_ASOF_BASE.format(spine=SQL_SPINE)
+    + """
+    , exact AS (
+      SELECT user_id,
+             TIMESTAMP '1970-01-01 00:00:00'
+               + to_seconds(CAST(floor(epoch(ts) / 900) * 900 AS BIGINT)) AS slot_ts,
+             value AS exact_value
+      FROM src
+      QUALIFY row_number() OVER (
+        PARTITION BY user_id, TIMESTAMP '1970-01-01 00:00:00'
+          + to_seconds(CAST(floor(epoch(ts) / 900) * 900 AS BIGINT))
+        ORDER BY ts DESC
+      ) = 1
+    ),
+    asof_m AS (
+      SELECT s.user_id, s.slot_ts,
+             CASE WHEN e.ts >= s.slot_ts - INTERVAL 900 SECOND
+                  THEN e.value END AS asof_value
+      FROM spine s
+      ASOF LEFT JOIN src e ON s.user_id = e.user_id AND e.ts <= s.slot_ts
+    )
+    SELECT s.user_id, s.slot_ts,
+           coalesce(x.exact_value, a.asof_value) AS value,
+           CASE WHEN x.exact_value IS NOT NULL THEN 'exact'
+                WHEN a.asof_value IS NOT NULL THEN 'asof'
+                ELSE 'none' END AS align_path
+    FROM spine s
+    LEFT JOIN exact x ON x.user_id = s.user_id AND x.slot_ts = s.slot_ts
+    LEFT JOIN asof_m a ON a.user_id = s.user_id AND a.slot_ts = s.slot_ts
+    """,
+    doc="J6: exact→as-of fallback cascade — try exact bucket alignment, "
+    "fall back to as-of-backward capped at one bar, record which path "
+    "populated each bar (ref: live_data_api_service/service.py:1259-1301). "
+    "Both branches share the spine scan; coalesce picks per-row.",
+)
+def j6_exact_asof_fallback(spark, sf_dir):
+    from crypto_datalake_spark.ops.dedup import keep_last
+    from crypto_datalake_spark.ops.time import bucket_floor
+
+    spine = _asof_spine(spark, sf_dir)
+    src = _purchases(spark, sf_dir)
+    exact = keep_last(
+        src.withColumn("slot_ts", bucket_floor("ts", 15)),
+        ["user_id", "slot_ts"],
+        ["ts"],
+    ).select("user_id", "slot_ts", F.col("value").alias("exact_value"))
+    asof = asof_join(
+        spine,
+        src.withColumnRenamed("value", "asof_value"),
+        on="slot_ts",
+        right_on="ts",
+        by=["user_id"],
+        value_cols=["asof_value"],
+        tolerance_seconds=900,
+    ).select("user_id", "slot_ts", "asof_value")
+    return (
+        spine.join(exact, ["user_id", "slot_ts"], "left")
+        .join(asof, ["user_id", "slot_ts"], "left")
+        .select(
+            "user_id",
+            "slot_ts",
+            F.coalesce("exact_value", "asof_value").alias("value"),
+            F.when(F.col("exact_value").isNotNull(), "exact")
+            .when(F.col("asof_value").isNotNull(), "asof")
+            .otherwise("none")
+            .alias("align_path"),
+        )
+    )
+
+
+@register(
     "j8_overlay_coalesce",
     sql="""
     WITH base AS (

@@ -1,17 +1,54 @@
 """Large-scale training-data pipeline operators over documents/embeddings.
 
 Beyond the reference's surface (BASELINE.json north star): deduplication,
-text analysis, similarity search. Scale notes per query; the LSH/MinHash
-variants land in the dedup module (round 2) — these are the exact/oracled
-baselines.
+text analysis, similarity search (brute-force baseline + hyperplane-LSH
+scale path), multimodal binary plumbing. Scale notes per query.
 """
 
 from __future__ import annotations
+
+import hashlib
 
 from pyspark.sql import functions as F
 
 from crypto_datalake_spark.queries.common import t
 from crypto_datalake_spark.queries.registry import register
+
+
+def _cosine(a, b):
+    """Exact cosine similarity between two array<float> columns, JVM-side."""
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    def norm(c):
+        return F.sqrt(
+            F.aggregate(
+                c, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double")
+            )
+        )
+    return dot / (norm(a) * norm(b))
+
+
+_DK_COS = """
+    list_sum(list_transform(list_zip({a}, {b}),
+             p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+    / (sqrt(list_sum(list_transform({a}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+       * sqrt(list_sum(list_transform({b}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+"""
+
+
+def _lsh_planes(n_planes: int, dim: int) -> list[list[float]]:
+    """Deterministic ±1 hyperplanes from md5 parity — identical constants on
+    the Spark and DuckDB sides, so the bucketing is fully oracle-able."""
+    return [
+        [
+            1.0 if int(hashlib.md5(f"{j}:{d}".encode()).hexdigest(), 16) % 2 == 0 else -1.0
+            for d in range(dim)
+        ]
+        for j in range(n_planes)
+    ]
 
 
 @register(
@@ -91,6 +128,135 @@ def text_quality_score(spark, sf_dir):
         (n_stop.cast("double") / n_tok.cast("double")).alias("stopword_ratio"),
         (F.size(F.array_distinct(tok)).cast("double") / n_tok.cast("double")).alias("ttr"),
     )
+
+
+@register(
+    "dedup_embedding_cosine",
+    sql=f"""
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label,
+           round({_DK_COS.format(a="a.embedding", b="b.embedding")}, 6) AS cosine
+    FROM embeddings a JOIN embeddings b
+      ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE {_DK_COS.format(a="a.embedding", b="b.embedding")} >= 0.3
+    """,
+    doc="Embedding-cosine near-duplicate pairs with coarse-cell blocking: "
+    "pairs are scored only within the same label cell (the IVF-style "
+    "partition), bounding the pair space to Σ|cell|² instead of n². "
+    "At 100 TB: repartition by cell, score within partitions — no "
+    "all-pairs shuffle. Rounded(6) for cross-engine float-sum parity.",
+)
+def dedup_embedding_cosine(spark, sf_dir):
+    e = t(spark, sf_dir, "embeddings")
+    a = e.select(
+        F.col("vec_id").alias("vec_a"), "label", F.col("embedding").alias("ea")
+    )
+    b = e.select(F.col("vec_id").alias("vec_b"), "label", F.col("embedding").alias("eb"))
+    cos = _cosine(F.col("ea"), F.col("eb"))
+    return (
+        a.join(b, "label")
+        .where(F.col("vec_a") < F.col("vec_b"))
+        .where(cos >= 0.3)
+        .select("vec_a", "vec_b", "label", F.round(cos, 6).alias("cosine"))
+    )
+
+
+_N_PLANES = 4
+_DIM = 64
+_PLANES = _lsh_planes(_N_PLANES, _DIM)
+
+
+def _dk_bucket(col: str) -> str:
+    bits = []
+    for p in _PLANES:
+        arr = "[" + ", ".join(f"{v:.1f}" for v in p) + "]"
+        dot = (
+            f"list_sum(list_transform(list_zip({col}, {arr}), "
+            "p -> CAST(p[1] AS DOUBLE) * p[2]))"
+        )
+        bits.append(f"CASE WHEN {dot} >= 0 THEN '1' ELSE '0' END")
+    return " || ".join(bits)
+
+
+def _sp_bucket(col):
+    bits = []
+    for p in _PLANES:
+        arr = F.array(*[F.lit(v) for v in p])
+        dot = F.aggregate(
+            F.zip_with(F.col(col), arr, lambda x, y: x.cast("double") * y),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bits.append(F.when(dot >= 0, "1").otherwise("0"))
+    return F.concat(*bits)
+
+
+@register(
+    "ann_lsh_bucketed",
+    sql=f"""
+    WITH bk AS (
+      SELECT vec_id, label, embedding, {_dk_bucket("embedding")} AS bucket
+      FROM embeddings
+    ),
+    q AS (SELECT embedding AS qv, bucket AS qb FROM bk WHERE vec_id = 0)
+    SELECT vec_id, label,
+           round({_DK_COS.format(a="embedding", b="q.qv")}, 6) AS cosine
+    FROM bk CROSS JOIN q
+    WHERE bk.bucket = q.qb AND vec_id <> 0
+    ORDER BY cosine DESC, vec_id ASC
+    LIMIT 10
+    """,
+    doc="LSH-bucketed ANN: sign-of-dot-product against "
+    f"{_N_PLANES} deterministic ±1 hyperplanes → {2**_N_PLANES} buckets; "
+    "top-k scored only inside the query's bucket (≈1/"
+    f"{2**_N_PLANES} of the corpus). The scale path over ann_cosine_topk: "
+    "bucketing is one narrow projection, candidates broadcast-joinable. "
+    "Recall is tunable via planes/probes (multi-probe = OR over "
+    "neighboring buckets).",
+)
+def ann_lsh_bucketed(spark, sf_dir):
+    e = t(spark, sf_dir, "embeddings").withColumn("bucket", _sp_bucket("embedding"))
+    q = e.where(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qv"), F.col("bucket").alias("qb")
+    )
+    return (
+        e.join(F.broadcast(q), e.bucket == q.qb)
+        .where(F.col("vec_id") != 0)
+        .select(
+            "vec_id",
+            "label",
+            F.round(_cosine(F.col("embedding"), F.col("qv")), 6).alias("cosine"),
+        )
+        .orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+        .limit(10)
+    )
+
+
+@register(
+    "multimodal_feature_extract",
+    sql="""
+    SELECT doc_id,
+           source AS media_type,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           CAST(octet_length(encode(text)) % 640 AS BIGINT) AS width,
+           CAST(octet_length(encode(text)) % 480 AS BIGINT) AS height
+    FROM documents
+    """,
+    doc="Multimodal column plumbing: opaque binary payload + typed metadata "
+    "→ Arrow-batched mapInPandas feature extraction "
+    "(functions/multimodal.py). The payload here is the utf-8 encoding of "
+    "the text column (deterministic stand-in — no media codecs in this "
+    "container); the decode seam is decode_media(), a clearly-marked "
+    "NotImplementedError stub. Schema/partitioning/batch shape are real.",
+)
+def multimodal_feature_extract(spark, sf_dir):
+    from crypto_datalake_spark.functions.multimodal import extract_media_features
+
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.encode("text", "UTF-8").alias("payload"),
+        F.col("source").alias("media_type"),
+    )
+    return extract_media_features(d)
 
 
 @register(
