@@ -1,0 +1,374 @@
+"""Pipeline tests mirroring the reference's test strategy (SURVEY.md §5):
+canonical fixture rows → operator → exact-value asserts.
+
+Reference models: tests/test_aggregator.py (OHLC/weighted/snapshot/calendar
+boundaries, idempotent rewrite, late-arrival repair), tests/
+test_transform_engine.py (ffill, 0-vs-NULL), tests/test_atomic_writer.py
+(merge without row loss, LIVE_ONLY preservation).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+
+import pytest
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from crypto_datalake_spark.pipelines import (
+    aggregate_canonical_frame,
+    aggregate_minutes,
+    build_canonical_frame,
+    detect_missing_buckets,
+    incremental_update,
+)
+from crypto_datalake_spark.schema import (
+    MINUTE_COLUMNS,
+    MINUTE_SCHEMA,
+    finalize,
+    schema_hash,
+    validate_hard_required,
+)
+from crypto_datalake_spark.sinks import upsert_partitioned
+
+
+def _ts(minute: int, hour: int = 0, day: int = 1, month: int = 1) -> dt.datetime:
+    return dt.datetime(2024, month, day, hour, minute)
+
+
+_DEFAULTS = dict(
+    symbol="BTCUSDT",
+    open=100.0, high=110.0, low=90.0, close=105.0,
+    volume_btc=2.0, volume_usdt=200.0, trade_count=10,
+    vwap_1m=100.0, taker_buy_volume=1.0, max_trade=50.0,
+    oi_contracts=1000.0, funding_rate=0.0001,
+    spread_pct=0.01, liq_notional=0.0, liq_count=0,
+    has_depth=True, has_liq=True, realized_vol=None,
+)
+
+
+def _minute_row(ts, **over):
+    row = dict(_DEFAULTS, timestamp=ts, **over)
+    return tuple(row[c.name] for c in MINUTE_COLUMNS)
+
+
+# all-nullable variant: tests need to construct invalid rows on purpose
+_NULLABLE_SCHEMA = T.StructType(
+    [T.StructField(f.name, f.dataType, True) for f in MINUTE_SCHEMA.fields]
+)
+
+
+def _minute_frame(spark, rows):
+    return spark.createDataFrame(rows, _NULLABLE_SCHEMA)
+
+
+# --- schema registry -------------------------------------------------------
+
+def test_finalize_adds_missing_casts_orders(spark):
+    df = spark.createDataFrame(
+        [(dt.datetime(2024, 1, 1), "X", 1, 2.0)],
+        "timestamp timestamp_ntz, symbol string, trade_count int, close double",
+    )
+    out = finalize(df)
+    assert [f.name for f in out.schema.fields] == [c.name for c in MINUTE_COLUMNS]
+    assert dict(out.dtypes)["trade_count"] == "bigint"  # cast int → canonical long
+    row = out.head()
+    assert row["open"] is None and row["close"] == 2.0
+
+
+def test_schema_hash_stable():
+    assert schema_hash() == schema_hash()
+    assert len(schema_hash()) == 64
+
+
+def test_validate_hard_required_detects_violations(spark):
+    ok_df = _minute_frame(spark, [_minute_row(_ts(0)), _minute_row(_ts(1))])
+    ok, v = validate_hard_required(ok_df)
+    assert ok and v == {}
+    bad = _minute_frame(
+        spark,
+        [_minute_row(_ts(0), close=None), _minute_row(_ts(1)), _minute_row(_ts(1))],
+    )
+    ok, v = validate_hard_required(bad)
+    assert not ok
+    assert v["nulls_close"] == 1 and v["dup_keys"] == 1
+
+
+# --- minute builder --------------------------------------------------------
+
+@pytest.fixture()
+def built(spark):
+    klines = spark.createDataFrame(
+        [
+            (_ts(m), 100.0 + m, 110.0 + m, 90.0 + m, 105.0 + m, 2.0, 200.0, 10)
+            for m in range(5)
+        ],
+        "timestamp timestamp_ntz, open double, high double, low double, "
+        "close double, volume_btc double, volume_usdt double, trade_count long",
+    )
+    metrics = spark.createDataFrame(
+        [(_ts(1), 1000.0)], "timestamp timestamp_ntz, oi_contracts double"
+    )
+    live = spark.createDataFrame(
+        [
+            (_ts(0), 0.01, None, None, True, True),   # covered, quiet minute
+            (_ts(1), 0.02, 500.0, 2, True, True),     # covered, with liqs
+        ],
+        "timestamp timestamp_ntz, spread_pct double, liq_notional double, "
+        "liq_count long, has_depth boolean, has_liq boolean",
+    )
+    return build_canonical_frame(
+        spark,
+        {"klines": klines, "metrics": metrics, "live": live},
+        "2024-01-01 00:00:00",
+        "2024-01-01 00:05:00",
+        "BTCUSDT",
+    )
+
+
+def test_builder_dense_spine_and_schema(built):
+    assert built.count() == 5
+    assert [f.name for f in built.schema.fields] == [c.name for c in MINUTE_COLUMNS]
+
+
+def test_builder_vwap_derived(built):
+    r = built.where(F.col("timestamp") == _ts(0)).head()
+    assert r["vwap_1m"] == 200.0 / 2.0
+
+
+def test_builder_ffill_limited(built):
+    rows = {r["timestamp"]: r for r in built.collect()}
+    assert rows[_ts(0)]["oi_contracts"] is None          # before snapshot
+    assert rows[_ts(1)]["oi_contracts"] == 1000.0        # snapshot minute
+    assert rows[_ts(4)]["oi_contracts"] == 1000.0        # ffilled forward
+
+
+def test_builder_zero_vs_null_gating(built):
+    rows = {r["timestamp"]: r for r in built.collect()}
+    # covered minute with no liq events → literal 0 (NOT NULL)
+    assert rows[_ts(0)]["liq_notional"] == 0.0 and rows[_ts(0)]["liq_count"] == 0
+    # covered minute with events → values kept
+    assert rows[_ts(1)]["liq_notional"] == 500.0
+    # uncovered minute (no live row → has_liq null) → NULL (NOT 0)
+    assert rows[_ts(2)]["liq_notional"] is None and rows[_ts(2)]["liq_count"] is None
+
+
+def test_builder_ffill_respects_limit(spark):
+    # snapshot at minute 0 only; limit 60 → filled through minute 60, null after
+    klines = spark.createDataFrame(
+        [(_ts(m, hour=h), 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1)
+         for h in range(2) for m in range(60)],
+        "timestamp timestamp_ntz, open double, high double, low double, "
+        "close double, volume_btc double, volume_usdt double, trade_count long",
+    )
+    metrics = spark.createDataFrame(
+        [(_ts(0), 7.0)], "timestamp timestamp_ntz, oi_contracts double"
+    )
+    out = build_canonical_frame(
+        spark, {"klines": klines, "metrics": metrics},
+        "2024-01-01 00:00:00", "2024-01-01 02:00:00", "X",
+    )
+    rows = {r["timestamp"]: r["oi_contracts"] for r in out.collect()}
+    assert rows[_ts(0, hour=1)] == 7.0       # row 60: within limit
+    assert rows[_ts(1, hour=1)] is None      # row 61: beyond 60-row frame
+
+
+# --- HTF aggregator --------------------------------------------------------
+
+def test_htf_ohlc_correctness(spark):
+    rows = [
+        _minute_row(_ts(0), open=10.0, high=15.0, low=9.0, close=12.0),
+        _minute_row(_ts(1), open=12.0, high=20.0, low=11.0, close=19.0),
+        _minute_row(_ts(2), open=19.0, high=19.5, low=8.0, close=9.0),
+    ]
+    bars = aggregate_minutes(_minute_frame(spark, rows), "3m").collect()
+    assert len(bars) == 1
+    b = bars[0]
+    assert (b["open"], b["high"], b["low"], b["close"]) == (10.0, 20.0, 8.0, 9.0)
+    assert b["volume_btc"] == 6.0 and b["trade_count"] == 30
+    assert b["observed_minutes"] == 3 and b["bucket_complete"]
+
+
+def test_htf_vwap_is_ratio_of_sums(spark):
+    rows = [
+        _minute_row(_ts(0), volume_btc=1.0, volume_usdt=100.0, vwap_1m=100.0),
+        _minute_row(_ts(1), volume_btc=3.0, volume_usdt=600.0, vwap_1m=200.0),
+        _minute_row(_ts(2)),
+    ]
+    b = aggregate_minutes(_minute_frame(spark, rows), "3m").head()
+    # Σusdt/Σbtc = 900/6 — NOT mean(vwap_1m)
+    assert b["vwap_1m"] == pytest.approx(900.0 / 6.0)
+
+
+def test_htf_weighted_avg_with_fallback(spark):
+    rows = [
+        _minute_row(_ts(0), spread_pct=0.01, volume_usdt=100.0),
+        _minute_row(_ts(1), spread_pct=0.03, volume_usdt=300.0),
+        _minute_row(_ts(2), spread_pct=None, volume_usdt=200.0),
+    ]
+    b = aggregate_minutes(_minute_frame(spark, rows), "3m").head()
+    # pairwise-deleted weights: (0.01·100 + 0.03·300)/400
+    assert b["spread_pct"] == pytest.approx((0.01 * 100 + 0.03 * 300) / 400.0)
+    # zero weights → simple-mean fallback
+    rows0 = [
+        _minute_row(_ts(0), spread_pct=0.01, volume_usdt=0.0, volume_btc=0.0),
+        _minute_row(_ts(1), spread_pct=0.03, volume_usdt=0.0, volume_btc=0.0),
+    ]
+    b0 = aggregate_minutes(_minute_frame(spark, rows0), "3m").head()
+    assert b0["spread_pct"] == pytest.approx(0.02)
+
+
+def test_htf_snapshot_first_last_nonnull(spark):
+    rows = [
+        _minute_row(_ts(0), oi_contracts=None, funding_rate=None),
+        _minute_row(_ts(1), oi_contracts=11.0, funding_rate=0.5),
+        _minute_row(_ts(2), oi_contracts=22.0, funding_rate=None),
+    ]
+    b = aggregate_minutes(_minute_frame(spark, rows), "3m").head()
+    assert b["oi_contracts"] == 22.0    # LAST non-null
+    assert b["funding_rate"] == 0.5     # FIRST non-null
+
+
+def test_htf_realized_vol_within_bucket(spark):
+    closes = [100.0, 110.0, 99.0]
+    rows = [_minute_row(_ts(m), close=c) for m, c in enumerate(closes)]
+    b = aggregate_minutes(_minute_frame(spark, rows), "3m").head()
+    expect = math.sqrt(
+        math.log(110.0 / 100.0) ** 2 + math.log(99.0 / 110.0) ** 2
+    )
+    assert b["realized_vol"] == pytest.approx(expect)
+
+
+def test_weekly_monday_and_monthly_calendar(spark):
+    # 2024-01-03 is a Wednesday → week bucket floors to Monday 2024-01-01
+    rows = [_minute_row(_ts(0, day=3))]
+    b = aggregate_minutes(_minute_frame(spark, rows), "1w").head()
+    assert b["bucket_start"] == dt.datetime(2024, 1, 1)
+    assert b["expected_minutes"] == 7 * 1440
+    # February 2024 (leap): expected minutes = 29 days
+    rows = [_minute_row(_ts(0, day=10, month=2))]
+    b = aggregate_minutes(_minute_frame(spark, rows), "1M").head()
+    assert b["bucket_start"] == dt.datetime(2024, 2, 1)
+    assert b["expected_minutes"] == 29 * 1440
+
+
+def test_detect_missing_buckets(spark):
+    rows = [_minute_row(_ts(m)) for m in range(3)] + [_minute_row(_ts(4))]
+    mdf = _minute_frame(spark, rows)  # bucket 00:00 complete, 00:03 partial
+    missing = detect_missing_buckets(mdf, None, "3m").collect()
+    assert [r["bucket_start"] for r in missing] == [dt.datetime(2024, 1, 1)]
+    existing = spark.createDataFrame(
+        [("BTCUSDT", dt.datetime(2024, 1, 1), True)],
+        "symbol string, bucket_start timestamp_ntz, bucket_complete boolean",
+    )
+    assert detect_missing_buckets(mdf, existing, "3m").count() == 0
+
+
+# --- sinks -----------------------------------------------------------------
+
+def _part_cols(df):
+    return (
+        df.withColumn("year", F.year("timestamp"))
+        .withColumn("month", F.month("timestamp"))
+        .withColumn("day", F.dayofmonth("timestamp"))
+        .withColumn("hour", F.hour("timestamp"))
+    )
+
+
+def test_upsert_merge_without_row_loss(spark, tmp_path):
+    path = str(tmp_path / "lake")
+    first = _part_cols(_minute_frame(spark, [_minute_row(_ts(m)) for m in range(3)]))
+    parts = ["symbol", "year", "month", "day", "hour"]
+    upsert_partitioned(
+        spark, first, path, keys=["symbol", "timestamp"],
+        order_cols=["timestamp"], partition_cols=parts,
+    )
+    # rewrite minute 1 with a new close + add minute 3
+    second = _part_cols(
+        _minute_frame(
+            spark,
+            [_minute_row(_ts(1), close=999.0), _minute_row(_ts(3))],
+        )
+    )
+    upsert_partitioned(
+        spark, second, path, keys=["symbol", "timestamp"],
+        order_cols=["timestamp"], partition_cols=parts,
+    )
+    got = spark.read.parquet(path)
+    assert got.count() == 4  # no loss, no dupes
+    assert got.where(F.col("timestamp") == _ts(1)).head()["close"] == 999.0
+
+
+def test_upsert_preserves_live_columns(spark, tmp_path):
+    path = str(tmp_path / "lake")
+    parts = ["symbol", "year", "month", "day", "hour"]
+    withlive = _part_cols(
+        _minute_frame(
+            spark, [_minute_row(_ts(0), liq_notional=500.0, has_liq=True)]
+        )
+    )
+    upsert_partitioned(
+        spark, withlive, path, keys=["symbol", "timestamp"],
+        order_cols=["timestamp"], partition_cols=parts,
+    )
+    # historical rewrite WITHOUT live data must not clobber live columns
+    nolive = _part_cols(
+        _minute_frame(
+            spark,
+            [_minute_row(_ts(0), close=111.0, liq_notional=None, has_liq=None)],
+        )
+    )
+    upsert_partitioned(
+        spark, nolive, path, keys=["symbol", "timestamp"],
+        order_cols=["timestamp"], partition_cols=parts,
+        preserve_cols=["liq_notional"], flag_cols=["has_liq"],
+    )
+    row = spark.read.parquet(path).head()
+    assert row["close"] == 111.0          # rewrite applied
+    assert row["liq_notional"] == 500.0   # LIVE_ONLY preserved
+    assert row["has_liq"] is True         # flag OR-ed
+
+
+def test_incremental_idempotent_and_late_repair(spark, tmp_path):
+    path = str(tmp_path / "htf")
+    mdf = _minute_frame(spark, [_minute_row(_ts(m)) for m in range(6)])
+    incremental_update(spark, mdf, path, "3m", repair_lookback_minutes=120)
+    incremental_update(spark, mdf, path, "3m", repair_lookback_minutes=120)  # rerun
+    got = spark.read.parquet(path)
+    assert got.count() == 2  # idempotent: 2 complete buckets, no dupes
+    # late data changes minute 4's close → repair rewrites bucket 00:03
+    late = _minute_frame(
+        spark,
+        [_minute_row(_ts(m)) for m in range(4)]
+        + [_minute_row(_ts(4), high=777.0), _minute_row(_ts(5))],
+    )
+    incremental_update(spark, late, path, "3m", repair_lookback_minutes=120)
+    got = spark.read.parquet(path)
+    assert got.count() == 2
+    b = got.where(F.col("bucket_start") == dt.datetime(2024, 1, 1, 0, 3)).head()
+    assert b["close"] == 105.0  # close of minute 5 (last), unchanged
+    assert b["high"] == 777.0   # max picked up the late rewrite
+
+
+# --- serving ---------------------------------------------------------------
+
+def test_serving_derived_fields_and_complete_filter(spark):
+    rows = [
+        _minute_row(_ts(m), close=100.0 + m, taker_buy_volume=1.5)
+        for m in range(6)
+    ] + [_minute_row(_ts(6))]  # partial 7th minute → incomplete 3m bucket
+    bars = aggregate_canonical_frame(
+        _minute_frame(spark, rows), "3m", complete_only=True
+    )
+    got = {r["bucket_ts"]: r for r in bars.collect()}
+    assert len(got) == 2  # partial bucket filtered out
+    b0 = got[dt.datetime(2024, 1, 1, 0, 0)]
+    b1 = got[dt.datetime(2024, 1, 1, 0, 3)]
+    assert b0["taker_buy_ratio"] == pytest.approx(4.5 / 6.0)
+    assert b1["realized_vol_bar"] == pytest.approx(abs(math.log(105.0 / 102.0)))
+    assert b1["delta_oi_contracts"] == 0.0
+    # cvd accumulates net taker vol: per bucket 2·4.5 − 6 = 3
+    assert b0["cvd_btc"] == pytest.approx(3.0)
+    assert b1["cvd_btc"] == pytest.approx(6.0)
