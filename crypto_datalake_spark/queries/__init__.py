@@ -10,6 +10,7 @@ from crypto_datalake_spark.queries import (  # noqa: F401  (registration side-ef
     derived,
     joins,
     llm,
+    streaming_q,
     tpch,
     windows,
 )

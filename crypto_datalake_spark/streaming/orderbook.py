@@ -1,0 +1,250 @@
+"""Stateful order-book stream: sync, delta application, impact, health.
+
+Reference (/root/reference/src/binance_minute_lake/sources/websocket.py):
+- ``DepthOrderBook`` state machine (:234-345): buffer deltas until a REST
+  snapshot arrives; bridge rule — first applied delta must satisfy
+  ``U <= lastUpdateId+1 <= u``; thereafter sequence continuity
+  ``pu == last_u`` else the book degrades to unsynced; ``qty <= 0``
+  deletes a level; a crossed book (bid >= ask) degrades.
+- Simulated market-impact walk (:357-389): fill IMPACT_NOTIONAL ascending
+  the asks; ``impact = (avg_exec − mid)/mid``; fillable flag.
+- Book-health metrics (:391-413, 18-23): spread_pct; mean qty of top-10
+  levels per side; degraded if unsynced ∨ ¬fillable ∨ spread > 2% ∨
+  avg level qty < 1.0.
+
+Spark realization: ``applyInPandasWithState`` keyed by symbol. The book
+lives in the state value (JSON — price→qty maps); each micro-batch applies
+its events in (event_time, final_update_id) order and emits one metrics
+row per observed minute. The REST-snapshot resync has no streaming
+analogue, so snapshots arrive as control rows on the same stream
+(kind='snapshot') — a control-stream union, SURVEY.md §7.3(a).
+
+Scale: state is per-symbol (bounded: one book), so 1000 symbols = 1000
+keys spread across executors; shuffle is one exchange on symbol per
+micro-batch. Python is the right tool here — the work is inherently
+sequential per key and tiny per event.
+"""
+
+from __future__ import annotations
+
+import json
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    BooleanType,
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampNTZType,
+)
+
+IMPACT_NOTIONAL = 100_000.0
+MAX_SPREAD_PCT = 2.0
+MIN_AVG_LEVEL_QTY = 1.0
+
+DEPTH_EVENT_SCHEMA = StructType(
+    [
+        StructField("symbol", StringType()),
+        StructField("event_time", TimestampNTZType()),
+        StructField("kind", StringType()),  # snapshot | delta
+        StructField("first_update_id", LongType()),  # U
+        StructField("final_update_id", LongType()),  # u (= lastUpdateId for snapshot)
+        StructField("prev_final_update_id", LongType()),  # pu
+        StructField("bids", StringType()),  # JSON [[price, qty], ...]
+        StructField("asks", StringType()),
+    ]
+)
+
+BOOK_METRICS_SCHEMA = StructType(
+    [
+        StructField("symbol", StringType()),
+        StructField("minute_ts", TimestampNTZType()),
+        StructField("best_bid", DoubleType()),
+        StructField("best_ask", DoubleType()),
+        StructField("mid", DoubleType()),
+        StructField("spread_pct", DoubleType()),
+        StructField("impact_pct", DoubleType()),
+        StructField("fillable", BooleanType()),
+        StructField("avg_bid_qty_top10", DoubleType()),
+        StructField("avg_ask_qty_top10", DoubleType()),
+        StructField("synced", BooleanType()),
+        StructField("degraded", BooleanType()),
+    ]
+)
+
+_STATE_SCHEMA = StructType([StructField("blob", StringType())])
+
+_EMPTY = {"bids": {}, "asks": {}, "last_u": None, "synced": False, "buffer": []}
+
+
+def _apply_levels(book_side: dict, levels: list) -> None:
+    for price, qty in levels:
+        key = f"{float(price):.10g}"
+        if float(qty) <= 0:
+            book_side.pop(key, None)
+        else:
+            book_side[key] = float(qty)
+
+
+def _apply_delta(st: dict, ev: dict) -> None:
+    """One depth diff against a synced book (websocket.py:300-345)."""
+    if st["last_u"] is not None and ev["pu"] is not None and ev["pu"] != st["last_u"]:
+        st["synced"] = False  # sequence break → resync required
+        return
+    _apply_levels(st["bids"], ev["bids"])
+    _apply_levels(st["asks"], ev["asks"])
+    st["last_u"] = ev["u"]
+
+
+def _sync_from_snapshot(st: dict, snap: dict) -> None:
+    """Snapshot + buffered-delta bridge (websocket.py:262-299)."""
+    st["bids"] = {}
+    st["asks"] = {}
+    _apply_levels(st["bids"], snap["bids"])
+    _apply_levels(st["asks"], snap["asks"])
+    last_id = snap["u"]
+    st["last_u"] = last_id
+    st["synced"] = True
+    pending = [e for e in st["buffer"] if e["u"] > last_id]
+    if pending:
+        first = pending[0]
+        if not (first["U"] <= last_id + 1 <= first["u"]):
+            st["synced"] = False  # bridge check failed — wait for next snapshot
+            st["buffer"] = []
+            return
+        first_applied = dict(first, pu=None)  # bridge event skips pu check
+        _apply_delta(st, first_applied)
+        for e in pending[1:]:
+            if not st["synced"]:
+                break
+            _apply_delta(st, e)
+    st["buffer"] = []
+
+
+def _book_metrics(st: dict, symbol: str, minute_ts) -> dict:
+    bids = sorted(((float(p), q) for p, q in st["bids"].items()), reverse=True)
+    asks = sorted((float(p), q) for p, q in st["asks"].items())
+    row = dict(
+        symbol=symbol, minute_ts=minute_ts, best_bid=None, best_ask=None,
+        mid=None, spread_pct=None, impact_pct=None, fillable=False,
+        avg_bid_qty_top10=None, avg_ask_qty_top10=None,
+        synced=bool(st["synced"]), degraded=True,
+    )
+    if not (st["synced"] and bids and asks):
+        return row
+    best_bid, best_ask = bids[0][0], asks[0][0]
+    if best_bid >= best_ask:  # crossed book invariant
+        row["synced"] = st["synced"]
+        return row
+    mid = (best_bid + best_ask) / 2.0
+    spread_pct = (best_ask - best_bid) / mid * 100.0
+    # ST4: walk asks ascending, fill IMPACT_NOTIONAL
+    remaining = IMPACT_NOTIONAL
+    cost = 0.0
+    filled_qty = 0.0
+    for price, qty in asks:
+        level_notional = price * qty
+        take = min(remaining, level_notional)
+        cost += take
+        filled_qty += take / price
+        remaining -= take
+        if remaining <= 0:
+            break
+    fillable = remaining <= 0
+    impact_pct = ((cost / filled_qty) - mid) / mid * 100.0 if filled_qty > 0 else None
+    # ST5: health
+    avg_bid = sum(q for _, q in bids[:10]) / min(len(bids), 10)
+    avg_ask = sum(q for _, q in asks[:10]) / min(len(asks), 10)
+    degraded = (
+        (not st["synced"])
+        or (not fillable)
+        or spread_pct > MAX_SPREAD_PCT
+        or min(avg_bid, avg_ask) < MIN_AVG_LEVEL_QTY
+    )
+    row.update(
+        best_bid=best_bid, best_ask=best_ask, mid=mid, spread_pct=spread_pct,
+        impact_pct=impact_pct, fillable=fillable,
+        avg_bid_qty_top10=avg_bid, avg_ask_qty_top10=avg_ask, degraded=degraded,
+    )
+    return row
+
+
+def _process(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+    (symbol,) = key
+    st = json.loads(state.get[0]) if state.exists else dict(_EMPTY, buffer=[])
+
+    events = []
+    for pdf in pdfs:
+        for r in pdf.itertuples(index=False):
+            events.append(
+                dict(
+                    event_time=r.event_time,
+                    kind=r.kind,
+                    U=None if pd.isna(r.first_update_id) else int(r.first_update_id),
+                    u=None if pd.isna(r.final_update_id) else int(r.final_update_id),
+                    pu=None if pd.isna(r.prev_final_update_id) else int(r.prev_final_update_id),
+                    bids=json.loads(r.bids) if r.bids else [],
+                    asks=json.loads(r.asks) if r.asks else [],
+                )
+            )
+    events.sort(key=lambda e: (e["event_time"], -1 if e["kind"] == "snapshot" else e["u"] or 0))
+
+    out_rows = []
+    touched_minutes: dict = {}
+    for ev in events:
+        if ev["kind"] == "snapshot":
+            _sync_from_snapshot(st, ev)
+        elif st["synced"]:
+            _apply_delta(st, ev)
+        else:
+            st["buffer"].append(ev)  # buffer-until-snapshot
+        minute = ev["event_time"].floor("min")
+        touched_minutes[minute] = True
+    for minute in touched_minutes:  # one metrics row per observed minute
+        out_rows.append(_book_metrics(st, symbol, minute))
+
+    state.update((json.dumps(st, default=str),))
+    if out_rows:
+        yield pd.DataFrame(out_rows)
+
+
+def book_state_stream(depth_events: DataFrame) -> DataFrame:
+    """Depth event stream → per-minute book metrics with per-symbol state.
+
+    Accepts streaming or batch input (batch replays through the same fold —
+    the recovery-from-event-store path, websocket.py:239)."""
+    if depth_events.isStreaming:
+        return depth_events.groupBy("symbol").applyInPandasWithState(
+            _process,
+            BOOK_METRICS_SCHEMA,
+            _STATE_SCHEMA,
+            "append",
+            GroupStateTimeout.NoTimeout,
+        )
+    # batch replay: run the same fold per symbol via applyInPandas
+    from pyspark.sql.functions import col  # local import to keep top clean
+
+    class _FakeState:
+        exists = False
+
+        def update(self, v):
+            pass
+
+    def _batch(pdf: pd.DataFrame) -> pd.DataFrame:
+        sym = pdf["symbol"].iloc[0]
+        frames = list(_process((sym,), iter([pdf]), _FakeState()))
+        return (
+            pd.concat(frames)
+            if frames
+            else pd.DataFrame(columns=[f.name for f in BOOK_METRICS_SCHEMA.fields])
+        )
+
+    return depth_events.groupBy(col("symbol")).applyInPandas(
+        _batch, BOOK_METRICS_SCHEMA
+    )

@@ -1,0 +1,90 @@
+"""Silver-table maintenance: streaming upsert sink + retention (ST9-ST12).
+
+Reference: per-minute features are upserted into SQLite
+(websocket.py:723-796), merged memory∪store at read (ST9, :901-1127), and
+raw events are retention-pruned (ST10, :798-899). Late data is repaired by
+re-aggregating recent windows (ST11, aggregator/incremental.py:51-57).
+
+Spark realization:
+- ``foreach_batch_upsert`` — every micro-batch MERGEs into the partitioned
+  silver lake via sinks.upsert_partitioned; idempotent per key, so
+  at-least-once delivery is safe (checkpoint + keep-last = exactly-once
+  effect on the table).
+- ``retention_delete`` — partition-granular delete: rewrites nothing, just
+  drops whole partition directories older than the cutoff (the Delta
+  ``DELETE WHERE`` analogue for plain parquet).
+- query-time overlay (ST12) is a plain union-keep-last of silver over
+  batch — ops.dedup.union_dedup already covers it.
+"""
+
+from __future__ import annotations
+
+import shutil
+from collections.abc import Callable, Sequence
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from crypto_datalake_spark.sinks import upsert_partitioned
+
+
+def foreach_batch_upsert(
+    spark: SparkSession,
+    path: str,
+    keys: Sequence[str],
+    order_cols: Sequence[str],
+    partition_cols: Sequence[str],
+    derive_partitions: Callable[[DataFrame], DataFrame] | None = None,
+) -> Callable[[DataFrame, int], None]:
+    """Build a ``foreachBatch`` function that upserts each micro-batch."""
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        if derive_partitions is not None:
+            batch_df = derive_partitions(batch_df)
+        if batch_df.isEmpty():
+            return
+        upsert_partitioned(
+            spark, batch_df, path,
+            keys=keys, order_cols=order_cols, partition_cols=partition_cols,
+        )
+
+    return _sink
+
+
+def retention_delete(path: str, partition_col: str, keep_values: set) -> int:
+    """Drop partition directories whose ``partition_col=value`` is not in
+    ``keep_values`` (ref: 12-hour event retention, websocket.py:798-899).
+
+    Returns the number of partitions removed. Partition-granular — no file
+    rewrite, O(partitions to drop) filesystem ops.
+    """
+    removed = 0
+    root = Path(path)
+    if not root.exists():
+        return 0
+    for child in root.glob(f"**/{partition_col}=*"):
+        value = child.name.split("=", 1)[1]
+        if value not in {str(v) for v in keep_values}:
+            shutil.rmtree(child)
+            removed += 1
+    return removed
+
+
+def heartbeat_stream(events: DataFrame, watermark: str = "3 minutes") -> DataFrame:
+    """ST8: per-consumer per-minute liveness — alive flag + last message
+    time (websocket.py:1325-1401). A trivial windowed agg."""
+    events = events.withColumn("event_time", F.col("event_time").cast("timestamp"))
+    if events.isStreaming:
+        events = events.withWatermark("event_time", watermark)
+    agg = events.groupBy(
+        F.col("stream"), F.window("event_time", "1 minute").alias("w")
+    ).agg(
+        F.max("arrival_time").alias("last_message_time"),
+        F.count(F.lit(1)).alias("n_messages"),
+        F.lit(True).alias("alive"),
+    )
+    return agg.select(
+        "stream", F.col("w.start").cast("timestamp_ntz").alias("minute_ts"),
+        "last_message_time", "n_messages", "alive",
+    )

@@ -1,0 +1,218 @@
+"""Streaming subsystem tests (SURVEY.md §2.8), mirroring the reference's
+collector tests (tests/test_live_collector.py: depth-sync bridge rule,
+liquidation semantics, latency; test_websocket_payload_processor.py:
+retention cleanup).
+
+Streaming queries run with availableNow over file sources into memory
+sinks — bounded, deterministic, no wall-clock dependence.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from crypto_datalake_spark.streaming import (
+    DEPTH_EVENT_SCHEMA,
+    book_state_stream,
+    foreach_batch_upsert,
+    minute_feature_stream,
+    retention_delete,
+)
+from crypto_datalake_spark.streaming.silver import heartbeat_stream
+
+_EVENTS_DDL = (
+    "symbol string, stream string, event_time timestamp_ntz, "
+    "transact_time timestamp_ntz, arrival_time timestamp_ntz, side string, "
+    "price double, qty double, orig_qty double"
+)
+
+
+def _t(sec: float) -> dt.datetime:
+    return dt.datetime(2024, 1, 1, 0, 0) + dt.timedelta(seconds=sec)
+
+
+@pytest.fixture()
+def bronze_events(spark):
+    # minute 0: two liqs (one SELL/long, one BUY/short) + a depth event
+    # minute 1: trade only — liq columns must be NULL (0-vs-NULL)
+    rows = [
+        ("BTC", "liq", _t(10), _t(9.9), _t(10.2), "SELL", 100.0, 2.0, 3.0),
+        ("BTC", "liq", _t(20), _t(19.9), _t(20.1), "BUY", 200.0, 1.0, 1.0),
+        ("BTC", "depth", _t(30), _t(29.9), _t(30.05), None, None, None, None),
+        ("BTC", "trade", _t(70), _t(69.9), _t(70.8), "BUY", 101.0, 5.0, None),
+    ]
+    return spark.createDataFrame(rows, _EVENTS_DDL)
+
+
+def test_minute_features_batch_semantics(bronze_events):
+    got = {r["minute_ts"]: r for r in minute_feature_stream(bronze_events).collect()}
+    m0 = got[dt.datetime(2024, 1, 1, 0, 0)]
+    assert m0["liq_long_notional"] == 200.0 and m0["liq_long_count"] == 1
+    assert m0["liq_short_notional"] == 200.0 and m0["liq_short_count"] == 1
+    # qty-weighted fill price: (100·2 + 200·1)/(2+1)
+    assert m0["liq_avg_fill_price"] == pytest.approx(400.0 / 3.0)
+    # unfilled ratio: Σ(orig−exec)/Σorig = (1+0)/4
+    assert m0["liq_unfilled_ratio"] == pytest.approx(0.25)
+    assert m0["has_liq"] and m0["has_depth"]
+    assert not m0["latency_bad"]  # max engine latency 200 ms
+    m1 = got[dt.datetime(2024, 1, 1, 0, 1)]
+    assert m1["liq_long_notional"] is None  # NULL, not 0 — no liq coverage
+    assert not m1["has_liq"]
+    assert m1["latency_bad"]  # 800 ms engine latency > 500
+
+
+def test_minute_features_streaming_equals_batch(spark, tmp_path, bronze_events):
+    src = str(tmp_path / "bronze")
+    bronze_events.write.parquet(src)
+    stream = spark.readStream.schema(_EVENTS_DDL).parquet(src)
+    q = (
+        minute_feature_stream(stream)
+        .writeStream.format("memory")
+        .queryName("mf_stream")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.table("mf_stream")
+    batch = minute_feature_stream(bronze_events)
+    assert sorted(got.collect()) == sorted(batch.collect())
+
+
+# --- order book ------------------------------------------------------------
+
+def _depth_rows(spark, rows):
+    return spark.createDataFrame(rows, DEPTH_EVENT_SCHEMA)
+
+
+_SNAP = (
+    "BTC", _t(5), "snapshot", None, 100, None,
+    json.dumps([[100.0, 600.0], [99.0, 600.0]]),
+    json.dumps([[101.0, 600.0], [102.0, 600.0]]),
+)
+# bridge delta: U=99 <= lastUpdateId+1=101 <= u=103
+_BRIDGE = (
+    "BTC", _t(6), "delta", 99, 103, None,
+    json.dumps([[100.0, 700.0]]), json.dumps([]),
+)
+# continuous delta: pu == last_u == 103; deletes ask level 102
+_NEXT = (
+    "BTC", _t(7), "delta", 104, 110, 103,
+    json.dumps([]), json.dumps([[102.0, 0.0]]),
+)
+
+
+def test_book_sync_and_metrics_batch(spark):
+    out = book_state_stream(
+        _depth_rows(spark, [_SNAP, _BRIDGE, _NEXT])
+    ).collect()
+    assert len(out) == 1  # one observed minute
+    r = out[0]
+    assert r["synced"]
+    assert r["best_bid"] == 100.0 and r["best_ask"] == 101.0
+    mid = 100.5
+    assert r["mid"] == mid
+    assert r["spread_pct"] == pytest.approx((101.0 - 100.0) / mid * 100)
+    # impact walk: 60600 from level 101 (600 qty), rest unfillable (102 deleted)
+    # → 100k notional NOT fillable after the delete
+    assert not r["fillable"] and r["degraded"]
+    assert r["avg_bid_qty_top10"] == pytest.approx(650.0)  # (700+600)/2
+
+
+def test_book_sequence_break_degrades(spark):
+    gap = ("BTC", _t(8), "delta", 120, 125, 999, json.dumps([[100.0, 1.0]]), json.dumps([]))
+    out = book_state_stream(_depth_rows(spark, [_SNAP, _BRIDGE, gap])).collect()
+    assert len(out) == 1
+    assert not out[0]["synced"] and out[0]["degraded"]
+
+
+def test_book_buffer_until_snapshot_across_batches(spark, tmp_path):
+    src = tmp_path / "depth"
+    src.mkdir()
+    # file 1: delta before any snapshot → buffered, unsynced metrics
+    _depth_rows(spark, [("BTC", _t(1), "delta", 95, 99, None,
+                         json.dumps([[100.0, 5.0]]), json.dumps([]))]) \
+        .coalesce(1).write.parquet(str(src / "f1"))
+    # file 2: snapshot at u=98 + the buffer drains (u=99 > 98, U=95 <= 99 <= 99)
+    _depth_rows(spark, [("BTC", _t(65), "snapshot", None, 98, None,
+                         json.dumps([[100.0, 600.0]]),
+                         json.dumps([[101.0, 600.0], [102.0, 600.0]]))]) \
+        .coalesce(1).write.parquet(str(src / "f2"))
+    stream = spark.readStream.schema(DEPTH_EVENT_SCHEMA).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(str(src / "*"))
+    q = (
+        book_state_stream(stream)
+        .writeStream.format("memory")
+        .queryName("book_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(spark.table("book_stream").collect(), key=lambda r: r["minute_ts"])
+    assert len(got) == 2
+    assert not got[0]["synced"]           # pre-snapshot minute: buffered only
+    assert got[1]["synced"]               # post-snapshot: book live
+    assert got[1]["best_bid"] == 100.0    # buffered delta overwrote bid qty
+    assert got[1]["fillable"]             # 101·600 + 102·600 > 100k notional
+
+
+# --- silver sink / retention ----------------------------------------------
+
+def test_foreach_batch_upsert_idempotent(spark, tmp_path, bronze_events):
+    src = str(tmp_path / "bronze")
+    bronze_events.write.parquet(src)
+    lake = str(tmp_path / "silver")
+
+    def run(ckpt):
+        stream = spark.readStream.schema(_EVENTS_DDL).parquet(src)
+        sink = foreach_batch_upsert(
+            spark, lake,
+            keys=["symbol", "minute_ts"], order_cols=["max_event_time"],
+            partition_cols=["symbol"],
+        )
+        q = (
+            minute_feature_stream(stream)
+            .writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / ckpt))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run("ckpt1")
+    run("ckpt2")  # full replay — upsert must keep the table deduplicated
+    got = spark.read.parquet(lake)
+    assert got.count() == 2
+    assert got.where(F.col("minute_ts") == dt.datetime(2024, 1, 1, 0, 0)).head()[
+        "liq_long_notional"
+    ] == 200.0
+
+
+def test_retention_delete_partition_granular(spark, tmp_path):
+    lake = str(tmp_path / "events")
+    df = spark.createDataFrame(
+        [(d, i, float(i)) for d in ("2024-01-01", "2024-01-02", "2024-01-03")
+         for i in range(3)],
+        "day string, event_id int, value double",
+    )
+    df.write.partitionBy("day").parquet(lake)
+    removed = retention_delete(lake, "day", keep_values={"2024-01-02", "2024-01-03"})
+    assert removed == 1
+    remaining = spark.read.parquet(lake).select("day").distinct().collect()
+    assert sorted(str(r["day"]) for r in remaining) == ["2024-01-02", "2024-01-03"]
+
+
+def test_heartbeat_stream(bronze_events):
+    got = {(r["stream"], r["minute_ts"]): r for r in heartbeat_stream(bronze_events).collect()}
+    assert got[("liq", dt.datetime(2024, 1, 1, 0, 0))]["n_messages"] == 2
+    assert got[("trade", dt.datetime(2024, 1, 1, 0, 1))]["alive"]
