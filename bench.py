@@ -6,8 +6,10 @@ Prints ONE JSON line:
   {"metric": "...", "value": <total_sec>, "unit": "sec",
    "queries": {name: sec, ...}, "sf": <sf>}
 
-Each query is executed with a count()-style action that forces full
-evaluation (collect on the aggregated result — all results are small).
+Each query is fully evaluated through the ``noop`` write sink — every
+partition is computed and materialised executor-side, nothing is shipped
+to the driver, so timings measure the engine (scan/shuffle/agg), not
+driver-collect serialization of wide results.
 A warmup run of the smallest query amortises JVM/session startup out of
 the per-query numbers; total excludes warmup.
 """
@@ -39,6 +41,9 @@ BENCH_QUERIES = [
     "j10_dedup_keep_last",
     "dedup_exact_hash",
     "ann_cosine_topk",
+    "dedup_minhash_lsh",
+    "ann_lsh_bucketed",
+    "st2_streaming_minute_agg",
 ]
 
 
@@ -53,22 +58,26 @@ def main() -> None:
     spark = get_spark("cds-bench", master=f"local[{cpus}]")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # warmup: JVM + parquet footer caches
+    # warmup: JVM codegen + file-listing/footer caches for every table
+    from crypto_datalake_spark.io import TABLES, load_table
+
+    for t in TABLES:
+        load_table(spark, sf_dir, t).limit(1).collect()
     REGISTRY["s3_minmax_scan"].fn(spark, sf_dir).collect()
 
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
         q = REGISTRY[name]
         t0 = time.perf_counter()
-        rows = q.fn(spark, sf_dir).collect()
+        q.fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
         timings[name] = round(time.perf_counter() - t0, 4)
-        assert rows is not None
     total = round(sum(timings.values()), 4)
 
     print(
         json.dumps(
             {
-                "metric": "headline-query wall time (13 queries, local[%s])" % cpus,
+                "metric": "headline-query wall time (%d queries, local[%s])"
+                % (len(BENCH_QUERIES), cpus),
                 "value": total,
                 "unit": "sec",
                 "queries": timings,

@@ -40,14 +40,23 @@ _DK_SHINGLES = (
 )
 
 
+# Affine minhash family over ONE base hash per shingle: h_i = (a_i·h + b_i)
+# mod p, p = 2^31−1 (Mersenne).  One md5 per shingle instead of N_HASH —
+# the md5 is the dominant cost at scale; the affine family is integer-only
+# and equally uniform.  h is pre-reduced mod p so a_i·h stays < 2^62 (no
+# int64 overflow in either engine).
+_MH_P = 2_147_483_647
+_MH_AB = [(2 * i + 1, 7919 * (i + 1)) for i in range(_N_HASH)]  # odd a_i
+
+
 def _sp_minhash(i: int) -> str:
-    h = _SP_H.format(x=f"concat('{i}:', s)")
-    return f"array_min(transform(shingles, s -> {h}))"
+    a, b = _MH_AB[i]
+    return f"array_min(transform(hs, h -> ({a} * h + {b}) % {_MH_P}))"
 
 
 def _dk_minhash(i: int) -> str:
-    h = _DK_H.format(x=f"'{i}:' || s")
-    return f"list_min(list_transform(shingles, s -> {h}))"
+    a, b = _MH_AB[i]
+    return f"list_min(list_transform(hs, h -> ({a} * h + {b}) % {_MH_P}))"
 
 
 def _band_cols(n_hash: int, band_size: int):
@@ -67,10 +76,15 @@ def _band_cols(n_hash: int, band_size: int):
       SELECT doc_id, {_DK_SHINGLES} AS shingles
       FROM tk WHERE len(tok) >= 3
     ),
+    hb AS (
+      SELECT doc_id, shingles,
+             list_transform(shingles, s -> {_DK_H.format(x="s")} % {_MH_P}) AS hs
+      FROM sh
+    ),
     sig AS (
       SELECT doc_id, shingles,
              {", ".join(f"{_dk_minhash(i)} AS h{i}" for i in range(_N_HASH))}
-      FROM sh
+      FROM hb
     ),
     bands AS (
       {" UNION ALL ".join(
@@ -109,7 +123,14 @@ def dedup_minhash_lsh(spark, sf_dir):
         .where(F.size("tok") >= 3)
         .select("doc_id", F.expr(_SP_SHINGLES).alias("shingles"))
     )
-    sig = sh.select(
+    hb = sh.select(
+        "doc_id",
+        "shingles",
+        F.expr(
+            f"transform(shingles, s -> {_SP_H.format(x='s')} % {_MH_P})"
+        ).alias("hs"),
+    )
+    sig = hb.select(
         "doc_id",
         "shingles",
         *[F.expr(_sp_minhash(i)).alias(f"h{i}") for i in range(_N_HASH)],
