@@ -64,6 +64,41 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def load_csv_with_variants(
+    spark: SparkSession,
+    path: str,
+    schema: StructType,
+    column_variants: dict[str, list[str]] | None = None,
+) -> DataFrame:
+    """CSV loader tolerating header variants (SURVEY.md §2.1 S7).
+
+    The reference's Vision ZIP loader parses daily CSVs whose headers
+    drifted across history and coalesces alternate column names into the
+    canonical one (/root/reference/src/binance_minute_lake/sources/
+    vision_loader.py:121-155, 264-346). Spark-side: read with header
+    inference, then for each canonical column take the first present
+    variant; missing columns become NULL, then cast to the target schema.
+
+    gzip/bzip2 CSVs decompress natively; for true ZIP archives,
+    pre-extract in the landing zone (ingestion-side, like the reference's
+    disk cache) — Spark's text sources do not read .zip members.
+    """
+    raw = spark.read.option("header", True).csv(path)
+    cols = set(raw.columns)
+    out = []
+    for field in schema.fields:
+        variants = [field.name, *(column_variants or {}).get(field.name, [])]
+        present = [v for v in variants if v in cols]
+        if not present:
+            expr = F.lit(None)
+        elif len(present) == 1:
+            expr = F.col(present[0])
+        else:
+            expr = F.coalesce(*[F.col(v) for v in present])
+        out.append(expr.cast(field.dataType).alias(field.name))
+    return raw.select(*out)
+
+
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {t: load_table(spark, sf_dir, t) for t in TABLES}
 

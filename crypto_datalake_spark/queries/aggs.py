@@ -365,6 +365,47 @@ def a11_populated_count(spark, sf_dir):
 
 
 @register(
+    "u6_calendar_buckets",
+    sql="""
+    SELECT month_start, week_start,
+           CAST(datediff('minute', month_start,
+                month_start + INTERVAL 1 MONTH) AS BIGINT)
+             AS month_expected_minutes,
+           CAST(count(*) AS BIGINT) AS n_orders
+    FROM (
+      SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+             CAST(date_trunc('week', o_orderdate) AS TIMESTAMP) AS week_start
+      FROM orders
+    )
+    GROUP BY 1, 2
+    """,
+    doc="U6/A10: calendar bucket floors — month and Monday-aligned week — "
+    "with calendar-aware expected-minute accounting (add_months, NOT a "
+    "fixed constant; ref: aggregator/bucketing.py:61-114, weekly/monthly "
+    "boundary tests tests/test_aggregator.py:328). Month lengths and leap "
+    "years come out of the interval arithmetic on both engines.",
+)
+def u6_calendar_buckets(spark, sf_dir):
+    from crypto_datalake_spark.ops.time import bucket_end, calendar_floor
+
+    o = t(spark, sf_dir, "orders")
+    month = calendar_floor("o_orderdate", "month")
+    week = calendar_floor("o_orderdate", "week")
+    out = o.groupBy(
+        month.alias("month_start"), week.alias("week_start")
+    ).agg(F.count(F.lit(1)).alias("n_orders"))
+    exp = F.timestamp_diff(
+        "MINUTE", F.col("month_start"), bucket_end(F.col("month_start"), "1M")
+    ).cast("long")
+    return out.select(
+        "month_start",
+        "week_start",
+        exp.alias("month_expected_minutes"),
+        "n_orders",
+    )
+
+
+@register(
     "a10_bucket_completeness",
     sql="""
     SELECT date_trunc('hour', ts) AS hour_ts,

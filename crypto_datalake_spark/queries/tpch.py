@@ -167,3 +167,151 @@ def q_order_priority_exists(spark, sf_dir):
         "left_semi",
     )
     return matched.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("order_count"))
+
+
+@register(
+    "q6_forecast_revenue",
+    sql="""
+    SELECT CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))
+                     * CAST(l_discount AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS DOUBLE)
+             AS revenue,
+           CAST(count(*) AS BIGINT) AS n
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24.0
+    """,
+    doc="TPC-H Q6 shape: tight multi-predicate filter + scalar aggregate. "
+    "All three predicates push to the parquet scan (row-group min/max "
+    "skipping); no shuffle at all — the cheapest query class.",
+)
+def q6_forecast_revenue(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    return li.where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24.0)
+    ).agg(
+        dsum_prod("l_extendedprice", "l_discount").alias("revenue"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    "q10_returned_items",
+    sql="""
+    SELECT c.c_custkey, c.c_name, n.n_name,
+      CAST(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,6))
+                * CAST(1.0 - l.l_discount AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS DOUBLE)
+        AS revenue
+    FROM customer c
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    WHERE l.l_returnflag = 'R'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate < TIMESTAMP '1996-07-01'
+    GROUP BY 1, 2, 3
+    ORDER BY revenue DESC, c.c_custkey ASC
+    LIMIT 20
+    """,
+    doc="TPC-H Q10 shape: 4-table star join (fact × 2 dims + date-filtered "
+    "bridge) + top-k by aggregated revenue. nation broadcasts; customer "
+    "joins shuffle-hash under AQE; TakeOrderedAndProject caps the sort.",
+)
+def q10_returned_items(spark, sf_dir):
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp_ntz"))
+    )
+    li = t(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    n = t(spark, sf_dir, "nation")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(n), n.n_nationkey == c.c_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            dsum_prod(
+                "l_extendedprice", F.lit(1.0) - F.col("l_discount")
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
+@register(
+    "q12_priority_shipclass",
+    sql="""
+    SELECT l.l_returnflag,
+      CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+      CAST(sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l.l_shipdate < TIMESTAMP '1997-01-01'
+    GROUP BY 1
+    """,
+    doc="TPC-H Q12 shape (adapted to the available columns): fact-fact "
+    "equi-join + two-class conditional counts. One shuffle join on "
+    "orderkey, conditional sums fold map-side.",
+)
+def q12_priority_shipclass(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+    )
+    o = t(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(high.cast("long")).alias("high_line_count"),
+            F.sum((~high).cast("long")).alias("low_line_count"),
+        )
+    )
+
+
+@register(
+    "q14_promo_revenue",
+    sql="""
+    SELECT
+      100.0 * CAST(CAST(sum(CASE WHEN p.p_type LIKE 'PROMO%'
+                 THEN CAST(l.l_extendedprice AS DECIMAL(18,6))
+                      * CAST(1.0 - l.l_discount AS DECIMAL(18,6))
+                 ELSE CAST(0.0 AS DECIMAL(38,6)) END) AS DECIMAL(38,6)) AS DOUBLE)
+        / CAST(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,6))
+                    * CAST(1.0 - l.l_discount AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS DOUBLE)
+        AS promo_revenue_pct
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-03-01'
+      AND l.l_shipdate < TIMESTAMP '1996-04-01'
+    """,
+    doc="TPC-H Q14 shape: dimension join + conditional ratio-of-sums "
+    "(promo share of revenue). part broadcasts under the AQE threshold; "
+    "the ratio is computed over exact decimal sums (A7 discipline).",
+)
+def q14_promo_revenue(spark, sf_dir):
+    from crypto_datalake_spark.ops.agg import DEC_MUL, dec
+
+    li = t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-03-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp_ntz"))
+    )
+    p = t(spark, sf_dir, "part")
+    disc_price = dec("l_extendedprice", DEC_MUL) * dec(
+        F.lit(1.0) - F.col("l_discount"), DEC_MUL
+    )
+    promo = F.when(
+        F.col("p_type").like("PROMO%"), disc_price
+    ).otherwise(F.lit(0.0).cast("decimal(38,6)"))
+    num = F.sum(promo).cast("decimal(38,6)").cast("double")
+    den = F.sum(disc_price).cast("decimal(38,6)").cast("double")
+    return li.join(F.broadcast(p), li.l_partkey == p.p_partkey).agg(
+        (F.lit(100.0) * num / den).alias("promo_revenue_pct")
+    )

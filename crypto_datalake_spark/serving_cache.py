@@ -1,0 +1,132 @@
+"""Serving-layer result cache: TTL'd LRU with superset/partial reuse (O4).
+
+Reference (/root/reference/src/live_data_api_service/service.py:348-550,
+1902-1959): timeframe results are cached with a two-tier TTL (stable
+windows 21,600 s, recent windows 15 s), bounded LRU, and three hit kinds —
+exact, superset (``tail(limit)`` of a larger cached frame ending at the
+same instant), and partial (reuse the cached tail, fetch only the missing
+newer head, concat-dedup). In-flight identical requests are deduplicated
+(single-flight).
+
+This is a SERVING concern, deliberately outside the Spark plan: entries
+hold small materialized bar lists (≤ max_limit rows), never DataFrames —
+caching a lazy plan would pin the session and recompute anyway. The Spark
+engine below it stays stateless; at 100 TB the cache's job is to keep the
+hot API windows off the cluster entirely.
+
+``clock`` is injected for deterministic tests.
+"""
+
+from __future__ import annotations
+
+import threading
+import time as _time
+from collections import OrderedDict
+from collections.abc import Callable, Sequence
+from dataclasses import dataclass, field
+
+STABLE_TTL_S = 21_600.0  # windows ending well in the past (service.py:195)
+RECENT_TTL_S = 15.0      # windows near now (service.py:196)
+STABLE_AGE_S = 3_600.0   # end_time older than this → stable tier
+
+
+@dataclass
+class _Entry:
+    end_time: float          # epoch seconds of the window end
+    rows: list               # bars ascending by time; row[0] = bar epoch secs
+    cached_at: float
+    hits: int = 0
+
+
+@dataclass
+class CacheStats:
+    exact: int = 0
+    superset: int = 0
+    partial: int = 0
+    miss: int = 0
+
+
+class ServingCache:
+    """Keyed (symbol, timeframe) bar-window cache with reuse tiers."""
+
+    def __init__(
+        self,
+        max_entries: int = 256,
+        clock: Callable[[], float] = _time.monotonic,
+        stable_ttl_s: float = STABLE_TTL_S,
+        recent_ttl_s: float = RECENT_TTL_S,
+        stable_age_s: float = STABLE_AGE_S,
+    ) -> None:
+        self._entries: OrderedDict[tuple, _Entry] = OrderedDict()
+        self._locks: dict[tuple, threading.Lock] = {}
+        self._global = threading.Lock()
+        self._clock = clock
+        self._max = max_entries
+        self._stable_ttl = stable_ttl_s
+        self._recent_ttl = recent_ttl_s
+        self._stable_age = stable_age_s
+        self.stats = CacheStats()
+
+    def _ttl(self, entry: _Entry, now: float) -> float:
+        age = now - entry.end_time
+        return self._stable_ttl if age >= self._stable_age else self._recent_ttl
+
+    def _fresh(self, entry: _Entry, now: float) -> bool:
+        return (now - entry.cached_at) <= self._ttl(entry, now)
+
+    def get(
+        self, key: tuple, end_time: float, limit: int
+    ) -> tuple[str, list | None]:
+        """Return (hit_kind, rows or None). Kinds: exact | superset |
+        partial | miss. ``partial`` returns the reusable cached tail —
+        the caller fetches only the missing newer head and calls ``put``.
+        """
+        with self._global:
+            entry = self._entries.get(key)
+            if entry is None or not self._fresh(entry, self._clock()):
+                self.stats.miss += 1
+                return ("miss", None)
+            self._entries.move_to_end(key)
+            entry.hits += 1
+            if entry.end_time == end_time:
+                window = [r for r in entry.rows if r[0] < end_time]
+                if len(window) == limit:
+                    self.stats.exact += 1
+                    return ("exact", window)
+                if len(window) > limit:  # superset: tail(limit)
+                    self.stats.superset += 1
+                    return ("superset", window[-limit:])
+                self.stats.miss += 1
+                return ("miss", None)
+            if entry.end_time < end_time:
+                # partial: cached window is a reusable older tail
+                self.stats.partial += 1
+                return ("partial", list(entry.rows))
+            self.stats.miss += 1
+            return ("miss", None)
+
+    def put(self, key: tuple, end_time: float, rows: Sequence) -> None:
+        """Insert/extend; merging dedups on bar time keep-last (J9)."""
+        with self._global:
+            now = self._clock()
+            old = self._entries.pop(key, None)
+            merged: dict = {}
+            if old is not None and self._fresh(old, now):
+                for r in old.rows:
+                    merged[r[0]] = r
+            for r in rows:
+                merged[r[0]] = r  # new rows win
+            out = [merged[k] for k in sorted(merged)]
+            self._entries[key] = _Entry(
+                end_time=max(end_time, old.end_time if old else end_time),
+                rows=out,
+                cached_at=now,
+            )
+            while len(self._entries) > self._max:  # LRU evict
+                self._entries.popitem(last=False)
+
+    def single_flight(self, key: tuple) -> threading.Lock:
+        """Per-key lock: concurrent identical requests collapse to one
+        compute (service.py:476-550 in-flight dedup)."""
+        with self._global:
+            return self._locks.setdefault(key, threading.Lock())

@@ -1,0 +1,133 @@
+"""Serving-layer units: CSV variants (S7), timeframe parsing (U4/U5),
+result cache reuse tiers (O4).
+
+Reference models: tests/test_vision_loader.py:41 (header variants),
+test_live_data_api_service.py:1482-1755 (cache exact/superset/partial/
+in-flight)."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+from crypto_datalake_spark.functions.timeframes import (
+    TimeframeRequest,
+    normalize_symbol,
+    normalize_timeframe,
+    parse_timeframe_requests,
+)
+from crypto_datalake_spark.io import load_csv_with_variants
+from crypto_datalake_spark.serving_cache import ServingCache
+
+
+# --- S7 CSV with header variants ------------------------------------------
+
+def test_csv_header_variants(spark, tmp_path):
+    (tmp_path / "a.csv").write_text("open_time,open,qty\n1,10.5,3\n2,11.0,4\n")
+    (tmp_path / "b.csv").write_text("openTime,open,volume\n3,12.0,5\n")
+    schema = StructType(
+        [
+            StructField("ts", LongType()),
+            StructField("open", DoubleType()),
+            StructField("volume", DoubleType()),
+        ]
+    )
+    out = load_csv_with_variants(
+        spark,
+        str(tmp_path / "*.csv"),
+        schema,
+        column_variants={"ts": ["open_time", "openTime"], "volume": ["qty"]},
+    )
+    rows = {r["ts"]: r for r in out.collect()}
+    assert len(rows) == 3
+    assert rows[1]["volume"] == 3.0   # qty variant coalesced
+    assert rows[3]["volume"] == 5.0   # canonical name
+    assert rows[3]["open"] == 12.0
+
+
+# --- U4/U5 -----------------------------------------------------------------
+
+def test_timeframe_aliases_and_limits():
+    got = parse_timeframe_requests("1m,5m=25,1hr")
+    assert got == [
+        TimeframeRequest("1m", 200),
+        TimeframeRequest("5m", 25),
+        TimeframeRequest("1h", 200),
+    ]
+    assert normalize_timeframe("60m") == "1h"
+    assert parse_timeframe_requests("1m=9999")[0].limit == 500  # clamp
+    with pytest.raises(ValueError):
+        normalize_timeframe("17m")
+    with pytest.raises(ValueError):
+        parse_timeframe_requests("  ,")
+
+
+def test_normalize_symbol():
+    assert normalize_symbol("btc") == "BTCUSDT"
+    assert normalize_symbol("ETHUSDT") == "ETHUSDT"
+    assert normalize_symbol("SOLUSDC") == "SOLUSDC"
+    assert normalize_symbol("USDT") == "USDTUSDT"  # bare quote is a base here
+
+
+# --- O4 cache --------------------------------------------------------------
+
+def _bars(start: int, n: int):
+    return [(float(t), 100.0 + t) for t in range(start, start + n)]
+
+
+def test_cache_exact_superset_partial():
+    clk = [0.0]
+    c = ServingCache(clock=lambda: clk[0])
+    key = ("BTCUSDT", "1m")
+    c.put(key, end_time=10.0, rows=_bars(0, 10))
+    kind, rows = c.get(key, end_time=10.0, limit=10)
+    assert kind == "exact" and len(rows) == 10
+    kind, rows = c.get(key, end_time=10.0, limit=4)
+    assert kind == "superset" and [r[0] for r in rows] == [6.0, 7.0, 8.0, 9.0]
+    # newer end: cached window is a reusable tail → partial
+    kind, rows = c.get(key, end_time=12.0, limit=12)
+    assert kind == "partial" and len(rows) == 10
+    # simulate fetching the missing head and merging
+    c.put(key, end_time=12.0, rows=_bars(10, 2))
+    kind, rows = c.get(key, end_time=12.0, limit=12)
+    assert kind == "exact" and [r[0] for r in rows][:2] == [0.0, 1.0]
+    assert c.stats.exact == 2 and c.stats.superset == 1 and c.stats.partial == 1
+
+
+def test_cache_ttl_tiers_and_lru():
+    clk = [100_000.0]
+    c = ServingCache(max_entries=2, clock=lambda: clk[0])
+    # recent window (end ≈ now) → 15 s TTL
+    c.put(("S", "1m"), end_time=clk[0] - 10, rows=_bars(0, 3))
+    clk[0] += 16
+    kind, _ = c.get(("S", "1m"), end_time=clk[0] - 26, limit=3)
+    assert kind == "miss"  # expired
+    # stable window (end long ago) → 21,600 s TTL
+    c.put(("S", "1h"), end_time=clk[0] - 7_200, rows=_bars(0, 3))
+    clk[0] += 20_000
+    kind, _ = c.get(("S", "1h"), end_time=clk[0] - 27_200, limit=3)
+    assert kind == "exact"
+    # LRU bound
+    c.put(("A", "1m"), end_time=clk[0], rows=_bars(0, 1))
+    c.put(("B", "1m"), end_time=clk[0], rows=_bars(0, 1))
+    c.put(("C", "1m"), end_time=clk[0], rows=_bars(0, 1))
+    assert len(c._entries) == 2
+
+
+def test_cache_merge_keeps_last():
+    c = ServingCache(clock=lambda: 0.0)
+    key = ("X", "1m")
+    c.put(key, end_time=3.0, rows=[(0.0, 1.0), (1.0, 2.0)])
+    c.put(key, end_time=3.0, rows=[(1.0, 99.0), (2.0, 3.0)])  # overlaps bar 1
+    kind, rows = c.get(key, end_time=3.0, limit=3)
+    assert kind == "exact"
+    assert rows[1] == (1.0, 99.0)  # new row won
+
+
+def test_cache_single_flight_is_per_key():
+    c = ServingCache()
+    l1 = c.single_flight(("A", "1m"))
+    l2 = c.single_flight(("A", "1m"))
+    l3 = c.single_flight(("B", "1m"))
+    assert l1 is l2 and l1 is not l3
