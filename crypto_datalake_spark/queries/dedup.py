@@ -135,20 +135,22 @@ def dedup_minhash_lsh(spark, sf_dir):
         "shingles",
         *[F.expr(_sp_minhash(i)).alias(f"h{i}") for i in range(_N_HASH)],
     )
-    band_frames = []
-    for b, cols in enumerate(_band_cols(_N_HASH, _BAND_SIZE)):
-        band_frames.append(
-            sig.select(
-                "doc_id",
-                F.lit(b).alias("band_id"),
-                F.concat_ws(",", *[F.col(c).cast("string") for c in cols]).alias(
-                    "band_key"
-                ),
-            )
+    # One explode instead of a UNION of per-band projections: a union would
+    # re-evaluate the whole shingle+minhash pipeline once per band (Spark
+    # does not share subplans across union branches), explode evaluates it
+    # once per self-join side.
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band_id"),
+            F.concat_ws(",", *[F.col(c).cast("string") for c in cols]).alias(
+                "band_key"
+            ),
         )
-    bands = band_frames[0]
-    for bf in band_frames[1:]:
-        bands = bands.unionByName(bf)
+        for b, cols in enumerate(_band_cols(_N_HASH, _BAND_SIZE))
+    ]
+    bands = sig.select(
+        "doc_id", F.explode(F.array(*band_structs)).alias("bk")
+    ).select("doc_id", "bk.band_id", "bk.band_key")
     a = bands.alias("a")
     b = bands.alias("b")
     cand = (
