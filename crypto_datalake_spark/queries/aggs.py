@@ -428,3 +428,28 @@ def a10_bucket_completeness(spark, sf_dir):
         (F.lit(60) - obs).cast("long").alias("missing_minutes"),
         (obs == 60).alias("bucket_complete"),
     )
+
+
+@register(
+    "a13_distinct_agg",
+    sql="""
+    SELECT event_type,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(count(DISTINCT date_trunc('day', ts)) AS BIGINT) AS n_days,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM events
+    GROUP BY 1
+    """,
+    doc="Distinct aggregation: exact multi-column count-distinct per group "
+    "(SURVEY.md §2.4 flags distinct-agg as an engine-parity extension the "
+    "reference never needed). Spark plans this as expand + two-phase agg; "
+    "at 100 TB swap exact for approx_count_distinct(col, 0.01) — HLL "
+    "sketches merge map-side and cut the expand shuffle entirely.",
+)
+def a13_distinct_agg(spark, sf_dir):
+    ev = events(spark, sf_dir)
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.countDistinct(F.date_trunc("day", "ts")).alias("n_days"),
+        F.count(F.lit(1)).alias("n_events"),
+    )

@@ -315,3 +315,298 @@ def q14_promo_revenue(spark, sf_dir):
     return li.join(F.broadcast(p), li.l_partkey == p.p_partkey).agg(
         (F.lit(100.0) * num / den).alias("promo_revenue_pct")
     )
+
+
+_REV_SUM_SQL = (
+    "CAST(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,6)) "
+    "* CAST(1.0 - l.l_discount AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS DOUBLE)"
+)
+
+
+@register(
+    "q2_min_price_supplier",
+    sql="""
+    WITH px AS (
+      SELECT l_partkey, min(l_extendedprice) AS min_price
+      FROM lineitem GROUP BY 1
+    )
+    SELECT p.p_partkey, p.p_brand, s.s_name, l.l_extendedprice AS price
+    FROM lineitem l
+    JOIN px ON l.l_partkey = px.l_partkey AND l.l_extendedprice = px.min_price
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    WHERE p.p_size <= 5
+    QUALIFY row_number() OVER (
+      PARTITION BY p.p_partkey
+      ORDER BY l.l_suppkey, l.l_orderkey, l.l_linenumber
+    ) = 1
+    ORDER BY price DESC, p.p_partkey LIMIT 100
+    """,
+    doc="TPC-H Q2 shape (adapted: no partsupp table): correlated-min "
+    "join-back — per-part minimum price located via a self-agg + equi-join "
+    "on (partkey, min_price), deterministic single-row tie-break, dimension "
+    "filter, ordered top-k. The per-part agg and the join shuffle on the "
+    "same key (l_partkey) so AQE can reuse the exchange.",
+)
+def q2_min_price_supplier(spark, sf_dir):
+    from pyspark.sql import Window
+
+    li = t(spark, sf_dir, "lineitem")
+    px = li.groupBy("l_partkey").agg(F.min("l_extendedprice").alias("min_price"))
+    p = t(spark, sf_dir, "part").where(F.col("p_size") <= 5)
+    s = t(spark, sf_dir, "supplier")
+    w = Window.partitionBy("p_partkey").orderBy(
+        "l_suppkey", "l_orderkey", "l_linenumber"
+    )
+    return (
+        li.join(
+            px,
+            (li.l_partkey == px.l_partkey)
+            & (li.l_extendedprice == px.min_price),
+        )
+        .drop(px.l_partkey)
+        .join(p, F.col("l_partkey") == p.p_partkey)
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select(
+            "p_partkey", "p_brand", "s_name",
+            F.col("l_extendedprice").alias("price"),
+        )
+        .orderBy(F.col("price").desc(), F.col("p_partkey").asc())
+        .limit(100)
+    )
+
+
+@register(
+    "q7_nation_pair_trade",
+    sql=f"""
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
+           {_REV_SUM_SQL} AS revenue
+    FROM lineitem l
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
+    JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
+    WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+      AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l.l_shipdate < TIMESTAMP '1998-01-01'
+    GROUP BY 1, 2, 3
+    """,
+    doc="TPC-H Q7 shape: bidirectional nation-pair trade volume by year — "
+    "6-table join with a disjunctive cross-dimension predicate. Both "
+    "nation sides broadcast; the pair predicate lands after the joins "
+    "(not pushable) but the shipdate range pushes to the scan.",
+)
+def q7_nation_pair_trade(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+    )
+    o = t(spark, sf_dir, "orders")
+    s = t(spark, sf_dir, "supplier")
+    c = t(spark, sf_dir, "customer")
+    n1 = t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), s.s_nationkey == F.col("n1_key"))
+        .join(F.broadcast(n2), c.c_nationkey == F.col("n2_key"))
+        .where(pair)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+        )
+        .agg(
+            dsum_prod("l_extendedprice", F.lit(1.0) - F.col("l_discount")).alias(
+                "revenue"
+            )
+        )
+    )
+
+
+@register(
+    "q13_order_count_distribution",
+    sql="""
+    SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+    FROM (
+      SELECT c.c_custkey, CAST(count(o.o_orderkey) AS BIGINT) AS c_count
+      FROM customer c
+      LEFT JOIN orders o
+        ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+      GROUP BY 1
+    )
+    GROUP BY 1
+    """,
+    doc="TPC-H Q13 shape: customer order-count distribution — left outer "
+    "join with an extra non-equi condition inside the join (not a WHERE: "
+    "customers with zero orders must survive), two stacked aggregations. "
+    "The second agg's input is tiny (one row per customer) so its shuffle "
+    "is negligible.",
+)
+def q13_order_count_distribution(spark, sf_dir):
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(
+            o,
+            (c.c_custkey == o.o_custkey)
+            & (o.o_orderpriority != "1-URGENT"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count(F.lit(1)).alias("custdist")
+    )
+
+
+@register(
+    "q15_top_supplier",
+    sql="""
+    WITH rev AS (
+      SELECT l_suppkey,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))
+                  * CAST(1.0 - l_discount AS DECIMAL(18,6))) AS DECIMAL(38,6))
+               AS total_rev
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1996-04-01'
+      GROUP BY 1
+    )
+    SELECT s.s_suppkey, s.s_name, CAST(r.total_rev AS DOUBLE) AS total_revenue
+    FROM supplier s JOIN rev r ON s.s_suppkey = r.l_suppkey
+    WHERE r.total_rev = (SELECT max(total_rev) FROM rev)
+    """,
+    doc="TPC-H Q15 shape: top supplier by quarterly revenue — agg view + "
+    "scalar-subquery max + join back. The max is a broadcast single-row "
+    "join against the same agg (computed once per branch); revenue "
+    "equality is exact because the sum is decimal, so ties are "
+    "deterministic across engines and shuffle schedules.",
+)
+def q15_top_supplier(spark, sf_dir):
+    from crypto_datalake_spark.ops.agg import DEC_MUL, dec
+
+    li = t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp_ntz"))
+    )
+    rev = li.groupBy("l_suppkey").agg(
+        F.sum(
+            dec("l_extendedprice", DEC_MUL)
+            * dec(F.lit(1.0) - F.col("l_discount"), DEC_MUL)
+        )
+        .cast("decimal(38,6)")
+        .alias("total_rev")
+    )
+    mx = rev.agg(F.max("total_rev").alias("__mx"))
+    s = t(spark, sf_dir, "supplier")
+    return (
+        rev.join(F.broadcast(mx), rev.total_rev == F.col("__mx"))
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.col("total_rev").cast("double").alias("total_revenue"),
+        )
+    )
+
+
+@register(
+    "q18_large_volume_orders",
+    sql="""
+    SELECT c.c_name, o.o_orderkey, o.o_orderdate,
+           CAST(sum(CAST(l.l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS total_qty
+    FROM orders o
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    GROUP BY 1, 2, 3
+    HAVING sum(CAST(l.l_quantity AS DECIMAL(28,6))) > 300
+    """,
+    doc="TPC-H Q18 shape: large-volume orders — full fact-fact join + "
+    "group-by-order HAVING on an exact decimal sum. At scale the right "
+    "plan pre-aggregates lineitem by orderkey before joining customer "
+    "(done here): the HAVING filter cuts ~99% of groups before the "
+    "dimension join.",
+)
+def q18_large_volume_orders(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    c = t(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(dsum("l_quantity").alias("total_qty"))
+        .where(F.col("total_qty") > 300.0)
+    )
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select("c_name", "o_orderkey", "o_orderdate", "total_qty")
+    )
+
+
+@register(
+    "rollup_region_nation_revenue",
+    sql=f"""
+    SELECT coalesce(sub.r_name, 'ALL') AS region,
+           coalesce(sub.n_name, 'ALL') AS nation,
+           CAST(sub.lvl AS BIGINT) AS lvl,
+           sub.revenue, sub.n_rows
+    FROM (
+      SELECT r.r_name, n.n_name, GROUPING(r.r_name, n.n_name) AS lvl,
+             {_REV_SUM_SQL} AS revenue,
+             CAST(count(*) AS BIGINT) AS n_rows
+      FROM lineitem l
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+      JOIN region r ON r.r_regionkey = n.n_regionkey
+      GROUP BY ROLLUP (r.r_name, n.n_name)
+    ) sub
+    """,
+    doc="ROLLUP multi-level aggregation: revenue by (region, nation), "
+    "(region), and grand total in one pass, with GROUPING() level ids — "
+    "the multi-granularity rollup a lakehouse serving layer materializes "
+    "(SURVEY.md §2.4 flags grouping-set support as an engine-parity "
+    "extension). Spark expands the rollup map-side; one shuffle.",
+)
+def rollup_region_nation_revenue(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region")
+    joined = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    )
+    return (
+        joined.rollup("r_name", "n_name")
+        .agg(
+            F.grouping_id("r_name", "n_name").cast("long").alias("lvl"),
+            dsum_prod("l_extendedprice", F.lit(1.0) - F.col("l_discount")).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .select(
+            F.coalesce("r_name", F.lit("ALL")).alias("region"),
+            F.coalesce("n_name", F.lit("ALL")).alias("nation"),
+            "lvl",
+            "revenue",
+            "n_rows",
+        )
+    )
