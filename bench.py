@@ -32,6 +32,9 @@ BENCH_QUERIES = [
     "q3_shipping_priority",
     "q5_region_revenue",
     "q_order_priority_exists",
+    "q18_large_volume_orders",
+    "rollup_region_nation_revenue",
+    "a13_distinct_agg",
     "a1_minute_trade_rollup",
     "a4_htf_bucket_agg",
     "j1_spine_left_join",

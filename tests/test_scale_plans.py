@@ -1,0 +1,91 @@
+"""Physical-plan shape assertions — the scale contract.
+
+Correctness tests prove the operators right at small SF; these prove the
+*plans* are the ones that survive 100 TB: filters reach the parquet scan,
+unused columns never leave it, partition pruning fires on partitioned
+lakes, dimension joins broadcast instead of shuffling the fact table, and
+the as-of join stays a single sort-shuffle rather than a nested-loop
+range join.  A regression here is invisible at sf0.001 and fatal at scale.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import re
+
+from pyspark.sql import functions as F
+
+from crypto_datalake_spark.queries import REGISTRY
+
+
+def plan_text(df, mode: str = "formatted") -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode=mode)
+    return buf.getvalue()
+
+
+def test_scan_pushdown_and_column_pruning(spark, sf_dir):
+    p = plan_text(REGISTRY["s1_scan_project_filter"].fn(spark, sf_dir))
+    pushed = next(l for l in p.splitlines() if "PushedFilters" in l)
+    assert "GreaterThan(l_discount,0.05)" in pushed
+    assert "l_shipdate" in pushed  # range predicate reaches the footer stats
+    schema = next(l for l in p.splitlines() if "ReadSchema" in l)
+    # projection pruning: untouched money columns never leave the scan
+    assert "l_tax" not in schema and "l_quantity" not in schema
+
+
+def test_partition_pruning_on_partitioned_lake(spark, tmp_path):
+    lake = str(tmp_path / "lake")
+    df = spark.range(0, 1000).select(
+        (F.col("id") % 10).alias("day"), F.col("id").alias("v")
+    )
+    df.write.partitionBy("day").parquet(lake)
+    rd = spark.read.parquet(lake).where(F.col("day") == 3)
+    p = plan_text(rd)
+    pf = next(l for l in p.splitlines() if "PartitionFilters" in l)
+    assert "(day" in pf and "3)" in pf  # pruning predicate on the partition col
+    assert rd.count() == 100  # 1 of 10 hive partitions survives
+
+
+def test_star_join_broadcasts_dimensions(spark, sf_dir):
+    p = plan_text(REGISTRY["q5_region_revenue"].fn(spark, sf_dir), "simple")
+    assert p.count("BroadcastHashJoin") >= 4
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_asof_join_is_single_sort_shuffle(spark, sf_dir):
+    # The rejected plan for as-of is a range join (BroadcastNestedLoop /
+    # CartesianProduct blowup).  The union+window plan shuffles each union
+    # branch once on the by-key and nothing else.
+    p = plan_text(REGISTRY["j2_asof_backward_tolerance"].fn(spark, sf_dir), "simple")
+    hash_exchanges = re.findall(r"Exchange hashpartitioning\(([^,]+)", p)
+    assert len(hash_exchanges) <= 2  # one per union branch, same key
+    assert all("user_id" in k for k in hash_exchanges)
+    assert "SortMergeJoin" not in p
+
+
+def test_fact_fact_join_and_agg_codegen(spark, sf_dir):
+    p = plan_text(REGISTRY["q1_pricing_summary"].fn(spark, sf_dir), "simple")
+    # partial aggregation happens map-side before the single shuffle
+    assert p.count("HashAggregate") >= 2
+    assert p.count("Exchange hashpartitioning") == 1
+    # agg pipeline stays inside whole-stage codegen (JVM, no Python boundary)
+    pc = plan_text(REGISTRY["q1_pricing_summary"].fn(spark, sf_dir), "codegen")
+    assert "WholeStageCodegen subtrees" in pc
+
+
+def test_q18_preaggregates_before_dimension_join(spark, sf_dir):
+    # The HAVING filter must run on the lineitem pre-agg, upstream of the
+    # orders/customer joins — at scale it removes ~99% of groups.
+    # In simple-mode tree text, parents print before their inputs: the
+    # orderkey join must appear BEFORE the HAVING filter and the agg —
+    # i.e. filter+agg run upstream (below) the join.
+    p = plan_text(REGISTRY["q18_large_volume_orders"].fn(spark, sf_dir), "simple")
+    join_pos = p.find("Join [l_orderkey")
+    filt = re.search(r"Filter .*total_qty\S* > 300", p)
+    agg_pos = p.find("HashAggregate")
+    assert join_pos != -1 and filt and agg_pos != -1
+    assert join_pos < filt.start() < agg_pos
