@@ -49,6 +49,14 @@ def _ema_series(values: Sequence[float], length: int) -> list[float | None]:
     return out
 
 
+def warmup_bars(length: int) -> int:
+    """History sizing for a stable EMA: ``max(3·length, length + 20)``
+    complete bars must precede the first emitted value (U3; ref:
+    live_indicators/service.py:19-20, 49, 174-186 — which raises when
+    fewer than ``length`` complete bars exist)."""
+    return max(3 * length, length + 20)
+
+
 def ema_by_group(
     df: DataFrame,
     value_col: str,
