@@ -312,3 +312,91 @@ def ann_cosine_topk(spark, sf_dir):
         )
     )
     return scored.orderBy(F.col("cosine").desc(), F.col("vec_id").asc()).limit(10)
+
+
+_IVF_K = 8  # coarse cells (centroids = vec_id 1..8, see doc)
+_IVF_NPROBE = 2
+
+
+@register(
+    "ann_ivf_probe",
+    sql=f"""
+    WITH cents AS (
+      SELECT vec_id AS cent_id, embedding AS cv
+      FROM embeddings WHERE vec_id BETWEEN 1 AND {_IVF_K}
+    ),
+    assign AS (
+      SELECT e.vec_id, e.label, e.embedding, c.cent_id,
+             round({_DK_COS.format(a="e.embedding", b="c.cv")}, 9) AS sim
+      FROM embeddings e CROSS JOIN cents c
+      QUALIFY row_number() OVER (
+        PARTITION BY e.vec_id ORDER BY sim DESC, c.cent_id ASC
+      ) = 1
+    ),
+    qcells AS (
+      SELECT c.cent_id, e.embedding AS qv
+      FROM embeddings e CROSS JOIN cents c
+      WHERE e.vec_id = 0
+      QUALIFY row_number() OVER (
+        ORDER BY round({_DK_COS.format(a="e.embedding", b="c.cv")}, 9) DESC,
+                 c.cent_id ASC
+      ) <= {_IVF_NPROBE}
+    )
+    SELECT a.vec_id, a.label, a.cent_id,
+           round({_DK_COS.format(a="a.embedding", b="q.qv")}, 6) AS cosine
+    FROM assign a JOIN qcells q ON a.cent_id = q.cent_id
+    WHERE a.vec_id <> 0
+    ORDER BY cosine DESC, vec_id ASC
+    LIMIT 10
+    """,
+    doc=f"IVF-style ANN: corpus coarse-quantized into {_IVF_K} cells "
+    "(argmax cosine vs centroid, deterministic tie-break), query probes "
+    f"its {_IVF_NPROBE} best cells, top-k scored only inside probed cells "
+    f"— ~{_IVF_NPROBE}/{_IVF_K} of the corpus scanned. Centroids here are "
+    "vec_id 1..8 (deterministic stand-in so the oracle can mirror the "
+    "assignment; production trains them offline with MLlib KMeans and "
+    "broadcasts the centroid table — same plan shape). Assignment is the "
+    "classic K·N map-side dot-product pass with no shuffle; the cell "
+    "table would be written bucketed by cent_id so probes prune files. "
+    "Similarity rounded(9) pre-argmax: float-sum association differs "
+    "across engines at ~1e-15 and must not flip cell assignment.",
+)
+def ann_ivf_probe(spark, sf_dir):
+    from pyspark.sql import Window
+
+    e = t(spark, sf_dir, "embeddings")
+    cents = e.where(F.col("vec_id").between(1, _IVF_K)).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cv")
+    )
+    sim = F.round(_cosine(F.col("embedding"), F.col("cv")), 9)
+    w_assign = Window.partitionBy("vec_id").orderBy(
+        F.col("sim").desc(), F.col("cent_id").asc()
+    )
+    assign = (
+        e.crossJoin(F.broadcast(cents))
+        .withColumn("sim", sim)
+        .withColumn("__rn", F.row_number().over(w_assign))
+        .where(F.col("__rn") == 1)
+        .select("vec_id", "label", "embedding", "cent_id")
+    )
+    w_q = Window.orderBy(F.col("sim").desc(), F.col("cent_id").asc())
+    qcells = (
+        e.where(F.col("vec_id") == 0)
+        .crossJoin(F.broadcast(cents))
+        .withColumn("sim", sim)
+        .withColumn("__rn", F.row_number().over(w_q))
+        .where(F.col("__rn") <= _IVF_NPROBE)
+        .select("cent_id", F.col("embedding").alias("qv"))
+    )
+    return (
+        assign.join(F.broadcast(qcells), "cent_id")
+        .where(F.col("vec_id") != 0)
+        .select(
+            "vec_id",
+            "label",
+            "cent_id",
+            F.round(_cosine(F.col("embedding"), F.col("qv")), 6).alias("cosine"),
+        )
+        .orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+        .limit(10)
+    )
