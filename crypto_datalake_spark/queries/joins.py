@@ -333,6 +333,9 @@ def j6_exact_asof_fallback(spark, sf_dir):
         ["user_id", "slot_ts"],
         ["ts"],
     ).select("user_id", "slot_ts", F.col("value").alias("exact_value"))
+    # The as-of output preserves every spine row (left semantics), so the
+    # exact arm joins onto it directly — the spine is evaluated once, not
+    # three times, and two exchanges drop out of the plan.
     asof = asof_join(
         spine,
         src.withColumnRenamed("value", "asof_value"),
@@ -343,8 +346,7 @@ def j6_exact_asof_fallback(spark, sf_dir):
         tolerance_seconds=900,
     ).select("user_id", "slot_ts", "asof_value")
     return (
-        spine.join(exact, ["user_id", "slot_ts"], "left")
-        .join(asof, ["user_id", "slot_ts"], "left")
+        asof.join(exact, ["user_id", "slot_ts"], "left")
         .select(
             "user_id",
             "slot_ts",
