@@ -610,3 +610,39 @@ def rollup_region_nation_revenue(spark, sf_dir):
             "n_rows",
         )
     )
+
+
+@register(
+    "q16_supplier_cnt_by_part",
+    sql="""
+    SELECT p.p_brand, CAST(p.p_size AS BIGINT) AS p_size,
+           CAST(count(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_type NOT LIKE 'PROMO%'
+      AND p.p_size <= 10
+      AND l.l_suppkey NOT IN (
+        SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+      )
+    GROUP BY 1, 2
+    """,
+    doc="TPC-H Q16 shape: supplier diversity per (brand, size) — NOT-IN "
+    "subquery (planned as a broadcast anti-join on the excluded supplier "
+    "set) composed with a distinct-count aggregation. The anti-join side "
+    "is dimension-sized and broadcasts; distinct-count expands then "
+    "two-phase aggregates.",
+)
+def q16_supplier_cnt_by_part(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part").where(
+        (~F.col("p_type").like("PROMO%")) & (F.col("p_size") <= 10)
+    )
+    bad = t(spark, sf_dir, "supplier").where(F.col("s_acctbal") < 0).select(
+        "s_suppkey"
+    )
+    return (
+        li.join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(p, F.col("l_partkey") == p.p_partkey)
+        .groupBy("p_brand", F.col("p_size").cast("long").alias("p_size"))
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
