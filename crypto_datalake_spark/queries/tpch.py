@@ -646,3 +646,317 @@ def q16_supplier_cnt_by_part(spark, sf_dir):
         .groupBy("p_brand", F.col("p_size").cast("long").alias("p_size"))
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
     )
+
+
+@register(
+    "q17_small_qty_revenue",
+    sql="""
+    SELECT
+      CAST(sum(CAST(l.l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) / 7.0 AS avg_yearly,
+      CAST(count(*) AS BIGINT) AS n_small
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#23' AND p.p_type = 'SMALL'
+      AND l.l_quantity < (
+        SELECT 0.5 * avg(l2.l_quantity) FROM lineitem l2
+        WHERE l2.l_partkey = p.p_partkey
+      )
+    GROUP BY ALL
+    """,
+    doc="TPC-H Q17 shape: correlated per-part average-quantity subquery "
+    "gating a revenue aggregate (container predicate adapted to p_type — "
+    "the fixture part table has no container column). Planned as: filter "
+    "part (tiny) → broadcast-join lineitem → per-part avg on the already-"
+    "reduced subset → broadcast back. l_quantity is integral so the "
+    "double avg is exact and the threshold compare is deterministic.",
+)
+def q17_small_qty_revenue(spark, sf_dir):
+    p = (
+        t(spark, sf_dir, "part")
+        .where((F.col("p_brand") == "Brand#23") & (F.col("p_type") == "SMALL"))
+        .select("p_partkey")
+    )
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    matched = li.join(F.broadcast(p), li.l_partkey == p.p_partkey).drop("p_partkey")
+    thresholds = matched.groupBy("l_partkey").agg(
+        (F.lit(0.5) * F.avg("l_quantity")).alias("half_avg_qty")
+    )
+    return (
+        matched.join(F.broadcast(thresholds), "l_partkey")
+        .where(F.col("l_quantity") < F.col("half_avg_qty"))
+        .agg(
+            (dsum("l_extendedprice") / F.lit(7.0)).alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_small"),
+        )
+    )
+
+
+@register(
+    "q19_disjunctive_bracket_revenue",
+    sql="""
+    SELECT
+      CAST(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,6)) * CAST(1.0 - l.l_discount AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS DOUBLE) AS revenue,
+      CAST(count(*) AS BIGINT) AS n_matched
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
+           AND l.l_quantity BETWEEN 1 AND 11)
+       OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 10
+           AND l.l_quantity BETWEEN 10 AND 20)
+       OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 20 AND 30)
+    GROUP BY ALL
+    """,
+    doc="TPC-H Q19 shape: OR-of-conjunctions join predicate mixing "
+    "fact and dimension columns (size brackets substitute for the "
+    "fixture-absent container column). The derivable union envelope "
+    "(brand IN (...), size <= 15, quantity <= 30) is applied explicitly "
+    "on each side so the scans prune before the broadcast join; the "
+    "exact disjunction evaluates post-join.",
+)
+def q19_disjunctive_bracket_revenue(spark, sf_dir):
+    p = t(spark, sf_dir, "part").where(
+        F.col("p_brand").isin("Brand#12", "Brand#23", "Brand#34")
+        & (F.col("p_size") >= 1)
+        & (F.col("p_size") <= 15)
+    )
+    li = t(spark, sf_dir, "lineitem").where(
+        (F.col("l_quantity") >= 1) & (F.col("l_quantity") <= 30)
+    )
+    arm = lambda brand, smax, qlo, qhi: (  # noqa: E731
+        (F.col("p_brand") == brand)
+        & (F.col("p_size") <= smax)
+        & (F.col("l_quantity") >= qlo)
+        & (F.col("l_quantity") <= qhi)
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .where(
+            arm("Brand#12", 5, 1, 11)
+            | arm("Brand#23", 10, 10, 20)
+            | arm("Brand#34", 15, 20, 30)
+        )
+        .agg(
+            dsum_prod("l_extendedprice", F.lit(1.0) - F.col("l_discount")).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_matched"),
+        )
+    )
+
+
+@register(
+    "q20_top_shippers_semijoin",
+    sql="""
+    WITH red AS (
+      SELECT l.l_suppkey, CAST(sum(l.l_quantity) AS DOUBLE) AS red_qty
+      FROM lineitem l
+      JOIN part p ON p.p_partkey = l.l_partkey
+      WHERE p.p_name LIKE 'red%'
+        AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l.l_shipdate < TIMESTAMP '1997-01-01'
+      GROUP BY 1
+    )
+    SELECT s.s_name, r.red_qty
+    FROM supplier s
+    JOIN red r ON s.s_suppkey = r.l_suppkey
+    WHERE r.red_qty > (SELECT 1.5 * avg(red_qty) FROM red)
+    ORDER BY s.s_name
+    """,
+    doc="TPC-H Q20 shape: supplier semi-join against an aggregated "
+    "shipment subquery with a scale-free HAVING threshold (1.5x the "
+    "mean shipped quantity, replacing the partsupp availqty gate — the "
+    "fixture has no partsupp table). part filters by name prefix and "
+    "broadcasts; the aggregate reduces lineitem to one row per supplier "
+    "before the threshold and the supplier join, so only supplier-sized "
+    "data crosses the final exchange. Integral quantities keep the "
+    "double avg exact.",
+)
+def q20_top_shippers_semijoin(spark, sf_dir):
+    p = (
+        t(spark, sf_dir, "part")
+        .where(F.col("p_name").like("red%"))
+        .select("p_partkey")
+    )
+    li = t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+    )
+    red = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("l_suppkey")
+        .agg(F.sum("l_quantity").cast("double").alias("red_qty"))
+    )
+    thr = red.agg((F.lit(1.5) * F.avg("red_qty")).alias("thr"))
+    s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        red.join(F.broadcast(thr))
+        .where(F.col("red_qty") > F.col("thr"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_name", "red_qty")
+        .orderBy("s_name")
+    )
+
+
+@register(
+    "q21_sole_blame_supplier",
+    sql="""
+    SELECT s.s_name, CAST(count(*) AS BIGINT) AS numwait
+    FROM supplier s
+    JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+    JOIN orders o ON o.o_orderkey = l1.l_orderkey
+    WHERE o.o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l2
+        WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+      )
+      AND NOT EXISTS (
+        SELECT 1 FROM lineitem l3
+        WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+          AND l3.l_returnflag = 'R'
+      )
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s.s_name
+    LIMIT 20
+    """,
+    doc="TPC-H Q21 shape: the sole-at-fault supplier on multi-supplier "
+    "finished orders (returnflag='R' stands in for receipt>commit — the "
+    "fixture lineitem has no commit/receipt dates). The oracle states it "
+    "as EXISTS / NOT-EXISTS self-joins; the Spark plan rewrites both "
+    "correlated subqueries into ONE per-order aggregate (distinct "
+    "suppliers, distinct flagged suppliers) — one pass over lineitem "
+    "instead of three, then equi-joins partitioned on orderkey. "
+    "Equivalence: 'another supplier exists' = n_supp > 1; 'no other "
+    "flagged supplier' = n_flagged = 1 (l1 itself is flagged).",
+)
+def q21_sole_blame_supplier(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_returnflag"
+    )
+    per_order = li.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(
+            F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
+        ).alias("n_flagged"),
+    )
+    o = (
+        t(spark, sf_dir, "orders")
+        .where(F.col("o_orderstatus") == "F")
+        .select("o_orderkey")
+    )
+    s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        li.where(F.col("l_returnflag") == "R")
+        .join(per_order, "l_orderkey")
+        .where((F.col("n_supp") > 1) & (F.col("n_flagged") == 1))
+        .join(o, F.col("l_orderkey") == o.o_orderkey)
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), F.col("s_name"))
+        .limit(20)
+    )
+
+
+@register(
+    "q22_dormant_customer_balance",
+    sql="""
+    SELECT cntrycode,
+      CAST(count(*) AS BIGINT) AS numcust,
+      CAST(sum(CAST(c_acctbal AS DECIMAL(28,6))) AS DOUBLE) AS totacctbal
+    FROM (
+      SELECT right(c.c_name, 1) AS cntrycode, c.c_acctbal
+      FROM customer c
+      WHERE right(c.c_name, 1) IN ('1','3','5','7','9')
+        AND c.c_acctbal > (
+          SELECT CAST(sum(CAST(c2.c_acctbal AS DECIMAL(28,6))) AS DOUBLE)
+                 / count(*)
+          FROM customer c2
+          WHERE c2.c_acctbal > 0.0
+            AND right(c2.c_name, 1) IN ('1','3','5','7','9')
+        )
+        AND NOT EXISTS (
+          SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+        )
+    )
+    GROUP BY cntrycode
+    """,
+    doc="TPC-H Q22 shape: above-average-balance customers with no orders, "
+    "bucketed by a code digit (last digit of c_name substitutes for the "
+    "fixture-absent phone country code). Global-average scalar subquery "
+    "(1-row broadcast), anti-join against orders, then a tiny hash agg. "
+    "The average is computed as exact-decimal-sum / count on both "
+    "engines so the threshold compare never straddles a double ulp.",
+)
+def q22_dormant_customer_balance(spark, sf_dir):
+    code = F.expr("right(c_name, 1)")
+    c = (
+        t(spark, sf_dir, "customer")
+        .where(code.isin("1", "3", "5", "7", "9"))
+        .select(code.alias("cntrycode"), "c_acctbal", "c_custkey")
+    )
+    thr = c.where(F.col("c_acctbal") > 0.0).agg(
+        (dsum("c_acctbal") / F.count(F.lit(1)).cast("double")).alias("avg_bal")
+    )
+    o = t(spark, sf_dir, "orders").select("o_custkey")
+    return (
+        c.join(F.broadcast(thr))
+        .where(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("cntrycode")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            dsum("c_acctbal").alias("totacctbal"),
+        )
+    )
+
+
+@register(
+    "q11_nation_revenue_concentration",
+    sql="""
+    WITH nat AS (
+      SELECT n.n_name AS nation,
+        CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,6)) * CAST(1.0 - l.l_discount AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS revenue_dec
+      FROM lineitem l
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation n ON s.s_nationkey = n.n_nationkey
+      GROUP BY 1
+    )
+    SELECT nation, CAST(revenue_dec AS DOUBLE) AS revenue
+    FROM nat
+    WHERE revenue_dec > 0.05 * (SELECT sum(revenue_dec) FROM nat)
+    ORDER BY revenue DESC, nation
+    """,
+    doc="TPC-H Q11 shape: per-group value share gated against a fraction "
+    "of the global total (supplier-nation revenue substitutes for the "
+    "fixture-absent partsupp stock value). The group aggregate is "
+    "computed once and reused for both arms — the global total is the "
+    "sum of the 25 group DECIMALS (exact, so the 5% threshold compare "
+    "is engine-independent), broadcast back as a 1-row scalar.",
+)
+def q11_nation_revenue_concentration(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    nat = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,6)")
+                * (F.lit(1.0) - F.col("l_discount")).cast("decimal(18,6)")
+            )
+            .cast("decimal(38,6)")
+            .alias("revenue_dec")
+        )
+    )
+    total = nat.agg(F.sum("revenue_dec").alias("total_dec"))
+    return (
+        nat.join(F.broadcast(total))
+        .where(F.col("revenue_dec") > F.lit(0.05) * F.col("total_dec"))
+        .select("nation", F.col("revenue_dec").cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), "nation")
+    )
