@@ -55,3 +55,51 @@ def islands(
         )
         .drop("__grp")
     )
+
+
+def sessionize(
+    df: DataFrame,
+    ts_col: str,
+    gap_minutes: int,
+    by: Sequence[str],
+    order_tiebreak: Sequence[str] = (),
+) -> DataFrame:
+    """Assign a session id per ``by`` group: a new session starts when the
+    gap to the previous event exceeds ``gap_minutes`` (sessionization —
+    the event-row generalization of :func:`islands`, and the batch twin
+    of ``streaming.sessions.session_stream``).
+
+    Output: all input columns + ``session_id`` (1-based, per group, in
+    event-time order). One sort-shuffle on ``by``; the lag and the
+    running sum share the same window frame so Catalyst evaluates both
+    in a single Window node.
+
+    ``order_tiebreak``: extra columns making the within-group order total
+    (deterministic session boundaries when timestamps collide).
+    """
+    w = Window.partitionBy(*by).orderBy(
+        F.col(ts_col).asc(), *[F.col(c).asc() for c in order_tiebreak]
+    )
+    prev = F.lag(ts_col).over(w)
+    # Compare at MICROSECOND precision: timestamp_diff truncates to its
+    # unit, so a SECOND-unit compare would silently forgive sub-second
+    # excess over the gap (gap+0.5s != break) and disagree with exact
+    # interval arithmetic (the DuckDB oracle, and any SQL engine).
+    brk = F.when(
+        prev.isNull()
+        | (
+            F.timestamp_diff("MICROSECOND", prev, F.col(ts_col))
+            > gap_minutes * 60_000_000
+        ),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    return (
+        df.withColumn("__brk", brk)  # separate step: no window-in-window
+        .withColumn(
+            "session_id",
+            F.sum("__brk")
+            .over(w.rowsBetween(Window.unboundedPreceding, 0))
+            .cast("long"),
+        )
+        .drop("__brk")
+    )

@@ -402,3 +402,57 @@ def j8_overlay_coalesce(spark, sf_dir):
         F.coalesce("live_value", "value").alias("value"),
         (F.col("flag") | F.coalesce("live_flag", F.lit(False))).alias("flag"),
     )
+
+
+@register(
+    "o5_user_sessions",
+    sql="""
+    WITH ordered AS (
+      SELECT user_id, event_id, ts, value,
+        CASE WHEN lag(ts) OVER w IS NULL
+               OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+             THEN 1 ELSE 0 END AS brk
+      FROM events
+      WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-08'
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    grp AS (
+      SELECT *, CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+      FROM ordered
+    )
+    SELECT user_id, session_id,
+      min(ts) AS session_start, max(ts) AS session_end,
+      CAST(count(*) AS BIGINT) AS n_events,
+      CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS total_value
+    FROM grp GROUP BY 1, 2
+    """,
+    doc="Sessionization (gaps-and-islands over event rows): per-user "
+    "sessions split at >30-minute inactivity gaps, with per-session "
+    "aggregates. One sort-shuffle on user_id; lag + running sum share "
+    "the window; the session agg reuses the same partitioning so no "
+    "second exchange. Batch twin of streaming.sessions.session_stream "
+    "(transformWithStateInPandas) — equivalence is tested in "
+    "tests/test_streaming.py. event_id breaks timestamp ties so "
+    "boundaries are deterministic.",
+)
+def o5_user_sessions(spark, sf_dir):
+    from crypto_datalake_spark.ops.gaps import sessionize
+
+    ev = events(spark, sf_dir).where(
+        (F.col("ts") >= F.lit(SPINE_START).cast("timestamp_ntz"))
+        & (F.col("ts") < F.lit(SPINE_END).cast("timestamp_ntz"))
+    )
+    sess = sessionize(
+        ev.select("user_id", "event_id", "ts", "value"),
+        "ts",
+        30,
+        by=["user_id"],
+        order_tiebreak=["event_id"],
+    )
+    return sess.groupBy("user_id", "session_id").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count(F.lit(1)).alias("n_events"),
+        dsum("value").alias("total_value"),
+    )

@@ -19,6 +19,10 @@ from crypto_datalake_spark.streaming.orderbook import (  # noqa: F401
     DEPTH_EVENT_SCHEMA,
     book_state_stream,
 )
+from crypto_datalake_spark.streaming.sessions import (  # noqa: F401
+    session_stream,
+    session_stream_tws,
+)
 from crypto_datalake_spark.streaming.silver import (  # noqa: F401
     foreach_batch_upsert,
     retention_delete,

@@ -216,3 +216,102 @@ def test_heartbeat_stream(bronze_events):
     got = {(r["stream"], r["minute_ts"]): r for r in heartbeat_stream(bronze_events).collect()}
     assert got[("liq", dt.datetime(2024, 1, 1, 0, 0))]["n_messages"] == 2
     assert got[("trade", dt.datetime(2024, 1, 1, 0, 1))]["alive"]
+
+
+# --- transformWithState sessionization -------------------------------------
+
+_SESS_DDL = "user_id bigint, event_id bigint, ts timestamp_ntz, value double"
+
+
+def _sess_rows(spark, rows):
+    return spark.createDataFrame(rows, _SESS_DDL)
+
+
+def test_session_stream_matches_batch_sessionize(spark, tmp_path):
+    """Stream sessions (closed in-data or by event-time timer) must be a
+    subset of the batch gaps-and-islands sessions, and the deterministic
+    closures must all be present."""
+    from crypto_datalake_spark.ops.gaps import sessionize
+    from crypto_datalake_spark.streaming import session_stream
+
+    def m(minutes):  # event time helper
+        return _t(minutes * 60)
+
+    batch1 = [
+        # user 1: session A (0, 10min), closed in-data by the 120min event;
+        # session B (120, 125) stays open at end of batch1.
+        (1, 1, m(0), 1.0),
+        (1, 2, m(10), 2.0),
+        (1, 3, m(120), 4.0),
+        (1, 4, m(125), 8.0),
+        # user 2: single event; closes via timer once watermark passes 35min.
+        (2, 5, m(5), 16.0),
+    ]
+    batch2 = [(3, 6, m(600), 32.0)]  # watermark pusher
+
+    src = tmp_path / "sess_src"
+    src.mkdir()
+    _sess_rows(spark, batch1).coalesce(1).write.parquet(str(src / "f1"))
+    _sess_rows(spark, batch2).coalesce(1).write.parquet(str(src / "f2"))
+
+    stream = (
+        spark.readStream.schema(_SESS_DDL)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    q = (
+        session_stream(stream, gap_minutes=30, watermark="10 minutes")
+        .writeStream.format("memory")
+        .queryName("sessions_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "sess_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"],
+         r["total_value"])
+        for r in spark.table("sessions_stream").collect()
+    }
+
+    all_rows = _sess_rows(spark, batch1 + batch2)
+    batch_sessions = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"],
+         r["total_value"])
+        for r in sessionize(all_rows, "ts", 30, ["user_id"], ["event_id"])
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("total_value"),
+        )
+        .drop("session_id")
+        .collect()
+    }
+
+    # every emitted session is a true batch session (boundaries + aggs agree)
+    assert got <= batch_sessions
+    # the in-data closure and the timer closure are deterministic: present.
+    must_have = {
+        (1, m(0), m(10), 2, 3.0),   # user 1 session A, closed by gap in data
+        (2, m(5), m(5), 1, 16.0),   # user 2, closed by timer after batch 1
+    }
+    assert must_have <= got
+
+
+def test_session_stream_tws_requires_protobuf(spark):
+    """The transformWithState backend must fail fast (ImportError) when the
+    state server's protobuf dep is absent — not crash mid-query."""
+    from crypto_datalake_spark.streaming import session_stream_tws
+
+    ev = _sess_rows(spark, []).select("user_id", "event_id", "ts", "value")
+    try:
+        import google.protobuf  # noqa: F401
+    except ImportError:
+        with pytest.raises(ImportError):
+            session_stream_tws(ev)
+        return
+    # protobuf present: building the plan must succeed (not executed here).
+    session_stream_tws(ev)
