@@ -372,3 +372,97 @@ def test_serving_derived_fields_and_complete_filter(spark):
     # cvd accumulates net taker vol: per bucket 2·4.5 − 6 = 3
     assert b0["cvd_btc"] == pytest.approx(3.0)
     assert b1["cvd_btc"] == pytest.approx(6.0)
+
+
+# --- MERGE INTO ------------------------------------------------------------
+
+_MERGE_DDL = "k bigint, day string, qty double, status string"
+
+
+def _merge_df(spark, rows):
+    return spark.createDataFrame(rows, _MERGE_DDL)
+
+
+def test_merge_into_update_insert_delete(spark, tmp_path):
+    from crypto_datalake_spark.sinks import merge_into
+
+    path = str(tmp_path / "merge_lake")
+    base = [
+        (1, "d1", 10.0, "open"),
+        (2, "d1", 20.0, "open"),
+        (3, "d2", 30.0, "open"),
+    ]
+    merge_into(spark, _merge_df(spark, base), path, on=["k"], partition_cols=["day"])
+
+    src = [
+        (2, "d1", 25.0, "open"),      # matched → update
+        (3, "d2", 0.0, "cancelled"),  # matched + delete_condition → delete
+        (4, "d2", 40.0, "open"),      # not matched → insert
+    ]
+    merge_into(
+        spark,
+        _merge_df(spark, src),
+        path,
+        on=["k"],
+        partition_cols=["day"],
+        delete_condition=F.col("s_status") == "cancelled",
+    )
+    got = {r["k"]: r for r in spark.read.parquet(path).collect()}
+    assert set(got) == {1, 2, 4}          # 3 deleted, 4 inserted
+    assert got[1]["qty"] == 10.0          # untouched row in touched part
+    assert got[2]["qty"] == 25.0          # updated
+    assert got[4]["qty"] == 40.0
+
+
+def test_merge_into_conditional_update_and_no_insert(spark, tmp_path):
+    from crypto_datalake_spark.sinks import merge_into
+
+    path = str(tmp_path / "merge_lake2")
+    base = [(1, "d1", 10.0, "open"), (2, "d1", 20.0, "closed")]
+    merge_into(spark, _merge_df(spark, base), path, on=["k"], partition_cols=["day"])
+
+    src = [
+        (1, "d1", 11.0, "open"),
+        (2, "d1", 99.0, "open"),   # update gated off: target already closed
+        (5, "d1", 50.0, "open"),   # insert disabled
+    ]
+    merge_into(
+        spark,
+        _merge_df(spark, src),
+        path,
+        on=["k"],
+        partition_cols=["day"],
+        update_condition=F.col("t_status") != "closed",
+        insert=False,
+    )
+    got = {r["k"]: r for r in spark.read.parquet(path).collect()}
+    assert set(got) == {1, 2}
+    assert got[1]["qty"] == 11.0
+    assert got[2]["qty"] == 20.0 and got[2]["status"] == "closed"
+
+
+def test_merge_scd2_versions_and_idempotence(spark, tmp_path):
+    from crypto_datalake_spark.sinks import merge_scd2
+
+    path = str(tmp_path / "dim")
+    ddl = "k bigint, attr string, ts timestamp_ntz"
+    v1 = spark.createDataFrame([(1, "a", _ts(0)), (2, "x", _ts(0))], ddl)
+    merge_scd2(spark, v1, path, keys=["k"], tracked_cols=["attr"], ts_col="ts")
+
+    # k=1 changes at t2; k=2 re-sent unchanged (must be a no-op);
+    # k=1 also gets an out-of-order earlier version identical to v1 (no-op).
+    v2 = spark.createDataFrame(
+        [(1, "b", _ts(2)), (2, "x", _ts(2)), (1, "a", _ts(1))], ddl
+    )
+    merge_scd2(spark, v2, path, keys=["k"], tracked_cols=["attr"], ts_col="ts")
+
+    got = spark.read.parquet(path)
+    k1 = sorted(got.where("k = 1").collect(), key=lambda r: r["valid_from"])
+    assert [(r["attr"], r["is_current"]) for r in k1] == [("a", False), ("b", True)]
+    assert k1[0]["valid_to"] == k1[1]["valid_from"] == _ts(2)
+    k2 = got.where("k = 2").collect()
+    assert len(k2) == 1 and k2[0]["is_current"] and k2[0]["attr"] == "x"
+
+    # replaying the same merge is idempotent
+    merge_scd2(spark, v2, path, keys=["k"], tracked_cols=["attr"], ts_col="ts")
+    assert spark.read.parquet(path).count() == 3
