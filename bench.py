@@ -47,6 +47,10 @@ BENCH_QUERIES = [
     "dedup_minhash_lsh",
     "ann_lsh_bucketed",
     "st2_streaming_minute_agg",
+    "q17_small_qty_revenue",
+    "q19_disjunctive_bracket_revenue",
+    "q21_sole_blame_supplier",
+    "o5_user_sessions",
 ]
 
 
