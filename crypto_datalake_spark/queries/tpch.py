@@ -932,15 +932,18 @@ def q22_dormant_customer_balance(spark, sf_dir):
     )
     SELECT nation, CAST(revenue_dec AS DOUBLE) AS revenue
     FROM nat
-    WHERE revenue_dec > 0.05 * (SELECT sum(revenue_dec) FROM nat)
+    WHERE 20 * CAST(revenue_dec AS DECIMAL(30,6)) > (SELECT sum(revenue_dec) FROM nat)
     ORDER BY revenue DESC, nation
     """,
     doc="TPC-H Q11 shape: per-group value share gated against a fraction "
     "of the global total (supplier-nation revenue substitutes for the "
     "fixture-absent partsupp stock value). The group aggregate is "
     "computed once and reused for both arms — the global total is the "
-    "sum of the 25 group DECIMALS (exact, so the 5% threshold compare "
-    "is engine-independent), broadcast back as a 1-row scalar.",
+    "sum of the 25 group DECIMALS, broadcast back as a 1-row scalar. "
+    "The 5% gate is the exact-integer form 20·revenue > total so both "
+    "engines compare in decimal with no fractional literal (a double "
+    "0.05 would promote the compare to double and can flip within one "
+    "ulp of the boundary).",
 )
 def q11_nation_revenue_concentration(spark, sf_dir):
     li = t(spark, sf_dir, "lineitem")
@@ -962,7 +965,12 @@ def q11_nation_revenue_concentration(spark, sf_dir):
     total = nat.agg(F.sum("revenue_dec").alias("total_dec"))
     return (
         nat.join(F.broadcast(total))
-        .where(F.col("revenue_dec") > F.lit(0.05) * F.col("total_dec"))
+        # exact-integer 5% gate: 20·revenue > total keeps both engines in
+        # decimal arithmetic (narrow the operand first so 20·x fits p=38)
+        .where(
+            F.lit(20) * F.col("revenue_dec").cast("decimal(30,6)")
+            > F.col("total_dec")
+        )
         .select("nation", F.col("revenue_dec").cast("double").alias("revenue"))
         .orderBy(F.col("revenue").desc(), "nation")
     )

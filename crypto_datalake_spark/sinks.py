@@ -22,10 +22,70 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from crypto_datalake_spark.ops.dedup import keep_last
+
+
+def _read_existing(spark: SparkSession, path: str, cols: Sequence[str]) -> DataFrame | None:
+    """Read the current target table, returning None iff ``path`` does not
+    exist yet (first write).
+
+    Only the path-missing AnalysisException maps to "first write" — any
+    other failure (transient IO, permissions, corrupt footer, missing
+    columns in the select) re-raises, so a flaky read can never be
+    mistaken for an empty target and silently overwrite history.
+    """
+    try:
+        df = spark.read.parquet(path)
+    except AnalysisException as e:
+        klass = ""
+        get_cls = getattr(e, "getCondition", None) or getattr(e, "getErrorClass", None)
+        if callable(get_cls):
+            klass = get_cls() or ""
+        if "PATH_NOT_FOUND" in klass or "Path does not exist" in str(e):
+            return None
+        raise
+    # outside the try: a schema/column mismatch must propagate, not be
+    # swallowed as "first write"
+    return df.select(*cols)
+
+
+def _drop_emptied_partitions(
+    spark: SparkSession,
+    path: str,
+    touched_vals: list[tuple],
+    out: DataFrame,
+    partition_cols: Sequence[str],
+) -> None:
+    """Delete partition directories that the merge touched but whose rows
+    were ALL removed (key moved away, or delete_condition emptied them).
+
+    Dynamic partition overwrite only replaces partitions present in the
+    output frame — a partition with zero surviving rows is silently left
+    stale on disk, so it must be dropped explicitly (Delta's MERGE does
+    the equivalent through the transaction log). ``out`` must be
+    persisted by the caller (it was just written, so this recompute is a
+    cache hit). Partition counts are repair-sized, so the collects are
+    tiny driver-side lists.
+    """
+    present = {
+        tuple(r[c] for c in partition_cols)
+        for r in out.select(*partition_cols).distinct().collect()
+    }
+    stale = [v for v in touched_vals if tuple(v) not in present]
+    if not stale:
+        return
+    sc = spark.sparkContext
+    jvm = sc._jvm
+    conf = sc._jsc.hadoopConfiguration()
+    for vals in stale:
+        sub = "/".join(f"{c}={v}" for c, v in zip(partition_cols, vals))
+        p = jvm.org.apache.hadoop.fs.Path(f"{path}/{sub}")
+        fs = p.getFileSystem(conf)
+        fs.delete(p, True)
 
 
 def upsert_partitioned(
@@ -52,10 +112,7 @@ def upsert_partitioned(
     partition values (broadcast — the incoming side of a repair is small).
     """
     cols = incoming.columns
-    try:
-        existing = spark.read.parquet(path).select(*cols)
-    except Exception:  # first write: nothing to merge
-        existing = None
+    existing = _read_existing(spark, path, cols)
 
     out = incoming
     if existing is not None:
@@ -133,6 +190,7 @@ def merge_into(
     update_condition: Column | None = None,
     delete_condition: Column | None = None,
     insert: bool = True,
+    track_key_moves: bool = True,
 ) -> None:
     """General MERGE INTO for a partitioned parquet lake — the Delta
     ``MERGE`` clause set (matched-update / matched-delete /
@@ -155,15 +213,26 @@ def merge_into(
     tmp+rename, ref atomic.py:27-117). Unmatched target rows inside a
     touched partition are rewritten unchanged — the cost floor of any
     copy-on-write MERGE.
+
+    Partition moves: when a source row carries a NEW partition value for
+    an existing key (e.g. a corrected ``day``), the old row lives in a
+    partition the source values alone would never touch. With
+    ``track_key_moves=True`` (default) the touched-partition set is the
+    union of the source's partition values and the partitions of target
+    rows whose merge keys appear in the source — found via a narrow
+    keys+partition-cols column-pruned scan + broadcast semi-join, so the
+    stale row is read, matched, rewritten under its new partition, and
+    its old partition is rewritten without it (a correct move). Set it
+    False only when partition columns are immutable for a given key by
+    contract; then the narrow scan is skipped entirely.
     """
     cols = source.columns
     keyset = set(on)
     if update_cols is None:
         update_cols = [c for c in cols if c not in keyset]
 
-    try:
-        existing = spark.read.parquet(path).select(*cols)
-    except Exception:  # first write: MERGE degenerates to insert
+    existing_full = _read_existing(spark, path, cols)
+    if existing_full is None:  # first write: MERGE degenerates to insert
         if insert:
             (
                 source.repartition(*[F.col(c) for c in partition_cols])
@@ -175,20 +244,43 @@ def merge_into(
         return
 
     touched = source.select(*partition_cols).distinct()
-    existing = existing.join(F.broadcast(touched), list(partition_cols), "left_semi")
+    if track_key_moves:
+        # partitions where a source key's CURRENT row lives (may differ
+        # from the source row's partition value) — keys+partition cols
+        # only, so the parquet scan reads just those columns
+        src_keys = source.select(*on).distinct()
+        moved = (
+            existing_full.select(*on, *partition_cols)
+            .join(F.broadcast(src_keys), list(on), "left_semi")
+            .select(*partition_cols)
+            .distinct()
+        )
+        touched = touched.unionByName(moved).distinct()
+    existing = existing_full.join(
+        F.broadcast(touched), list(partition_cols), "left_semi"
+    )
 
-    tgt = existing.select([F.col(c).alias(f"t_{c}") for c in cols])
-    src = source.select([F.col(c).alias(f"s_{c}") for c in cols])
+    # explicit presence markers: NULL merge keys on either side must not
+    # flip row classification (a target row with a NULL key never joins,
+    # and key-null checks would misread it as source-only)
+    tgt = existing.select(
+        [F.col(c).alias(f"t_{c}") for c in cols] + [F.lit(True).alias("t__present")]
+    )
+    src = source.select(
+        [F.col(c).alias(f"s_{c}") for c in cols] + [F.lit(True).alias("s__present")]
+    )
     cond = None
     for k in on:
         eq = F.col(f"t_{k}") == F.col(f"s_{k}")
         cond = eq if cond is None else (cond & eq)
     j = tgt.join(src, cond, "full_outer")
 
-    matched = F.col(f"t_{on[0]}").isNotNull() & F.col(f"s_{on[0]}").isNotNull()
-    src_only = F.col(f"t_{on[0]}").isNull()
+    matched = F.col("t__present").isNotNull() & F.col("s__present").isNotNull()
+    src_only = F.col("t__present").isNull()
     if delete_condition is not None:
-        j = j.where(~(matched & delete_condition))
+        # MERGE three-valued logic: an UNKNOWN (NULL) delete condition
+        # must KEEP the row, so coalesce to False before negating
+        j = j.where(~F.coalesce(matched & delete_condition, F.lit(False)))
     do_update = matched if update_condition is None else (matched & update_condition)
 
     out_cols = []
@@ -203,13 +295,23 @@ def merge_into(
         out_cols.append(v.alias(c))
     out = j.select(*out_cols) if insert else j.where(~src_only).select(*out_cols)
 
-    (
-        out.repartition(*[F.col(c) for c in partition_cols])
-        .write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy(*partition_cols)
-        .parquet(path)
-    )
+    touched_vals = [
+        tuple(r[c] for c in partition_cols) for r in touched.collect()
+    ]
+    out = out.persist()
+    try:
+        (
+            out.repartition(*[F.col(c) for c in partition_cols])
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(*partition_cols)
+            .parquet(path)
+        )
+        # partitions whose rows ALL moved away / were deleted are not in
+        # the output, so dynamic overwrite never rewrites them — drop them
+        _drop_emptied_partitions(spark, path, touched_vals, out, partition_cols)
+    finally:
+        out.unpersist()
 
 
 def merge_scd2(
@@ -239,10 +341,7 @@ def merge_scd2(
         [vf],
     )
 
-    try:
-        existing = spark.read.parquet(path).select(*out_cols)
-    except Exception:
-        existing = None
+    existing = _read_existing(spark, path, out_cols)
 
     if existing is not None:
         kdf = incoming.select(*keys).distinct()

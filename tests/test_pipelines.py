@@ -441,6 +441,91 @@ def test_merge_into_conditional_update_and_no_insert(spark, tmp_path):
     assert got[2]["qty"] == 20.0 and got[2]["status"] == "closed"
 
 
+def test_merge_into_null_delete_condition_keeps_row(spark, tmp_path):
+    """MERGE three-valued logic: a NULL delete condition is UNKNOWN, not
+    true — the matched row must survive (ADVICE r01)."""
+    from crypto_datalake_spark.sinks import merge_into
+
+    path = str(tmp_path / "merge_null_del")
+    base = [(1, "d1", 10.0, None), (2, "d1", 20.0, "cancelled")]
+    merge_into(spark, _merge_df(spark, base), path, on=["k"], partition_cols=["day"])
+
+    src = [(1, "d1", 11.0, None), (2, "d1", 21.0, "cancelled")]
+    merge_into(
+        spark,
+        _merge_df(spark, src),
+        path,
+        on=["k"],
+        partition_cols=["day"],
+        # evaluated against the TARGET status: NULL for k=1 → UNKNOWN → keep
+        delete_condition=F.col("t_status") == "cancelled",
+    )
+    got = {r["k"]: r for r in spark.read.parquet(path).collect()}
+    assert set(got) == {1}              # k=2 deleted; k=1 kept despite NULL cond
+    assert got[1]["qty"] == 11.0        # and still updated
+
+
+def test_merge_into_key_move_across_partitions(spark, tmp_path):
+    """A source row with a corrected partition value must MOVE the row:
+    old partition loses it, new partition gains it, no duplicate key."""
+    from crypto_datalake_spark.sinks import merge_into
+
+    path = str(tmp_path / "merge_move")
+    base = [(1, "d1", 10.0, "open"), (2, "d2", 20.0, "open")]
+    merge_into(spark, _merge_df(spark, base), path, on=["k"], partition_cols=["day"])
+
+    # k=1 corrected from day d1 → d3; source never mentions d1
+    merge_into(
+        spark,
+        _merge_df(spark, [(1, "d3", 11.0, "open")]),
+        path,
+        on=["k"],
+        partition_cols=["day"],
+    )
+    rows = spark.read.parquet(path).collect()
+    got = {r["k"]: r for r in rows}
+    assert len(rows) == 2               # no duplicate k=1
+    assert got[1]["day"] == "d3" and got[1]["qty"] == 11.0
+    assert got[2]["day"] == "d2" and got[2]["qty"] == 20.0
+
+
+def test_merge_into_null_key_target_rows_survive(spark, tmp_path):
+    """Target rows with NULL merge keys never join; they must pass through
+    unchanged, not be misclassified as source-only and rewritten."""
+    from crypto_datalake_spark.sinks import merge_into
+
+    path = str(tmp_path / "merge_null_key")
+    base = [(None, "d1", 7.0, "orphan"), (1, "d1", 10.0, "open")]
+    merge_into(spark, _merge_df(spark, base), path, on=["k"], partition_cols=["day"])
+
+    merge_into(
+        spark,
+        _merge_df(spark, [(1, "d1", 11.0, "open")]),
+        path,
+        on=["k"],
+        partition_cols=["day"],
+    )
+    rows = spark.read.parquet(path).collect()
+    orphan = [r for r in rows if r["k"] is None]
+    assert len(rows) == 2
+    assert len(orphan) == 1 and orphan[0]["qty"] == 7.0 and orphan[0]["status"] == "orphan"
+
+
+def test_read_existing_reraises_non_path_errors(spark, tmp_path):
+    """Only path-missing means 'first write'; a schema mismatch must raise,
+    never silently wipe the target (ADVICE r01)."""
+    import pytest
+
+    from crypto_datalake_spark.sinks import _read_existing
+
+    assert _read_existing(spark, str(tmp_path / "nope"), ["k"]) is None
+
+    path = str(tmp_path / "t")
+    _merge_df(spark, [(1, "d1", 1.0, "open")]).write.parquet(path)
+    with pytest.raises(Exception):
+        _read_existing(spark, path, ["k", "no_such_column"])
+
+
 def test_merge_scd2_versions_and_idempotence(spark, tmp_path):
     from crypto_datalake_spark.sinks import merge_scd2
 
