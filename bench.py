@@ -26,31 +26,46 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from crypto_datalake_spark.queries import REGISTRY  # noqa: E402
 from crypto_datalake_spark.session import get_spark  # noqa: E402
 
+# Every benched query sits inside the driver's 50-query correctness
+# window (queries/__init__.py _WINDOW) so each timing row has a matching
+# oracle-green CORRECTNESS row — a benchmark on an unverified query
+# proves nothing. The TPC-H shapes benched in r01 (q1/q17/q19/q21/...)
+# rotated out with the window curation; they remain registered and
+# pytest-oracle-checked, runnable via REGISTRY[name].
 BENCH_QUERIES = [
     # headline mix: scan-agg, joins, as-of, windows, dedup, similarity
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_region_revenue",
-    "q_order_priority_exists",
-    "q18_large_volume_orders",
-    "rollup_region_nation_revenue",
-    "a13_distinct_agg",
+    "s1_scan_project_filter",
     "a1_minute_trade_rollup",
+    "a2_mean_last_rollup",
     "a4_htf_bucket_agg",
+    "a7_ratio_of_sums",
+    "a8_p95_nearest_rank",
+    "a9_ohlc_complete_only",
     "j1_spine_left_join",
     "j2_asof_backward_tolerance",
+    "j6_exact_asof_fallback",
+    "j8_overlay_coalesce",
+    "j9_union_dedup_priority",
+    "j10_dedup_keep_last",
+    "w1_log_return",
+    "w2_realized_vol",
     "w4_cumsum",
     "w5_ffill_limited",
-    "j10_dedup_keep_last",
+    "w6_topk_recent",
+    "o3_gaps_islands",
+    "u1_ema",
+    "d1_derived_fields",
     "dedup_exact_hash",
-    "ann_cosine_topk",
     "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "doc_fingerprints",
+    "text_profile",
+    "dedup_embedding_cosine",
+    "ann_cosine_topk",
     "ann_lsh_bucketed",
+    "ann_ivf_probe",
     "st2_streaming_minute_agg",
-    "q17_small_qty_revenue",
-    "q19_disjunctive_bracket_revenue",
-    "q21_sole_blame_supplier",
-    "o5_user_sessions",
+    "st3_orderbook_replay",
 ]
 
 

@@ -205,11 +205,17 @@ def a5_weighted_avg(spark, sf_dir):
     sql="""
     WITH e AS (
       SELECT event_type, value,
+             CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
              CASE WHEN event_type = 'error' THEN 0
                   ELSE CAST(json_extract_string(props, '$.k') AS BIGINT) END AS w
       FROM events
     )
     SELECT event_type,
+      CASE WHEN sum(CAST(k AS DECIMAL(18,6))) <> 0
+           THEN CAST(CAST(sum(CAST(value AS DECIMAL(18,6))
+                         * CAST(k AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS DOUBLE)
+                / CAST(sum(CAST(k AS DECIMAL(18,6))) AS DOUBLE)
+      END AS wavg_value,
       CASE WHEN sum(CAST(CASE WHEN value IS NOT NULL THEN w END AS DECIMAL(18,6))) <> 0
            THEN CAST(CAST(sum(CAST(value AS DECIMAL(18,6))
                          * CAST(CASE WHEN value IS NOT NULL THEN w END AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS DOUBLE)
@@ -219,20 +225,28 @@ def a5_weighted_avg(spark, sf_dir):
     FROM e
     GROUP BY 1
     """,
-    doc="A6: weighted average with simple-mean fallback when the weight sum "
-    "is zero; weights nulled pairwise where the value is null "
-    "(ref: aggregation_rules.py:143-160, 205-216, depth-quality columns).",
+    doc="A5+A6 weighted-average family from ONE scan: ``wavg_value`` is the "
+    "pure notional-weighted average (A5 — NULL when the weight sum is "
+    "zero; ref aggregator/aggregation_rules.py:138-160 "
+    "liq_avg_fill_price), ``wavg_or_mean`` adds the simple-mean fallback "
+    "with weights nulled pairwise where the value is null (A6 — ref "
+    "aggregation_rules.py:143-160, 205-216 depth-quality columns). Both "
+    "are partial-aggregable decimal sums, so fusing them costs one extra "
+    "accumulator, not a second shuffle; the standalone a5_weighted_avg "
+    "entry remains registered.",
 )
 def a6_weighted_avg_fallback(spark, sf_dir):
     ev = events(spark, sf_dir).select(
         "event_type",
         "value",
+        F.get_json_object("props", "$.k").cast("long").alias("k"),
         F.when(F.col("event_type") == "error", F.lit(0))
         .otherwise(F.get_json_object("props", "$.k").cast("long"))
         .alias("w"),
     )
     return ev.groupBy("event_type").agg(
-        wavg_with_mean_fallback("value", "w").alias("wavg_or_mean")
+        wavg("value", "k").alias("wavg_value"),
+        wavg_with_mean_fallback("value", "w").alias("wavg_or_mean"),
     )
 
 

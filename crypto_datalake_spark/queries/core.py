@@ -214,3 +214,66 @@ def j9_union_dedup_priority(spark, sf_dir):
         F.lit("remote").alias("src"),
     )
     return union_dedup(primary, secondary, keys=["event_id"])
+
+
+@register(
+    "s4_write_audit_ledger",
+    sql="""
+    WITH m AS (
+      SELECT event_type, date_trunc('minute', ts) AS minute_ts
+      FROM events GROUP BY 1, 2
+    )
+    SELECT event_type, CAST(minute_ts AS DATE) AS day,
+           CAST(count(*) AS BIGINT) AS row_count,
+           min(minute_ts) AS min_ts,
+           max(minute_ts) AS max_ts,
+           bit_xor(CAST(concat('0x', substr(
+             md5(event_type || '|' || CAST(minute_ts AS VARCHAR)), 1, 15)) AS BIGINT))
+             AS content_hash
+    FROM m GROUP BY 1, 2
+    """,
+    doc="S4 partition write-audit ledger (ref writer/atomic.py:113-117, "
+    "state/store.py:46-136): every partition commit records row_count, "
+    "min/max ts, schema hash, and an order-independent content hash "
+    "(bit_xor of 60-bit md5 row-key digests — a distributed writer has "
+    "no deterministic file bytes to hash, so content identity is a "
+    "commutative fold instead). The query upserts a minute rollup of "
+    "the events table in TWO passes (half then full — exercising first "
+    "write, merge/repair, and ledger-row replacement), then returns the "
+    "ledger; the oracle recomputes each partition's audit row straight "
+    "from the source, so a mismatch means the sink wrote or accounted "
+    "wrongly. Ledger rows are one aggregate per rewritten partition — "
+    "at 100 TB the audit cost is proportional to the repair, not the "
+    "lake.",
+)
+def s4_write_audit_ledger(spark, sf_dir):
+    import os
+    import shutil
+
+    from crypto_datalake_spark.sinks import upsert_partitioned
+
+    base = f"/tmp/cds_s4_ledger/{os.path.basename(sf_dir.rstrip('/'))}"
+    shutil.rmtree(base, ignore_errors=True)
+    data_path, ledger_path = f"{base}/data", f"{base}/ledger"
+
+    agg = (
+        events(spark, sf_dir)
+        .groupBy("event_type", F.date_trunc("minute", "ts").alias("minute_ts"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .withColumn("day", F.to_date("minute_ts"))
+    )
+    kwargs = dict(
+        keys=["event_type", "minute_ts"],
+        order_cols=["minute_ts"],
+        partition_cols=["event_type", "day"],
+        ledger_path=ledger_path,
+    )
+    # pass 1: even minutes only (first write); pass 2: everything
+    # (merge + repair — every ledger row is replaced idempotently)
+    upsert_partitioned(
+        spark, agg.where(F.minute("minute_ts") % 2 == 0), data_path, **kwargs
+    )
+    upsert_partitioned(spark, agg, data_path, **kwargs)
+    return spark.read.parquet(ledger_path).select(
+        "event_type", "day", "row_count", "min_ts", "max_ts", "content_hash"
+    )

@@ -177,31 +177,42 @@ def dedup_minhash_lsh(spark, sf_dir):
     )
 
 
+_SP_GRAMH = _SP_H.format(x="concat(tok[i], ' ', tok[i+1])")
+_DK_GRAMH = _DK_H.format(x="(tok[i] || ' ' || tok[i+1])")
+
+
 @register(
     "dedup_ngram_jaccard",
-    sql="""
+    sql=f"""
     WITH g AS (
       SELECT doc_id, lang, n_chars // 64 AS len_bucket,
-             list_distinct([tok[i] || ' ' || tok[i+1]
+             list_distinct([{_DK_GRAMH}
                             for i in range(1, len(tok))]) AS grams
       FROM (SELECT doc_id, lang, n_chars, string_split(text, ' ') AS tok
             FROM documents)
       WHERE len(tok) >= 2
+    ),
+    p AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             len(list_intersect(a.grams, b.grams)) AS inter,
+             len(a.grams) + len(b.grams) AS tot
+      FROM g a JOIN g b
+        ON a.lang = b.lang AND a.len_bucket = b.len_bucket AND a.doc_id < b.doc_id
     )
-    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-           CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
-             / CAST(len(list_distinct(a.grams || b.grams)) AS DOUBLE) AS jaccard
-    FROM g a JOIN g b
-      ON a.lang = b.lang AND a.len_bucket = b.len_bucket AND a.doc_id < b.doc_id
-    WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
-            / CAST(len(list_distinct(a.grams || b.grams)) AS DOUBLE) >= 0.3
+    SELECT doc_a, doc_b,
+           CAST(inter AS DOUBLE) / CAST(tot - inter AS DOUBLE) AS jaccard
+    FROM p
+    WHERE CAST(inter AS DOUBLE) / CAST(tot - inter AS DOUBLE) >= 0.3
     """,
     doc="N-gram Jaccard near-dup with blocking: word-bigram sets compared "
     "only within (lang, length-bucket) blocks — the pair space is bounded "
     "by the largest block, never O(n²) over the corpus. The mid tier "
     "between exact-hash and MinHash-LSH: exact Jaccard, cheaper candidate "
-    "generation. At 100 TB the block key shuffles once; skewed blocks "
-    "split by AQE.",
+    "generation. Grams are pre-hashed to 60-bit ints (one md5 per gram, "
+    "linear in corpus size), so the per-PAIR work is integer-set "
+    "intersection only, and the union size is derived as |A|+|B|-|∩| "
+    "instead of a second array pass. At 100 TB the block key shuffles "
+    "once; skewed blocks split by AQE.",
 )
 def dedup_ngram_jaccard(spark, sf_dir):
     d = t(spark, sf_dir, "documents")
@@ -219,16 +230,14 @@ def dedup_ngram_jaccard(spark, sf_dir):
             "len_bucket",
             F.expr(
                 "array_distinct(transform(sequence(0, size(tok) - 2), "
-                "i -> concat(tok[i], ' ', tok[i+1])))"
+                f"i -> {_SP_GRAMH}))"
             ).alias("grams"),
         )
     )
     a, b = g.alias("a"), g.alias("b")
-    jac = (
-        F.size(F.array_intersect("a.grams", "b.grams")).cast("double")
-        / F.size(F.array_union("a.grams", "b.grams")).cast("double")
-    )
-    return (
+    inter = F.size(F.array_intersect("a.grams", "b.grams"))
+    tot = F.size(F.col("a.grams")) + F.size(F.col("b.grams"))
+    paired = (
         a.join(
             b,
             (F.col("a.lang") == F.col("b.lang"))
@@ -238,14 +247,26 @@ def dedup_ngram_jaccard(spark, sf_dir):
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            jac.alias("jaccard"),
+            inter.alias("inter"),
+            tot.alias("tot"),
         )
-        .where(F.col("jaccard") >= 0.3)
+    )
+    jac = F.col("inter").cast("double") / (F.col("tot") - F.col("inter")).cast("double")
+    return paired.select("doc_a", "doc_b", jac.alias("jaccard")).where(
+        F.col("jaccard") >= 0.3
     )
 
 
 _SP_TOKH = _SP_H.format(x="tk")
 _DK_TOKH = _DK_H.format(x="tk")
+
+# simhash bit-vote over a pre-materialized hash-array column ``uh``
+_SP_SIMHASH_OVER_UH = (
+    "aggregate(transform(sequence(0, 59), j -> "
+    "CASE WHEN 2 * aggregate(uh, CAST(0 AS BIGINT), (acc, h) -> acc + (shiftright(h, CAST(j AS INT)) % 2)) > size(uh) "
+    "THEN shiftleft(CAST(1 AS BIGINT), CAST(j AS INT)) ELSE CAST(0 AS BIGINT) END), "
+    "CAST(0 AS BIGINT), (a, x) -> a + x)"
+)
 
 
 @register(
@@ -270,14 +291,13 @@ _DK_TOKH = _DK_H.format(x="tk")
 )
 def simhash_fingerprint(spark, sf_dir):
     d = t(spark, sf_dir, "documents")
-    hs = f"transform(array_distinct(split(text, ' ')), tk -> {_SP_TOKH})"
-    simhash = (
-        "aggregate(transform(sequence(0, 59), j -> "
-        f"CASE WHEN 2 * aggregate({hs}, CAST(0 AS BIGINT), (acc, h) -> acc + (shiftright(h, CAST(j AS INT)) % 2)) > size({hs}) "
-        "THEN shiftleft(CAST(1 AS BIGINT), CAST(j AS INT)) ELSE CAST(0 AS BIGINT) END), "
-        "CAST(0 AS BIGINT), (a, x) -> a + x)"
+    # materialize the token-hash array in its own projection: inlining it
+    # into the bit loop would recompute every md5 120× (2 refs × 60 bits)
+    hashed = d.select(
+        "doc_id",
+        F.expr(f"transform(array_distinct(split(text, ' ')), tk -> {_SP_TOKH})").alias("uh"),
     )
-    return d.select("doc_id", F.expr(simhash).alias("simhash"))
+    return hashed.select("doc_id", F.expr(_SP_SIMHASH_OVER_UH).alias("simhash"))
 
 
 @register(
@@ -306,6 +326,53 @@ def doc_rolling_fingerprint(spark, sf_dir):
         "CAST(0 AS BIGINT), (a, b) -> (a * 31 + b) % 2147483647)"
     )
     return d.select("doc_id", F.expr(fp).alias("fingerprint"))
+
+
+@register(
+    "doc_fingerprints",
+    sql=f"""
+    WITH tk AS (
+      SELECT doc_id,
+             list_transform(list_distinct(string_split(text, ' ')),
+                            tk -> {_DK_TOKH}) AS uh,
+             list_transform(string_split(text, ' '),
+                            tk -> {_DK_TOKH} % 2147483647) AS sh
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(list_sum(list_transform(range(0, 60), j ->
+             CASE WHEN 2 * CAST(list_sum(list_transform(uh, h -> (h >> j) & 1)) AS BIGINT) > len(uh)
+                  THEN (CAST(1 AS BIGINT) << j) ELSE CAST(0 AS BIGINT) END
+           )) AS BIGINT) AS simhash,
+           CAST(list_reduce(sh, (a, b) -> (a * 31 + b) % 2147483647) AS BIGINT) AS fingerprint
+    FROM tk
+    """,
+    doc="Both document-fingerprint tiers in ONE scan: the 60-bit SimHash "
+    "majority vote over the distinct-token hash set (order-insensitive "
+    "near-dup key — small Hamming distance for near-dups) and the "
+    "order-SENSITIVE polynomial rolling hash over the token sequence "
+    "(doc identity up to exact token order). One pass over text, two "
+    "fingerprints — this is the production shape (fingerprinting scans "
+    "are bandwidth-bound, so fusing them halves the read); the "
+    "standalone simhash_fingerprint / doc_rolling_fingerprint entries "
+    "remain registered for per-tier use. Integer-only higher-order "
+    "expressions, no UDF, embarrassingly parallel.",
+)
+def doc_fingerprints(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    # one projection materializes both token-hash arrays (one md5 pass per
+    # token); the bit-vote references the column, never re-inlines the md5
+    hashed = d.select(
+        "doc_id",
+        F.expr(f"transform(array_distinct(split(text, ' ')), tk -> {_SP_TOKH})").alias("uh"),
+        F.expr(f"transform(split(text, ' '), tk -> {_SP_TOKH} % 2147483647)").alias("sh"),
+    )
+    fp = "aggregate(sh, CAST(0 AS BIGINT), (a, b) -> (a * 31 + b) % 2147483647)"
+    return hashed.select(
+        "doc_id",
+        F.expr(_SP_SIMHASH_OVER_UH).alias("simhash"),
+        F.expr(fp).alias("fingerprint"),
+    )
 
 
 _MARKERS = {

@@ -74,13 +74,115 @@ def st2_streaming_minute_agg(spark, sf_dir):
 
 @register(
     "st3_orderbook_replay",
-    sql=None,  # stateful sequential fold — not SQL-expressible (driver records rows-only)
+    sql="""
+    WITH ev AS (
+      SELECT event_type AS symbol, ts, value,
+             row_number() OVER (PARTITION BY event_type ORDER BY ts, event_id) AS rn
+      FROM events
+    ),
+    -- each non-null event applies one bid level and one ask level;
+    -- qty <= 0 would delete the level (qty = round(abs(value),6) here)
+    lv AS (
+      SELECT symbol, rn, 'bid' AS side,
+             round(90 + (value - 10 * floor(value / 10)), 6) AS price,
+             round(abs(value), 6) AS qty
+      FROM ev WHERE value IS NOT NULL
+      UNION ALL
+      SELECT symbol, rn, 'ask',
+             round(101 + (value - 10 * floor(value / 10)), 6),
+             round(abs(value), 6)
+      FROM ev WHERE value IS NOT NULL
+    ),
+    -- final book = last write per (symbol, side, price); deleted if <= 0
+    fin AS (
+      SELECT symbol, side, price, qty FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY symbol, side, price ORDER BY rn DESC) AS rr
+        FROM lv
+      ) WHERE rr = 1 AND qty > 0
+    ),
+    ba AS (
+      SELECT symbol,
+             max(CASE WHEN side = 'bid' THEN price END) AS best_bid,
+             min(CASE WHEN side = 'ask' THEN price END) AS best_ask
+      FROM fin GROUP BY 1
+    ),
+    -- ST4 impact walk: fill 100k notional ascending the asks
+    walk AS (
+      SELECT symbol, price, price * qty AS notional,
+             coalesce(sum(price * qty) OVER (
+               PARTITION BY symbol ORDER BY price
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+      FROM fin WHERE side = 'ask'
+    ),
+    imp AS (
+      SELECT symbol,
+             sum(CASE WHEN cum_before < 100000
+                      THEN least(100000 - cum_before, notional) ELSE 0 END) AS cost,
+             sum(CASE WHEN cum_before < 100000
+                      THEN least(100000 - cum_before, notional) / price ELSE 0 END) AS fq,
+             coalesce(sum(notional), 0) >= 100000 AS fillable
+      FROM walk GROUP BY 1
+    ),
+    tops AS (
+      SELECT symbol, side, qty, row_number() OVER (
+        PARTITION BY symbol, side
+        ORDER BY CASE WHEN side = 'bid' THEN -price ELSE price END) AS rnk
+      FROM fin
+    ),
+    topq AS (
+      SELECT symbol,
+             avg(CASE WHEN side = 'bid' THEN qty END)
+               FILTER (WHERE rnk <= 10) AS avg_bid,
+             avg(CASE WHEN side = 'ask' THEN qty END)
+               FILTER (WHERE rnk <= 10) AS avg_ask
+      FROM tops GROUP BY 1
+    ),
+    met AS (
+      SELECT ba.symbol,
+             CASE WHEN ok THEN round(best_bid, 6) END AS best_bid,
+             CASE WHEN ok THEN round(best_ask, 6) END AS best_ask,
+             CASE WHEN ok THEN round(mid, 6) END AS mid,
+             CASE WHEN ok THEN round((best_ask - best_bid) / mid * 100, 6) END AS spread_pct,
+             CASE WHEN ok AND fq > 0 THEN round(((cost / fq) - mid) / mid * 100, 6) END AS impact_pct,
+             CASE WHEN ok THEN fillable ELSE FALSE END AS fillable,
+             CASE WHEN ok THEN round(avg_bid, 6) END AS avg_bid_qty_top10,
+             CASE WHEN ok THEN round(avg_ask, 6) END AS avg_ask_qty_top10,
+             TRUE AS synced,
+             CASE WHEN ok THEN
+               (NOT fillable) OR (best_ask - best_bid) / mid * 100 > 2.0
+               OR least(avg_bid, avg_ask) < 1.0
+             ELSE TRUE END AS degraded
+      FROM (
+        SELECT *,
+               best_bid IS NOT NULL AND best_ask IS NOT NULL
+                 AND best_bid < best_ask AS ok,
+               (best_bid + best_ask) / 2 AS mid
+        FROM ba
+      ) ba JOIN imp USING (symbol) JOIN topq USING (symbol)
+    )
+    SELECT m.symbol, m.minute_ts,
+           best_bid, best_ask, mid, spread_pct, impact_pct, fillable,
+           avg_bid_qty_top10, avg_ask_qty_top10, synced, degraded
+    FROM (SELECT DISTINCT event_type AS symbol, date_trunc('minute', ts) AS minute_ts
+          FROM events) m
+    JOIN met USING (symbol)
+    """,
     doc="ST3-ST5: order-book state machine replay — snapshot sync, "
     "sequence-continuity delta application, impact walk, health metrics "
     "(streaming.orderbook; ref websocket.py:234-413). Depth events are "
     "synthesized deterministically from the events table (first event per "
-    "key = snapshot, then continuous deltas); the same fold runs under "
-    "applyInPandasWithState in streaming mode.",
+    "key = snapshot, then continuous deltas; bids land in [90,100), asks "
+    "in [101,111) so the replayed book is never crossed and the full "
+    "metrics path is exercised); the same fold runs under "
+    "applyInPandasWithState in streaming mode. The oracle replays the "
+    "same book in SQL: last qty per (symbol, side, price) via windows, "
+    "best bid/ask from surviving levels, the 100k-notional impact walk "
+    "as a cumulative-sum clamp, top-10 level-quality averages. Batch "
+    "replay folds every event before emitting, so each observed minute "
+    "carries the final-state metrics — which is what the SQL mirrors. "
+    "Doubles rounded(6): the Python fold and SQL aggregate sum in "
+    "different orders (~1e-15 association drift).",
 )
 def st3_orderbook_replay(spark, sf_dir):
     from pyspark.sql import Window
@@ -90,7 +192,10 @@ def st3_orderbook_replay(spark, sf_dir):
     ev = t(spark, sf_dir, "events")
     w = Window.partitionBy("event_type").orderBy("ts", "event_id")
     rn = F.row_number().over(w)
-    price = 100.0 + F.pmod(F.col("value"), F.lit(10.0))
+    # disjoint price bands (bids < 100 < asks) keep the synthetic book
+    # uncrossed, so spread/impact/health are all non-degenerate
+    bid_price = 90.0 + F.pmod(F.col("value"), F.lit(10.0))
+    ask_price = 101.0 + F.pmod(F.col("value"), F.lit(10.0))
     depth = (
         ev.withColumn("rn", rn)
         .select(
@@ -100,8 +205,18 @@ def st3_orderbook_replay(spark, sf_dir):
             F.col("rn").alias("first_update_id"),
             F.col("rn").alias("final_update_id"),
             F.when(F.col("rn") > 1, F.col("rn") - 1).alias("prev_final_update_id"),
-            F.format_string('[[%.6f, %.6f]]', price - 1.0, F.abs("value")).alias("bids"),
-            F.format_string('[[%.6f, %.6f]]', price + 1.0, F.abs("value")).alias("asks"),
+            F.format_string('[[%.6f, %.6f]]', bid_price, F.abs("value")).alias("bids"),
+            F.format_string('[[%.6f, %.6f]]', ask_price, F.abs("value")).alias("asks"),
         )
     )
-    return book_state_stream(depth)
+    metrics = book_state_stream(depth)
+    rounded = [
+        "best_bid", "best_ask", "mid", "spread_pct", "impact_pct",
+        "avg_bid_qty_top10", "avg_ask_qty_top10",
+    ]
+    return metrics.select(
+        *[
+            F.round(c, 6).alias(c) if c in rounded else F.col(c)
+            for c in metrics.columns
+        ]
+    )

@@ -23,20 +23,30 @@ def _by_user():
 @register(
     "w1_log_return",
     sql="""
+    WITH w AS (
+      SELECT event_id, user_id, value,
+             lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      FROM events
+    )
     SELECT event_id, user_id,
-           round(ln(value) - ln(lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id)), 7) AS log_return
-    FROM events
+           CASE WHEN value > 0 AND prev > 0
+                THEN round(ln(value) - ln(prev), 7) END AS log_return
+    FROM w
     """,
-    doc="W1: partitioned lag-diff log return over explicit event order "
-    "(ref: transforms/minute_builder.py:236-241).",
+    doc="W1: partitioned lag-diff log return over explicit event order; "
+    "NULL unless both prices are positive (log returns are undefined "
+    "otherwise, and ANSI mode makes the unguarded form a runtime error "
+    "on zero values) (ref: transforms/minute_builder.py:236-241).",
 )
 def w1_log_return(spark, sf_dir):
     ev = events(spark, sf_dir)
+    prev = F.lag("value", 1).over(_by_user())
     return ev.select(
         "event_id",
         "user_id",
-        F.round(
-            F.log(F.col("value")) - F.log(F.lag("value", 1).over(_by_user())), 7
+        F.when(
+            (F.col("value") > 0) & (prev > 0),
+            F.round(F.log(F.col("value")) - F.log(prev), 7),
         ).alias("log_return"),
     )
 
@@ -44,10 +54,15 @@ def w1_log_return(spark, sf_dir):
 @register(
     "w2_realized_vol",
     sql="""
-    WITH lr AS (
-      SELECT user_id, ts,
-             ln(value / lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id)) AS r
+    WITH w AS (
+      SELECT user_id, ts, value,
+             lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
       FROM events
+    ),
+    lr AS (
+      SELECT user_id, ts,
+             CASE WHEN value > 0 AND prev > 0 THEN ln(value / prev) END AS r
+      FROM w
     )
     SELECT user_id,
            TIMESTAMP '1970-01-01 00:00:00'
@@ -65,10 +80,13 @@ def w1_log_return(spark, sf_dir):
 )
 def w2_realized_vol(spark, sf_dir):
     ev = events(spark, sf_dir)
+    prev = F.lag("value", 1).over(_by_user())
     lr = ev.select(
         "user_id",
         "ts",
-        F.log(F.col("value") / F.lag("value", 1).over(_by_user())).alias("r"),
+        F.when(
+            (F.col("value") > 0) & (prev > 0), F.log(F.col("value") / prev)
+        ).alias("r"),
     )
     return (
         lr.withColumn("hour_ts", bucket_floor("ts", 60))
@@ -83,14 +101,19 @@ def w2_realized_vol(spark, sf_dir):
 @register(
     "w3_lag_delta",
     sql="""
+    WITH w AS (
+      SELECT event_id, user_id, value,
+             lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      FROM events
+    )
     SELECT event_id, user_id,
-           value - lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS delta_value,
-           CASE WHEN lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NOT NULL
-                THEN round(abs(ln(value / lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id))), 7)
-           END AS abs_log_move
-    FROM events
+           value - prev AS delta_value,
+           CASE WHEN value > 0 AND prev > 0
+                THEN round(abs(ln(value / prev)), 7) END AS abs_log_move
+    FROM w
     """,
-    doc="W3: bar-over-bar deltas, NULL on the first row "
+    doc="W3: bar-over-bar deltas, NULL on the first row; the log-move "
+    "column additionally requires positive prices (undefined otherwise) "
     "(ref: live_data_api_service/service.py:1188-1257 delta_* block).",
 )
 def w3_lag_delta(spark, sf_dir):
@@ -101,7 +124,8 @@ def w3_lag_delta(spark, sf_dir):
         "user_id",
         (F.col("value") - prev).alias("delta_value"),
         F.when(
-            prev.isNotNull(), F.round(F.abs(F.log(F.col("value") / prev)), 7)
+            (F.col("value") > 0) & (prev > 0),
+            F.round(F.abs(F.log(F.col("value") / prev)), 7),
         ).alias("abs_log_move"),
     )
 

@@ -88,6 +88,81 @@ def _drop_emptied_partitions(
         fs.delete(p, True)
 
 
+def frame_schema_hash(df: DataFrame) -> str:
+    """Stable digest of a frame's column names + types — the ledger's
+    schema identity (ref writer/atomic.py:113-117 hashes the canonical
+    column spec the same way)."""
+    import hashlib
+
+    payload = "\n".join(f"{f.name}|{f.dataType.simpleString()}" for f in df.schema.fields)
+    return hashlib.sha256(payload.encode()).hexdigest()
+
+
+def ledger_entries(
+    df: DataFrame,
+    partition_cols: Sequence[str],
+    ts_col: str,
+    digest_cols: Sequence[str],
+) -> DataFrame:
+    """Per-partition audit aggregate: row_count, min/max ``ts_col``, and an
+    order-independent content digest (bit_xor of 60-bit md5 row-key
+    digests over ``digest_cols``).
+
+    The reference hashes the finished partition FILE bytes
+    (writer/atomic.py:121-126) — possible there because a single-writer
+    Polars process produces deterministic bytes. A distributed writer
+    does not (row order across tasks varies), so the Spark-native
+    content identity is a commutative fold over row-key digests:
+    order-independent, partition-local (one shuffle-free aggregate per
+    rewritten partition), and engine-portable (md5 → 60-bit int bridge,
+    same as the dedup family). Digest columns must stringify identically
+    across engines — use integer/string keys, not floats.
+    """
+    digest = F.conv(
+        F.substring(F.md5(F.concat_ws("|", *[F.col(c).cast("string") for c in digest_cols])), 1, 15),
+        16,
+        10,
+    ).cast("long")
+    return df.withColumn("__digest", digest).groupBy(
+        *[F.col(c) for c in partition_cols]
+    ).agg(
+        F.count(F.lit(1)).alias("row_count"),
+        F.min(ts_col).alias("min_ts"),
+        F.max(ts_col).alias("max_ts"),
+        F.expr("bit_xor(__digest)").alias("content_hash"),
+    )
+
+
+def upsert_ledger(
+    spark: SparkSession,
+    ledger_path: str,
+    entries: DataFrame,
+    partition_cols: Sequence[str],
+    schema_hash: str,
+) -> None:
+    """Merge per-partition audit rows into the ledger table keyed by the
+    partition values (ref state/store.py:46-136: one row per committed
+    partition, INSERT OR REPLACE). A repair rewrite replaces exactly the
+    rewritten partitions' rows; untouched rows survive. The ledger is
+    partition-count-sized (tiny), so a read-modify-write is fine."""
+    entries = (
+        entries.withColumn("schema_hash", F.lit(schema_hash))
+        .withColumn("status", F.lit("COMMITTED"))
+        .withColumn("committed_at_utc", F.current_timestamp().cast("string"))
+    )
+    existing = _read_existing(spark, ledger_path, entries.columns)
+    if existing is not None:
+        keep = existing.join(
+            F.broadcast(entries.select(*partition_cols).distinct()),
+            list(partition_cols),
+            "left_anti",
+        )
+        entries = entries.unionByName(keep)
+    # break lineage before overwriting the path we may just have read
+    entries = entries.localCheckpoint(eager=True)
+    entries.write.mode("overwrite").parquet(ledger_path)
+
+
 def upsert_partitioned(
     spark: SparkSession,
     incoming: DataFrame,
@@ -97,6 +172,8 @@ def upsert_partitioned(
     partition_cols: Sequence[str],
     preserve_cols: Sequence[str] = (),
     flag_cols: Sequence[str] = (),
+    ledger_path: str | None = None,
+    digest_cols: Sequence[str] | None = None,
 ) -> None:
     """Merge ``incoming`` into the partitioned parquet lake at ``path``.
 
@@ -106,6 +183,13 @@ def upsert_partitioned(
     - ``preserve_cols``: LIVE_ONLY values coalesced from existing when the
       incoming row has NULL (ref atomic.py:65-97, S6).
     - ``flag_cols``: boolean coverage flags OR-ed across versions.
+    - ``ledger_path``: when set, each rewritten partition also commits an
+      audit row (row_count / min-max of ``order_cols[0]`` / schema hash /
+      order-independent content hash over ``digest_cols``, default
+      ``keys``) to the ledger table — the reference's partition ledger
+      (writer/atomic.py:113-117, state/store.py:46-136). Repair rewrites
+      replace exactly the rewritten partitions' ledger rows, so the
+      ledger is idempotent under re-upsert.
 
     Only partitions present in ``incoming`` are rewritten (dynamic overwrite);
     existing data is read partition-pruned via a semi-join on the incoming
@@ -139,13 +223,26 @@ def upsert_partitioned(
         )
         out = keep_last(out, keys, [*order_cols, "__prio"]).drop("__prio")
 
-    (
-        out.repartition(*[F.col(c) for c in partition_cols])
-        .write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy(*partition_cols)
-        .parquet(path)
-    )
+    if ledger_path is not None:
+        out = out.persist()
+    try:
+        (
+            out.repartition(*[F.col(c) for c in partition_cols])
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(*partition_cols)
+            .parquet(path)
+        )
+        if ledger_path is not None:
+            entries = ledger_entries(
+                out, partition_cols, order_cols[0], digest_cols or keys
+            )
+            upsert_ledger(
+                spark, ledger_path, entries, partition_cols, frame_schema_hash(out)
+            )
+    finally:
+        if ledger_path is not None:
+            out.unpersist()
 
 
 def write_time_partitioned(

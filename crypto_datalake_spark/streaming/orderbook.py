@@ -206,8 +206,14 @@ def _process(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[p
             st["buffer"].append(ev)  # buffer-until-snapshot
         minute = ev["event_time"].floor("min")
         touched_minutes[minute] = True
-    for minute in touched_minutes:  # one metrics row per observed minute
-        out_rows.append(_book_metrics(st, symbol, minute))
+    if touched_minutes:
+        # every emitted minute reflects the post-batch state, so compute the
+        # metrics (book sort + impact walk) ONCE and replicate per minute —
+        # a batch replay touching thousands of minutes would otherwise
+        # re-sort the whole book per minute
+        base = _book_metrics(st, symbol, None)
+        for minute in touched_minutes:  # one metrics row per observed minute
+            out_rows.append(dict(base, minute_ts=minute))
 
     state.update((json.dumps(st, default=str),))
     if out_rows:

@@ -441,6 +441,52 @@ def test_merge_into_conditional_update_and_no_insert(spark, tmp_path):
     assert got[2]["qty"] == 20.0 and got[2]["status"] == "closed"
 
 
+def test_write_audit_ledger_idempotent_repair(spark, tmp_path):
+    """The partition ledger (ref atomic.py:113-117, state/store.py:46-136)
+    records row_count/min-max ts/schema+content hash per rewritten
+    partition; a repair rewrite replaces exactly the touched rows, and
+    re-upserting identical data leaves every audit value unchanged."""
+    from crypto_datalake_spark.sinks import upsert_partitioned
+
+    data, ledger = str(tmp_path / "lake"), str(tmp_path / "ledger")
+    ddl = "sym string, ts timestamp_ntz, v double, day string"
+    rows1 = [
+        ("A", dt.datetime(2024, 1, 1, 0, 0), 1.0, "d1"),
+        ("A", dt.datetime(2024, 1, 1, 0, 1), 2.0, "d1"),
+        ("B", dt.datetime(2024, 1, 1, 0, 0), 3.0, "d1"),
+    ]
+    kw = dict(keys=["sym", "ts"], order_cols=["ts"], partition_cols=["day"],
+              ledger_path=ledger)
+    upsert_partitioned(spark, spark.createDataFrame(rows1, ddl), data, **kw)
+    led1 = {r["day"]: r for r in spark.read.parquet(ledger).collect()}
+    assert led1["d1"]["row_count"] == 3
+    assert led1["d1"]["min_ts"] == dt.datetime(2024, 1, 1, 0, 0)
+    assert led1["d1"]["max_ts"] == dt.datetime(2024, 1, 1, 0, 1)
+    assert led1["d1"]["status"] == "COMMITTED"
+
+    # identical re-upsert: every audit value unchanged (incl. content hash)
+    upsert_partitioned(spark, spark.createDataFrame(rows1, ddl), data, **kw)
+    led2 = {r["day"]: r for r in spark.read.parquet(ledger).collect()}
+    for f in ("row_count", "min_ts", "max_ts", "content_hash", "schema_hash"):
+        assert led2["d1"][f] == led1["d1"][f], f
+
+    # repair touching only d2: d1's ledger row must survive untouched
+    rows2 = [("A", dt.datetime(2024, 1, 2, 0, 0), 9.0, "d2")]
+    upsert_partitioned(spark, spark.createDataFrame(rows2, ddl), data, **kw)
+    led3 = {r["day"]: r for r in spark.read.parquet(ledger).collect()}
+    assert set(led3) == {"d1", "d2"}
+    assert led3["d1"]["content_hash"] == led1["d1"]["content_hash"]
+    assert led3["d2"]["row_count"] == 1
+
+    # a real repair changes the content hash for exactly that partition
+    rows3 = [("B", dt.datetime(2024, 1, 2, 0, 5), 7.0, "d2")]
+    upsert_partitioned(spark, spark.createDataFrame(rows3, ddl), data, **kw)
+    led4 = {r["day"]: r for r in spark.read.parquet(ledger).collect()}
+    assert led4["d2"]["row_count"] == 2
+    assert led4["d2"]["content_hash"] != led3["d2"]["content_hash"]
+    assert led4["d1"]["content_hash"] == led1["d1"]["content_hash"]
+
+
 def test_merge_into_null_delete_condition_keeps_row(spark, tmp_path):
     """MERGE three-valued logic: a NULL delete condition is UNKNOWN, not
     true — the matched row must survive (ADVICE r01)."""
