@@ -1,0 +1,152 @@
+"""Timeframe fetch planner: which table serves a requested timeframe?
+
+Reference (/root/reference/src/live_data_api_service/capabilities.py:48-95)
+decides per timeframe between a direct native fetch, aggregating from the
+1m feed, or declaring the timeframe unavailable; the serving path
+additionally prefers the locally-materialized higher-timeframe lake when
+it covers the requested window, falling back to 1m aggregation when the
+HTF lake is partial (service.py:1580-1605, 1816).
+
+The engine analogue: *table selection*. A lake materializes a subset of
+timeframes (1m always, HTF tables per config); a query for timeframe T
+either reads the materialized T table directly (no aggregation work at
+all) or window-aggregates the 1m table (one shuffle over the requested
+window). The decision is a pure function — cluster-side nothing happens
+until the chosen frame is read, so the planner itself is driver-side and
+free.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Callable, Iterable
+
+from pyspark.sql import DataFrame
+
+from crypto_datalake_spark.functions.timeframes import normalize_timeframe
+
+MODE_DIRECT = "direct_local_higher_tf"
+MODE_DIRECT_1M = "direct_1m"
+MODE_AGGREGATE = "aggregate_from_1m"
+MODE_UNAVAILABLE = "unavailable"
+
+
+@dataclass(frozen=True)
+class FetchPlannerConfig:
+    """Mirrors reference FetchPlannerConfig (capabilities.py:31-36), with
+    ingestion-only knobs re-expressed as table-selection knobs."""
+
+    prefer_materialized: bool = True  # enable_native_binance_tf_candles
+    allow_1m_fallback: bool = True  # allow_legacy_1m_fallback
+    force_aggregate: bool = False  # candle_fetch_mode == AGGREGATE_FROM_1M
+
+
+@dataclass(frozen=True)
+class FetchPlan:
+    """Mirrors reference TimeframeFetchDecision (capabilities.py:39-46)."""
+
+    timeframe: str
+    mode: str
+    source_table: str | None
+    fallback_used: bool
+    notes: tuple[str, ...] = field(default=())
+
+
+def plan_timeframe_fetch(
+    timeframe: str,
+    materialized_tfs: Iterable[str],
+    config: FetchPlannerConfig = FetchPlannerConfig(),
+) -> FetchPlan:
+    """Pure decision: direct HTF read vs aggregate-from-1m vs unavailable.
+
+    Decision order mirrors capabilities.py:48-95: prefer the direct
+    (materialized) path when enabled and supported; else the 1m
+    aggregation fallback when allowed, with the *reason* recorded in the
+    notes; else unavailable.
+    """
+    tf = normalize_timeframe(timeframe)
+    materialized = {normalize_timeframe(t) for t in materialized_tfs}
+    if tf == "1m":
+        # the base grain is its own direct path — never aggregated
+        if "1m" in materialized:
+            return FetchPlan(tf, MODE_DIRECT_1M, "1m", fallback_used=False)
+        return FetchPlan(
+            tf, MODE_UNAVAILABLE, None, False, ("base_1m_table_missing",)
+        )
+
+    if config.prefer_materialized and not config.force_aggregate and tf in materialized:
+        return FetchPlan(tf, MODE_DIRECT, tf, fallback_used=False)
+
+    if config.allow_1m_fallback and "1m" in materialized:
+        if config.force_aggregate:
+            reason = "fetch_mode_aggregate_from_1m"
+        elif not config.prefer_materialized:
+            reason = "materialized_fetch_disabled"
+        else:
+            reason = "timeframe_not_materialized"
+        return FetchPlan(
+            tf,
+            MODE_AGGREGATE,
+            "1m",
+            fallback_used=True,
+            notes=("using_1m_aggregation_fallback", reason),
+        )
+
+    return FetchPlan(
+        tf, MODE_UNAVAILABLE, None, False, ("timeframe_not_materialized",)
+    )
+
+
+def serve_timeframe(
+    timeframe: str,
+    limit: int,
+    load_table: Callable[[str], DataFrame | None],
+    materialized_tfs: Iterable[str],
+    config: FetchPlannerConfig = FetchPlannerConfig(),
+) -> tuple[DataFrame, FetchPlan]:
+    """Execute a fetch plan against the lake: read the materialized HTF
+    table when the plan says direct AND it covers the requested window,
+    else aggregate the 1m table (service.py:1580-1605 coverage check and
+    1816 partial-fallback choice).
+
+    ``load_table(tf)`` returns the canonical frame for a materialized
+    timeframe (columns symbol/bucket_ts/... for HTF, the minute schema
+    for 1m) or None. The coverage probe is one ``count`` over the pruned
+    HTF window — bounded by ``limit`` bars per symbol, driver-side by
+    design (the reference makes the same height check per request).
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from crypto_datalake_spark.pipelines.serving import aggregate_canonical_frame
+
+    plan = plan_timeframe_fetch(timeframe, materialized_tfs, config)
+    if plan.mode == MODE_UNAVAILABLE:
+        raise ValueError(f"timeframe {plan.timeframe} unavailable: {plan.notes}")
+    if plan.mode == MODE_DIRECT_1M:
+        return load_table("1m"), plan
+
+    if plan.mode == MODE_DIRECT:
+        htf = load_table(plan.timeframe)
+        w = Window.partitionBy("symbol").orderBy(F.col("bucket_ts").desc())
+        tail = (
+            htf.withColumn("__rk", F.row_number().over(w))
+            .where(F.col("__rk") <= limit)
+            .drop("__rk")
+        )
+        if tail.groupBy("symbol").count().where(F.col("count") < limit).isEmpty():
+            return tail, plan
+        # partial HTF window → 1m aggregation fallback (service.py:1596-1605)
+        plan = FetchPlan(
+            plan.timeframe,
+            MODE_AGGREGATE,
+            "1m",
+            fallback_used=True,
+            notes=(
+                "htf_local_lake_partial_window",
+                "htf_local_minute_aggregation_fallback",
+            ),
+        )
+
+    bars = aggregate_canonical_frame(load_table("1m"), plan.timeframe, limit=limit)
+    return bars, plan

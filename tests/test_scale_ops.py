@@ -65,3 +65,34 @@ def test_salted_agg_matches_direct(spark, sf_dir):
     d = {r["event_type"]: (r["n"], r["total"]) for r in direct.collect()}
     s = {r["event_type"]: (r["n"], r["total"]) for r in salted.collect()}
     assert d == s  # decimal partials → exact equality, any salt spread
+
+
+def test_embedding_cosine_hot_cell_guard(spark):
+    """A label cell over the cap is sub-bucketed INSIDE the join key, so the
+    join itself bounds the pair space (VERDICT r01 item 7). Below the cap the
+    guard is a no-op and results equal exact within-cell pairing."""
+    import math
+
+    from crypto_datalake_spark.queries.llm import embedding_cosine_pairs
+
+    # 40 deterministic nonzero vectors in ONE label cell (i=0 would be the
+    # all-zero vector, whose norm-0 division is an ANSI error by design)
+    rows = [
+        (i, "hot", [math.sin(0.1 * i * (d + 1)) for d in range(64)])
+        for i in range(1, 41)
+    ]
+    e = spark.createDataFrame(rows, "vec_id long, label string, embedding array<float>")
+
+    exact = embedding_cosine_pairs(e, cap=1000, threshold=-2.0)  # no guard, keep all
+    guarded = embedding_cosine_pairs(e, cap=10, threshold=-2.0)  # cell of 40 > cap
+    n_exact, n_guarded = exact.count(), guarded.count()
+    assert n_exact == 40 * 39 // 2  # every within-cell pair
+    assert 0 < n_guarded < n_exact  # bounded: only same-sub-bucket pairs survive
+
+    # guarded output is a subset of the exact pairs with identical scores
+    assert guarded.join(exact, ["vec_a", "vec_b", "label", "cosine"]).count() == n_guarded
+
+    # the bound comes from the JOIN KEY, not a post-filter: the physical plan
+    # joins on (label, jk), so a hot cell shrinks to sub-bucket cross-products
+    plan = guarded._jdf.queryExecution().executedPlan().toString()
+    assert "jk" in plan

@@ -131,3 +131,95 @@ def test_cache_single_flight_is_per_key():
     l2 = c.single_flight(("A", "1m"))
     l3 = c.single_flight(("B", "1m"))
     assert l1 is l2 and l1 is not l3
+
+
+# --- timeframe fetch planner (ref capabilities.py:48-95, service.py:1580-1605) ---
+
+import datetime as dt
+
+from crypto_datalake_spark.functions.fetch_planner import (
+    MODE_AGGREGATE,
+    MODE_DIRECT,
+    MODE_DIRECT_1M,
+    MODE_UNAVAILABLE,
+    FetchPlannerConfig,
+    plan_timeframe_fetch,
+    serve_timeframe,
+)
+
+
+def test_planner_prefers_materialized_htf():
+    # ref test_live_data_api_service.py:174 — native path wins when supported
+    plan = plan_timeframe_fetch("3m", {"1m", "3m", "5m"})
+    assert plan.mode == MODE_DIRECT
+    assert plan.source_table == "3m"
+    assert plan.fallback_used is False
+
+
+def test_planner_falls_back_when_direct_disabled():
+    # ref test_live_data_api_service.py:187 — forced-aggregate keeps 1m path
+    plan = plan_timeframe_fetch(
+        "5m",
+        {"1m", "5m"},
+        FetchPlannerConfig(prefer_materialized=False, force_aggregate=True),
+    )
+    assert plan.mode == MODE_AGGREGATE
+    assert plan.fallback_used is True
+    assert "using_1m_aggregation_fallback" in plan.notes
+    assert "fetch_mode_aggregate_from_1m" in plan.notes
+
+
+def test_planner_reason_codes_and_unavailable():
+    not_mat = plan_timeframe_fetch("2h", {"1m", "5m"})
+    assert not_mat.mode == MODE_AGGREGATE
+    assert "timeframe_not_materialized" in not_mat.notes
+
+    assert plan_timeframe_fetch("1hr", {"1m", "1h"}).source_table == "1h"  # alias
+
+    off = plan_timeframe_fetch(
+        "2h", {"1m", "5m"}, FetchPlannerConfig(allow_1m_fallback=False)
+    )
+    assert off.mode == MODE_UNAVAILABLE and off.source_table is None
+
+    base = plan_timeframe_fetch("1m", {"1m", "5m"})
+    assert base.mode == MODE_DIRECT_1M and base.fallback_used is False
+    assert plan_timeframe_fetch("1m", {"5m"}).mode == MODE_UNAVAILABLE
+
+
+def _planner_lake(spark, n_minutes, htf_bars_kept):
+    """1m canonical frame with ``n_minutes`` rows + a 3m HTF table
+    truncated to its FIRST ``htf_bars_kept`` bars (a lagging HTF lake)."""
+    from tests.test_pipelines import _minute_frame, _minute_row, _ts
+    from crypto_datalake_spark.pipelines.serving import aggregate_canonical_frame
+
+    minutes = _minute_frame(
+        spark, [_minute_row(_ts(m), close=100.0 + m) for m in range(n_minutes)]
+    )
+    htf = aggregate_canonical_frame(minutes, "3m").orderBy("bucket_ts").limit(
+        htf_bars_kept
+    )
+    tables = {"1m": minutes, "3m": htf}
+    return lambda tf: tables.get(tf)
+
+
+def test_serve_timeframe_direct_htf_read(spark):
+    # ref test_live_data_api_service.py:2190 — full HTF coverage → direct read
+    load = _planner_lake(spark, n_minutes=12, htf_bars_kept=4)
+    bars, plan = serve_timeframe("3m", 2, load, {"1m", "3m"})
+    assert plan.mode == MODE_DIRECT and plan.fallback_used is False
+    got = sorted(r["bucket_ts"] for r in bars.collect())
+    assert got == [dt.datetime(2024, 1, 1, 0, 6), dt.datetime(2024, 1, 1, 0, 9)]
+
+
+def test_serve_timeframe_partial_htf_falls_back_to_1m(spark):
+    # ref test_live_data_api_service.py:2196 — lagging HTF lake → 1m aggregation
+    load = _planner_lake(spark, n_minutes=12, htf_bars_kept=2)
+    bars, plan = serve_timeframe("3m", 3, load, {"1m", "3m"})
+    assert plan.mode == MODE_AGGREGATE and plan.fallback_used is True
+    assert "htf_local_lake_partial_window" in plan.notes
+    got = sorted(r["bucket_ts"] for r in bars.collect())
+    assert got == [
+        dt.datetime(2024, 1, 1, 0, 3),
+        dt.datetime(2024, 1, 1, 0, 6),
+        dt.datetime(2024, 1, 1, 0, 9),
+    ]
