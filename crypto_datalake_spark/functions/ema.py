@@ -64,10 +64,19 @@ def ema_by_group(
     group_cols: Sequence[str],
     length: int,
     out_col: str = "ema",
+    n_buckets: int = 256,
 ) -> DataFrame:
     """EMA of ``value_col`` ordered by ``order_col`` within each group.
 
     Output schema: group_cols + [order_col, value_col, out_col].
+
+    Groups are hash-bucketed into at most ``n_buckets`` Spark-side groups
+    and folded per series inside a pandas groupby: with many small series
+    (the common shape — thousands of symbols × bounded bars) a naive
+    per-group ``applyInPandas`` pays one Arrow round-trip per SERIES,
+    which dominates wall time; bucketing pays one per bucket while the
+    per-series loop is unchanged (bit-identical output). Parallelism is
+    capped at ``n_buckets`` — raise it when executors × cores exceed it.
     """
     schema = StructType(
         [df.schema[c] for c in [*group_cols, order_col, value_col]]
@@ -76,11 +85,20 @@ def ema_by_group(
     cols = [*group_cols, order_col, value_col]
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(order_col).reset_index(drop=True)
-        ema = _ema_series(pdf[value_col].tolist(), length)
-        out = pdf[cols].copy()
-        # nullable Float64 so None → Arrow null (NOT NaN) on the way back
-        out[out_col] = pd.array(ema, dtype="Float64")
-        return out
+        pdf = pdf.sort_values([*group_cols, order_col]).reset_index(drop=True)
+        parts = []
+        for _, g in pdf.groupby(list(group_cols), sort=False):
+            ema = _ema_series(g[value_col].tolist(), length)
+            out = g[cols].copy()
+            # nullable Float64 so None → Arrow null (NOT NaN) on the way back
+            out[out_col] = pd.array(ema, dtype="Float64")
+            parts.append(out)
+        return pd.concat(parts) if parts else pd.DataFrame(columns=[*cols, out_col])
 
-    return df.select(*cols).groupBy(*group_cols).applyInPandas(fn, schema)
+    bkt = F.pmod(F.xxhash64(*[F.col(c) for c in group_cols]), F.lit(n_buckets))
+    return (
+        df.select(*cols)
+        .withColumn("__bkt", bkt)
+        .groupBy("__bkt")
+        .applyInPandas(lambda pdf: fn(pdf.drop(columns="__bkt")), schema)
+    )

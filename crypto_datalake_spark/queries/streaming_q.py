@@ -72,6 +72,35 @@ def st2_streaming_minute_agg(spark, sf_dir):
     return spark.table(name)
 
 
+def synth_depth_events(spark, sf_dir):
+    """Deterministic continuous depth-event stream from the events table
+    (snapshot first, then pu-chained deltas) — shared by the registered
+    query and the fold-vs-declarative equivalence test."""
+    from pyspark.sql import Window
+
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    rn = F.row_number().over(w)
+    # disjoint price bands (bids < 100 < asks) keep the synthetic book
+    # uncrossed, so spread/impact/health are all non-degenerate
+    bid_price = 90.0 + F.pmod(F.col("value"), F.lit(10.0))
+    ask_price = 101.0 + F.pmod(F.col("value"), F.lit(10.0))
+    depth = (
+        ev.withColumn("rn", rn)
+        .select(
+            F.col("event_type").alias("symbol"),
+            F.col("ts").alias("event_time"),
+            F.when(F.col("rn") == 1, "snapshot").otherwise("delta").alias("kind"),
+            F.col("rn").alias("first_update_id"),
+            F.col("rn").alias("final_update_id"),
+            F.when(F.col("rn") > 1, F.col("rn") - 1).alias("prev_final_update_id"),
+            F.format_string('[[%.6f, %.6f]]', bid_price, F.abs("value")).alias("bids"),
+            F.format_string('[[%.6f, %.6f]]', ask_price, F.abs("value")).alias("asks"),
+        )
+    )
+    return depth
+
+
 @register(
     "st3_orderbook_replay",
     sql="""
@@ -174,42 +203,24 @@ def st2_streaming_minute_agg(spark, sf_dir):
     "synthesized deterministically from the events table (first event per "
     "key = snapshot, then continuous deltas; bids land in [90,100), asks "
     "in [101,111) so the replayed book is never crossed and the full "
-    "metrics path is exercised); the same fold runs under "
-    "applyInPandasWithState in streaming mode. The oracle replays the "
+    "metrics path is exercised). Batch recovery uses the DECLARATIVE "
+    "replay (replay_book_batch — window last-write per level, fully "
+    "distributed; the scale path for a sequence-validated event store); "
+    "the stateful fold is the streaming twin under "
+    "applyInPandasWithState, and test_streaming.py asserts "
+    "fold == declarative on continuous input. The oracle replays the "
     "same book in SQL: last qty per (symbol, side, price) via windows, "
     "best bid/ask from surviving levels, the 100k-notional impact walk "
-    "as a cumulative-sum clamp, top-10 level-quality averages. Batch "
-    "replay folds every event before emitting, so each observed minute "
+    "as a cumulative-sum clamp, top-10 level-quality averages. Replay "
+    "folds every event before emitting, so each observed minute "
     "carries the final-state metrics — which is what the SQL mirrors. "
-    "Doubles rounded(6): the Python fold and SQL aggregate sum in "
-    "different orders (~1e-15 association drift).",
+    "Doubles rounded(6): replay and SQL aggregate sum in different "
+    "orders (~1e-15 association drift).",
 )
 def st3_orderbook_replay(spark, sf_dir):
-    from pyspark.sql import Window
+    from crypto_datalake_spark.streaming.orderbook import replay_book_batch
 
-    from crypto_datalake_spark.streaming.orderbook import book_state_stream
-
-    ev = t(spark, sf_dir, "events")
-    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
-    rn = F.row_number().over(w)
-    # disjoint price bands (bids < 100 < asks) keep the synthetic book
-    # uncrossed, so spread/impact/health are all non-degenerate
-    bid_price = 90.0 + F.pmod(F.col("value"), F.lit(10.0))
-    ask_price = 101.0 + F.pmod(F.col("value"), F.lit(10.0))
-    depth = (
-        ev.withColumn("rn", rn)
-        .select(
-            F.col("event_type").alias("symbol"),
-            F.col("ts").alias("event_time"),
-            F.when(F.col("rn") == 1, "snapshot").otherwise("delta").alias("kind"),
-            F.col("rn").alias("first_update_id"),
-            F.col("rn").alias("final_update_id"),
-            F.when(F.col("rn") > 1, F.col("rn") - 1).alias("prev_final_update_id"),
-            F.format_string('[[%.6f, %.6f]]', bid_price, F.abs("value")).alias("bids"),
-            F.format_string('[[%.6f, %.6f]]', ask_price, F.abs("value")).alias("asks"),
-        )
-    )
-    metrics = book_state_stream(depth)
+    metrics = replay_book_batch(synth_depth_events(spark, sf_dir))
     rounded = [
         "best_bid", "best_ask", "mid", "spread_pct", "impact_pct",
         "avg_bid_qty_top10", "avg_ask_qty_top10",

@@ -254,3 +254,135 @@ def book_state_stream(depth_events: DataFrame) -> DataFrame:
     return depth_events.groupBy(col("symbol")).applyInPandas(
         _batch, BOOK_METRICS_SCHEMA
     )
+
+
+def replay_book_batch(depth_events: DataFrame) -> DataFrame:
+    """Declarative batch replay of a CONTINUOUS depth-event store.
+
+    The scale path for recovery from an event store whose sequence
+    integrity was validated on write (pu-chain continuous, snapshot
+    first): the final book is "last write per (symbol, side, price) at
+    or after the last snapshot, surviving qty > 0" — pure window
+    functions, fully distributed, no per-symbol sequential Python. The
+    stateful fold (``book_state_stream``) remains the general path (it
+    alone handles gaps, buffering, and bridge checks) and the streaming
+    twin; ``tests/test_streaming.py`` asserts this function matches the
+    fold on continuous input.
+
+    Emits the same shape as the fold's batch mode: one row per observed
+    (symbol, minute) carrying the final-state metrics; symbols with no
+    snapshot in the batch emit unsynced/degraded rows.
+    """
+    from pyspark.sql import Window, functions as F
+
+    w_sym = Window.partitionBy("symbol")
+    snap_u = F.max(
+        F.when(F.col("kind") == "snapshot", F.col("final_update_id"))
+    ).over(w_sym)
+    ev = depth_events.withColumn("__snap_u", snap_u)
+    live = ev.where(
+        F.col("__snap_u").isNotNull()
+        & (F.col("final_update_id") >= F.col("__snap_u"))
+    )
+
+    def side_levels(json_col: str, side: str):
+        return live.select(
+            "symbol",
+            F.col("final_update_id").alias("u"),
+            F.lit(side).alias("side"),
+            F.explode(F.from_json(json_col, "array<array<double>>")).alias("lv"),
+        ).select(
+            "symbol", "u", "side",
+            F.col("lv")[0].alias("price"), F.col("lv")[1].alias("qty"),
+        )
+
+    lv = side_levels("bids", "bid").unionAll(side_levels("asks", "ask"))
+    w_level = Window.partitionBy("symbol", "side", "price").orderBy(F.col("u").desc())
+    fin = (
+        lv.withColumn("__rr", F.row_number().over(w_level))
+        .where((F.col("__rr") == 1) & (F.col("qty") > 0))
+        .drop("__rr", "u")
+    )
+
+    ba = fin.groupBy("symbol").agg(
+        F.max(F.when(F.col("side") == "bid", F.col("price"))).alias("best_bid"),
+        F.min(F.when(F.col("side") == "ask", F.col("price"))).alias("best_ask"),
+    )
+    # ST4 impact walk as a cumulative-sum clamp over asks ascending
+    w_ask = (
+        Window.partitionBy("symbol")
+        .orderBy("price")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    walk = (
+        fin.where(F.col("side") == "ask")
+        .withColumn("notional", F.col("price") * F.col("qty"))
+        .withColumn("cum_before", F.coalesce(F.sum("notional").over(w_ask), F.lit(0.0)))
+    )
+    take = F.when(
+        F.col("cum_before") < IMPACT_NOTIONAL,
+        F.least(F.lit(IMPACT_NOTIONAL) - F.col("cum_before"), F.col("notional")),
+    ).otherwise(F.lit(0.0))
+    imp = walk.groupBy("symbol").agg(
+        F.sum(take).alias("cost"),
+        F.sum(take / F.col("price")).alias("fq"),
+        (F.coalesce(F.sum("notional"), F.lit(0.0)) >= IMPACT_NOTIONAL).alias("fillable"),
+    )
+    # ST5 top-10 level-quality averages
+    w_top = Window.partitionBy("symbol", "side").orderBy(
+        F.when(F.col("side") == "bid", -F.col("price")).otherwise(F.col("price"))
+    )
+    topq = (
+        fin.withColumn("__rnk", F.row_number().over(w_top))
+        .where(F.col("__rnk") <= 10)
+        .groupBy("symbol")
+        .agg(
+            F.avg(F.when(F.col("side") == "bid", F.col("qty"))).alias("avg_bid"),
+            F.avg(F.when(F.col("side") == "ask", F.col("qty"))).alias("avg_ask"),
+        )
+    )
+
+    minutes = depth_events.select(
+        "symbol", F.date_trunc("minute", "event_time").cast("timestamp_ntz").alias("minute_ts")
+    ).distinct()
+    # synced == "a snapshot was applied" (fold semantics) — True even when
+    # every level was subsequently deleted
+    synced = ev.groupBy("symbol").agg(
+        F.max("__snap_u").isNotNull().alias("synced")
+    )
+
+    met = (
+        ba.join(imp, "symbol", "left").join(topq, "symbol", "left")
+        .withColumn("mid", (F.col("best_bid") + F.col("best_ask")) / 2)
+        .withColumn(
+            "ok",
+            F.col("best_bid").isNotNull()
+            & F.col("best_ask").isNotNull()
+            & (F.col("best_bid") < F.col("best_ask")),
+        )
+    )
+    ok = F.col("ok")
+    spread = (F.col("best_ask") - F.col("best_bid")) / F.col("mid") * 100
+    out = minutes.join(synced, "symbol", "left").join(met, "symbol", "left").select(
+        "symbol",
+        "minute_ts",
+        F.when(ok, F.col("best_bid")).alias("best_bid"),
+        F.when(ok, F.col("best_ask")).alias("best_ask"),
+        F.when(ok, F.col("mid")).alias("mid"),
+        F.when(ok, spread).alias("spread_pct"),
+        F.when(ok & (F.col("fq") > 0), ((F.col("cost") / F.col("fq")) - F.col("mid")) / F.col("mid") * 100).alias("impact_pct"),
+        F.coalesce(F.when(ok, F.col("fillable")), F.lit(False)).alias("fillable"),
+        F.when(ok, F.col("avg_bid")).alias("avg_bid_qty_top10"),
+        F.when(ok, F.col("avg_ask")).alias("avg_ask_qty_top10"),
+        F.coalesce(F.col("synced"), F.lit(False)).alias("synced"),
+        F.coalesce(
+            F.when(
+                ok,
+                (~F.col("fillable"))
+                | (spread > MAX_SPREAD_PCT)
+                | (F.least(F.col("avg_bid"), F.col("avg_ask")) < MIN_AVG_LEVEL_QTY),
+            ),
+            F.lit(True),
+        ).alias("degraded"),
+    )
+    return out

@@ -315,3 +315,30 @@ def test_session_stream_tws_requires_protobuf(spark):
         return
     # protobuf present: building the plan must succeed (not executed here).
     session_stream_tws(ev)
+
+
+def test_declarative_replay_matches_fold(spark):
+    """replay_book_batch (the distributed batch-recovery path) must equal
+    the stateful fold on continuous input — both on the synthesized
+    event-store replay and the hand-built snapshot/bridge sequence."""
+    from pyspark.sql import functions as F
+
+    from crypto_datalake_spark.queries.streaming_q import synth_depth_events
+    from crypto_datalake_spark.streaming.orderbook import replay_book_batch
+
+    def canon(df):
+        rounded = [
+            "best_bid", "best_ask", "mid", "spread_pct", "impact_pct",
+            "avg_bid_qty_top10", "avg_ask_qty_top10",
+        ]
+        cols = [
+            F.round(c, 6).alias(c) if c in rounded else F.col(c)
+            for c in df.columns
+        ]
+        return sorted(map(tuple, df.select(*cols).collect()))
+
+    for depth in (
+        synth_depth_events(spark, "/root/testdata/sf0.001"),
+        _depth_rows(spark, [_SNAP, _BRIDGE, _NEXT]),
+    ):
+        assert canon(replay_book_batch(depth)) == canon(book_state_stream(depth))
