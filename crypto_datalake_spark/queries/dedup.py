@@ -66,10 +66,11 @@ def _band_cols(n_hash: int, band_size: int):
     ]
 
 
-@register(
-    "dedup_minhash_lsh",
-    sql=f"""
-    WITH tk AS (
+# the LSH candidate pipeline as reusable CTE text: shingles → minhash
+# signature → band keys → candidate pairs (shared by the pair query and
+# the clustering oracle)
+_DK_LSH_CTES = f"""
+    tk AS (
       SELECT doc_id, string_split(text, ' ') AS tok FROM documents
     ),
     sh AS (
@@ -101,6 +102,13 @@ def _band_cols(n_hash: int, band_size: int):
       FROM bands a JOIN bands b
         ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id
     )
+"""
+
+
+@register(
+    "dedup_minhash_lsh",
+    sql=f"""
+    WITH {_DK_LSH_CTES}
     SELECT c.doc_a, c.doc_b,
            CAST(len(list_intersect(x.shingles, y.shingles)) AS DOUBLE)
              / CAST(len(list_distinct(x.shingles || y.shingles)) AS DOUBLE) AS jaccard
@@ -117,6 +125,12 @@ def _band_cols(n_hash: int, band_size: int):
     "band-bucket collisions, never the O(n²) pair space.",
 )
 def dedup_minhash_lsh(spark, sf_dir):
+    return minhash_lsh_pairs(spark, sf_dir)
+
+
+def minhash_lsh_pairs(spark, sf_dir):
+    """Verified near-dup pairs (doc_a, doc_b, jaccard) — the LSH pipeline
+    shared by the pair query and connected-component clustering."""
     d = t(spark, sf_dir, "documents")
     sh = (
         d.select("doc_id", F.split("text", " ").alias("tok"))
@@ -434,4 +448,90 @@ def lang_id_heuristic(spark, sf_dir):
         "lang",
         pred.alias("pred_lang"),
         *[counts[lg].alias(f"c_{lg}") for lg in _MARKERS],
+    )
+
+
+@register(
+    "dedup_cluster_canonical",
+    sql=f"""
+    WITH RECURSIVE {_DK_LSH_CTES},
+    pairs AS (
+      SELECT c.doc_a, c.doc_b
+      FROM cand c
+      JOIN sh x ON x.doc_id = c.doc_a
+      JOIN sh y ON y.doc_id = c.doc_b
+      WHERE CAST(len(list_intersect(x.shingles, y.shingles)) AS DOUBLE)
+              / CAST(len(list_distinct(x.shingles || y.shingles)) AS DOUBLE)
+            >= {_JACCARD_MIN}
+    ),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION ALL
+      SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(doc, label) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.doc
+    ),
+    lab AS (
+      SELECT doc AS doc_id, min(label) AS cluster_id FROM reach GROUP BY doc
+    )
+    SELECT doc_id, CAST(cluster_id AS BIGINT) AS cluster_id,
+           doc_id = cluster_id AS is_canonical,
+           CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size
+    FROM lab
+    """,
+    doc="Near-duplicate CLUSTERING: the verified MinHash-LSH pairs are an "
+    "edge list; connected components assign every document a cluster id "
+    "(= the component's minimum doc_id), the canonical keep-doc is the "
+    "minimum, and cluster_size drives removal accounting — the step a "
+    "production dedup pipeline actually ships (pairs alone can't answer "
+    "'which docs do I drop' when near-dup relations chain A~B~C). Spark "
+    "side: iterative min-label propagation over the edge list with "
+    "localCheckpoint per round — O(diameter) rounds, and near-dup "
+    "components are shallow (chains longer than a few hops are rare); "
+    "each round is one shuffle join on the label frame. At 100 TB "
+    "switch the loop to large-star/small-star (O(log n) rounds, same "
+    "join primitive). Oracle: recursive-CTE transitive closure. "
+    "Singletons cluster with themselves, so the output covers the whole "
+    "corpus and 'keep' = is_canonical.",
+)
+def dedup_cluster_canonical(spark, sf_dir):
+    from pyspark.sql import Window
+
+    pairs = minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    docs = t(spark, sf_dir, "documents").select("doc_id")
+    edges = pairs.unionAll(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).localCheckpoint(eager=True)  # pairs are reused every round — cut lineage once
+
+    labels = docs.select("doc_id", F.col("doc_id").alias("label"))
+    for _ in range(15):
+        prop = (
+            edges.join(labels, edges.doc_a == labels.doc_id)
+            .groupBy(F.col("doc_b").alias("doc_id"))
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new = (
+            labels.join(prop, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least("label", F.coalesce("nbr_label", "label")).alias("label"),
+                (F.col("nbr_label") < F.col("label")).alias("__chg"),
+            )
+        )
+        new = new.localCheckpoint(eager=True)  # stop iterative lineage growth
+        changed = not new.where(F.col("__chg")).isEmpty()
+        labels = new.drop("__chg")
+        if not changed:
+            break
+    w = Window.partitionBy("cluster_id")
+    return labels.select(
+        "doc_id", F.col("label").alias("cluster_id")
+    ).select(
+        "doc_id",
+        "cluster_id",
+        (F.col("doc_id") == F.col("cluster_id")).alias("is_canonical"),
+        F.count(F.lit(1)).over(w).alias("cluster_size"),
     )

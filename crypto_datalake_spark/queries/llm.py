@@ -570,3 +570,84 @@ def ann_ivf_probe(spark, sf_dir):
         .orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
         .limit(10)
     )
+
+
+@register(
+    "sample_stratified",
+    sql="""
+    WITH h AS (
+      SELECT doc_id, lang,
+             CAST(concat('0x', substr(md5('s1:' || CAST(doc_id AS VARCHAR)), 1, 15))
+                  AS BIGINT) AS hv
+      FROM documents
+    )
+    SELECT doc_id, lang, CAST(rk AS BIGINT) AS sample_rank
+    FROM (
+      SELECT doc_id, lang,
+             row_number() OVER (PARTITION BY lang ORDER BY hv, doc_id) AS rk
+      FROM h
+    )
+    WHERE rk <= 20
+    """,
+    doc="Deterministic stratified sampling: exactly k=20 docs per language "
+    "stratum, chosen as the k smallest seeded-md5 hashes of the doc key — "
+    "reproducible across runs, engines, and partitionings (no RNG state), "
+    "uniform within each stratum, and re-seedable ('s1:' prefix) for "
+    "disjoint resamples. The exact-k form costs one shuffle on the "
+    "stratum key (rank over hv); when a FRACTION per stratum is enough, "
+    "the same hash thresholded against frac*2^60 is a shuffle-FREE scan "
+    "filter — the 100 TB default, with exact-k reserved for small "
+    "curated splits (eval/holdout carving).",
+)
+def sample_stratified(spark, sf_dir):
+    from pyspark.sql import Window
+
+    d = t(spark, sf_dir, "documents")
+    hv = F.expr(
+        "CAST(conv(substr(md5(concat('s1:', CAST(doc_id AS STRING))), 1, 15), 16, 10) AS BIGINT)"
+    )
+    w = Window.partitionBy("lang").orderBy("hv", "doc_id")
+    return (
+        d.select("doc_id", "lang", hv.alias("hv"))
+        .withColumn("sample_rank", F.row_number().over(w).cast("long"))
+        .where(F.col("sample_rank") <= 20)
+        .select("doc_id", "lang", "sample_rank")
+    )
+
+
+@register(
+    "corpus_vocab_stats",
+    sql="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+    )
+    SELECT token,
+           CAST(count(*) AS BIGINT) AS tf,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+    FROM tok
+    GROUP BY token
+    ORDER BY tf DESC, token
+    LIMIT 50
+    """,
+    doc="Corpus vocabulary statistics: term frequency and document "
+    "frequency per token, top-50 by tf — the tokenizer-training / "
+    "stopword-mining / idf-weighting primitive. One explode + one "
+    "aggregation: tf partial-aggregates map-side before the token "
+    "shuffle; df is a two-phase distinct-within-group. The final top-k "
+    "is a TakeOrdered over the aggregated (small) vocab frame, never "
+    "over the exploded token stream. Token explosion is the dominant "
+    "fan-out at 100 TB (~words-per-doc × docs rows) but carries only "
+    "(doc_id, token) — project before exploding.",
+)
+def corpus_vocab_stats(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    return (
+        tok.groupBy("token")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("tf"),
+            F.countDistinct("doc_id").cast("long").alias("df"),
+        )
+        .orderBy(F.col("tf").desc(), "token")
+        .limit(50)
+    )
