@@ -89,3 +89,28 @@ def test_q18_preaggregates_before_dimension_join(spark, sf_dir):
     agg_pos = p.find("HashAggregate")
     assert join_pos != -1 and filt and agg_pos != -1
     assert join_pos < filt.start() < agg_pos
+
+
+def test_vocab_topk_is_take_ordered(spark, sf_dir):
+    # top-50 over the aggregated vocab must be a TakeOrdered, never a
+    # global sort of the exploded token stream
+    p = plan_text(REGISTRY["corpus_vocab_stats"].fn(spark, sf_dir), "simple")
+    assert "TakeOrderedAndProject" in p
+    # partial aggregation fires before the token shuffle (map-side combine)
+    assert "partial" in p.lower()
+
+
+def test_declarative_replay_has_no_python(spark, sf_dir):
+    # the batch book replay is the declarative path: pure window/agg plan,
+    # no Python UDF evaluation anywhere
+    p = plan_text(REGISTRY["st3_orderbook_replay"].fn(spark, sf_dir), "simple")
+    assert "BatchEvalPython" not in p and "FlatMapGroupsInPandas" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_stratified_sample_single_stratum_shuffle(spark, sf_dir):
+    # exact-k per stratum = one hash exchange on the stratum key (plus AQE
+    # reads); no join, no extra aggregation exchanges
+    p = plan_text(REGISTRY["sample_stratified"].fn(spark, sf_dir), "simple")
+    assert p.count("Exchange hashpartitioning(lang") == 1
+    assert "Join" not in p
