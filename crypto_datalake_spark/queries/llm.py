@@ -651,3 +651,94 @@ def corpus_vocab_stats(spark, sf_dir):
         .orderBy(F.col("tf").desc(), "token")
         .limit(50)
     )
+
+
+def _corpus_curation_sql() -> str:
+    from crypto_datalake_spark.queries.dedup import _DK_LSH_CTES, _JACCARD_MIN
+
+    return f"""
+    WITH RECURSIVE {_DK_LSH_CTES},
+    pairs AS (
+      SELECT c.doc_a, c.doc_b
+      FROM cand c
+      JOIN sh x ON x.doc_id = c.doc_a
+      JOIN sh y ON y.doc_id = c.doc_b
+      WHERE CAST(len(list_intersect(x.shingles, y.shingles)) AS DOUBLE)
+              / CAST(len(list_distinct(x.shingles || y.shingles)) AS DOUBLE)
+            >= {_JACCARD_MIN}
+    ),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION ALL SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(doc, label) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.doc
+    ),
+    lab AS (
+      SELECT doc AS doc_id, min(label) AS cluster_id FROM reach GROUP BY doc
+    ),
+    prof AS (
+      SELECT doc_id, lang, n_chars, string_split(text, ' ') AS tok
+      FROM documents
+    ),
+    q AS (
+      SELECT doc_id, lang,
+             CAST(len(tok) AS BIGINT) AS n_tokens,
+             CAST(len(list_filter(tok, x -> x IN ('the', 'a', 'of', 'and', 'is'))) AS DOUBLE)
+               / CAST(len(tok) AS DOUBLE) AS stopword_ratio,
+             CAST(len(list_distinct(tok)) AS DOUBLE) / CAST(len(tok) AS DOUBLE) AS ttr,
+             CAST(n_chars AS DOUBLE) / CAST(len(tok) AS DOUBLE) AS chars_per_token
+      FROM prof
+    )
+    SELECT q.doc_id,
+           q.doc_id = lab.cluster_id AS is_canonical,
+           q.n_tokens >= 10
+             AND q.ttr >= 0.3
+             AND q.chars_per_token BETWEEN 2.0 AND 12.0 AS quality_pass,
+           (q.doc_id = lab.cluster_id)
+             AND q.n_tokens >= 10
+             AND q.ttr >= 0.3
+             AND q.chars_per_token BETWEEN 2.0 AND 12.0 AS kept
+    FROM q JOIN lab ON lab.doc_id = q.doc_id
+    """
+
+
+@register(
+    "corpus_curation",
+    sql=_corpus_curation_sql(),
+    doc="END-TO-END corpus curation — the composition the individual "
+    "operators exist for: near-dup clustering picks one canonical doc "
+    "per component (dedup_cluster_canonical), quality gates drop "
+    "degenerate text (min tokens, type-token ratio, chars-per-token "
+    "band), and `kept` is the final selection a training run reads. "
+    "One boolean per gate so removal accounting per reason falls out of "
+    "a groupBy. The dedup arm is the bucketed LSH + iterative-CC "
+    "pipeline (never O(n²)); the quality arm is a single codegen'd "
+    "scan; the join is on doc_id (co-partitioned with the cluster "
+    "labels it just produced). At 100 TB the kept-flag frame is the "
+    "cheap artifact to persist — the corpus rewrite reads it semi-joined "
+    "against the raw text.",
+)
+def corpus_curation(spark, sf_dir):
+    from crypto_datalake_spark.queries.dedup import dedup_cluster_canonical
+
+    labels = dedup_cluster_canonical(spark, sf_dir).select("doc_id", "is_canonical")
+    d = t(spark, sf_dir, "documents")
+    tok = F.split("text", " ")
+    n_tok = F.size(tok)
+    quality = (
+        (n_tok.cast("long") >= 10)
+        & ((F.size(F.array_distinct(tok)).cast("double") / n_tok.cast("double")) >= 0.3)
+        & (
+            (F.col("n_chars").cast("double") / n_tok.cast("double")).between(2.0, 12.0)
+        )
+    )
+    q = d.select("doc_id", quality.alias("quality_pass"))
+    return q.join(labels, "doc_id").select(
+        "doc_id",
+        "is_canonical",
+        "quality_pass",
+        (F.col("is_canonical") & F.col("quality_pass")).alias("kept"),
+    )
