@@ -285,18 +285,28 @@ def replay_book_batch(depth_events: DataFrame) -> DataFrame:
         & (F.col("final_update_id") >= F.col("__snap_u"))
     )
 
-    def side_levels(json_col: str, side: str):
-        return live.select(
-            "symbol",
-            F.col("final_update_id").alias("u"),
-            F.lit(side).alias("side"),
-            F.explode(F.from_json(json_col, "array<array<double>>")).alias("lv"),
-        ).select(
-            "symbol", "u", "side",
-            F.col("lv")[0].alias("price"), F.col("lv")[1].alias("qty"),
+    # ONE explode over both sides (DataFrame reuse re-evaluates the whole
+    # subplan per consumer in Spark — a bids/asks union would parse every
+    # event's JSON twice, and separate best/impact/top-k frames would
+    # re-explode it three more times)
+    def side_structs(json_col: str, side: str):
+        return F.transform(
+            F.from_json(json_col, "array<array<double>>"),
+            lambda x: F.struct(
+                F.lit(side).alias("side"),
+                x[0].alias("price"),
+                x[1].alias("qty"),
+            ),
         )
 
-    lv = side_levels("bids", "bid").unionAll(side_levels("asks", "ask"))
+    lv = live.select(
+        "symbol",
+        F.col("final_update_id").alias("u"),
+        F.explode(
+            F.concat(side_structs("bids", "bid"), side_structs("asks", "ask"))
+        ).alias("lv"),
+    ).select("symbol", "u", "lv.side", "lv.price", "lv.qty")
+
     w_level = Window.partitionBy("symbol", "side", "price").orderBy(F.col("u").desc())
     fin = (
         lv.withColumn("__rr", F.row_number().over(w_level))
@@ -304,41 +314,45 @@ def replay_book_batch(depth_events: DataFrame) -> DataFrame:
         .drop("__rr", "u")
     )
 
-    ba = fin.groupBy("symbol").agg(
-        F.max(F.when(F.col("side") == "bid", F.col("price"))).alias("best_bid"),
-        F.min(F.when(F.col("side") == "ask", F.col("price"))).alias("best_ask"),
+    # ONE window pass (rank within side + ask-notional running sum share the
+    # (symbol, side) sort) then ONE conditional aggregation computes best
+    # bid/ask, the ST4 impact walk, and the ST5 top-10 averages together —
+    # fin is consumed exactly once.
+    is_bid = F.col("side") == "bid"
+    is_ask = F.col("side") == "ask"
+    w_side = Window.partitionBy("symbol", "side").orderBy(
+        F.when(is_bid, -F.col("price")).otherwise(F.col("price"))
     )
-    # ST4 impact walk as a cumulative-sum clamp over asks ascending
-    w_ask = (
-        Window.partitionBy("symbol")
-        .orderBy("price")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    walk = (
-        fin.where(F.col("side") == "ask")
-        .withColumn("notional", F.col("price") * F.col("qty"))
-        .withColumn("cum_before", F.coalesce(F.sum("notional").over(w_ask), F.lit(0.0)))
+    annotated = (
+        fin.withColumn("notional", F.col("price") * F.col("qty"))
+        .withColumn("__rnk", F.row_number().over(w_side))
+        .withColumn(
+            "cum_before",
+            F.coalesce(
+                F.sum("notional").over(
+                    w_side.rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0.0),
+            ),
+        )
     )
     take = F.when(
-        F.col("cum_before") < IMPACT_NOTIONAL,
+        is_ask & (F.col("cum_before") < IMPACT_NOTIONAL),
         F.least(F.lit(IMPACT_NOTIONAL) - F.col("cum_before"), F.col("notional")),
     ).otherwise(F.lit(0.0))
-    imp = walk.groupBy("symbol").agg(
-        F.sum(take).alias("cost"),
-        F.sum(take / F.col("price")).alias("fq"),
-        (F.coalesce(F.sum("notional"), F.lit(0.0)) >= IMPACT_NOTIONAL).alias("fillable"),
-    )
-    # ST5 top-10 level-quality averages
-    w_top = Window.partitionBy("symbol", "side").orderBy(
-        F.when(F.col("side") == "bid", -F.col("price")).otherwise(F.col("price"))
-    )
-    topq = (
-        fin.withColumn("__rnk", F.row_number().over(w_top))
-        .where(F.col("__rnk") <= 10)
-        .groupBy("symbol")
+    met = (
+        annotated.groupBy("symbol")
         .agg(
-            F.avg(F.when(F.col("side") == "bid", F.col("qty"))).alias("avg_bid"),
-            F.avg(F.when(F.col("side") == "ask", F.col("qty"))).alias("avg_ask"),
+            F.max(F.when(is_bid, F.col("price"))).alias("best_bid"),
+            F.min(F.when(is_ask, F.col("price"))).alias("best_ask"),
+            F.sum(take).alias("cost"),
+            F.sum(take / F.col("price")).alias("fq"),
+            (
+                F.coalesce(F.sum(F.when(is_ask, F.col("notional"))), F.lit(0.0))
+                >= IMPACT_NOTIONAL
+            ).alias("fillable"),
+            F.avg(F.when(is_bid & (F.col("__rnk") <= 10), F.col("qty"))).alias("avg_bid"),
+            F.avg(F.when(is_ask & (F.col("__rnk") <= 10), F.col("qty"))).alias("avg_ask"),
         )
     )
 
@@ -351,15 +365,13 @@ def replay_book_batch(depth_events: DataFrame) -> DataFrame:
         F.max("__snap_u").isNotNull().alias("synced")
     )
 
-    met = (
-        ba.join(imp, "symbol", "left").join(topq, "symbol", "left")
-        .withColumn("mid", (F.col("best_bid") + F.col("best_ask")) / 2)
-        .withColumn(
-            "ok",
-            F.col("best_bid").isNotNull()
-            & F.col("best_ask").isNotNull()
-            & (F.col("best_bid") < F.col("best_ask")),
-        )
+    met = met.withColumn(
+        "mid", (F.col("best_bid") + F.col("best_ask")) / 2
+    ).withColumn(
+        "ok",
+        F.col("best_bid").isNotNull()
+        & F.col("best_ask").isNotNull()
+        & (F.col("best_bid") < F.col("best_ask")),
     )
     ok = F.col("ok")
     spread = (F.col("best_ask") - F.col("best_bid")) / F.col("mid") * 100
