@@ -144,11 +144,15 @@ def minhash_lsh_pairs(spark, sf_dir):
             f"transform(shingles, s -> {_SP_H.format(x='s')} % {_MH_P})"
         ).alias("hs"),
     )
+    # one md5 pass over all shingles, checkpointed: sig feeds the band
+    # self-join (2 consumers) AND the shingle lookups for Jaccard
+    # verification (2 more) — without the checkpoint the shingle+minhash
+    # pipeline runs four times
     sig = hb.select(
         "doc_id",
         "shingles",
         *[F.expr(_sp_minhash(i)).alias(f"h{i}") for i in range(_N_HASH)],
-    )
+    ).localCheckpoint()
     # One explode instead of a UNION of per-band projections: a union would
     # re-evaluate the whole shingle+minhash pipeline once per band (Spark
     # does not share subplans across union branches), explode evaluates it
@@ -177,8 +181,8 @@ def minhash_lsh_pairs(spark, sf_dir):
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    x = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sa"))
-    y = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sb"))
+    x = sig.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sa"))
+    y = sig.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sb"))
     jac = (
         F.size(F.array_intersect("sa", "sb")).cast("double")
         / F.size(F.array_union("sa", "sb")).cast("double")
@@ -247,25 +251,42 @@ def dedup_ngram_jaccard(spark, sf_dir):
                 f"i -> {_SP_GRAMH}))"
             ).alias("grams"),
         )
+    # hash grams once; both the exploded index and the size lookup read
+    # the checkpointed frame
+    ).localCheckpoint()
+    # INVERTED-INDEX pairing: join on the gram itself, so a pair
+    # materializes once per SHARED gram and the intersection size is a
+    # count aggregate — the per-block all-pairs form costs Σ|block|²
+    # rows regardless of similarity, this form costs Σ co-occurrences
+    # (pairs sharing nothing never exist; any pair with inter = 0 fails
+    # the 0.3 threshold anyway, so results are identical). A gram shared
+    # by a whole block still fans out — at 100 TB that's AQE skew-split
+    # territory, or a documented df-cap on stop-grams.
+    gexp = g.select("lang", "len_bucket", "doc_id", F.explode("grams").alias("gh"))
+    pa = gexp.select(
+        "lang", "len_bucket", "gh", F.col("doc_id").alias("doc_a")
     )
-    a, b = g.alias("a"), g.alias("b")
-    inter = F.size(F.array_intersect("a.grams", "b.grams"))
-    tot = F.size(F.col("a.grams")) + F.size(F.col("b.grams"))
-    paired = (
-        a.join(
-            b,
-            (F.col("a.lang") == F.col("b.lang"))
-            & (F.col("a.len_bucket") == F.col("b.len_bucket"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            inter.alias("inter"),
-            tot.alias("tot"),
-        )
+    pb = gexp.select(
+        "lang", "len_bucket", "gh", F.col("doc_id").alias("doc_b")
     )
-    jac = F.col("inter").cast("double") / (F.col("tot") - F.col("inter")).cast("double")
+    inter = (
+        pa.join(pb, ["lang", "len_bucket", "gh"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    # no broadcast hint: sizes is per-doc (not broadcastable at scale) —
+    # locally AQE broadcasts it anyway, on a cluster it hash-joins on the
+    # already-small verified-pair frame
+    sizes = g.select("doc_id", F.size("grams").alias("n"))
+    paired = inter.join(
+        sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")), "doc_a"
+    ).join(
+        sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")), "doc_b"
+    )
+    jac = F.col("inter").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("inter")
+    ).cast("double")
     return paired.select("doc_a", "doc_b", jac.alias("jaccard")).where(
         F.col("jaccard") >= 0.3
     )
