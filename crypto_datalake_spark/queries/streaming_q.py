@@ -220,7 +220,12 @@ def synth_depth_events(spark, sf_dir):
 def st3_orderbook_replay(spark, sf_dir):
     from crypto_datalake_spark.streaming.orderbook import replay_book_batch
 
-    metrics = replay_book_batch(synth_depth_events(spark, sf_dir))
+    # the replay reads its input three times (levels, observed minutes,
+    # sync flags); checkpoint the synthesized store once — in production
+    # the depth-event store is already materialized parquet, so the
+    # declarative replay reads files, not a recomputed subplan
+    depth = synth_depth_events(spark, sf_dir).localCheckpoint()
+    metrics = replay_book_batch(depth)
     rounded = [
         "best_bid", "best_ask", "mid", "spread_pct", "impact_pct",
         "avg_bid_qty_top10", "avg_ask_qty_top10",
