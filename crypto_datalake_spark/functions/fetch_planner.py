@@ -150,3 +150,43 @@ def serve_timeframe(
 
     bars = aggregate_canonical_frame(load_table("1m"), plan.timeframe, limit=limit)
     return bars, plan
+
+
+def latest_watermarks(spark, ledger_path: str, key_cols: Iterable[str]) -> DataFrame:
+    """Per-key high-water mark from the write-audit ledger: the max
+    committed ``max_ts`` per key (ref state/store.py:77-95 — the SQLite
+    ``watermark`` table; in this engine the ledger IS the state store, so
+    the watermark is a derived view rather than separately-written state
+    that could drift from the data)."""
+    from pyspark.sql import functions as F
+
+    led = spark.read.parquet(ledger_path)
+    return led.where(F.col("status") == "COMMITTED").groupBy(
+        *key_cols
+    ).agg(F.max("max_ts").alias("watermark"))
+
+
+def resolve_end_time(
+    requested_end,
+    watermark,
+    now,
+    tolerance_minutes: int = 3,
+):
+    """Serving end-time resolution (ref service.py watermark clamp,
+    test_live_data_api_service.py:774): when the caller omits end_time
+    and the local watermark is within ``tolerance_minutes`` of now, serve
+    the locally-complete window and skip the remote/rebuild path
+    entirely; a stale watermark falls through to ``now`` (the caller then
+    decides to rebuild/fetch). An explicit end_time always wins.
+
+    Returns (end_time, from_local_watermark).
+    """
+    import datetime as _dt
+
+    if requested_end is not None:
+        return requested_end, False
+    if watermark is not None and now - watermark <= _dt.timedelta(
+        minutes=tolerance_minutes
+    ):
+        return watermark, True
+    return now, False

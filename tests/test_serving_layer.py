@@ -223,3 +223,50 @@ def test_serve_timeframe_partial_htf_falls_back_to_1m(spark):
         dt.datetime(2024, 1, 1, 0, 6),
         dt.datetime(2024, 1, 1, 0, 9),
     ]
+
+
+def test_resolve_end_time_watermark_clamp():
+    # ref test_live_data_api_service.py:774 — omitted end_time + fresh local
+    # watermark → serve local window, no remote fetch
+    from crypto_datalake_spark.functions.fetch_planner import resolve_end_time
+
+    now = dt.datetime(2026, 1, 15, 10, 5)
+    fresh = dt.datetime(2026, 1, 15, 10, 4)
+    stale = dt.datetime(2026, 1, 15, 9, 0)
+    explicit = dt.datetime(2026, 1, 15, 8, 0)
+
+    assert resolve_end_time(None, fresh, now) == (fresh, True)
+    assert resolve_end_time(None, stale, now) == (now, False)
+    assert resolve_end_time(None, None, now) == (now, False)
+    assert resolve_end_time(explicit, fresh, now) == (explicit, False)
+
+
+def test_latest_watermarks_from_ledger(spark, tmp_path):
+    import pyspark.sql.functions as F
+
+    from crypto_datalake_spark.functions.fetch_planner import latest_watermarks
+    from crypto_datalake_spark.sinks import (
+        frame_schema_hash,
+        ledger_entries,
+        upsert_ledger,
+    )
+
+    df = spark.createDataFrame(
+        [
+            ("BTC", dt.datetime(2024, 1, 1, 0, 0), 1.0),
+            ("BTC", dt.datetime(2024, 1, 1, 0, 9), 2.0),
+            ("ETH", dt.datetime(2024, 1, 1, 0, 5), 3.0),
+        ],
+        "symbol string, ts timestamp_ntz, v double",
+    ).withColumn("day", F.to_date("ts"))
+    entries = ledger_entries(df, ["symbol", "day"], "ts", ["symbol", "ts"])
+    upsert_ledger(
+        spark, str(tmp_path / "ledger"), entries, ["symbol", "day"],
+        frame_schema_hash(df),
+    )
+    wm = {
+        r["symbol"]: r["watermark"]
+        for r in latest_watermarks(spark, str(tmp_path / "ledger"), ["symbol"]).collect()
+    }
+    assert wm["BTC"] == dt.datetime(2024, 1, 1, 0, 9)
+    assert wm["ETH"] == dt.datetime(2024, 1, 1, 0, 5)
