@@ -87,7 +87,9 @@ def ema_by_group(
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values([*group_cols, order_col]).reset_index(drop=True)
         parts = []
-        for _, g in pdf.groupby(list(group_cols), sort=False):
+        # dropna=False: a NULL-keyed series is still a series (Spark's
+        # groupBy kept it; pandas would silently drop it by default)
+        for _, g in pdf.groupby(list(group_cols), sort=False, dropna=False):
             ema = _ema_series(g[value_col].tolist(), length)
             out = g[cols].copy()
             # nullable Float64 so None → Arrow null (NOT NaN) on the way back

@@ -92,9 +92,15 @@ def plan_timeframe_fetch(
             notes=("using_1m_aggregation_fallback", reason),
         )
 
-    return FetchPlan(
-        tf, MODE_UNAVAILABLE, None, False, ("timeframe_not_materialized",)
-    )
+    # distinguish the true blocker: a materialized tf with the direct path
+    # disabled is a config problem, not a missing table
+    if tf in materialized:
+        reason = "direct_fetch_disabled_and_no_1m_fallback"
+    elif "1m" not in materialized and config.allow_1m_fallback:
+        reason = "no_1m_table_for_fallback"
+    else:
+        reason = "timeframe_not_materialized"
+    return FetchPlan(tf, MODE_UNAVAILABLE, None, False, (reason,))
 
 
 def serve_timeframe(
@@ -103,6 +109,7 @@ def serve_timeframe(
     load_table: Callable[[str], DataFrame | None],
     materialized_tfs: Iterable[str],
     config: FetchPlannerConfig = FetchPlannerConfig(),
+    end_time=None,
 ) -> tuple[DataFrame, FetchPlan]:
     """Execute a fetch plan against the lake: read the materialized HTF
     table when the plan says direct AND it covers the requested window,
@@ -111,30 +118,62 @@ def serve_timeframe(
 
     ``load_table(tf)`` returns the canonical frame for a materialized
     timeframe (columns symbol/bucket_ts/... for HTF, the minute schema
-    for 1m) or None. The coverage probe is one ``count`` over the pruned
-    HTF window — bounded by ``limit`` bars per symbol, driver-side by
-    design (the reference makes the same height check per request).
+    for 1m) or None. ``end_time`` anchors the window (resolve it first
+    via `resolve_end_time`; omitted → the 1m lake's max timestamp). The
+    coverage probe counts HTF bars INSIDE the anchored window
+    ``(end − limit·tf, end]`` per symbol present in the 1m lake — so a
+    lagging HTF table fails it even when it holds ``limit`` old bars
+    (a bare per-symbol count would pass stale data), and a symbol
+    missing from the HTF table entirely forces the fallback too. The
+    probe is one bounded aggregate + one distinct, driver-side by
+    design: the reference makes the same anchored height check per
+    request. The tail is checkpointed so the probe and the returned
+    frame share one execution.
     """
+    import datetime as _dt
+
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
+    from crypto_datalake_spark.ops.time import TIMEFRAME_MINUTES
     from crypto_datalake_spark.pipelines.serving import aggregate_canonical_frame
+
+    def clip(df, ts_col):
+        return df.where(F.col(ts_col) <= F.lit(end_time)) if end_time is not None else df
+
+    def per_symbol_tail(df, ts_col):
+        w = Window.partitionBy("symbol").orderBy(F.col(ts_col).desc())
+        return (
+            df.withColumn("__rk", F.row_number().over(w))
+            .where(F.col("__rk") <= limit)
+            .drop("__rk")
+        )
 
     plan = plan_timeframe_fetch(timeframe, materialized_tfs, config)
     if plan.mode == MODE_UNAVAILABLE:
         raise ValueError(f"timeframe {plan.timeframe} unavailable: {plan.notes}")
     if plan.mode == MODE_DIRECT_1M:
-        return load_table("1m"), plan
+        return per_symbol_tail(clip(load_table("1m"), "timestamp"), "timestamp"), plan
 
     if plan.mode == MODE_DIRECT:
-        htf = load_table(plan.timeframe)
-        w = Window.partitionBy("symbol").orderBy(F.col("bucket_ts").desc())
-        tail = (
-            htf.withColumn("__rk", F.row_number().over(w))
-            .where(F.col("__rk") <= limit)
-            .drop("__rk")
+        if end_time is None:
+            end_time = load_table("1m").agg(F.max("timestamp")).collect()[0][0]
+        window_start = end_time - _dt.timedelta(
+            minutes=limit * TIMEFRAME_MINUTES[plan.timeframe]
         )
-        if tail.groupBy("symbol").count().where(F.col("count") < limit).isEmpty():
+        htf = clip(load_table(plan.timeframe), "bucket_ts")
+        tail = per_symbol_tail(htf, "bucket_ts").localCheckpoint()
+        counts = tail.where(F.col("bucket_ts") > F.lit(window_start)).groupBy(
+            "symbol"
+        ).agg(F.count(F.lit(1)).alias("n"))
+        short = (
+            clip(load_table("1m"), "timestamp")
+            .select("symbol")
+            .distinct()
+            .join(counts, "symbol", "left")
+            .where(F.coalesce(F.col("n"), F.lit(0)) < limit)
+        )
+        if short.isEmpty():
             return tail, plan
         # partial HTF window → 1m aggregation fallback (service.py:1596-1605)
         plan = FetchPlan(
@@ -148,7 +187,9 @@ def serve_timeframe(
             ),
         )
 
-    bars = aggregate_canonical_frame(load_table("1m"), plan.timeframe, limit=limit)
+    bars = aggregate_canonical_frame(
+        clip(load_table("1m"), "timestamp"), plan.timeframe, limit=limit
+    )
     return bars, plan
 
 

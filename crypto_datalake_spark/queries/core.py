@@ -247,13 +247,13 @@ def j9_union_dedup_priority(spark, sf_dir):
     "lake.",
 )
 def s4_write_audit_ledger(spark, sf_dir):
-    import os
-    import shutil
+    import tempfile
 
     from crypto_datalake_spark.sinks import upsert_partitioned
 
-    base = f"/tmp/cds_s4_ledger/{os.path.basename(sf_dir.rstrip('/'))}"
-    shutil.rmtree(base, ignore_errors=True)
+    # fresh per-invocation dir: a fixed shared path would race concurrent
+    # sweeps (rmtree under a mid-merge sibling) and collide across lakes
+    base = tempfile.mkdtemp(prefix="cds_s4_ledger_")
     data_path, ledger_path = f"{base}/data", f"{base}/ledger"
 
     agg = (

@@ -523,12 +523,28 @@ def dedup_cluster_canonical(spark, sf_dir):
 
     pairs = minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
     docs = t(spark, sf_dir, "documents").select("doc_id")
+    labels = connected_components(docs, pairs)
+    w = Window.partitionBy("cluster_id")
+    return labels.select(
+        "doc_id", F.col("label").alias("cluster_id")
+    ).select(
+        "doc_id",
+        "cluster_id",
+        (F.col("doc_id") == F.col("cluster_id")).alias("is_canonical"),
+        F.count(F.lit(1)).over(w).alias("cluster_size"),
+    )
+
+
+def connected_components(docs, pairs, max_rounds: int = 25):
+    """Min-label propagation with pointer-jumping over an undirected edge
+    list; returns (doc_id, label) with label = component minimum."""
     edges = pairs.unionAll(
         pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
     ).localCheckpoint(eager=True)  # pairs are reused every round — cut lineage once
 
     labels = docs.select("doc_id", F.col("doc_id").alias("label"))
-    for _ in range(15):
+    converged = False
+    for _ in range(max_rounds):
         prop = (
             edges.join(labels, edges.doc_a == labels.doc_id)
             .groupBy(F.col("doc_b").alias("doc_id"))
@@ -542,17 +558,26 @@ def dedup_cluster_canonical(spark, sf_dir):
                 (F.col("nbr_label") < F.col("label")).alias("__chg"),
             )
         )
+        # pointer-jump (path compression): label ← label's label, so a chain
+        # halves every round — convergence in O(log diameter), not
+        # O(diameter); a 25-round cap covers any component a lake can hold
+        parent = new.select(
+            F.col("doc_id").alias("label"), F.col("label").alias("grand")
+        )
+        new = new.join(parent, "label", "left").select(
+            "doc_id",
+            F.least("label", F.coalesce("grand", "label")).alias("label"),
+            "__chg",
+        )
         new = new.localCheckpoint(eager=True)  # stop iterative lineage growth
         changed = not new.where(F.col("__chg")).isEmpty()
         labels = new.drop("__chg")
         if not changed:
+            converged = True
             break
-    w = Window.partitionBy("cluster_id")
-    return labels.select(
-        "doc_id", F.col("label").alias("cluster_id")
-    ).select(
-        "doc_id",
-        "cluster_id",
-        (F.col("doc_id") == F.col("cluster_id")).alias("is_canonical"),
-        F.count(F.lit(1)).over(w).alias("cluster_size"),
-    )
+    if not converged:
+        # a silent wrong clustering is worse than a loud failure
+        raise RuntimeError(
+            f"label propagation did not converge in {max_rounds} rounds"
+        )
+    return labels

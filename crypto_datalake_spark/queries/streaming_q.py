@@ -188,14 +188,20 @@ def synth_depth_events(spark, sf_dir):
                  AND best_bid < best_ask AS ok,
                (best_bid + best_ask) / 2 AS mid
         FROM ba
-      ) ba JOIN imp USING (symbol) JOIN topq USING (symbol)
+      ) ba LEFT JOIN imp USING (symbol) LEFT JOIN topq USING (symbol)
     )
+    -- LEFT joins + coalesces mirror the replay: a symbol whose book
+    -- emptied out (every level deleted) or never crossed the threshold
+    -- still emits degraded rows per observed minute, never disappears
     SELECT m.symbol, m.minute_ts,
-           best_bid, best_ask, mid, spread_pct, impact_pct, fillable,
-           avg_bid_qty_top10, avg_ask_qty_top10, synced, degraded
+           best_bid, best_ask, mid, spread_pct, impact_pct,
+           coalesce(fillable, FALSE) AS fillable,
+           avg_bid_qty_top10, avg_ask_qty_top10,
+           coalesce(synced, TRUE) AS synced,
+           coalesce(degraded, TRUE) AS degraded
     FROM (SELECT DISTINCT event_type AS symbol, date_trunc('minute', ts) AS minute_ts
           FROM events) m
-    JOIN met USING (symbol)
+    LEFT JOIN met USING (symbol)
     """,
     doc="ST3-ST5: order-book state machine replay — snapshot sync, "
     "sequence-continuity delta application, impact walk, health metrics "

@@ -47,6 +47,11 @@ def _read_existing(spark: SparkSession, path: str, cols: Sequence[str]) -> DataF
             klass = get_cls() or ""
         if "PATH_NOT_FOUND" in klass or "Path does not exist" in str(e):
             return None
+        # a directory created by a crashed first write (no committed
+        # parquet files yet) surfaces as UNABLE_TO_INFER_SCHEMA — that is
+        # still "first write"; without this, retries are bricked forever
+        if "UNABLE_TO_INFER_SCHEMA" in klass:
+            return None
         raise
     # outside the try: a schema/column mismatch must propagate, not be
     # swallowed as "first write"
@@ -81,8 +86,16 @@ def _drop_emptied_partitions(
     sc = spark.sparkContext
     jvm = sc._jvm
     conf = sc._jsc.hadoopConfiguration()
+    esc = jvm.org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
     for vals in stale:
-        sub = "/".join(f"{c}={v}" for c, v in zip(partition_cols, vals))
+        # build the directory name with Spark's OWN partition-path escaping
+        # (':' → '%3A', NULL → __HIVE_DEFAULT_PARTITION__, …) — a hand-built
+        # f"{c}={v}" misses the dir for timestamps/NULLs and the delete
+        # silently no-ops, resurrecting removed rows on the next read
+        sub = "/".join(
+            esc.getPartitionPathString(c, "" if v is None else str(v))
+            for c, v in zip(partition_cols, vals)
+        )
         p = jvm.org.apache.hadoop.fs.Path(f"{path}/{sub}")
         fs = p.getFileSystem(conf)
         fs.delete(p, True)

@@ -96,3 +96,26 @@ def test_embedding_cosine_hot_cell_guard(spark):
     # joins on (label, jk), so a hot cell shrinks to sub-bucket cross-products
     plan = guarded._jdf.queryExecution().executedPlan().toString()
     assert "jk" in plan
+
+
+def test_connected_components_long_chain(spark):
+    """Pointer-jumping must converge a chain far longer than the round cap
+    would allow under plain neighbor propagation (O(log d), not O(d))."""
+    from pyspark.sql import functions as F
+
+    from crypto_datalake_spark.queries.dedup import connected_components
+
+    n = 120  # plain min-label propagation would need ~n rounds
+    docs = spark.range(n).select(F.col("id").alias("doc_id"))
+    pairs = spark.range(n - 1).select(
+        F.col("id").alias("doc_a"), (F.col("id") + 1).alias("doc_b")
+    )
+    labels = connected_components(docs, pairs, max_rounds=25).collect()
+    assert all(r["label"] == 0 for r in labels)
+    assert len(labels) == n
+
+    # two components + a singleton keep distinct minima
+    pairs2 = spark.createDataFrame([(10, 11), (11, 12), (20, 21)], "doc_a long, doc_b long")
+    docs2 = spark.createDataFrame([(i,) for i in (10, 11, 12, 20, 21, 99)], "doc_id long")
+    got = {r["doc_id"]: r["label"] for r in connected_components(docs2, pairs2).collect()}
+    assert got == {10: 10, 11: 10, 12: 10, 20: 20, 21: 20, 99: 99}

@@ -270,3 +270,14 @@ def test_latest_watermarks_from_ledger(spark, tmp_path):
     }
     assert wm["BTC"] == dt.datetime(2024, 1, 1, 0, 9)
     assert wm["ETH"] == dt.datetime(2024, 1, 1, 0, 5)
+
+
+def test_serve_timeframe_stale_htf_falls_back(spark):
+    """A lagging HTF table holding `limit` OLD bars must still fall back:
+    coverage is counted inside the window anchored at end_time, not as a
+    bare per-symbol bar count."""
+    load = _planner_lake(spark, n_minutes=12, htf_bars_kept=2)  # bars 0:00, 0:03
+    bars, plan = serve_timeframe("3m", 2, load, {"1m", "3m"})   # 1m extends to 0:11
+    assert plan.mode == MODE_AGGREGATE and plan.fallback_used is True
+    got = sorted(r["bucket_ts"] for r in bars.collect())
+    assert got == [dt.datetime(2024, 1, 1, 0, 6), dt.datetime(2024, 1, 1, 0, 9)]
