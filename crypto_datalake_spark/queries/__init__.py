@@ -17,6 +17,7 @@ tests/test_oracle_parity.py, which sweeps ALL registry entries.
 from crypto_datalake_spark.queries import (  # noqa: F401  (registration side-effects)
     aggs,
     core,
+    curation,
     dedup,
     derived,
     joins,

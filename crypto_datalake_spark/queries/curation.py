@@ -1,0 +1,321 @@
+"""Corpus-curation operators: repetition filters, benchmark
+decontamination, and ANN recall evaluation.
+
+Training-data-pipeline extensions beyond the reference surface (the
+reference is a market-data lake; these are the operators a 100 TB text
+corpus pipeline needs on top — BASELINE.json north star). Companions to
+queries/dedup.py (near-dup tiers) and queries/llm.py (quality, ANN).
+
+Scale notes:
+- Repetition signals use the EXPLODE + groupBy shape, not per-row
+  array_distinct-then-count-each loops: an array higher-order form is
+  O(distinct x len) PER DOCUMENT, fine for short docs but quadratic for
+  book-length ones; the explode form is one shuffle on (doc_id, token)
+  and stays linear regardless of document length.
+- Decontamination joins the corpus n-gram index against the DISTINCT
+  benchmark-gram set. Benchmark suites are tiny (a few thousand docs)
+  even when the corpus is 100 TB, so the gram set broadcasts; the
+  corpus side is one explode + one broadcast-hash-join, no shuffle of
+  the corpus at all.
+- Recall evaluation runs the exact (brute-force) arm only over the
+  sampled query set — the gold standard costs |Q| x |corpus| dot
+  products, which is why |Q| is a sample; the LSH arm is the production
+  path being graded.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from crypto_datalake_spark.queries.common import t
+from crypto_datalake_spark.queries.dedup import _DK_H, _SP_H
+from crypto_datalake_spark.queries.llm import (
+    _cosine,
+    _dk_bucket,
+    _DK_COS,
+    _sp_bucket,
+)
+from crypto_datalake_spark.queries.registry import register
+
+# Gopher-style repetition thresholds (Rae et al. 2021 use 0.2 for the
+# top-token fraction and ~0.2 for duplicate n-gram fractions; the
+# synthetic corpus is word-salad so the bigram threshold is looser here
+# to keep both flag outcomes populated).
+_TOP_TOKEN_MAX = 0.2
+_DUP_BIGRAM_MAX = 0.4
+
+
+@register(
+    "quality_repetition_signals",
+    sql="""
+    WITH tk AS (
+      SELECT doc_id, string_split(text, ' ') AS tok FROM documents
+    ),
+    tc AS (
+      SELECT doc_id, w, count(*) AS c
+      FROM (SELECT doc_id, unnest(tok) AS w FROM tk)
+      GROUP BY doc_id, w
+    ),
+    pd AS (
+      SELECT doc_id, max(c) AS top_cnt, CAST(sum(c) AS BIGINT) AS n_tokens
+      FROM tc GROUP BY doc_id
+    ),
+    bs AS (
+      SELECT doc_id, count(*) AS n_bigrams, count(DISTINCT b) AS n_bg_distinct
+      FROM (SELECT doc_id, unnest([tok[i] || ' ' || tok[i + 1]
+                                   for i in range(1, len(tok))]) AS b
+            FROM tk WHERE len(tok) >= 2)
+      GROUP BY doc_id
+    )
+    SELECT pd.doc_id,
+           n_tokens,
+           CAST(top_cnt AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS top_token_frac,
+           COALESCE(CAST(n_bigrams - n_bg_distinct AS DOUBLE)
+                    / CAST(n_bigrams AS DOUBLE), 0.0) AS dup_bigram_frac,
+           (CAST(top_cnt AS DOUBLE) / CAST(n_tokens AS DOUBLE) > 0.2
+            OR COALESCE(CAST(n_bigrams - n_bg_distinct AS DOUBLE)
+                        / CAST(n_bigrams AS DOUBLE), 0.0) > 0.4) AS repetitive
+    FROM pd LEFT JOIN bs ON pd.doc_id = bs.doc_id
+    """,
+    doc="Gopher-style repetition signals: most-frequent-token fraction and "
+    "duplicate-bigram occurrence fraction per document, with a pass/fail "
+    "flag. Uses the explode+groupBy shape (one shuffle on (doc_id, "
+    "token)) instead of per-row array loops, so cost stays LINEAR in "
+    "document length — an array_distinct-then-count-each expression is "
+    "O(distinct x len) per row and dies on book-length docs at 100 TB. "
+    "Training-data extension; no reference analogue (market-data lake).",
+)
+def quality_repetition_signals(spark, sf_dir):
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("tok")
+    )
+    tc = (
+        d.select("doc_id", F.explode("tok").alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    pd_ = tc.groupBy("doc_id").agg(
+        F.max("c").alias("top_cnt"), F.sum("c").alias("n_tokens")
+    )
+    bs = (
+        d.where(F.size("tok") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(tok) - 2), "
+                    "i -> concat(tok[i], ' ', tok[i + 1]))"
+                )
+            ).alias("b"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.countDistinct("b").alias("n_bg_distinct"),
+        )
+    )
+    top_frac = F.col("top_cnt").cast("double") / F.col("n_tokens").cast("double")
+    dup_frac = F.coalesce(
+        (F.col("n_bigrams") - F.col("n_bg_distinct")).cast("double")
+        / F.col("n_bigrams").cast("double"),
+        F.lit(0.0),
+    )
+    return pd_.join(bs, "doc_id", "left").select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        top_frac.alias("top_token_frac"),
+        dup_frac.alias("dup_bigram_frac"),
+        ((top_frac > _TOP_TOKEN_MAX) | (dup_frac > _DUP_BIGRAM_MAX)).alias(
+            "repetitive"
+        ),
+    )
+
+
+# word-trigram 60-bit gram hash (same md5 bridge as queries/dedup.py)
+_SP_TRIH = _SP_H.format(x="concat(tok[i], ' ', tok[i + 1], ' ', tok[i + 2])")
+_DK_TRIH = _DK_H.format(x="tok[i] || ' ' || tok[i + 1] || ' ' || tok[i + 2]")
+
+# deterministic benchmark holdout: ~1% of docs stand in for an eval
+# suite (the thing decontamination protects).
+_BENCH_MOD = 97
+_CONTAM_MIN = 0.2
+
+
+@register(
+    "decontam_ngram_overlap",
+    sql=f"""
+    WITH tk AS (
+      SELECT doc_id, string_split(text, ' ') AS tok FROM documents
+    ),
+    g AS (
+      SELECT doc_id,
+             list_distinct([{_DK_TRIH} for i in range(1, len(tok) - 1)]) AS grams
+      FROM tk WHERE len(tok) >= 3
+    ),
+    bench AS (
+      SELECT DISTINCT unnest(grams) AS gh FROM g WHERE doc_id % {_BENCH_MOD} = 0
+    ),
+    corp AS (SELECT doc_id, grams FROM g WHERE doc_id % {_BENCH_MOD} <> 0),
+    hits AS (
+      SELECT doc_id, count(*) AS n_hit
+      FROM (SELECT doc_id, unnest(grams) AS gh FROM corp) c
+      JOIN bench USING (gh)
+      GROUP BY doc_id
+    )
+    SELECT corp.doc_id,
+           CAST(len(grams) AS BIGINT) AS n_grams,
+           CAST(COALESCE(n_hit, 0) AS BIGINT) AS n_overlap,
+           CAST(COALESCE(n_hit, 0) AS DOUBLE) / CAST(len(grams) AS DOUBLE)
+             AS overlap_frac,
+           CAST(COALESCE(n_hit, 0) AS DOUBLE) / CAST(len(grams) AS DOUBLE)
+             >= {_CONTAM_MIN} AS contaminated
+    FROM corp LEFT JOIN hits ON corp.doc_id = hits.doc_id
+    """,
+    doc="Benchmark decontamination: fraction of each corpus document's "
+    "distinct word-trigrams that appear anywhere in the benchmark "
+    f"holdout (doc_id % {_BENCH_MOD} = 0 stands in for an eval suite). "
+    "Grams are 60-bit md5 ints; the DISTINCT benchmark-gram set is tiny "
+    "relative to any corpus, so it BROADCASTS — the corpus side is one "
+    "explode + broadcast-hash-join + per-doc count, zero corpus "
+    "shuffles besides the final doc_id aggregation. The standard "
+    "pre-training hygiene step (GPT-3 Appendix C / PaLM style).",
+)
+def decontam_ngram_overlap(spark, sf_dir):
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("tok")
+    )
+    g = d.where(F.size("tok") >= 3).select(
+        "doc_id",
+        F.expr(
+            f"array_distinct(transform(sequence(0, size(tok) - 3), i -> {_SP_TRIH}))"
+        ).alias("grams"),
+    )
+    bench = (
+        g.where(F.col("doc_id") % _BENCH_MOD == 0)
+        .select(F.explode("grams").alias("gh"))
+        .distinct()
+    )
+    corp = g.where(F.col("doc_id") % _BENCH_MOD != 0)
+    hits = (
+        corp.select("doc_id", F.explode("grams").alias("gh"))
+        .join(F.broadcast(bench), "gh")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    frac = F.coalesce(F.col("n_hit"), F.lit(0)).cast("double") / F.size(
+        "grams"
+    ).cast("double")
+    return corp.join(hits, "doc_id", "left").select(
+        "doc_id",
+        F.size("grams").cast("long").alias("n_grams"),
+        F.coalesce(F.col("n_hit"), F.lit(0)).cast("long").alias("n_overlap"),
+        frac.alias("overlap_frac"),
+        (frac >= _CONTAM_MIN).alias("contaminated"),
+    )
+
+
+_Q_MOD = 101  # every 101st vec_id is a query → 5 queries at sf0.01, 20 at sf0.1
+_K = 10
+
+
+@register(
+    "ann_recall_eval",
+    sql=f"""
+    WITH bk AS (
+      SELECT vec_id, embedding, {_dk_bucket("embedding")} AS bucket
+      FROM embeddings
+    ),
+    q AS (
+      SELECT vec_id AS qid, embedding AS qv, bucket AS qb
+      FROM bk WHERE vec_id % {_Q_MOD} = 0
+    ),
+    exact AS (
+      SELECT qid, vec_id FROM (
+        SELECT q.qid, bk.vec_id,
+               row_number() OVER (
+                 PARTITION BY q.qid
+                 ORDER BY round({_DK_COS.format(a="bk.embedding", b="q.qv")}, 6)
+                          DESC, bk.vec_id ASC) AS rn
+        FROM bk CROSS JOIN q
+        WHERE bk.vec_id <> q.qid
+      ) WHERE rn <= {_K}
+    ),
+    lsh AS (
+      SELECT qid, vec_id FROM (
+        SELECT q.qid, bk.vec_id,
+               row_number() OVER (
+                 PARTITION BY q.qid
+                 ORDER BY round({_DK_COS.format(a="bk.embedding", b="q.qv")}, 6)
+                          DESC, bk.vec_id ASC) AS rn
+        FROM bk JOIN q ON bk.bucket = q.qb AND bk.vec_id <> q.qid
+      ) WHERE rn <= {_K}
+    ),
+    hit AS (
+      SELECT exact.qid, count(*) AS n_hit
+      FROM exact JOIN lsh ON exact.qid = lsh.qid AND exact.vec_id = lsh.vec_id
+      GROUP BY exact.qid
+    )
+    SELECT q.qid,
+           CAST(COALESCE(n_hit, 0) AS BIGINT) AS n_hit,
+           CAST(COALESCE(n_hit, 0) AS DOUBLE) / {_K}.0 AS recall_at_{_K}
+    FROM q LEFT JOIN hit ON q.qid = hit.qid
+    """,
+    doc="ANN recall harness: recall@10 of the hyperplane-LSH index "
+    "(ann_lsh_bucketed's production path) against the exact brute-force "
+    f"top-k, per query vector (every {_Q_MOD}th vec_id — an eval "
+    "sample). The exact arm costs |Q| x |corpus| dot products, which is "
+    "exactly why it runs on a SAMPLE; the LSH arm touches ~1/16 of the "
+    "corpus per query via the bucket equi-join. Both arms broadcast the "
+    "query set. This is the measurement loop that tunes planes/probes "
+    "before committing an index layout at 100 TB.",
+)
+def ann_recall_eval(spark, sf_dir):
+    e = t(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", _sp_bucket("embedding").alias("bucket")
+    )
+    q = e.where(F.col("vec_id") % _Q_MOD == 0).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qv"),
+        F.col("bucket").alias("qb"),
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("qid").orderBy(
+            F.col("cosine").desc(), F.col("vec_id").asc()
+        )
+    )
+    scored = lambda df: df.select(  # noqa: E731
+        "qid",
+        "vec_id",
+        F.round(_cosine(F.col("embedding"), F.col("qv")), 6).alias("cosine"),
+    )
+    exact = (
+        scored(
+            e.crossJoin(F.broadcast(q)).where(F.col("vec_id") != F.col("qid"))
+        )
+        .withColumn("rn", rn)
+        .where(F.col("rn") <= _K)
+    )
+    lsh = (
+        scored(
+            e.join(
+                F.broadcast(q),
+                (e.bucket == q.qb) & (e.vec_id != q.qid),
+            )
+        )
+        .withColumn("rn", rn)
+        .where(F.col("rn") <= _K)
+    )
+    hit = (
+        exact.select("qid", "vec_id")
+        .join(lsh.select("qid", "vec_id"), ["qid", "vec_id"])
+        .groupBy("qid")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    return q.select("qid").join(hit, "qid", "left").select(
+        "qid",
+        F.coalesce(F.col("n_hit"), F.lit(0)).cast("long").alias("n_hit"),
+        (F.coalesce(F.col("n_hit"), F.lit(0)).cast("double") / F.lit(float(_K))).alias(
+            f"recall_at_{_K}"
+        ),
+    )

@@ -114,3 +114,30 @@ def test_stratified_sample_single_stratum_shuffle(spark, sf_dir):
     p = plan_text(REGISTRY["sample_stratified"].fn(spark, sf_dir), "simple")
     assert p.count("Exchange hashpartitioning(lang") == 1
     assert "Join" not in p
+
+
+def test_decontam_benchmark_set_broadcasts(spark, sf_dir):
+    # the benchmark gram set is tiny regardless of corpus size: it must
+    # broadcast, and the corpus must never co-shuffle with itself
+    p = plan_text(REGISTRY["decontam_ngram_overlap"].fn(spark, sf_dir), "simple")
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+
+def test_repetition_signals_no_pairwise_blowup(spark, sf_dir):
+    # explode + groupBy shape: linear in document length, no cross joins,
+    # no Python in the plan
+    p = plan_text(REGISTRY["quality_repetition_signals"].fn(spark, sf_dir), "simple")
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    assert "BatchEvalPython" not in p and "FlatMapGroupsInPandas" not in p
+    assert "partial_count" in p or "partial" in p.lower()  # map-side combine
+
+
+def test_ann_recall_exact_arm_broadcasts_queries(spark, sf_dir):
+    # exact arm = broadcast nested loop of the SAMPLED query set over the
+    # corpus scan; lsh arm = broadcast hash join on bucket id. The corpus
+    # is never shuffled against itself.
+    p = plan_text(REGISTRY["ann_recall_eval"].fn(spark, sf_dir), "simple")
+    assert "BroadcastNestedLoopJoin" in p  # cross join with broadcast q
+    assert "BroadcastHashJoin" in p       # bucket equi-join, q broadcast
+    assert "CartesianProduct" not in p
