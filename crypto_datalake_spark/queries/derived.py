@@ -140,9 +140,10 @@ _SQL_ALPHA = "(CAST(2 AS DOUBLE) / CAST(6 AS DOUBLE))"
     """,
     doc="U1: TradingView EMA (SMA seed at index len−1, then "
     "α·x + (1−α)·prev, α=2/(len+1); NULL before seed) per user over hourly "
-    "closes — Arrow-batched applyInPandas per group, thousands of parallel "
-    "small groups at scale (ref: live_indicators/ema.py:6-24). Oracle: "
-    "recursive CTE replaying the identical IEEE op sequence.",
+    "closes — hash-repartition by user, JVM-side sort, one Arrow-batched "
+    "mapInPandas fold per task; thousands of parallel small groups at "
+    "scale (ref: live_indicators/ema.py:6-24). Oracle: recursive CTE "
+    "replaying the identical IEEE op sequence.",
 )
 def u1_ema(spark, sf_dir):
     ev = events(spark, sf_dir)
