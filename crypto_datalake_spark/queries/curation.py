@@ -87,9 +87,13 @@ _DUP_BIGRAM_MAX = 0.4
     "Training-data extension; no reference analogue (market-data lake).",
 )
 def quality_repetition_signals(spark, sf_dir):
-    d = t(spark, sf_dir, "documents").select(
-        "doc_id", F.split("text", " ").alias("tok")
-    )
+    return repetition_signals(t(spark, sf_dir, "documents"))
+
+
+def repetition_signals(docs):
+    """Repetition signals over a (doc_id, text, ...) frame — the
+    DataFrame-level op behind ``quality_repetition_signals``."""
+    d = docs.select("doc_id", F.split("text", " ").alias("tok"))
     tc = (
         d.select("doc_id", F.explode("tok").alias("w"))
         .groupBy("doc_id", "w")
@@ -102,10 +106,18 @@ def quality_repetition_signals(spark, sf_dir):
         d.where(F.size("tok") >= 2)
         .select(
             "doc_id",
+            # CASE-guarded: the optimizer infers `size(...) > 0` from the
+            # explode and pushes the inlined array expr into the scan
+            # filter, where codegen subexpression elimination evaluates it
+            # BEFORE the size(tok) >= 2 conjunct can short-circuit — on a
+            # short doc, sequence(0, size-2) turns descending and tok[i+1]
+            # throws under ANSI. The guard makes the expression total.
             F.explode(
                 F.expr(
-                    "transform(sequence(0, size(tok) - 2), "
-                    "i -> concat(tok[i], ' ', tok[i + 1]))"
+                    "CASE WHEN size(tok) >= 2 THEN transform("
+                    "sequence(0, size(tok) - 2), "
+                    "i -> concat(tok[i], ' ', tok[i + 1])) "
+                    "ELSE CAST(array() AS array<string>) END"
                 )
             ).alias("b"),
         )
@@ -182,21 +194,30 @@ _CONTAM_MIN = 0.2
     "pre-training hygiene step (GPT-3 Appendix C / PaLM style).",
 )
 def decontam_ngram_overlap(spark, sf_dir):
-    d = t(spark, sf_dir, "documents").select(
-        "doc_id", F.split("text", " ").alias("tok")
-    )
+    return decontam_overlap(t(spark, sf_dir, "documents"))
+
+
+def decontam_overlap(docs, bench_mod: int = _BENCH_MOD, threshold: float = _CONTAM_MIN):
+    """Benchmark-overlap decontamination over a (doc_id, text, ...) frame —
+    the DataFrame-level op behind ``decontam_ngram_overlap``."""
+    d = docs.select("doc_id", F.split("text", " ").alias("tok"))
+    # CASE-guarded for the same reason as repetition_signals' bigrams: the
+    # inferred-from-explode filter inlines this expr next to the size guard
+    # and subexpression elimination defeats AND short-circuiting
     g = d.where(F.size("tok") >= 3).select(
         "doc_id",
         F.expr(
-            f"array_distinct(transform(sequence(0, size(tok) - 3), i -> {_SP_TRIH}))"
+            "CASE WHEN size(tok) >= 3 THEN array_distinct(transform("
+            f"sequence(0, size(tok) - 3), i -> {_SP_TRIH})) "
+            "ELSE CAST(array() AS array<bigint>) END"
         ).alias("grams"),
     )
     bench = (
-        g.where(F.col("doc_id") % _BENCH_MOD == 0)
+        g.where(F.col("doc_id") % bench_mod == 0)
         .select(F.explode("grams").alias("gh"))
         .distinct()
     )
-    corp = g.where(F.col("doc_id") % _BENCH_MOD != 0)
+    corp = g.where(F.col("doc_id") % bench_mod != 0)
     hits = (
         corp.select("doc_id", F.explode("grams").alias("gh"))
         .join(F.broadcast(bench), "gh")
@@ -211,7 +232,7 @@ def decontam_ngram_overlap(spark, sf_dir):
         F.size("grams").cast("long").alias("n_grams"),
         F.coalesce(F.col("n_hit"), F.lit(0)).cast("long").alias("n_overlap"),
         frac.alias("overlap_frac"),
-        (frac >= _CONTAM_MIN).alias("contaminated"),
+        (frac >= threshold).alias("contaminated"),
     )
 
 

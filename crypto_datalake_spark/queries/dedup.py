@@ -30,9 +30,16 @@ _SP_H = "CAST(conv(substr(md5({x}), 1, 15), 16, 10) AS BIGINT)"
 # DuckDB-side
 _DK_H = "CAST(concat('0x', substr(md5({x}), 1, 15)) AS BIGINT)"
 
+# CASE-guarded to stay total on sub-3-token docs: a filter inferred from
+# a downstream explode can inline this expr into the scan filter where
+# codegen subexpression elimination evaluates it before the size guard
+# short-circuits — sequence(0, size-3) turns descending and tok[i+2]
+# throws under ANSI (caught by a hypothesis property test).
 _SP_SHINGLES = (
+    "CASE WHEN size(tok) >= 3 THEN "
     "array_distinct(transform(sequence(0, size(tok) - 3), "
-    "i -> concat(tok[i], ' ', tok[i+1], ' ', tok[i+2])))"
+    "i -> concat(tok[i], ' ', tok[i+1], ' ', tok[i+2]))) "
+    "ELSE CAST(array() AS array<string>) END"
 )
 _DK_SHINGLES = (
     "list_distinct([tok[i] || ' ' || tok[i+1] || ' ' || tok[i+2] "
@@ -246,9 +253,13 @@ def dedup_ngram_jaccard(spark, sf_dir):
             "doc_id",
             "lang",
             "len_bucket",
+            # CASE-guarded for the same explode-inferred-filter hazard as
+            # _SP_SHINGLES (see comment there)
             F.expr(
+                "CASE WHEN size(tok) >= 2 THEN "
                 "array_distinct(transform(sequence(0, size(tok) - 2), "
-                f"i -> {_SP_GRAMH}))"
+                f"i -> {_SP_GRAMH})) "
+                "ELSE CAST(array() AS array<bigint>) END"
             ).alias("grams"),
         )
     # hash grams once; both the exploded index and the size lookup read

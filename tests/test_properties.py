@@ -132,3 +132,71 @@ def test_zero_vs_null_gate(spark, data):
     got = {r["i"]: r["gated"] for r in out.collect()}
     for i, (has, v) in enumerate(data):
         assert got[i] == ((v if v is not None else 0.0) if has else None)
+
+
+_word = st.sampled_from(["a", "b", "c", "dd", "eee"])
+_doc = st.lists(_word, min_size=0, max_size=12)
+
+
+@given(docs=st.lists(_doc, min_size=1, max_size=8))
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+def test_repetition_signals_match_bruteforce(spark, docs):
+    from collections import Counter
+
+    from crypto_datalake_spark.queries.curation import repetition_signals
+
+    rows = [(i, " ".join(d)) for i, d in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in repetition_signals(df).collect()}
+    for i, d in enumerate(docs):
+        # split(" ") on an empty string yields one empty token — mirror it
+        toks = " ".join(d).split(" ")
+        top = Counter(toks).most_common(1)[0][1]
+        bigrams = [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+        dup = (
+            (len(bigrams) - len(set(bigrams))) / len(bigrams) if bigrams else 0.0
+        )
+        r = got[i]
+        assert r["n_tokens"] == len(toks)
+        assert abs(r["top_token_frac"] - top / len(toks)) < 1e-12
+        assert abs(r["dup_bigram_frac"] - dup) < 1e-12
+        assert r["repetitive"] == (top / len(toks) > 0.2 or dup > 0.4)
+
+
+@given(docs=st.lists(_doc, min_size=1, max_size=8))
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+def test_decontam_overlap_matches_set_math(spark, docs):
+    import hashlib
+
+    from crypto_datalake_spark.queries.curation import decontam_overlap
+
+    def grams(toks):
+        return {
+            int(
+                hashlib.md5(
+                    " ".join(toks[i : i + 3]).encode()
+                ).hexdigest()[:15],
+                16,
+            )
+            for i in range(len(toks) - 2)
+        }
+
+    rows = [(i, " ".join(d)) for i, d in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in decontam_overlap(df, bench_mod=3).collect()}
+    bench = set()
+    for i, d in enumerate(docs):
+        toks = " ".join(d).split(" ")
+        if i % 3 == 0:
+            bench |= grams(toks)
+    for i, d in enumerate(docs):
+        toks = " ".join(d).split(" ")
+        g = grams(toks)
+        if i % 3 == 0 or not g:
+            assert i not in out  # bench docs and <3-token docs are excluded
+            continue
+        r = out[i]
+        assert r["n_grams"] == len(g)
+        assert r["n_overlap"] == len(g & bench)
+        assert abs(r["overlap_frac"] - len(g & bench) / len(g)) < 1e-12
+        assert r["contaminated"] == (len(g & bench) / len(g) >= 0.2)
