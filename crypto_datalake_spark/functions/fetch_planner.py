@@ -156,8 +156,21 @@ def serve_timeframe(
         return per_symbol_tail(clip(load_table("1m"), "timestamp"), "timestamp"), plan
 
     if plan.mode == MODE_DIRECT:
+        base = load_table("1m")
+        if base is None:
+            # no 1m lake at all: nothing to anchor the coverage probe
+            # against and nothing to fall back to — the direct HTF tail is
+            # the only servable answer, flagged so callers can see the
+            # probe was skipped
+            import dataclasses
+
+            htf = clip(load_table(plan.timeframe), "bucket_ts")
+            plan = dataclasses.replace(
+                plan, notes=plan.notes + ("no_1m_lake_coverage_probe_skipped",)
+            )
+            return per_symbol_tail(htf, "bucket_ts"), plan
         if end_time is None:
-            end_time = load_table("1m").agg(F.max("timestamp")).collect()[0][0]
+            end_time = base.agg(F.max("timestamp")).collect()[0][0]
         window_start = end_time - _dt.timedelta(
             minutes=limit * TIMEFRAME_MINUTES[plan.timeframe]
         )
@@ -167,7 +180,7 @@ def serve_timeframe(
             "symbol"
         ).agg(F.count(F.lit(1)).alias("n"))
         short = (
-            clip(load_table("1m"), "timestamp")
+            clip(base, "timestamp")
             .select("symbol")
             .distinct()
             .join(counts, "symbol", "left")

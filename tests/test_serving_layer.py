@@ -281,3 +281,17 @@ def test_serve_timeframe_stale_htf_falls_back(spark):
     assert plan.mode == MODE_AGGREGATE and plan.fallback_used is True
     got = sorted(r["bucket_ts"] for r in bars.collect())
     assert got == [dt.datetime(2024, 1, 1, 0, 6), dt.datetime(2024, 1, 1, 0, 9)]
+
+
+def test_serve_timeframe_htf_only_lake_skips_probe(spark):
+    # an HTF-only lake (no 1m table) must serve the direct tail instead of
+    # crashing in the 1m-anchored coverage probe; the skip is flagged
+    load = _planner_lake(spark, n_minutes=12, htf_bars_kept=4)
+    htf_only = lambda tf: load(tf) if tf == "3m" else None  # noqa: E731
+    bars, plan = serve_timeframe(
+        "3m", 2, htf_only, {"3m"}, config=FetchPlannerConfig(allow_1m_fallback=False)
+    )
+    assert plan.mode == MODE_DIRECT
+    assert "no_1m_lake_coverage_probe_skipped" in plan.notes
+    got = sorted(r["bucket_ts"] for r in bars.collect())
+    assert got == [dt.datetime(2024, 1, 1, 0, 6), dt.datetime(2024, 1, 1, 0, 9)]
