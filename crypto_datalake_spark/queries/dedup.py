@@ -73,10 +73,10 @@ def _band_cols(n_hash: int, band_size: int):
     ]
 
 
-# the LSH candidate pipeline as reusable CTE text: shingles → minhash
-# signature → band keys → candidate pairs (shared by the pair query and
-# the clustering oracle)
-_DK_LSH_CTES = f"""
+# the LSH pipeline as reusable CTE text: shingles → minhash signature →
+# band keys (shared by the pair query, the clustering oracle, and the
+# incremental batch-vs-corpus dedup in queries/scrub.py)
+_DK_LSH_BASE = f"""
     tk AS (
       SELECT doc_id, string_split(text, ' ') AS tok FROM documents
     ),
@@ -103,13 +103,20 @@ _DK_LSH_CTES = f"""
             [list(range(b, b + _BAND_SIZE)) for b in range(0, _N_HASH, _BAND_SIZE)]
         )
       )}
-    ),
+    )
+"""
+
+# base + within-corpus candidate pairs (doc_a < doc_b)
+_DK_LSH_CTES = (
+    _DK_LSH_BASE.rstrip()
+    + """,
     cand AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
       FROM bands a JOIN bands b
         ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id
     )
 """
+)
 
 
 @register(
@@ -135,12 +142,16 @@ def dedup_minhash_lsh(spark, sf_dir):
     return minhash_lsh_pairs(spark, sf_dir)
 
 
-def minhash_lsh_pairs(spark, sf_dir):
-    """Verified near-dup pairs (doc_a, doc_b, jaccard) — the LSH pipeline
-    shared by the pair query and connected-component clustering."""
-    d = t(spark, sf_dir, "documents")
+def lsh_signatures(docs):
+    """(sig, bands) for a (doc_id, text, ...) frame: ``sig`` carries the
+    distinct-shingle array + minhash signature per doc (checkpointed —
+    it feeds the band join AND the Jaccard verification lookups, and
+    without the checkpoint the shingle+minhash pipeline re-runs per
+    consumer); ``bands`` is the exploded (doc_id, band_id, band_key)
+    bucket index. Shared by the pair query, clustering, and the
+    incremental batch-vs-corpus dedup (queries/scrub.py)."""
     sh = (
-        d.select("doc_id", F.split("text", " ").alias("tok"))
+        docs.select("doc_id", F.split("text", " ").alias("tok"))
         .where(F.size("tok") >= 3)
         .select("doc_id", F.expr(_SP_SHINGLES).alias("shingles"))
     )
@@ -151,10 +162,6 @@ def minhash_lsh_pairs(spark, sf_dir):
             f"transform(shingles, s -> {_SP_H.format(x='s')} % {_MH_P})"
         ).alias("hs"),
     )
-    # one md5 pass over all shingles, checkpointed: sig feeds the band
-    # self-join (2 consumers) AND the shingle lookups for Jaccard
-    # verification (2 more) — without the checkpoint the shingle+minhash
-    # pipeline runs four times
     sig = hb.select(
         "doc_id",
         "shingles",
@@ -163,7 +170,7 @@ def minhash_lsh_pairs(spark, sf_dir):
     # One explode instead of a UNION of per-band projections: a union would
     # re-evaluate the whole shingle+minhash pipeline once per band (Spark
     # does not share subplans across union branches), explode evaluates it
-    # once per self-join side.
+    # once per join side.
     band_structs = [
         F.struct(
             F.lit(b).alias("band_id"),
@@ -176,6 +183,13 @@ def minhash_lsh_pairs(spark, sf_dir):
     bands = sig.select(
         "doc_id", F.explode(F.array(*band_structs)).alias("bk")
     ).select("doc_id", "bk.band_id", "bk.band_key")
+    return sig, bands
+
+
+def minhash_lsh_pairs(spark, sf_dir):
+    """Verified near-dup pairs (doc_a, doc_b, jaccard) — the LSH pipeline
+    shared by the pair query and connected-component clustering."""
+    sig, bands = lsh_signatures(t(spark, sf_dir, "documents"))
     a = bands.alias("a")
     b = bands.alias("b")
     cand = (
