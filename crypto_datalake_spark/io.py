@@ -7,11 +7,15 @@ TIMESTAMP_NTZ (naive UTC — identical semantics to the reference's
 ``pl.Datetime(tz="UTC")`` and to DuckDB's TIMESTAMP, so results are
 independent of the Spark session timezone).
 
-``events.ts`` is stored as parquet TIMESTAMP(NANOS), which Spark's parquet
-reader rejects outright ([PARQUET_TYPE_ILLEGAL]).  We read the physical
-INT64 (nanoseconds since epoch) via an explicit schema and truncate to
-microseconds exactly as DuckDB does when it coerces ns → its native µs
-TIMESTAMP, so both engines see identical values.
+``events.ts`` is stored as parquet TIMESTAMP(NANOS).  Spark 4.x reads it
+natively as TIMESTAMP_NTZ, truncating ns → µs exactly as DuckDB does when
+it coerces ns to its native µs TIMESTAMP, so both engines see identical
+values and no special handling is needed.  Spark 3.x rejects the column
+([PARQUET_TYPE_ILLEGAL]); for that path we fall back to reading the
+physical INT64 and converting by magnitude (values > 4e17 can only be
+nanoseconds for plausible data; smaller epoch-scale values are treated as
+microseconds — some Spark builds surface the physical long already
+µs-truncated, which is exactly the drift that broke round 3).
 """
 
 from __future__ import annotations
@@ -39,7 +43,7 @@ TABLES = (
     "embeddings",
 )
 
-# events.ts must be read as raw INT64 nanoseconds (see module docstring).
+# Spark 3.x fallback only: read events.ts as the raw physical INT64.
 _EVENTS_PHYSICAL = StructType(
     [
         StructField("event_id", LongType()),
@@ -52,15 +56,35 @@ _EVENTS_PHYSICAL = StructType(
 )
 
 # Epoch-anchored NTZ arithmetic: no session-timezone involvement anywhere.
-_NS_TO_NTZ = "timestampadd(MICROSECOND, ts div 1000, TIMESTAMP_NTZ '1970-01-01 00:00:00')"
+# Magnitude guard: epoch-nanos for any date after ~1982 exceed 4e17, while
+# epoch-micros stay below it until the year ~14655 — so the branch is
+# unambiguous for real data regardless of which unit the reader surfaced.
+_LONG_TO_NTZ = (
+    "timestampadd(MICROSECOND, "
+    "CASE WHEN abs(ts) > 400000000000000000 THEN ts div 1000 ELSE ts END, "
+    "TIMESTAMP_NTZ '1970-01-01 00:00:00')"
+)
+
+
+def _normalize_events(df: DataFrame) -> DataFrame:
+    """Ensure events.ts is TIMESTAMP_NTZ regardless of how the reader surfaced it."""
+    (ts_field,) = [f for f in df.schema.fields if f.name == "ts"]
+    if isinstance(ts_field.dataType, LongType):
+        return df.withColumn("ts", F.expr(_LONG_TO_NTZ))
+    # Native read (Spark 4.x): TIMESTAMP(NANOS) arrives as TIMESTAMP_NTZ
+    # already truncated to µs — identical to DuckDB's coercion.
+    return df.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one testdata table with the normalised schema."""
     path = f"{sf_dir.rstrip('/')}/{name}.parquet"
     if name == "events":
-        raw = spark.read.schema(_EVENTS_PHYSICAL).parquet(path)
-        return raw.withColumn("ts", F.expr(_NS_TO_NTZ))
+        try:
+            return _normalize_events(spark.read.parquet(path))
+        except Exception:
+            # Spark 3.x rejects TIMESTAMP(NANOS): read the physical INT64.
+            return _normalize_events(spark.read.schema(_EVENTS_PHYSICAL).parquet(path))
     return spark.read.parquet(path)
 
 

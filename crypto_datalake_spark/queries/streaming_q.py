@@ -10,7 +10,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from crypto_datalake_spark.io import _EVENTS_PHYSICAL, _NS_TO_NTZ
+from crypto_datalake_spark.io import _EVENTS_PHYSICAL, _LONG_TO_NTZ
 from crypto_datalake_spark.queries.common import t
 from crypto_datalake_spark.queries.registry import register
 
@@ -43,7 +43,7 @@ def st2_streaming_minute_agg(spark, sf_dir):
         spark.readStream.schema(_EVENTS_PHYSICAL)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir.rstrip("/"))
-        .withColumn("ts", F.expr(_NS_TO_NTZ))
+        .withColumn("ts", F.expr(_LONG_TO_NTZ))
     )
     agg = (
         stream.withColumn(
