@@ -211,10 +211,17 @@ def latest_watermarks(spark, ledger_path: str, key_cols: Iterable[str]) -> DataF
     committed ``max_ts`` per key (ref state/store.py:77-95 — the SQLite
     ``watermark`` table; in this engine the ledger IS the state store, so
     the watermark is a derived view rather than separately-written state
-    that could drift from the data)."""
+    that could drift from the data).
+
+    Reads through ``read_ledger`` (latest row per partition over the
+    append-only log) — superseded entries from earlier commits must not
+    contribute, or a repair that legitimately SHRANK a partition's max_ts
+    would leave the watermark stuck at the stale value."""
     from pyspark.sql import functions as F
 
-    led = spark.read.parquet(ledger_path)
+    from crypto_datalake_spark.sinks import read_ledger
+
+    led = read_ledger(spark, ledger_path)
     return led.where(F.col("status") == "COMMITTED").groupBy(
         *key_cols
     ).agg(F.max("max_ts").alias("watermark"))

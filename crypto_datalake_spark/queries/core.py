@@ -274,6 +274,8 @@ def s4_write_audit_ledger(spark, sf_dir):
         spark, agg.where(F.minute("minute_ts") % 2 == 0), data_path, **kwargs
     )
     upsert_partitioned(spark, agg, data_path, **kwargs)
-    return spark.read.parquet(ledger_path).select(
+    from crypto_datalake_spark.sinks import read_ledger
+
+    return read_ledger(spark, ledger_path).select(
         "event_type", "day", "row_count", "min_ts", "max_ts", "content_hash"
     )

@@ -146,6 +146,24 @@ def ledger_entries(
     )
 
 
+# Ledger metric/audit columns — everything else in the ledger schema is a
+# partition-identity column (lets readers dedup without carrying the
+# partition spec around).
+_LEDGER_META = frozenset(
+    {
+        "row_count",
+        "min_ts",
+        "max_ts",
+        "content_hash",
+        "schema_hash",
+        "status",
+        "committed_at_utc",
+        "commit_seq",
+        "generation",
+    }
+)
+
+
 def upsert_ledger(
     spark: SparkSession,
     ledger_path: str,
@@ -153,27 +171,87 @@ def upsert_ledger(
     partition_cols: Sequence[str],
     schema_hash: str,
 ) -> None:
-    """Merge per-partition audit rows into the ledger table keyed by the
-    partition values (ref state/store.py:46-136: one row per committed
-    partition, INSERT OR REPLACE). A repair rewrite replaces exactly the
-    rewritten partitions' rows; untouched rows survive. The ledger is
-    partition-count-sized (tiny), so a read-modify-write is fine."""
+    """Append per-partition audit rows to the ledger (ref state/store.py:
+    46-136: one row per committed partition).
+
+    The ledger is LOG-STRUCTURED: each commit appends only its own rows
+    tagged with a monotonically increasing ``commit_seq``; nothing is read
+    back, so commit cost is independent of how many partitions the table
+    has ever committed (the old read-modify-rewrite was O(total ledger) per
+    write — a driver-side bottleneck at real partition counts).  Readers
+    resolve the latest row per partition via ``read_ledger``; ``compact_
+    ledger`` folds the log down when it grows.  A repair rewrite appends a
+    newer row for the same partition, which supersedes the old one at read
+    time — same visible semantics as the previous in-place replace."""
+    import time
+
     entries = (
         entries.withColumn("schema_hash", F.lit(schema_hash))
         .withColumn("status", F.lit("COMMITTED"))
         .withColumn("committed_at_utc", F.current_timestamp().cast("string"))
+        .withColumn("commit_seq", F.lit(time.time_ns() // 1000))
     )
-    existing = _read_existing(spark, ledger_path, entries.columns)
-    if existing is not None:
-        keep = existing.join(
-            F.broadcast(entries.select(*partition_cols).distinct()),
-            list(partition_cols),
-            "left_anti",
+    entries.write.mode("append").parquet(ledger_path)
+
+
+def read_ledger(spark: SparkSession, ledger_path: str) -> DataFrame:
+    """Current ledger state: the latest committed row per partition key
+    (keep-last by ``commit_seq`` over the append-only log)."""
+    # mergeSchema: appended commits may add audit columns over time (e.g.
+    # `generation` once a table moves to the txn protocol); the log is
+    # partition-count-sized so the footer merge is cheap
+    led = spark.read.option("mergeSchema", True).parquet(ledger_path)
+    key_cols = [c for c in led.columns if c not in _LEDGER_META]
+    if "commit_seq" not in led.columns:  # pre-log-structured ledgers
+        return led
+    return keep_last(led, key_cols, ["commit_seq"])
+
+
+def compact_ledger(spark: SparkSession, ledger_path: str) -> None:
+    """Fold the append-only ledger log down to one row per partition.
+    Run opportunistically (e.g. every N commits); readers are correct
+    with or without it."""
+    current = read_ledger(spark, ledger_path).localCheckpoint(eager=True)
+    current.write.mode("overwrite").parquet(ledger_path)
+
+
+def merge_frames(
+    incoming: DataFrame,
+    existing: DataFrame | None,
+    keys: Sequence[str],
+    order_cols: Sequence[str],
+    preserve_cols: Sequence[str] = (),
+    flag_cols: Sequence[str] = (),
+) -> DataFrame:
+    """The upsert merge itself, independent of how the result is committed:
+    incoming rows win over existing on the same key (keep-last by
+    ``order_cols`` with incoming priority — ref atomic.py:65-97), LIVE_ONLY
+    ``preserve_cols`` coalesce from existing when incoming is NULL, and
+    boolean ``flag_cols`` OR across versions.  ``existing`` should already
+    be restricted to the touched partitions by the caller."""
+    cols = incoming.columns
+    if existing is None:
+        return incoming
+    if preserve_cols or flag_cols:
+        old = existing.select(
+            *keys,
+            *[F.col(c).alias(f"__old_{c}") for c in (*preserve_cols, *flag_cols)],
         )
-        entries = entries.unionByName(keep)
-    # break lineage before overwriting the path we may just have read
-    entries = entries.localCheckpoint(eager=True)
-    entries.write.mode("overwrite").parquet(ledger_path)
+        merged = incoming.join(old, list(keys), "left")
+        for c in preserve_cols:
+            merged = merged.withColumn(c, F.coalesce(F.col(c), F.col(f"__old_{c}")))
+        for c in flag_cols:
+            merged = merged.withColumn(
+                c,
+                F.coalesce(F.col(c), F.lit(False))
+                | F.coalesce(F.col(f"__old_{c}"), F.lit(False)),
+            )
+        incoming = merged.select(*cols)
+    out = (
+        incoming.withColumn("__prio", F.lit(1))
+        .unionByName(existing.withColumn("__prio", F.lit(0)))
+    )
+    return keep_last(out, keys, [*order_cols, "__prio"]).drop("__prio")
 
 
 def upsert_partitioned(
@@ -207,34 +285,17 @@ def upsert_partitioned(
     Only partitions present in ``incoming`` are rewritten (dynamic overwrite);
     existing data is read partition-pruned via a semi-join on the incoming
     partition values (broadcast — the incoming side of a repair is small).
+
+    For multi-partition ALL-OR-NOTHING visibility (a crash between partition
+    writes must not tear the lake), use ``txn.atomic_upsert_partitioned`` —
+    same merge semantics, committed via an atomic manifest swap.
     """
     cols = incoming.columns
     existing = _read_existing(spark, path, cols)
-
-    out = incoming
     if existing is not None:
         touched = incoming.select(*partition_cols).distinct()
         existing = existing.join(F.broadcast(touched), list(partition_cols), "left_semi")
-        if preserve_cols or flag_cols:
-            old = existing.select(
-                *keys,
-                *[F.col(c).alias(f"__old_{c}") for c in (*preserve_cols, *flag_cols)],
-            )
-            merged = incoming.join(old, list(keys), "left")
-            for c in preserve_cols:
-                merged = merged.withColumn(c, F.coalesce(F.col(c), F.col(f"__old_{c}")))
-            for c in flag_cols:
-                merged = merged.withColumn(
-                    c,
-                    F.coalesce(F.col(c), F.lit(False))
-                    | F.coalesce(F.col(f"__old_{c}"), F.lit(False)),
-                )
-            incoming = merged.select(*cols)
-        out = (
-            incoming.withColumn("__prio", F.lit(1))
-            .unionByName(existing.withColumn("__prio", F.lit(0)))
-        )
-        out = keep_last(out, keys, [*order_cols, "__prio"]).drop("__prio")
+    out = merge_frames(incoming, existing, keys, order_cols, preserve_cols, flag_cols)
 
     if ledger_path is not None:
         out = out.persist()
@@ -442,7 +503,15 @@ def merge_scd2(
     are handled because the chain is re-derived from the ordered version
     set, not appended. Dimension-sized by design — at fact scale, version
     history belongs in the fact table, not an SCD2 dim.
+
+    Storage: a ``txn`` generation table — the rebuilt dimension is written
+    as a NEW generation and published with an atomic pointer swap, so
+    there is no window where readers see a half-overwritten path (the
+    old read-then-overwrite-same-path hazard).  Read it back with
+    ``txn.read_table``.
     """
+    from crypto_datalake_spark import txn
+
     vf, vt, cur = "valid_from", "valid_to", "is_current"
     out_cols = [*keys, *tracked_cols, vf, vt, cur]
     incoming = keep_last(
@@ -451,7 +520,9 @@ def merge_scd2(
         [vf],
     )
 
-    existing = _read_existing(spark, path, out_cols)
+    existing = txn.read_table(spark, path)
+    if existing is not None:
+        existing = existing.select(*out_cols)
 
     if existing is not None:
         kdf = incoming.select(*keys).distinct()
@@ -480,6 +551,9 @@ def merge_scd2(
         .select(*out_cols)
     )
     out = rebuilt if untouched is None else rebuilt.unionByName(untouched)
-    # Break lineage before overwriting the path we just read.
-    out = out.localCheckpoint(eager=True)
-    out.write.mode("overwrite").parquet(path)
+    # New generation + atomic pointer swap: the generation we read stays
+    # live (and readable) until the commit lands, so no lineage break or
+    # in-place overwrite is needed.
+    from crypto_datalake_spark import txn
+
+    txn.atomic_overwrite(spark, out, path)

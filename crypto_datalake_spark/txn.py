@@ -1,0 +1,341 @@
+"""Atomic multi-partition commits via a generation manifest (SURVEY.md §2.1 S4).
+
+The reference guarantees per-partition atomicity with tmp-file + ``rename()``
+plus a content-hash ledger (/root/reference/src/binance_minute_lake/writer/
+atomic.py:27-117) — atomic for ONE partition file at a time.  A multi-
+partition upsert there can still tear: crash after hour-12's rename but
+before hour-13's and readers see a half-applied repair.
+
+This module closes that gap with the log-structured design the big table
+formats use (Iceberg/Delta), reduced to its minimum:
+
+- Data files are IMMUTABLE and written under per-partition generation
+  subdirectories: ``<table>/<part=val>/__gen=<gid>/part-*.parquet``.  A
+  commit appends new generation directories; it never mutates or deletes
+  live data in place.
+- A JSON **manifest** maps each logical partition to the generation that
+  currently serves it.  Manifest versions are immutable files
+  (``_manifest/v00000007.json``); the pointer file ``_manifest/_CURRENT``
+  names the live version and is swapped via tmp + ``FileSystem.rename`` —
+  the same single-file atomicity primitive the reference relies on, applied
+  to the pointer instead of every data file.
+- Readers resolve ``_CURRENT`` → manifest → concrete directories.  A crash
+  at ANY point before the pointer swap leaves only orphan generation
+  directories that no manifest references: readers keep seeing the previous
+  generation of every partition (all-or-nothing visibility).  ``vacuum``
+  deletes unreferenced generations afterwards.
+- If ``_CURRENT`` itself is lost mid-swap (the only non-atomic window on
+  object stores without atomic rename), recovery is deterministic: the
+  highest-numbered manifest version wins.
+
+Scale: the manifest is O(live partitions) of a few dozen bytes each —
+driver-side JSON, same order as Iceberg's manifest list.  Data-file IO is
+identical to the non-atomic path (one append-mode partitioned write);
+the commit adds two tiny file writes and one rename, independent of data
+volume.  Single-writer per table, like the reference.
+"""
+
+from __future__ import annotations
+
+import json
+import uuid
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+MANIFEST_DIR = "_manifest"
+CURRENT = "_CURRENT"
+GEN_COL = "__gen"
+ROOT_PART = "__ROOT__"  # partition key used for unpartitioned tables
+
+
+# ---------------------------------------------------------------- fs helpers
+
+
+def _fs(spark: SparkSession, path: str):
+    jvm = spark.sparkContext._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    return jvm, fs, jpath
+
+
+def _read_text(spark: SparkSession, path: str) -> str | None:
+    jvm, fs, jpath = _fs(spark, path)
+    if not fs.exists(jpath):
+        return None
+    stream = fs.open(jpath)
+    try:
+        return jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
+    finally:
+        stream.close()
+
+
+def _write_text_atomic(spark: SparkSession, path: str, text: str) -> None:
+    """Write ``path`` via tmp + rename — visible all-or-nothing."""
+    jvm, fs, dst = _fs(spark, path)
+    tmp = jvm.org.apache.hadoop.fs.Path(f"{path}.tmp-{uuid.uuid4().hex[:8]}")
+    out = fs.create(tmp, True)
+    try:
+        out.write(bytearray(text.encode("utf-8")))
+    finally:
+        out.close()
+    if not fs.rename(tmp, dst):
+        # HDFS rename refuses an existing destination: delete-then-rename.
+        # The pointer being briefly absent is recoverable (readers fall
+        # back to the highest manifest version), unlike a torn write.
+        fs.delete(dst, False)
+        if not fs.rename(tmp, dst):
+            raise IOError(f"atomic rename to {path} failed twice")
+
+
+# ------------------------------------------------------------ manifest state
+
+
+def _manifest_path(table_path: str, version: int) -> str:
+    return f"{table_path}/{MANIFEST_DIR}/v{version:08d}.json"
+
+
+def _list_versions(spark: SparkSession, table_path: str) -> list[int]:
+    jvm, fs, mdir = _fs(spark, f"{table_path}/{MANIFEST_DIR}")
+    if not fs.exists(mdir):
+        return []
+    out = []
+    for st in fs.listStatus(mdir):
+        name = st.getPath().getName()
+        if name.startswith("v") and name.endswith(".json"):
+            try:
+                out.append(int(name[1:-5]))
+            except ValueError:
+                pass
+    return sorted(out)
+
+
+def current_manifest(spark: SparkSession, table_path: str) -> dict | None:
+    """The live manifest, or None if the table has never committed.
+
+    Resolution order: ``_CURRENT`` pointer, else highest manifest version
+    (recovery after a lost pointer swap).
+    """
+    ptr = _read_text(spark, f"{table_path}/{MANIFEST_DIR}/{CURRENT}")
+    if ptr is not None:
+        text = _read_text(spark, f"{table_path}/{MANIFEST_DIR}/{ptr.strip()}")
+        if text is not None:
+            return json.loads(text)
+    versions = _list_versions(spark, table_path)
+    if not versions:
+        return None
+    return json.loads(_read_text(spark, _manifest_path(table_path, versions[-1])))
+
+
+def commit_manifest(
+    spark: SparkSession, table_path: str, partitions: dict[str, str], **extra
+) -> dict:
+    """Publish a new manifest mapping partition-path → generation id and
+    atomically swing ``_CURRENT`` to it."""
+    prev = current_manifest(spark, table_path)
+    version = (prev["version"] + 1) if prev else 1
+    manifest = {"version": version, "partitions": partitions, **extra}
+    _write_text_atomic(
+        spark, _manifest_path(table_path, version), json.dumps(manifest, indent=1)
+    )
+    _write_text_atomic(
+        spark,
+        f"{table_path}/{MANIFEST_DIR}/{CURRENT}",
+        f"v{version:08d}.json",
+    )
+    return manifest
+
+
+# ------------------------------------------------------------------ read side
+
+
+def _partition_dirs(table_path: str, manifest: dict) -> list[str]:
+    dirs = []
+    for ppath, gid in manifest["partitions"].items():
+        base = table_path if ppath == ROOT_PART else f"{table_path}/{ppath}"
+        dirs.append(f"{base}/{GEN_COL}={gid}")
+    return dirs
+
+
+def read_table(spark: SparkSession, table_path: str) -> DataFrame | None:
+    """Resolve the live generation of every partition and read exactly those
+    directories.  Returns None for a never-committed (or fully empty) table."""
+    manifest = current_manifest(spark, table_path)
+    if manifest is None or not manifest["partitions"]:
+        return None
+    dirs = _partition_dirs(table_path, manifest)
+    return spark.read.option("basePath", table_path).parquet(*dirs).drop(GEN_COL)
+
+
+# ----------------------------------------------------------------- write side
+
+
+def _partition_path_strings(
+    spark: SparkSession, df: DataFrame, partition_cols: Sequence[str]
+) -> list[str]:
+    """Hive-escaped relative partition paths for the distinct partition
+    values in ``df`` — uses Spark's OWN escaping so the strings match the
+    directories ``partitionBy`` writes (':' → '%3A', NULL → default, …)."""
+    esc = spark.sparkContext._jvm.org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+    out = []
+    for r in df.select(*partition_cols).distinct().collect():
+        out.append(
+            "/".join(
+                esc.getPartitionPathString(
+                    c, "" if r[c] is None else str(r[c])
+                )
+                for c in partition_cols
+            )
+        )
+    return out
+
+
+def write_generation(
+    df: DataFrame,
+    table_path: str,
+    partition_cols: Sequence[str],
+    gid: str | None = None,
+) -> str:
+    """Append one immutable generation of data files; invisible to readers
+    until a manifest referencing ``gid`` is committed."""
+    gid = gid or uuid.uuid4().hex[:12]
+    tagged = df.withColumn(GEN_COL, F.lit(gid))
+    if partition_cols:
+        (
+            tagged.repartition(*[F.col(c) for c in partition_cols])
+            .write.mode("append")
+            .partitionBy(*partition_cols, GEN_COL)
+            .parquet(table_path)
+        )
+    else:
+        tagged.write.mode("append").partitionBy(GEN_COL).parquet(table_path)
+    return gid
+
+
+def atomic_overwrite(
+    spark: SparkSession, df: DataFrame, table_path: str
+) -> dict:
+    """Replace a whole (unpartitioned) table in one atomic step: write the
+    new generation, then swing the pointer.  Readers never observe a
+    mid-rewrite state — the fix for the read-then-overwrite-same-path window
+    the plain ``mode("overwrite")`` rewrite has."""
+    gid = write_generation(df, table_path, [])
+    return commit_manifest(spark, table_path, {ROOT_PART: gid})
+
+
+def atomic_upsert_partitioned(
+    spark: SparkSession,
+    incoming: DataFrame,
+    path: str,
+    keys: Sequence[str],
+    order_cols: Sequence[str],
+    partition_cols: Sequence[str],
+    preserve_cols: Sequence[str] = (),
+    flag_cols: Sequence[str] = (),
+    ledger_path: str | None = None,
+    digest_cols: Sequence[str] | None = None,
+) -> dict:
+    """`sinks.upsert_partitioned` semantics (keep-last merge, LIVE_ONLY
+    preservation, flag OR) with an atomic multi-partition commit: all
+    touched partitions flip to the new generation in one pointer swap, or
+    none do.  Returns the committed manifest.
+
+    The merge reads existing rows through the manifest (only the touched
+    partitions' live generations), writes the merged output as a NEW
+    generation alongside the old one, then publishes a manifest where
+    touched partitions point at the new generation, emptied partitions
+    disappear, and untouched partitions keep their old mapping.
+    """
+    from crypto_datalake_spark.sinks import (
+        frame_schema_hash,
+        ledger_entries,
+        merge_frames,
+        upsert_ledger,
+    )
+
+    cols = incoming.columns
+    manifest = current_manifest(spark, path)
+    existing = None
+    if manifest is not None and manifest["partitions"]:
+        existing = read_table(spark, path).select(*cols)
+        touched_dirs = incoming.select(*partition_cols).distinct()
+        existing = existing.join(
+            F.broadcast(touched_dirs), list(partition_cols), "left_semi"
+        )
+
+    out = merge_frames(incoming, existing, keys, order_cols, preserve_cols, flag_cols)
+    out = out.persist()
+    try:
+        gid = write_generation(out, path, partition_cols)
+
+        touched = set(
+            _partition_path_strings(spark, incoming, partition_cols)
+        )
+        present = set(_partition_path_strings(spark, out, partition_cols))
+        parts = dict(manifest["partitions"]) if manifest else {}
+        for p in touched:
+            parts.pop(p, None)  # emptied partitions stay gone
+        for p in present:
+            parts[p] = gid
+        committed = commit_manifest(
+            spark, path, parts, schema_hash=frame_schema_hash(out)
+        )
+
+        if ledger_path is not None:
+            entries = ledger_entries(
+                out, partition_cols, order_cols[0], digest_cols or keys
+            ).withColumn("generation", F.lit(gid))
+            upsert_ledger(
+                spark, ledger_path, entries, partition_cols, frame_schema_hash(out)
+            )
+        return committed
+    finally:
+        out.unpersist()
+
+
+# -------------------------------------------------------------------- vacuum
+
+
+def vacuum(spark: SparkSession, table_path: str, keep_manifests: int = 3) -> int:
+    """Delete generation directories no manifest retains and old manifest
+    versions beyond ``keep_manifests``.  Returns the number of directories
+    removed.  Safe any time AFTER readers of older manifests have drained
+    (same contract as Iceberg's expire-snapshots)."""
+    manifest = current_manifest(spark, table_path)
+    if manifest is None:
+        return 0
+    versions = _list_versions(spark, table_path)
+    keep_versions = set(versions[-keep_manifests:])
+    live: set[tuple[str, str]] = set()
+    for v in sorted(keep_versions):
+        m = json.loads(_read_text(spark, _manifest_path(table_path, v)))
+        live.update(m["partitions"].items())
+
+    jvm, fs, root = _fs(spark, table_path)
+    removed = 0
+
+    def walk(dir_path, rel):
+        nonlocal removed
+        for st in fs.listStatus(dir_path):
+            if not st.isDirectory():
+                continue
+            name = st.getPath().getName()
+            if name == MANIFEST_DIR:
+                continue
+            if name.startswith(f"{GEN_COL}="):
+                gid = name.split("=", 1)[1]
+                key = (rel if rel else ROOT_PART, gid)
+                if key not in live:
+                    fs.delete(st.getPath(), True)
+                    removed += 1
+            else:
+                walk(st.getPath(), f"{rel}/{name}" if rel else name)
+
+    walk(root, "")
+    for v in versions:
+        if v not in keep_versions:
+            fs.delete(
+                jvm.org.apache.hadoop.fs.Path(_manifest_path(table_path, v)), False
+            )
+    return removed

@@ -446,7 +446,7 @@ def test_write_audit_ledger_idempotent_repair(spark, tmp_path):
     records row_count/min-max ts/schema+content hash per rewritten
     partition; a repair rewrite replaces exactly the touched rows, and
     re-upserting identical data leaves every audit value unchanged."""
-    from crypto_datalake_spark.sinks import upsert_partitioned
+    from crypto_datalake_spark.sinks import read_ledger, upsert_partitioned
 
     data, ledger = str(tmp_path / "lake"), str(tmp_path / "ledger")
     ddl = "sym string, ts timestamp_ntz, v double, day string"
@@ -458,7 +458,7 @@ def test_write_audit_ledger_idempotent_repair(spark, tmp_path):
     kw = dict(keys=["sym", "ts"], order_cols=["ts"], partition_cols=["day"],
               ledger_path=ledger)
     upsert_partitioned(spark, spark.createDataFrame(rows1, ddl), data, **kw)
-    led1 = {r["day"]: r for r in spark.read.parquet(ledger).collect()}
+    led1 = {r["day"]: r for r in read_ledger(spark, ledger).collect()}
     assert led1["d1"]["row_count"] == 3
     assert led1["d1"]["min_ts"] == dt.datetime(2024, 1, 1, 0, 0)
     assert led1["d1"]["max_ts"] == dt.datetime(2024, 1, 1, 0, 1)
@@ -466,14 +466,14 @@ def test_write_audit_ledger_idempotent_repair(spark, tmp_path):
 
     # identical re-upsert: every audit value unchanged (incl. content hash)
     upsert_partitioned(spark, spark.createDataFrame(rows1, ddl), data, **kw)
-    led2 = {r["day"]: r for r in spark.read.parquet(ledger).collect()}
+    led2 = {r["day"]: r for r in read_ledger(spark, ledger).collect()}
     for f in ("row_count", "min_ts", "max_ts", "content_hash", "schema_hash"):
         assert led2["d1"][f] == led1["d1"][f], f
 
     # repair touching only d2: d1's ledger row must survive untouched
     rows2 = [("A", dt.datetime(2024, 1, 2, 0, 0), 9.0, "d2")]
     upsert_partitioned(spark, spark.createDataFrame(rows2, ddl), data, **kw)
-    led3 = {r["day"]: r for r in spark.read.parquet(ledger).collect()}
+    led3 = {r["day"]: r for r in read_ledger(spark, ledger).collect()}
     assert set(led3) == {"d1", "d2"}
     assert led3["d1"]["content_hash"] == led1["d1"]["content_hash"]
     assert led3["d2"]["row_count"] == 1
@@ -481,7 +481,7 @@ def test_write_audit_ledger_idempotent_repair(spark, tmp_path):
     # a real repair changes the content hash for exactly that partition
     rows3 = [("B", dt.datetime(2024, 1, 2, 0, 5), 7.0, "d2")]
     upsert_partitioned(spark, spark.createDataFrame(rows3, ddl), data, **kw)
-    led4 = {r["day"]: r for r in spark.read.parquet(ledger).collect()}
+    led4 = {r["day"]: r for r in read_ledger(spark, ledger).collect()}
     assert led4["d2"]["row_count"] == 2
     assert led4["d2"]["content_hash"] != led3["d2"]["content_hash"]
     assert led4["d1"]["content_hash"] == led1["d1"]["content_hash"]
@@ -574,6 +574,7 @@ def test_read_existing_reraises_non_path_errors(spark, tmp_path):
 
 def test_merge_scd2_versions_and_idempotence(spark, tmp_path):
     from crypto_datalake_spark.sinks import merge_scd2
+    from crypto_datalake_spark.txn import read_table
 
     path = str(tmp_path / "dim")
     ddl = "k bigint, attr string, ts timestamp_ntz"
@@ -587,7 +588,7 @@ def test_merge_scd2_versions_and_idempotence(spark, tmp_path):
     )
     merge_scd2(spark, v2, path, keys=["k"], tracked_cols=["attr"], ts_col="ts")
 
-    got = spark.read.parquet(path)
+    got = read_table(spark, path)
     k1 = sorted(got.where("k = 1").collect(), key=lambda r: r["valid_from"])
     assert [(r["attr"], r["is_current"]) for r in k1] == [("a", False), ("b", True)]
     assert k1[0]["valid_to"] == k1[1]["valid_from"] == _ts(2)
@@ -596,4 +597,4 @@ def test_merge_scd2_versions_and_idempotence(spark, tmp_path):
 
     # replaying the same merge is idempotent
     merge_scd2(spark, v2, path, keys=["k"], tracked_cols=["attr"], ts_col="ts")
-    assert spark.read.parquet(path).count() == 3
+    assert read_table(spark, path).count() == 3

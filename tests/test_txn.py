@@ -1,0 +1,177 @@
+"""Atomic multi-partition commit protocol (txn.py) — crash injection.
+
+The contract under test: a crash at ANY point before the manifest pointer
+swap leaves readers on the previous generation of every partition
+(all-or-nothing visibility), and vacuum reclaims the orphans afterwards.
+Mirrors the reference's writer atomicity guarantee (writer/atomic.py:27-117)
+extended from one partition file to a whole multi-partition commit.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+from crypto_datalake_spark import txn
+from crypto_datalake_spark.sinks import read_ledger
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(
+        rows, "sym string, ts timestamp_ntz, v double, day string"
+    )
+
+
+_T = lambda m: dt.datetime(2024, 1, 1, 0, m)  # noqa: E731
+
+KW = dict(keys=["sym", "ts"], order_cols=["ts"], partition_cols=["day"])
+
+
+def _snapshot(spark, path):
+    return sorted(
+        (r["sym"], r["ts"], r["v"], r["day"])
+        for r in txn.read_table(spark, path).collect()
+    )
+
+
+def test_atomic_upsert_merges_and_is_idempotent(spark, tmp_path):
+    path = str(tmp_path / "lake")
+    v1 = [("A", _T(0), 1.0, "d1"), ("A", _T(1), 2.0, "d1"), ("B", _T(0), 3.0, "d2")]
+    m1 = txn.atomic_upsert_partitioned(spark, _df(spark, v1), path, **KW)
+    assert m1["version"] == 1
+    assert _snapshot(spark, path) == sorted(v1)
+
+    # upsert overwriting one key + adding one row in d1 only
+    v2 = [("A", _T(1), 20.0, "d1"), ("C", _T(2), 5.0, "d1")]
+    m2 = txn.atomic_upsert_partitioned(spark, _df(spark, v2), path, **KW)
+    assert m2["version"] == 2
+    want = sorted([("A", _T(0), 1.0, "d1"), ("A", _T(1), 20.0, "d1"),
+                   ("C", _T(2), 5.0, "d1"), ("B", _T(0), 3.0, "d2")])
+    assert _snapshot(spark, path) == want
+    # untouched partition keeps its original generation mapping
+    assert m2["partitions"]["day=d2"] == m1["partitions"]["day=d2"]
+    assert m2["partitions"]["day=d1"] != m1["partitions"]["day=d1"]
+
+    # replay is a no-op on content
+    txn.atomic_upsert_partitioned(spark, _df(spark, v2), path, **KW)
+    assert _snapshot(spark, path) == want
+
+
+def test_crash_before_pointer_swap_leaves_old_generation(spark, tmp_path, monkeypatch):
+    path = str(tmp_path / "lake")
+    v1 = [("A", _T(0), 1.0, "d1"), ("B", _T(0), 3.0, "d2")]
+    txn.atomic_upsert_partitioned(spark, _df(spark, v1), path, **KW)
+    before = _snapshot(spark, path)
+
+    # crash AFTER all data files of the new generation are on disk but
+    # BEFORE the manifest commit — the torn-lake scenario for plain
+    # dynamic partition overwrite
+    real_commit = txn.commit_manifest
+
+    def boom(*a, **k):
+        raise RuntimeError("injected crash before manifest swap")
+
+    monkeypatch.setattr(txn, "commit_manifest", boom)
+    v2 = [("A", _T(0), 99.0, "d1"), ("B", _T(0), 99.0, "d2")]
+    with pytest.raises(RuntimeError, match="injected crash"):
+        txn.atomic_upsert_partitioned(spark, _df(spark, v2), path, **KW)
+    monkeypatch.setattr(txn, "commit_manifest", real_commit)
+
+    # readers: completely unaffected — not one partition flipped
+    assert _snapshot(spark, path) == before
+
+    # retry succeeds and lands the FULL commit
+    txn.atomic_upsert_partitioned(spark, _df(spark, v2), path, **KW)
+    assert _snapshot(spark, path) == sorted(v2)
+
+    # vacuum reclaims the orphan generation dirs from the crashed attempt
+    removed = txn.vacuum(spark, path, keep_manifests=1)
+    assert removed >= 2  # d1+d2 orphans (crashed) and superseded gen dirs
+    assert _snapshot(spark, path) == sorted(v2)
+
+
+def test_lost_pointer_recovers_from_highest_manifest(spark, tmp_path):
+    path = str(tmp_path / "lake")
+    txn.atomic_upsert_partitioned(spark, _df(spark, [("A", _T(0), 1.0, "d1")]), path, **KW)
+    txn.atomic_upsert_partitioned(spark, _df(spark, [("A", _T(0), 2.0, "d1")]), path, **KW)
+    # simulate a crash between pointer delete and rename
+    jvm, fs, _ = txn._fs(spark, path)
+    fs.delete(jvm.org.apache.hadoop.fs.Path(
+        f"{path}/{txn.MANIFEST_DIR}/{txn.CURRENT}"), False)
+    assert [r["v"] for r in txn.read_table(spark, path).collect()] == [2.0]
+
+
+def test_untouched_partitions_survive_repair(spark, tmp_path):
+    path = str(tmp_path / "lake")
+    v1 = [("A", _T(0), 1.0, "d1"), ("B", _T(0), 3.0, "d2")]
+    txn.atomic_upsert_partitioned(spark, _df(spark, v1), path, **KW)
+    # repair writes only into d2; d1 keeps its old generation and rows
+    repair = _df(spark, [("A", _T(1), 5.0, "d2")])
+    m = txn.atomic_upsert_partitioned(spark, repair, path, **KW)
+    assert m["partitions"].keys() == {"day=d1", "day=d2"}
+    got = _snapshot(spark, path)
+    assert ("A", _T(0), 1.0, "d1") in got
+    assert ("A", _T(1), 5.0, "d2") in got and ("B", _T(0), 3.0, "d2") in got
+
+
+def test_ledger_append_only_and_shrinking_repair(spark, tmp_path):
+    """Ledger commits append (cost independent of ledger size); read_ledger
+    resolves the latest row per partition, so a repair that SHRANK a
+    partition's span moves the watermark back instead of sticking."""
+    import glob
+
+    from crypto_datalake_spark.functions.fetch_planner import latest_watermarks
+
+    path, ledger = str(tmp_path / "lake"), str(tmp_path / "ledger")
+    kw = dict(**KW, ledger_path=ledger)
+    v1 = [("A", _T(0), 1.0, "d1"), ("A", _T(9), 2.0, "d1")]
+    txn.atomic_upsert_partitioned(spark, _df(spark, v1), path, **kw)
+    files1 = set(glob.glob(f"{ledger}/*.parquet"))
+
+    # second commit: prior ledger files must be untouched (pure append)
+    v2 = [("B", _T(5), 3.0, "d2")]
+    txn.atomic_upsert_partitioned(spark, _df(spark, v2), path, **kw)
+    files2 = set(glob.glob(f"{ledger}/*.parquet"))
+    assert files1 <= files2 and len(files2) > len(files1)
+
+    led = {r["day"]: r for r in read_ledger(spark, ledger).collect()}
+    assert led["d1"]["row_count"] == 2 and led["d2"]["row_count"] == 1
+    assert "generation" in read_ledger(spark, ledger).columns
+
+    # shrinking repair: a replace-style writer re-commits d1 with a smaller
+    # span (e.g. bad late rows were cut).  The ledger append supersedes the
+    # old row, so the watermark must move BACK to _T(0) — under the old
+    # max-over-all-rows read it stayed stuck at _T(9).
+    from crypto_datalake_spark.sinks import frame_schema_hash, ledger_entries, upsert_ledger
+
+    shrunk = _df(spark, [("A", _T(0), 1.0, "d1")])
+    upsert_ledger(
+        spark, ledger,
+        ledger_entries(shrunk, ["day"], "ts", ["sym", "ts"]),
+        ["day"], frame_schema_hash(shrunk),
+    )
+    wm = {r["day"]: r["watermark"]
+          for r in latest_watermarks(spark, ledger, ["day"]).collect()}
+    assert wm["d1"] == _T(0)
+    assert wm["d2"] == _T(5)
+
+    # compaction folds the log without changing the resolved state
+    from crypto_datalake_spark.sinks import compact_ledger
+
+    compact_ledger(spark, ledger)
+    led_c = {r["day"]: r for r in read_ledger(spark, ledger).collect()}
+    assert led_c["d1"]["row_count"] == 1 and led_c["d2"]["row_count"] == 1
+
+
+def test_atomic_overwrite_no_torn_reads(spark, tmp_path):
+    path = str(tmp_path / "dim")
+    df1 = spark.createDataFrame([(1, "a")], "k bigint, attr string")
+    txn.atomic_overwrite(spark, df1, path)
+    snap = txn.read_table(spark, path)  # resolved BEFORE the next commit
+    df2 = spark.createDataFrame([(1, "b"), (2, "c")], "k bigint, attr string")
+    txn.atomic_overwrite(spark, df2, path)
+    # the old snapshot still reads cleanly (its generation is intact) …
+    assert [r["attr"] for r in snap.collect()] == ["a"]
+    # … and new readers see the new generation
+    assert sorted(r["attr"] for r in txn.read_table(spark, path).collect()) == ["b", "c"]
