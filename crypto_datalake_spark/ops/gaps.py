@@ -34,26 +34,84 @@ def islands(
     ts_col: str,
     step_minutes: int,
     by: Sequence[str] = (),
+    bucket_slots: int = 1440,
 ) -> DataFrame:
     """Coalesce a set of step-aligned timestamps into contiguous
     [window_start, window_end] ranges (inclusive), per ``by`` group.
 
     Output: by..., window_start, window_end, n_slots.
+
+    Scale shape — two-phase, no unpartitioned window over the data:
+
+    1. bucket slots by value (``bucket_slots`` slots per bucket, one day
+       for a minute step) and find runs INSIDE each (by, bucket) — the
+       classic ts−row_number trick, parallel across buckets;
+    2. only runs touching a bucket edge (first/last slot of their bucket)
+       can continue across buckets.  Those boundary runs — at most two per
+       bucket, regardless of data volume — go through a per-``by`` chain
+       merge (lag + running-sum sessionize over slot adjacency); interior
+       runs pass straight through.
+
+    The single remaining per-group-ordered window therefore scans a frame
+    bounded by 2×#buckets rows, not by the data. A fully contiguous year
+    of minutes is ~365 boundary runs folding into one island.
     """
     step = step_minutes * 60
-    w = Window.partitionBy(*by).orderBy(F.col(ts_col).asc())
     base = F.lit("1970-01-01 00:00:00").cast("timestamp_ntz")
-    secs = F.timestamp_diff("SECOND", base, F.col(ts_col))
-    grp = (secs / step - F.row_number().over(w)).cast("long")
-    return (
-        df.select(*by, F.col(ts_col), grp.alias("__grp"))
-        .groupBy(*by, "__grp")
+    slot = (F.timestamp_diff("SECOND", base, F.col(ts_col)) / step).cast("long")
+    d = df.select(*by, slot.alias("__slot")).distinct()
+    d = d.withColumn("__bucket", F.expr(f"__slot div {int(bucket_slots)}"))
+
+    # phase 1: runs inside each (by, bucket)
+    w1 = Window.partitionBy(*by, "__bucket").orderBy(F.col("__slot").asc())
+    segs = (
+        d.withColumn("__grp", F.col("__slot") - F.row_number().over(w1))
+        .groupBy(*by, "__bucket", "__grp")
         .agg(
-            F.min(ts_col).alias("window_start"),
-            F.max(ts_col).alias("window_end"),
+            F.min("__slot").alias("__s"),
+            F.max("__slot").alias("__e"),
             F.count(F.lit(1)).alias("n_slots"),
         )
         .drop("__grp")
+    )
+    at_edge = (F.col("__s") == F.col("__bucket") * bucket_slots) | (
+        F.col("__e") == (F.col("__bucket") + 1) * bucket_slots - 1
+    )
+    interior = segs.where(~at_edge)
+    boundary = segs.where(at_edge)
+
+    # phase 2: chain-merge boundary runs (≤ 2 per bucket) per group
+    w2 = Window.partitionBy(*by).orderBy(F.col("__s").asc())
+    brk = F.when(
+        F.lag("__e").over(w2).isNull()
+        | (F.col("__s") != F.lag("__e").over(w2) + 1),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    merged = (
+        boundary.withColumn("__brk", brk)
+        .withColumn(
+            "__chain",
+            F.sum("__brk").over(w2.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .groupBy(*by, "__chain")
+        .agg(
+            F.min("__s").alias("__s"),
+            F.max("__e").alias("__e"),
+            F.sum("n_slots").alias("n_slots"),
+        )
+        .drop("__chain")
+    )
+
+    ts_of = lambda c: F.timestamp_add("SECOND", (F.col(c) * step).cast("long"), base)  # noqa: E731
+    return (
+        interior.select(*by, "__s", "__e", "n_slots")
+        .unionByName(merged.select(*by, "__s", "__e", "n_slots"))
+        .select(
+            *by,
+            ts_of("__s").alias("window_start"),
+            ts_of("__e").alias("window_end"),
+            F.col("n_slots"),
+        )
     )
 
 

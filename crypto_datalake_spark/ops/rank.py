@@ -1,0 +1,91 @@
+"""Distributed global ranking — no single-task sort over the data.
+
+``row_number() OVER (ORDER BY ...)`` with no PARTITION BY collapses the
+whole input into ONE task (Spark itself logs "No Partition Defined ...
+serious performance degradation").  The scale-out equivalent is the
+range-partitioned two-phase rank:
+
+1. ``repartitionByRange`` on the order columns — rows land in range-sorted
+   partitions (equal keys always share a partition, so ranks stay
+   deterministic);
+2. rank locally inside each physical partition (window partitioned by
+   ``spark_partition_id()``);
+3. add each partition's exclusive row-count offset — a frame of
+   #partitions rows, computed with one tiny aggregate and broadcast back.
+
+The only serial structure left is the offset prefix over #partitions
+values — constant-bounded, independent of data volume.  Same shape as
+``ops/prefix.cum_before`` (two-phase scan), applied to ranking.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+_PID = "__pid"
+_LRK = "__local_rk"
+_OFF = "__rank_offset"
+
+
+def global_row_number(
+    df: DataFrame,
+    order_exprs: Sequence[Column],
+    out_col: str = "rk",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact global ``row_number`` in ``order_exprs`` order without a
+    single-partition window over the data.
+
+    ``order_exprs`` should define a TOTAL order (add a unique tiebreak
+    column) so the result is deterministic.
+    """
+    ranged = (
+        df.repartitionByRange(num_partitions, *order_exprs)
+        if num_partitions
+        else df.repartitionByRange(*order_exprs)
+    )
+    pid = ranged.withColumn(_PID, F.spark_partition_id())
+
+    local_w = Window.partitionBy(_PID).orderBy(*order_exprs)
+    local = pid.withColumn(_LRK, F.row_number().over(local_w))
+
+    # exclusive prefix of partition row-counts: #partitions rows, ordered
+    # by pid (range partitions are already in global key order)
+    counts = pid.groupBy(_PID).agg(F.count(F.lit(1)).alias("__n"))
+    off_w = Window.orderBy(_PID).rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.withColumn(
+        _OFF, F.coalesce(F.sum("__n").over(off_w), F.lit(0))
+    ).drop("__n")
+
+    return (
+        local.join(F.broadcast(offsets), _PID)
+        .withColumn(out_col, (F.col(_OFF) + F.col(_LRK)).cast("int"))
+        .drop(_PID, _LRK, _OFF)
+    )
+
+
+def ranked_topk(
+    df: DataFrame,
+    order_exprs: Sequence[Column],
+    k: int,
+    out_col: str = "rk",
+) -> DataFrame:
+    """Global top-k WITH exact ranks: prune to the best k rows per input
+    partition first (parallel), then rank only the surviving ≤ k·P rows.
+    The final total-order window runs over a constant-bounded frame, so
+    it is scale-safe the way phase 2 of a two-phase scan is."""
+    pruned_w = Window.partitionBy(_PID).orderBy(*order_exprs)
+    pruned = (
+        df.withColumn(_PID, F.spark_partition_id())
+        .withColumn(_LRK, F.row_number().over(pruned_w))
+        .where(F.col(_LRK) <= k)
+        .drop(_PID, _LRK)
+    )
+    final_w = Window.orderBy(*order_exprs)
+    return (
+        pruned.withColumn(out_col, F.row_number().over(final_w))
+        .where(F.col(out_col) <= k)
+    )

@@ -171,11 +171,14 @@ def s13_sql_view(spark, sf_dir):
     doc="O1+W6: multi-column sort with explicit nulls-last placement + "
     "top-k limit, certified by emitting the rank itself (ref: "
     "aggregator/source_reader.py:52-56 sort(nulls_last=True); tail(limit) "
-    "live_data_api_service/aggregation.py:170-171). Spark executes "
-    "row_number+filter as TakeOrderedAndProject — no full sort at scale.",
+    "live_data_api_service/aggregation.py:170-171). Scale shape: "
+    "ops/rank.ranked_topk — per-partition top-k prune in parallel, then "
+    "exact ranks over the surviving ≤ k·P rows; the data never flows "
+    "through an unpartitioned window (which would serialize the sort "
+    "into one task).",
 )
 def o1_sort_rank_nulls_last(spark, sf_dir):
-    from pyspark.sql import Window
+    from crypto_datalake_spark.ops.rank import ranked_topk
 
     ev = events(spark, sf_dir).select(
         "event_id",
@@ -183,8 +186,11 @@ def o1_sort_rank_nulls_last(spark, sf_dir):
         .otherwise(F.col("value"))
         .alias("v_nullable"),
     )
-    w = Window.orderBy(F.col("v_nullable").desc_nulls_last(), F.col("event_id").asc())
-    return ev.withColumn("rk", F.row_number().over(w)).where(F.col("rk") <= 500)
+    return ranked_topk(
+        ev,
+        [F.col("v_nullable").desc_nulls_last(), F.col("event_id").asc()],
+        500,
+    )
 
 
 @register(

@@ -631,23 +631,28 @@ def sample_stratified(spark, sf_dir):
     """,
     doc="Corpus vocabulary statistics: term frequency and document "
     "frequency per token, top-50 by tf — the tokenizer-training / "
-    "stopword-mining / idf-weighting primitive. One explode + one "
-    "aggregation: tf partial-aggregates map-side before the token "
-    "shuffle; df is a two-phase distinct-within-group. The final top-k "
-    "is a TakeOrdered over the aggregated (small) vocab frame, never "
-    "over the exploded token stream. Token explosion is the dominant "
-    "fan-out at 100 TB (~words-per-doc × docs rows) but carries only "
-    "(doc_id, token) — project before exploding.",
+    "stopword-mining / idf-weighting primitive. Skew-safe shape for "
+    "stopword-grade hot tokens: tf is a plain count (map-side partial "
+    "aggregation collapses each token to one row per task before the "
+    "shuffle — a hot key costs nothing extra), and df first dedups "
+    "(token, doc_id) PAIRS (shuffle key includes doc_id, so 'the' "
+    "spreads over every partition) and only then counts per token, "
+    "again partial-aggregated. A single mixed count+countDistinct agg "
+    "would instead Expand the exploded stream and funnel every distinct "
+    "(hot-token, doc) pair through one reducer. The final top-k is a "
+    "TakeOrdered over the vocab-sized frame, never the token stream.",
 )
 def corpus_vocab_stats(spark, sf_dir):
     d = t(spark, sf_dir, "documents")
     tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    tf = tok.groupBy("token").agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    df_ = (
+        tok.distinct()
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("long").alias("df"))
+    )
     return (
-        tok.groupBy("token")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("tf"),
-            F.countDistinct("doc_id").cast("long").alias("df"),
-        )
+        tf.join(df_, "token")
         .orderBy(F.col("tf").desc(), "token")
         .limit(50)
     )

@@ -27,7 +27,6 @@ Scale notes:
 
 from __future__ import annotations
 
-from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from crypto_datalake_spark.queries.common import t
@@ -143,24 +142,25 @@ _PACK_BUDGET = 256  # tokens per packed training sequence
     "budget): documents are concatenated per source stream in doc_id "
     "order and chunked into fixed-budget training sequences; each doc "
     "gets its pack id, offset within the pack, and how many packs it "
-    "spans. ONE window pass per stream — the running token count is "
-    "the entire algorithm; packed sequences are never materialised. "
-    "The standard pre-tokenizer assembly step (GPT-style causal-LM "
-    "batching). At 100 TB: one shuffle on the stream key; streams are "
-    "independent so skew is bounded by the largest single stream.",
+    "spans. The running token count is the entire algorithm; packed "
+    "sequences are never materialised. The standard pre-tokenizer "
+    "assembly step (GPT-style causal-LM batching). At 100 TB the "
+    "running sum is a TWO-PHASE distributed scan (ops/prefix.py): "
+    "local sums per (source, doc_id-bucket) in parallel, then bucket "
+    "offsets from a bucket-count-sized frame broadcast back — a "
+    "single-window-per-stream plan would serialize each source stream "
+    "into one task (a corpus is a handful of giant streams, so that "
+    "is the worst possible skew).",
 )
 def sequence_packing(spark, sf_dir):
+    from crypto_datalake_spark.ops.prefix import cum_before
+
     d = t(spark, sf_dir, "documents").select(
         "doc_id",
         "source",
         F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
     )
-    w = (
-        Window.partitionBy("source")
-        .orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    c = d.withColumn("cum_before", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)))
+    c = cum_before(d, ["source"], "doc_id", "n_tokens")
     first_pack = F.expr(f"cum_before div {_PACK_BUDGET}")
     last_pack = F.expr(f"(cum_before + n_tokens - 1) div {_PACK_BUDGET}")
     return c.select(

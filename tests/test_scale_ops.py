@@ -7,7 +7,6 @@ import re
 from pyspark.sql import functions as F
 
 from crypto_datalake_spark.ops.agg import dsum
-from crypto_datalake_spark.ops.skew import salted_agg
 from tests.test_scale_plans import plan_text
 
 
@@ -43,28 +42,19 @@ def test_bucketed_join_has_no_shuffle(spark, tmp_path):
     spark.sql("DROP TABLE IF EXISTS b_dim")
 
 
-def test_salted_agg_matches_direct(spark, sf_dir):
-    from crypto_datalake_spark.queries.common import events
+def test_vocab_df_dedups_pairs_before_token_shuffle(spark, sf_dir):
+    # Aggregation-skew posture: algebraic aggregates (sum/count/min/max)
+    # are skew-immune via map-side partial aggregation, so no salting
+    # layer exists; the one non-combinable shape we use, per-token
+    # document frequency, must dedup (token, doc_id) PAIRS first so the
+    # hot-token shuffle key includes doc_id.  Plan contract: the vocab
+    # query contains a pair-level HashAggregate (keys token+doc_id) and
+    # no Expand (the mixed count+countDistinct plan fingerprint).
+    from crypto_datalake_spark.queries import REGISTRY
 
-    ev = events(spark, sf_dir)
-    direct = ev.groupBy("event_type").agg(
-        F.count(F.lit(1)).alias("n"), dsum("value").alias("total")
-    )
-    salted = salted_agg(
-        ev,
-        ["event_type"],
-        {
-            "n": (F.count(F.lit(1)), F.sum("n")),
-            "total": (
-                F.sum(F.col("value").cast("decimal(28,6)")),
-                F.sum("total").cast("double"),
-            ),
-        },
-        n_salts=16,
-    )
-    d = {r["event_type"]: (r["n"], r["total"]) for r in direct.collect()}
-    s = {r["event_type"]: (r["n"], r["total"]) for r in salted.collect()}
-    assert d == s  # decimal partials → exact equality, any salt spread
+    p = plan_text(REGISTRY["corpus_vocab_stats"].fn(spark, sf_dir), "simple")
+    assert "Expand" not in p, p
+    assert re.search(r"HashAggregate\(keys=\[(token[^\]]*doc_id|doc_id[^\]]*token)", p), p
 
 
 def test_embedding_cosine_hot_cell_guard(spark):
