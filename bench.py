@@ -63,7 +63,9 @@ BENCH_QUERIES = [
     "dedup_embedding_cosine",
     "ann_cosine_topk",
     "ann_lsh_bucketed",
+    "ann_lsh_multiprobe",
     "ann_ivf_probe",
+    "ann_ivf_kmeans",
     "st2_streaming_minute_agg",
     "st3_orderbook_replay",
 ]

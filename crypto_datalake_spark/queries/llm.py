@@ -401,6 +401,148 @@ def ann_lsh_bucketed(spark, sf_dir):
     )
 
 
+def _dk_plane_dot(col: str, plane: list[float]) -> str:
+    arr = "[" + ", ".join(f"{v:.1f}" for v in plane) + "]"
+    return (
+        f"round(list_sum(list_transform(list_zip({col}, {arr}), "
+        "p -> CAST(p[1] AS DOUBLE) * p[2])), 9)"
+    )
+
+
+def _sp_plane_dots(col):
+    """Array of per-plane dot products, rounded(9) so cross-engine float
+    association can never flip the margin ORDERING (which picks the probe
+    planes)."""
+    dots = []
+    for p in _PLANES:
+        arr = F.array(*[F.lit(v) for v in p])
+        dot = F.aggregate(
+            F.zip_with(F.col(col), arr, lambda x, y: x.cast("double") * y),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        dots.append(F.round(dot, 9))
+    return F.array(*dots)
+
+
+def _flip_sql(bucket_expr: str, pos_expr: str) -> str:
+    """Flip one bit of the bucket bit-string (1-based position arithmetic,
+    identical syntax in Spark SQL and DuckDB)."""
+    return (
+        f"concat(substr({bucket_expr}, 1, {pos_expr}), "
+        f"CASE WHEN substr({bucket_expr}, {pos_expr} + 1, 1) = '1' "
+        f"THEN '0' ELSE '1' END, "
+        f"substr({bucket_expr}, {pos_expr} + 2))"
+    )
+
+
+def _mp_probes_sql() -> str:
+    """DuckDB CTEs producing the query's multi-probe bucket set: its own
+    bucket plus the buckets reached by flipping the 1-2 lowest-|margin|
+    hyperplanes (the classic multi-probe sequence)."""
+    qp_rows = " UNION ALL ".join(
+        f"SELECT qv, qb, {i} AS i, {_dk_plane_dot('qv', p)} AS d FROM qd"
+        for i, p in enumerate(_PLANES)
+    )
+    f1 = _flip_sql("qb", "p1")
+    f2 = _flip_sql("qb", "p2")
+    f12 = _flip_sql(f"({f1})", "p2")
+    return f"""
+    qd AS (SELECT embedding AS qv, bucket AS qb FROM bk WHERE vec_id = 0),
+    qp AS ({qp_rows}),
+    sel AS (
+      SELECT qv, qb,
+             min(CASE WHEN r = 1 THEN i END) AS p1,
+             min(CASE WHEN r = 2 THEN i END) AS p2
+      FROM (SELECT *, row_number() OVER (ORDER BY abs(d) ASC, i ASC) AS r FROM qp)
+      GROUP BY qv, qb
+    ),
+    probes AS (
+      SELECT DISTINCT qv, pb FROM (
+        SELECT qv, qb AS pb FROM sel
+        UNION ALL SELECT qv, {f1} FROM sel
+        UNION ALL SELECT qv, {f2} FROM sel
+        UNION ALL SELECT qv, {f12} FROM sel
+      )
+    )"""
+
+
+@register(
+    "ann_lsh_multiprobe",
+    sql=f"""
+    WITH bk AS (
+      SELECT vec_id, label, embedding, {_dk_bucket("embedding")} AS bucket
+      FROM embeddings
+    ),
+    {_mp_probes_sql()}
+    SELECT vec_id, label,
+           round({_DK_COS.format(a="embedding", b="probes.qv")}, 6) AS cosine
+    FROM bk JOIN probes ON bk.bucket = probes.pb
+    WHERE vec_id <> 0
+    ORDER BY cosine DESC, vec_id ASC
+    LIMIT 10
+    """,
+    doc="Multi-probe LSH ANN (Lv et al., VLDB'07): the query probes its own "
+    "bucket PLUS the buckets reached by flipping the 1-2 hyperplanes with "
+    "the smallest |dot| margin — the planes most likely to have mis-binned "
+    "true neighbors. 4 probes of 2^4 buckets ≈ 25% of the corpus here "
+    "(test-sized; production uses 16+ planes where 4 probes ≈ 4/65536), "
+    "recovering most of single-probe's lost recall without more tables or "
+    "a bigger index: probe count trades compute for recall at query time. "
+    "The probe set is derived declaratively (margin ranking over a "
+    "4-row frame) and broadcast; candidate scoring stays an equi-join on "
+    "the bucket key, same as single-probe. Margins rounded(9) pre-ranking "
+    "for cross-engine determinism. tests/test_ann.py proves "
+    "recall(multi) >= recall(single) on every eval query (superset "
+    "candidates, identical scoring).",
+)
+def ann_lsh_multiprobe(spark, sf_dir):
+    from pyspark.sql import Window
+
+    e = t(spark, sf_dir, "embeddings").withColumn("bucket", _sp_bucket("embedding"))
+    q = e.where(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qv"),
+        F.col("bucket").alias("qb"),
+        _sp_plane_dots("embedding").alias("dots"),
+    )
+    qp = q.select(
+        "qv", "qb", F.posexplode("dots").alias("i", "d")
+    )
+    # margin ranking over a #planes-row frame (bounded, one per query)
+    w = Window.partitionBy("qb").orderBy(F.abs(F.col("d")).asc(), F.col("i").asc())
+    sel = (
+        qp.withColumn("r", F.row_number().over(w))
+        .groupBy("qv", "qb")
+        .agg(
+            F.min(F.when(F.col("r") == 1, F.col("i"))).alias("p1"),
+            F.min(F.when(F.col("r") == 2, F.col("i"))).alias("p2"),
+        )
+    )
+    f1 = _flip_sql("qb", "p1")
+    f2 = _flip_sql("qb", "p2")
+    f12 = _flip_sql(f"({f1})", "p2")
+    probes = (
+        sel.select(
+            "qv",
+            F.explode(
+                F.array(F.col("qb"), F.expr(f1), F.expr(f2), F.expr(f12))
+            ).alias("pb"),
+        )
+        .distinct()
+    )
+    return (
+        e.join(F.broadcast(probes), e.bucket == probes.pb)
+        .where(F.col("vec_id") != 0)
+        .select(
+            "vec_id",
+            "label",
+            F.round(_cosine(F.col("embedding"), F.col("qv")), 6).alias("cosine"),
+        )
+        .orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+        .limit(10)
+    )
+
+
 @register(
     "multimodal_feature_extract",
     sql="""
@@ -532,35 +674,46 @@ _IVF_NPROBE = 2
     "across engines at ~1e-15 and must not flip cell assignment.",
 )
 def ann_ivf_probe(spark, sf_dir):
-    from pyspark.sql import Window
-
     e = t(spark, sf_dir, "embeddings")
     cents = e.where(F.col("vec_id").between(1, _IVF_K)).select(
         F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cv")
     )
+    return ivf_topk(e.where(F.col("vec_id") != 0),
+                    e.where(F.col("vec_id") == 0), cents, _IVF_NPROBE)
+
+
+def ivf_topk(corpus, queries, cents, nprobe: int, k: int = 10):
+    """IVF probe plan shared by the stand-in-centroid and KMeans-trained
+    variants: assign corpus rows to their argmax-cosine cell (K·N map-side
+    dot products, no shuffle), probe the query's best ``nprobe`` cells,
+    score only inside probed cells.  ``cents``: (cent_id, cv) — broadcast
+    (the centroid table is tiny by construction)."""
+    from pyspark.sql import Window
+
     sim = F.round(_cosine(F.col("embedding"), F.col("cv")), 9)
     w_assign = Window.partitionBy("vec_id").orderBy(
         F.col("sim").desc(), F.col("cent_id").asc()
     )
     assign = (
-        e.crossJoin(F.broadcast(cents))
+        corpus.crossJoin(F.broadcast(cents))
         .withColumn("sim", sim)
         .withColumn("__rn", F.row_number().over(w_assign))
         .where(F.col("__rn") == 1)
         .select("vec_id", "label", "embedding", "cent_id")
     )
-    w_q = Window.orderBy(F.col("sim").desc(), F.col("cent_id").asc())
+    # per-query probe ranking over a #centroids-row frame (bounded)
+    w_q = Window.partitionBy("vec_id").orderBy(
+        F.col("sim").desc(), F.col("cent_id").asc()
+    )
     qcells = (
-        e.where(F.col("vec_id") == 0)
-        .crossJoin(F.broadcast(cents))
+        queries.crossJoin(F.broadcast(cents))
         .withColumn("sim", sim)
         .withColumn("__rn", F.row_number().over(w_q))
-        .where(F.col("__rn") <= _IVF_NPROBE)
+        .where(F.col("__rn") <= nprobe)
         .select("cent_id", F.col("embedding").alias("qv"))
     )
     return (
         assign.join(F.broadcast(qcells), "cent_id")
-        .where(F.col("vec_id") != 0)
         .select(
             "vec_id",
             "label",
@@ -568,8 +721,53 @@ def ann_ivf_probe(spark, sf_dir):
             F.round(_cosine(F.col("embedding"), F.col("qv")), 6).alias("cosine"),
         )
         .orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
-        .limit(10)
+        .limit(k)
     )
+
+
+def kmeans_centroids(e, k: int = _IVF_K, seed: int = 7, max_iter: int = 20):
+    """Train IVF coarse centroids with MLlib KMeans (k-means|| init) and
+    return them as a (cent_id, cv) DataFrame ready to broadcast.
+
+    Production shape: train on a sampled slice offline, persist the
+    centroid table, broadcast it at query time — training cost is
+    amortized over every subsequent probe.  Iterative fitting is genuinely
+    non-SQL-expressible, so the KMeans variant carries no DuckDB oracle
+    (the driver records the weaker rows-only check); determinism comes
+    from the fixed seed."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feats = e.select(
+        array_to_vector(F.col("embedding").cast("array<double>")).alias("features")
+    )
+    model = KMeans(k=k, seed=seed, maxIter=max_iter).fit(feats)
+    rows = [
+        (i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
+    ]
+    return e.sparkSession.createDataFrame(rows, "cent_id int, cv array<double>")
+
+
+@register(
+    "ann_ivf_kmeans",
+    sql=None,
+    doc=f"IVF ANN with TRAINED coarse centroids: MLlib KMeans (k-means|| "
+    f"init, fixed seed) fits {_IVF_K} cells on the corpus, then the same "
+    "probe plan as ann_ivf_probe (assign = argmax-cosine map pass, query "
+    f"probes its best {_IVF_NPROBE} cells, score inside probed cells). "
+    "Trained centroids track the data distribution, so cells are "
+    "balanced and probing fewer cells loses less recall than with "
+    "arbitrary stand-in centroids — tests/test_ann.py measures "
+    "recall@10 and its monotonicity in nprobe (probed cell sets are "
+    "nested by construction). No SQL oracle: KMeans is iterative "
+    "(driver-side rows-only check); the probe plan itself is certified "
+    "through ann_ivf_probe's full oracle.",
+)
+def ann_ivf_kmeans(spark, sf_dir):
+    e = t(spark, sf_dir, "embeddings")
+    corpus = e.where(F.col("vec_id") != 0)
+    cents = kmeans_centroids(corpus)
+    return ivf_topk(corpus, e.where(F.col("vec_id") == 0), cents, _IVF_NPROBE)
 
 
 @register(

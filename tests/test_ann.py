@@ -1,0 +1,154 @@
+"""ANN quality: multi-probe LSH and KMeans-trained IVF recall.
+
+Both hardened paths have superset-candidate structure (multi-probe ⊇
+single-probe buckets; nprobe=n+1 cells ⊇ nprobe=n cells with identical
+deterministic ranking), so recall@k is provably non-decreasing — these
+tests pin that, plus an absolute recall floor for the trained centroids.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from crypto_datalake_spark.queries.llm import (
+    _cosine,
+    _sp_bucket,
+    ivf_topk,
+    kmeans_centroids,
+)
+
+K = 10
+
+
+def _embeddings(spark, sf_dir):
+    from crypto_datalake_spark.queries.common import t
+
+    return t(spark, sf_dir, "embeddings")
+
+
+def _topk_ids(df, k=K):
+    """{qid: [vec_id...]} of the k best candidates per query by cosine."""
+    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+    rows = (
+        df.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= k).collect()
+    )
+    out: dict[int, set[int]] = {}
+    for r in rows:
+        out.setdefault(r["qid"], set()).add(r["vec_id"])
+    return out
+
+
+def _scored(corpus, q):
+    return corpus.join(
+        F.broadcast(q), corpus.vec_id != q.qid
+    ).select(
+        "qid", "vec_id", _cosine(F.col("embedding"), F.col("qv")).alias("cosine")
+    )
+
+
+def _recall(approx: dict, exact: dict) -> float:
+    hits = sum(len(approx.get(q, set()) & ids) for q, ids in exact.items())
+    return hits / (K * len(exact))
+
+
+@pytest.fixture(scope="module")
+def ann_fixture(spark, sf_dir):
+    e = _embeddings(spark, sf_dir).localCheckpoint()
+    qs = e.where(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    exact = _topk_ids(_scored(e, qs))
+    return e, qs, exact
+
+
+def test_multiprobe_recall_at_least_single_probe(spark, ann_fixture):
+    e, qs, exact = ann_fixture
+    eb = e.withColumn("bucket", _sp_bucket("embedding"))
+    qb = qs.join(
+        eb.select(F.col("vec_id").alias("qid"), "bucket"), "qid"
+    ).withColumnRenamed("bucket", "qbucket")
+
+    single_cand = eb.join(
+        F.broadcast(qb), (eb.bucket == qb.qbucket) & (eb.vec_id != qb.qid)
+    ).select("qid", "vec_id", _cosine(F.col("embedding"), F.col("qv")).alias("cosine"))
+    r_single = _recall(_topk_ids(single_cand), exact)
+
+    # multi-probe: every bucket at Hamming distance <= 1 from the query's
+    # (a superset of the registered query's margin-guided 4-probe set —
+    # the monotonicity argument is identical: more buckets, same scoring)
+    probes = qb.select(
+        "qid", "qv", F.explode(
+            F.array(
+                F.col("qbucket"),
+                *[
+                    F.expr(
+                        f"concat(substr(qbucket, 1, {i}), "
+                        f"CASE WHEN substr(qbucket, {i + 1}, 1) = '1' THEN '0' ELSE '1' END, "
+                        f"substr(qbucket, {i + 2}))"
+                    )
+                    for i in range(4)
+                ],
+            )
+        ).alias("pb"),
+    )
+    multi_cand = eb.join(
+        F.broadcast(probes), (eb.bucket == probes.pb) & (eb.vec_id != probes.qid)
+    ).select("qid", "vec_id", _cosine(F.col("embedding"), F.col("qv")).alias("cosine"))
+    r_multi = _recall(_topk_ids(multi_cand), exact)
+
+    assert r_multi >= r_single
+    # probing 5/16 buckets must beat the random-scan baseline (recall ≈
+    # fraction scanned = 0.3125 if the hash carried no signal)
+    assert r_multi > 5 / 16
+
+
+def test_registered_multiprobe_superset_of_single(spark, sf_dir):
+    from crypto_datalake_spark.queries import REGISTRY
+
+    single = {r["vec_id"] for r in REGISTRY["ann_lsh_bucketed"].fn(spark, sf_dir).collect()}
+    multi_df = REGISTRY["ann_lsh_multiprobe"].fn(spark, sf_dir)
+    multi = {r["vec_id"] for r in multi_df.collect()}
+    assert len(multi) == K
+    # every single-probe candidate is still reachable; the multi-probe
+    # top-10 can only be >= in true cosine, never miss a bucket it had
+    sc = REGISTRY["ann_lsh_bucketed"].fn(spark, sf_dir).collect()
+    mc = multi_df.collect()
+    if sc and mc:
+        assert min(r["cosine"] for r in mc) >= min(r["cosine"] for r in sc) or multi >= single
+
+
+def test_ivf_kmeans_recall_monotone_in_nprobe(spark, ann_fixture):
+    e, qs, exact = ann_fixture
+    corpus = e.where(F.col("vec_id") != 0)
+    cents = kmeans_centroids(corpus, k=8, seed=7).localCheckpoint()
+
+    recalls = []
+    for nprobe in (1, 2, 4):
+        per_q = {}
+        for q in qs.collect():
+            qdf = spark.createDataFrame(
+                [(q["qid"], q["qv"])], "vec_id long, embedding array<float>"
+            )
+            got = ivf_topk(
+                corpus.where(F.col("vec_id") != q["qid"]), qdf, cents, nprobe
+            ).collect()
+            per_q[q["qid"]] = {r["vec_id"] for r in got}
+        recalls.append(_recall(per_q, exact))
+
+    assert recalls[0] <= recalls[1] <= recalls[2]
+    assert recalls[1] > 0.5  # trained cells at nprobe=2 must carry real recall
+    assert recalls[2] > recalls[0] or recalls[0] == 1.0
+
+
+def test_ann_ivf_kmeans_registered_query_shape(spark, sf_dir):
+    from crypto_datalake_spark.queries import REGISTRY
+
+    df = REGISTRY["ann_ivf_kmeans"].fn(spark, sf_dir)
+    rows = df.collect()
+    assert len(rows) == K
+    assert df.columns == ["vec_id", "label", "cent_id", "cosine"]
+    # deterministic under the fixed seed
+    rows2 = REGISTRY["ann_ivf_kmeans"].fn(spark, sf_dir).collect()
+    assert [r["vec_id"] for r in rows] == [r["vec_id"] for r in rows2]
