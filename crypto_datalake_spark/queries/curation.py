@@ -33,10 +33,23 @@ from crypto_datalake_spark.queries.dedup import _DK_H, _SP_H
 from crypto_datalake_spark.queries.llm import (
     _cosine,
     _dk_bucket,
+    _dk_plane_dot,
     _DK_COS,
+    _flip_sql,
+    _PLANES,
     _sp_bucket,
+    _sp_plane_dots,
 )
 from crypto_datalake_spark.queries.registry import register
+
+
+def _mp_qp_rows() -> str:
+    """Per-eval-query plane-margin rows for the multi-probe arm (qid
+    carried through, unlike llm._mp_probes_sql's single-query form)."""
+    return " UNION ALL ".join(
+        f"SELECT qid, qb, {i} AS i, {_dk_plane_dot('qv', p)} AS d FROM q"
+        for i, p in enumerate(_PLANES)
+    )
 
 # Gopher-style repetition thresholds (Rae et al. 2021 use 0.2 for the
 # top-token fraction and ~0.2 for duplicate n-gram fractions; the
@@ -272,15 +285,52 @@ _K = 10
         FROM bk JOIN q ON bk.bucket = q.qb AND bk.vec_id <> q.qid
       ) WHERE rn <= {_K}
     ),
+    qp AS ({_mp_qp_rows()}),
+    selp AS (
+      SELECT qid, qb,
+             min(CASE WHEN r = 1 THEN i END) AS p1,
+             min(CASE WHEN r = 2 THEN i END) AS p2
+      FROM (SELECT *, row_number() OVER (
+              PARTITION BY qid ORDER BY abs(d) ASC, i ASC) AS r FROM qp)
+      GROUP BY qid, qb
+    ),
+    probes AS (
+      SELECT DISTINCT qid, pb FROM (
+        SELECT qid, qb AS pb FROM selp
+        UNION ALL SELECT qid, {_flip_sql("qb", "p1")} FROM selp
+        UNION ALL SELECT qid, {_flip_sql("qb", "p2")} FROM selp
+        UNION ALL SELECT qid, {_flip_sql(f"({_flip_sql('qb', 'p1')})", "p2")} FROM selp
+      )
+    ),
+    mp AS (
+      SELECT qid, vec_id FROM (
+        SELECT p.qid, bk.vec_id,
+               row_number() OVER (
+                 PARTITION BY p.qid
+                 ORDER BY round({_DK_COS.format(a="bk.embedding", b="q.qv")}, 6)
+                          DESC, bk.vec_id ASC) AS rn
+        FROM bk
+        JOIN probes p ON bk.bucket = p.pb
+        JOIN q ON q.qid = p.qid AND bk.vec_id <> p.qid
+      ) WHERE rn <= {_K}
+    ),
     hit AS (
       SELECT exact.qid, count(*) AS n_hit
       FROM exact JOIN lsh ON exact.qid = lsh.qid AND exact.vec_id = lsh.vec_id
       GROUP BY exact.qid
+    ),
+    hitmp AS (
+      SELECT exact.qid, count(*) AS n_hit_mp
+      FROM exact JOIN mp ON exact.qid = mp.qid AND exact.vec_id = mp.vec_id
+      GROUP BY exact.qid
     )
     SELECT q.qid,
            CAST(COALESCE(n_hit, 0) AS BIGINT) AS n_hit,
-           CAST(COALESCE(n_hit, 0) AS DOUBLE) / {_K}.0 AS recall_at_{_K}
+           CAST(COALESCE(n_hit, 0) AS DOUBLE) / {_K}.0 AS recall_at_{_K},
+           CAST(COALESCE(n_hit_mp, 0) AS BIGINT) AS n_hit_mp,
+           CAST(COALESCE(n_hit_mp, 0) AS DOUBLE) / {_K}.0 AS recall_mp_at_{_K}
     FROM q LEFT JOIN hit ON q.qid = hit.qid
+           LEFT JOIN hitmp ON q.qid = hitmp.qid
     """,
     doc="ANN recall harness: recall@10 of the hyperplane-LSH index "
     "(ann_lsh_bucketed's production path) against the exact brute-force "
@@ -288,8 +338,11 @@ _K = 10
     "sample). The exact arm costs |Q| x |corpus| dot products, which is "
     "exactly why it runs on a SAMPLE; the LSH arm touches ~1/16 of the "
     "corpus per query via the bucket equi-join. Both arms broadcast the "
-    "query set. This is the measurement loop that tunes planes/probes "
-    "before committing an index layout at 100 TB.",
+    "query set. Also reports the MULTI-PROBE arm (margin-guided 4-probe "
+    "set per query, ann_lsh_multiprobe's plan): recall_mp_at_10 >= "
+    "recall_at_10 by superset construction — the measured answer to "
+    "'how much recall does each extra probe buy' that tunes "
+    "planes/probes before committing an index layout at 100 TB.",
 )
 def ann_recall_eval(spark, sf_dir):
     e = t(spark, sf_dir, "embeddings").select(
@@ -327,16 +380,64 @@ def ann_recall_eval(spark, sf_dir):
         .withColumn("rn", rn)
         .where(F.col("rn") <= _K)
     )
+
+    # multi-probe arm: per-query margin-guided probe set (own bucket + the
+    # 1-2 lowest-|margin| plane flips), same scoring — candidates are a
+    # superset of the single-probe arm, so recall_mp >= recall always
+    qd = q.withColumn("dots", _sp_plane_dots("qv"))
+    qp = qd.select("qid", "qb", F.posexplode("dots").alias("i", "d"))
+    wm = Window.partitionBy("qid").orderBy(F.abs(F.col("d")).asc(), F.col("i").asc())
+    selp = (
+        qp.withColumn("r", F.row_number().over(wm))
+        .groupBy("qid", "qb")
+        .agg(
+            F.min(F.when(F.col("r") == 1, F.col("i"))).alias("p1"),
+            F.min(F.when(F.col("r") == 2, F.col("i"))).alias("p2"),
+        )
+    )
+    f1 = _flip_sql("qb", "p1")
+    f2 = _flip_sql("qb", "p2")
+    f12 = _flip_sql(f"({f1})", "p2")
+    probes = selp.select(
+        "qid",
+        F.explode(
+            F.array(F.col("qb"), F.expr(f1), F.expr(f2), F.expr(f12))
+        ).alias("pb"),
+    ).distinct()
+    mp = (
+        scored(
+            e.join(
+                F.broadcast(probes),
+                (e.bucket == probes.pb) & (e.vec_id != probes.qid),
+            ).join(F.broadcast(q.select("qid", "qv")), "qid")
+        )
+        .withColumn("rn", rn)
+        .where(F.col("rn") <= _K)
+    )
+
     hit = (
         exact.select("qid", "vec_id")
         .join(lsh.select("qid", "vec_id"), ["qid", "vec_id"])
         .groupBy("qid")
         .agg(F.count(F.lit(1)).alias("n_hit"))
     )
-    return q.select("qid").join(hit, "qid", "left").select(
-        "qid",
-        F.coalesce(F.col("n_hit"), F.lit(0)).cast("long").alias("n_hit"),
-        (F.coalesce(F.col("n_hit"), F.lit(0)).cast("double") / F.lit(float(_K))).alias(
-            f"recall_at_{_K}"
-        ),
+    hitmp = (
+        exact.select("qid", "vec_id")
+        .join(mp.select("qid", "vec_id"), ["qid", "vec_id"])
+        .groupBy("qid")
+        .agg(F.count(F.lit(1)).alias("n_hit_mp"))
+    )
+    n_hit = F.coalesce(F.col("n_hit"), F.lit(0))
+    n_hit_mp = F.coalesce(F.col("n_hit_mp"), F.lit(0))
+    return (
+        q.select("qid")
+        .join(hit, "qid", "left")
+        .join(hitmp, "qid", "left")
+        .select(
+            "qid",
+            n_hit.cast("long").alias("n_hit"),
+            (n_hit.cast("double") / F.lit(float(_K))).alias(f"recall_at_{_K}"),
+            n_hit_mp.cast("long").alias("n_hit_mp"),
+            (n_hit_mp.cast("double") / F.lit(float(_K))).alias(f"recall_mp_at_{_K}"),
+        )
     )
