@@ -89,7 +89,7 @@ _WINDOW = [
     "doc_fingerprints",         # SimHash + rolling hash, one scan
     "dedup_embedding_cosine",
     "ann_cosine_topk",
-    "ann_lsh_bucketed",
+    "ann_lsh_multiprobe",       # supersets ann_lsh_bucketed's machinery
     "ann_ivf_probe",
     "text_profile",             # lang-ID + token stats + quality, one scan
     "multimodal_feature_extract",

@@ -725,7 +725,7 @@ def ivf_topk(corpus, queries, cents, nprobe: int, k: int = 10):
     )
 
 
-def kmeans_centroids(e, k: int = _IVF_K, seed: int = 7, max_iter: int = 20):
+def kmeans_centroids(e, k: int = _IVF_K, seed: int = 7, max_iter: int = 10):
     """Train IVF coarse centroids with MLlib KMeans (k-means|| init) and
     return them as a (cent_id, cv) DataFrame ready to broadcast.
 

@@ -398,10 +398,6 @@ def merge_into(
     contract; then the narrow scan is skipped entirely.
     """
     cols = source.columns
-    keyset = set(on)
-    if update_cols is None:
-        update_cols = [c for c in cols if c not in keyset]
-
     existing_full = _read_existing(spark, path, cols)
     if existing_full is None:  # first write: MERGE degenerates to insert
         if insert:
@@ -413,6 +409,57 @@ def merge_into(
                 .parquet(path)
             )
         return
+
+    out, touched = merge_compute(
+        source,
+        existing_full,
+        on,
+        partition_cols,
+        update_cols=update_cols,
+        update_condition=update_condition,
+        delete_condition=delete_condition,
+        insert=insert,
+        track_key_moves=track_key_moves,
+    )
+
+    touched_vals = [
+        tuple(r[c] for c in partition_cols) for r in touched.collect()
+    ]
+    out = out.persist()
+    try:
+        (
+            out.repartition(*[F.col(c) for c in partition_cols])
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(*partition_cols)
+            .parquet(path)
+        )
+        # partitions whose rows ALL moved away / were deleted are not in
+        # the output, so dynamic overwrite never rewrites them — drop them
+        _drop_emptied_partitions(spark, path, touched_vals, out, partition_cols)
+    finally:
+        out.unpersist()
+
+
+def merge_compute(
+    source: DataFrame,
+    existing_full: DataFrame,
+    on: Sequence[str],
+    partition_cols: Sequence[str],
+    update_cols: Sequence[str] | None = None,
+    update_condition: Column | None = None,
+    delete_condition: Column | None = None,
+    insert: bool = True,
+    track_key_moves: bool = True,
+) -> tuple[DataFrame, DataFrame]:
+    """The MERGE itself, independent of commit strategy: returns the merged
+    rows for the touched partitions and the touched-partition-values frame.
+    ``merge_into`` commits via dynamic partition overwrite;
+    ``txn.atomic_merge_into`` commits via the generation manifest."""
+    cols = source.columns
+    keyset = set(on)
+    if update_cols is None:
+        update_cols = [c for c in cols if c not in keyset]
 
     touched = source.select(*partition_cols).distinct()
     if track_key_moves:
@@ -465,24 +512,7 @@ def merge_into(
             v = F.when(src_only, s_c).otherwise(t_c)
         out_cols.append(v.alias(c))
     out = j.select(*out_cols) if insert else j.where(~src_only).select(*out_cols)
-
-    touched_vals = [
-        tuple(r[c] for c in partition_cols) for r in touched.collect()
-    ]
-    out = out.persist()
-    try:
-        (
-            out.repartition(*[F.col(c) for c in partition_cols])
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy(*partition_cols)
-            .parquet(path)
-        )
-        # partitions whose rows ALL moved away / were deleted are not in
-        # the output, so dynamic overwrite never rewrites them — drop them
-        _drop_emptied_partitions(spark, path, touched_vals, out, partition_cols)
-    finally:
-        out.unpersist()
+    return out, touched
 
 
 def merge_scd2(

@@ -294,6 +294,50 @@ def atomic_upsert_partitioned(
         out.unpersist()
 
 
+def atomic_merge_into(
+    spark: SparkSession,
+    source: DataFrame,
+    path: str,
+    on: Sequence[str],
+    partition_cols: Sequence[str],
+    **merge_kwargs,
+) -> dict:
+    """`sinks.merge_into` semantics (matched-update / matched-delete /
+    not-matched-insert, key-move tracking) committed through the
+    generation manifest.  Beyond all-or-nothing visibility, the manifest
+    subsumes the overwrite path's emptied-partition cleanup: a partition
+    whose rows all moved away or were deleted simply drops out of the
+    manifest in the same atomic swap — no post-write filesystem deletes,
+    no window where a reader can see the stale partition.
+    """
+    from crypto_datalake_spark.sinks import merge_compute
+
+    cols = source.columns
+    manifest = current_manifest(spark, path)
+    if manifest is None or not manifest["partitions"]:
+        gid = write_generation(source, path, partition_cols)
+        present = _partition_path_strings(spark, source, partition_cols)
+        return commit_manifest(spark, path, {p: gid for p in present})
+
+    existing_full = read_table(spark, path).select(*cols)
+    out, touched = merge_compute(
+        source, existing_full, on, partition_cols, **merge_kwargs
+    )
+    out = out.persist()
+    try:
+        gid = write_generation(out, path, partition_cols)
+        touched_paths = set(_partition_path_strings(spark, touched, partition_cols))
+        present = set(_partition_path_strings(spark, out, partition_cols))
+        parts = dict(manifest["partitions"])
+        for p in touched_paths:
+            parts.pop(p, None)  # emptied/moved-away partitions vanish here
+        for p in present:
+            parts[p] = gid
+        return commit_manifest(spark, path, parts)
+    finally:
+        out.unpersist()
+
+
 # -------------------------------------------------------------------- vacuum
 
 

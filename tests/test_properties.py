@@ -200,3 +200,102 @@ def test_decontam_overlap_matches_set_math(spark, docs):
         assert r["n_overlap"] == len(g & bench)
         assert abs(r["overlap_frac"] - len(g & bench) / len(g)) < 1e-12
         assert r["contaminated"] == (len(g & bench) / len(g) >= 0.2)
+
+
+# --- two-phase scan operators (ops.prefix / ops.rank / ops.gaps) ----------
+# Property: the distributed two-phase forms are EXACTLY the naive
+# single-window forms, for arbitrary sparse key sets and tiny bucket
+# widths (so every random case crosses bucket boundaries).
+
+
+@given(
+    slots=st.lists(st.integers(min_value=0, max_value=60), min_size=1,
+                   max_size=40, unique=True),
+    bucket=st.integers(min_value=1, max_value=9),
+)
+@settings(**_SETTINGS)
+def test_islands_two_phase_matches_naive(spark, slots, bucket):
+    from pyspark.sql import Window
+
+    from crypto_datalake_spark.ops.gaps import islands
+
+    df = _mk(spark, [(s,) for s in slots], [("m", int)]).withColumn(
+        "ts", F.timestamp_seconds(F.col("m") * 60).cast("timestamp_ntz")
+    )
+    got = {
+        (r["window_start"], r["window_end"], r["n_slots"])
+        for r in islands(df, "ts", 1, bucket_slots=bucket).collect()
+    }
+    w = Window.orderBy("ts")
+    grp = (F.col("m") - F.row_number().over(w)).alias("g")
+    want = {
+        (r["window_start"], r["window_end"], r["n_slots"])
+        for r in df.select("ts", "m", grp)
+        .groupBy("g")
+        .agg(F.min("ts").alias("window_start"), F.max("ts").alias("window_end"),
+             F.count(F.lit(1)).alias("n_slots"))
+        .collect()
+    }
+    assert got == want
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(min_value=0, max_value=2),     # stream
+                  st.integers(min_value=0, max_value=100),   # order key
+                  st.integers(min_value=0, max_value=9)),    # value
+        min_size=1, max_size=40,
+        unique_by=lambda r: (r[0], r[1]),
+    ),
+    bucket=st.integers(min_value=1, max_value=7),
+)
+@settings(**_SETTINGS)
+def test_prefix_cum_before_matches_naive(spark, rows, bucket):
+    from pyspark.sql import Window
+
+    from crypto_datalake_spark.ops.prefix import cum_before
+
+    df = _mk(spark, list(rows), [("s", int), ("k", int), ("v", int)])
+    got = {
+        (r["s"], r["k"]): r["cum_before"]
+        for r in cum_before(df, ["s"], "k", "v", bucket_width=bucket).collect()
+    }
+    w = (
+        Window.partitionBy("s").orderBy("k")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    want = {
+        (r["s"], r["k"]): r["c"]
+        for r in df.withColumn(
+            "c", F.coalesce(F.sum("v").over(w), F.lit(0))
+        ).collect()
+    }
+    assert got == want
+
+
+@given(
+    vals=st.lists(st.tuples(st.integers(min_value=0, max_value=1000),
+                            st.integers(min_value=0, max_value=20)),
+                  min_size=1, max_size=40,
+                  unique_by=lambda r: r[0]),
+    nparts=st.integers(min_value=1, max_value=6),
+)
+@settings(**_SETTINGS)
+def test_global_row_number_matches_naive(spark, vals, nparts):
+    from pyspark.sql import Window
+
+    from crypto_datalake_spark.ops.rank import global_row_number
+
+    df = _mk(spark, list(vals), [("id", int), ("v", int)])
+    order = [F.col("v").desc(), F.col("id").asc()]
+    got = {
+        r["id"]: r["rk"]
+        for r in global_row_number(df, order, num_partitions=nparts).collect()
+    }
+    want = {
+        r["id"]: r["rk"]
+        for r in df.withColumn(
+            "rk", F.row_number().over(Window.orderBy(*order))
+        ).collect()
+    }
+    assert got == want

@@ -175,3 +175,33 @@ def test_atomic_overwrite_no_torn_reads(spark, tmp_path):
     assert [r["attr"] for r in snap.collect()] == ["a"]
     # … and new readers see the new generation
     assert sorted(r["attr"] for r in txn.read_table(spark, path).collect()) == ["b", "c"]
+
+
+def test_atomic_merge_into_key_move_drops_old_partition(spark, tmp_path):
+    """A key whose partition value changes moves atomically: the old
+    partition (now empty) vanishes from the manifest in the SAME pointer
+    swap that publishes the new one — no reader interleaving can observe
+    the row in both (or neither) partitions."""
+    import pyspark.sql.functions as F
+
+    path = str(tmp_path / "lake")
+    v1 = [("A", _T(0), 1.0, "d1"), ("B", _T(0), 3.0, "d2")]
+    txn.atomic_merge_into(spark, _df(spark, v1), path,
+                          on=["sym"], partition_cols=["day"])
+    # key A's day corrected d1 -> d2: d1 empties out
+    move = _df(spark, [("A", _T(0), 9.0, "d2")])
+    m = txn.atomic_merge_into(spark, move, path,
+                              on=["sym"], partition_cols=["day"])
+    assert set(m["partitions"]) == {"day=d2"}
+    got = _snapshot(spark, path)
+    assert got == sorted([("A", _T(0), 9.0, "d2"), ("B", _T(0), 3.0, "d2")])
+
+    # matched-delete through the same atomic path
+    m2 = txn.atomic_merge_into(
+        spark, _df(spark, [("B", _T(0), 0.0, "d2")]), path,
+        on=["sym"], partition_cols=["day"],
+        delete_condition=F.col("s_v") == 0.0, insert=False,
+    )
+    got2 = _snapshot(spark, path)
+    assert got2 == [("A", _T(0), 9.0, "d2")]
+    assert set(m2["partitions"]) == {"day=d2"}
