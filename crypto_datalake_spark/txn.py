@@ -158,10 +158,29 @@ def _partition_dirs(table_path: str, manifest: dict) -> list[str]:
     return dirs
 
 
-def read_table(spark: SparkSession, table_path: str) -> DataFrame | None:
+def read_table(
+    spark: SparkSession, table_path: str, at_version: int | None = None
+) -> DataFrame | None:
     """Resolve the live generation of every partition and read exactly those
-    directories.  Returns None for a never-committed (or fully empty) table."""
-    manifest = current_manifest(spark, table_path)
+    directories.  Returns None for a never-committed (or fully empty) table.
+
+    ``at_version``: read the table AS OF an older manifest version (time
+    travel).  Works for any version whose generations ``vacuum`` has not
+    reclaimed — the same retention contract as Iceberg snapshots.
+    Partition columns are recovered from the directory names (hive
+    layout), so partition-pruning filters still apply to the resolved
+    directory set.
+    """
+    if at_version is not None:
+        text = _read_text(spark, _manifest_path(table_path, at_version))
+        if text is None:
+            raise ValueError(
+                f"manifest v{at_version:08d} not found (vacuumed or never "
+                f"committed) under {table_path}"
+            )
+        manifest = json.loads(text)
+    else:
+        manifest = current_manifest(spark, table_path)
     if manifest is None or not manifest["partitions"]:
         return None
     dirs = _partition_dirs(table_path, manifest)

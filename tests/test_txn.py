@@ -205,3 +205,37 @@ def test_atomic_merge_into_key_move_drops_old_partition(spark, tmp_path):
     got2 = _snapshot(spark, path)
     assert got2 == [("A", _T(0), 9.0, "d2")]
     assert set(m2["partitions"]) == {"day=d2"}
+
+
+def test_time_travel_reads_old_version(spark, tmp_path):
+    path = str(tmp_path / "lake")
+    txn.atomic_upsert_partitioned(spark, _df(spark, [("A", _T(0), 1.0, "d1")]), path, **KW)
+    txn.atomic_upsert_partitioned(spark, _df(spark, [("A", _T(0), 2.0, "d1")]), path, **KW)
+    assert [r["v"] for r in txn.read_table(spark, path).collect()] == [2.0]
+    assert [r["v"] for r in txn.read_table(spark, path, at_version=1).collect()] == [1.0]
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="not found"):
+        txn.read_table(spark, path, at_version=99)
+
+
+def test_manifest_read_prunes_partitions(spark, tmp_path):
+    """Partition filters must still prune on manifest-resolved reads: the
+    hive day= values come from the directory names, so a day filter keeps
+    Spark from scanning the other partitions' files."""
+    import contextlib
+    import io as _io
+
+    path = str(tmp_path / "lake")
+    rows = [(s, _T(i), float(i), d)
+            for i, (s, d) in enumerate(
+                (s, f"d{n}") for n in range(4) for s in ("A", "B"))]
+    txn.atomic_upsert_partitioned(spark, _df(spark, rows), path, **KW)
+    rd = txn.read_table(spark, path).where("day = 'd2'")
+    buf = _io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        rd.explain(mode="formatted")
+    plan = buf.getvalue()
+    pf = next(l for l in plan.splitlines() if "PartitionFilters" in l)
+    assert "day" in pf and "d2" in pf, plan
+    assert rd.count() == 2
