@@ -22,7 +22,13 @@ from collections.abc import Iterator
 import pandas as pd
 
 from pyspark.sql import DataFrame
-from pyspark.sql.types import LongType, StringType, StructField, StructType
+from pyspark.sql.types import (
+    BinaryType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
 
 MEDIA_FEATURE_SCHEMA = StructType(
     [
@@ -72,3 +78,113 @@ def extract_media_features(
 
     cols = [id_col, payload_col, media_type_col]
     return df.select(*cols).mapInPandas(_features, MEDIA_FEATURE_SCHEMA)
+
+
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("payload", BinaryType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+    ]
+)
+
+
+def resize_images(
+    df: DataFrame,
+    target_w: int,
+    target_h: int,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Batch image resize: binary in → binary out with the target
+    dimensions.  The Spark shape is the entire point — a bijective
+    mapInPandas over Arrow batches whose output payload column is again
+    ``binary`` (resized bytes), so resize stages compose with decode /
+    feature-extract stages without leaving the lake's column model.
+
+    DETERMINISTIC STAND-IN: no image codec exists in this container, so
+    the "resized" payload is the input truncated-or-cycled to the target
+    pixel budget (``target_w*target_h`` bytes) — size-correct, content-
+    deterministic, engine-agnostic.  A real implementation replaces only
+    the body of ``_resize_batch`` with PIL/opencv calls.
+    """
+    budget = int(target_w) * int(target_h)
+
+    def _resize_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            def fit(b: bytes) -> bytes:
+                if len(b) >= budget:
+                    return bytes(b[:budget])
+                reps = -(-budget // max(len(b), 1))
+                return bytes((b * reps)[:budget])
+
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "payload": pdf[payload_col].map(fit),
+                    "width": target_w,
+                    "height": target_h,
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(_resize_batch, RESIZED_SCHEMA)
+
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_idx", LongType()),
+        StructField("frame_ts_ms", LongType()),
+        StructField("frame_payload", BinaryType()),
+    ]
+)
+
+
+def sample_video_frames(
+    df: DataFrame,
+    frame_bytes: int = 1024,
+    every_nth: int = 1,
+    frame_interval_ms: int = 40,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Video frame sampling: ONE row in → MANY frame rows out — the
+    row-expanding mapInPandas shape (an Arrow-batched flatMap).  Output
+    carries (doc_id, frame_idx, frame_ts_ms, frame bytes), ready for a
+    downstream per-frame decode/embed stage; ``every_nth`` is the
+    sampling stride (keep every Nth frame).
+
+    DETERMINISTIC STAND-IN: frames are fixed-size slices of the payload
+    (``frame_bytes`` each) at ``frame_interval_ms`` spacing — the real
+    implementation swaps the slicer for an ffmpeg demux, everything else
+    (schema, expansion, batch memory shape) is what production runs.
+    Worker memory is bounded by input batch size
+    (``spark.sql.execution.arrow.maxRecordsPerBatch``) times the
+    expansion factor — size it for video rows.
+    """
+
+    def _frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, tss, payloads = [], [], [], []
+            for doc_id, payload in zip(
+                pdf[id_col].astype("int64"), pdf[payload_col]
+            ):
+                n_frames = max(len(payload) // frame_bytes, 1)
+                for i in range(0, n_frames, every_nth):
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    tss.append(i * frame_interval_ms)
+                    payloads.append(
+                        bytes(payload[i * frame_bytes : (i + 1) * frame_bytes])
+                    )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int64"),
+                    "frame_ts_ms": pd.Series(tss, dtype="int64"),
+                    "frame_payload": payloads,
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(_frames, FRAME_SCHEMA)
