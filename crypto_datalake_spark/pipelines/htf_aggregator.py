@@ -132,11 +132,16 @@ def incremental_update(
     timeframe: str,
     repair_lookback_minutes: int = 120,
     now_ts: str | None = None,
+    atomic: bool = False,
 ) -> None:
     """Incremental materialization with late-data repair: re-aggregate every
     bucket overlapping [max(ts) − lookback, ∞) and upsert idempotently
     (ref: aggregator/incremental.py:43-104 — recomputing recent buckets IS
     the late-repair mechanism; the write is keep-last so reruns are no-ops).
+
+    ``atomic=True``: commit the repair through the generation manifest —
+    a tick that dies mid-write can never leave some repaired days visible
+    and others stale (read the lake back with ``txn.read_table``).
     """
     horizon = (
         F.lit(now_ts).cast("timestamp_ntz")
@@ -156,11 +161,14 @@ def incremental_update(
         .withColumn("month", F.month("bucket_start"))
         .withColumn("day", F.dayofmonth("bucket_start"))
     )
-    upsert_partitioned(
-        spark,
-        bars,
-        lake_path,
+    kw = dict(
         keys=["timeframe", "symbol", "bucket_start"],
         order_cols=["observed_minutes"],
         partition_cols=["timeframe", "symbol", "year", "month", "day"],
     )
+    if atomic:
+        from crypto_datalake_spark.txn import atomic_upsert_partitioned
+
+        atomic_upsert_partitioned(spark, bars, lake_path, **kw)
+    else:
+        upsert_partitioned(spark, bars, lake_path, **kw)

@@ -36,18 +36,34 @@ def foreach_batch_upsert(
     order_cols: Sequence[str],
     partition_cols: Sequence[str],
     derive_partitions: Callable[[DataFrame], DataFrame] | None = None,
+    atomic: bool = False,
 ) -> Callable[[DataFrame, int], None]:
-    """Build a ``foreachBatch`` function that upserts each micro-batch."""
+    """Build a ``foreachBatch`` function that upserts each micro-batch.
+
+    ``atomic=True`` commits each micro-batch through the generation
+    manifest (``txn.atomic_upsert_partitioned``): a driver crash mid-batch
+    leaves readers on the previous generation instead of a half-written
+    batch, and the streaming checkpoint replays the batch into a clean
+    retry — exactly-once table state even across multi-partition batches.
+    """
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         if derive_partitions is not None:
             batch_df = derive_partitions(batch_df)
         if batch_df.isEmpty():
             return
-        upsert_partitioned(
-            spark, batch_df, path,
-            keys=keys, order_cols=order_cols, partition_cols=partition_cols,
-        )
+        if atomic:
+            from crypto_datalake_spark.txn import atomic_upsert_partitioned
+
+            atomic_upsert_partitioned(
+                spark, batch_df, path,
+                keys=keys, order_cols=order_cols, partition_cols=partition_cols,
+            )
+        else:
+            upsert_partitioned(
+                spark, batch_df, path,
+                keys=keys, order_cols=order_cols, partition_cols=partition_cols,
+            )
 
     return _sink
 

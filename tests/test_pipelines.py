@@ -598,3 +598,32 @@ def test_merge_scd2_versions_and_idempotence(spark, tmp_path):
     # replaying the same merge is idempotent
     merge_scd2(spark, v2, path, keys=["k"], tracked_cols=["attr"], ts_col="ts")
     assert read_table(spark, path).count() == 3
+
+
+def test_incremental_update_atomic_commit(spark, tmp_path):
+    """atomic=True: the HTF repair publishes through the generation
+    manifest — idempotent reruns and late repairs read back identically
+    through txn.read_table, and every tick is one atomic flip."""
+    from crypto_datalake_spark.txn import current_manifest, read_table
+
+    path = str(tmp_path / "htf_atomic")
+    mdf = _minute_frame(spark, [_minute_row(_ts(m)) for m in range(6)])
+    incremental_update(spark, mdf, path, "3m", repair_lookback_minutes=120,
+                       atomic=True)
+    v1 = current_manifest(spark, path)["version"]
+    incremental_update(spark, mdf, path, "3m", repair_lookback_minutes=120,
+                       atomic=True)
+    got = read_table(spark, path)
+    assert got.count() == 2
+    late = _minute_frame(
+        spark,
+        [_minute_row(_ts(m)) for m in range(4)]
+        + [_minute_row(_ts(4), high=777.0), _minute_row(_ts(5))],
+    )
+    incremental_update(spark, late, path, "3m", repair_lookback_minutes=120,
+                       atomic=True)
+    got = read_table(spark, path)
+    assert got.count() == 2
+    b = got.where(F.col("bucket_start") == dt.datetime(2024, 1, 1, 0, 3)).head()
+    assert b["high"] == 777.0
+    assert current_manifest(spark, path)["version"] == v1 + 2

@@ -342,3 +342,39 @@ def test_declarative_replay_matches_fold(spark):
         _depth_rows(spark, [_SNAP, _BRIDGE, _NEXT]),
     ):
         assert canon(replay_book_batch(depth)) == canon(book_state_stream(depth))
+
+
+def test_foreach_batch_upsert_atomic(spark, tmp_path, bronze_events):
+    """atomic=True micro-batch sink: checkpoint replay composes with the
+    manifest commit — the table state is identical after a full replay,
+    read through the manifest."""
+    from crypto_datalake_spark.txn import read_table
+
+    src = str(tmp_path / "bronze_a")
+    bronze_events.write.parquet(src)
+    lake = str(tmp_path / "silver_a")
+
+    def run(ckpt):
+        stream = spark.readStream.schema(_EVENTS_DDL).parquet(src)
+        sink = foreach_batch_upsert(
+            spark, lake,
+            keys=["symbol", "minute_ts"], order_cols=["max_event_time"],
+            partition_cols=["symbol"], atomic=True,
+        )
+        q = (
+            minute_feature_stream(stream)
+            .writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / ckpt))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run("ckpt_a1")
+    run("ckpt_a2")  # full replay
+    got = read_table(spark, lake)
+    assert got.count() == 2
+    assert got.where(F.col("minute_ts") == dt.datetime(2024, 1, 1, 0, 0)).head()[
+        "liq_long_notional"
+    ] == 200.0
