@@ -357,6 +357,61 @@ def atomic_merge_into(
         out.unpersist()
 
 
+def compact_partitions(
+    spark: SparkSession,
+    table_path: str,
+    target_files_per_partition: int = 1,
+    partition_paths: Sequence[str] | None = None,
+) -> dict | None:
+    """Small-file compaction: rewrite each partition's live generation into
+    ``target_files_per_partition`` files, committed atomically.
+
+    Continuous ingestion writes a few rows per tick; after a day a hot
+    partition holds hundreds of tiny files and scan tasks go
+    metadata-bound.  Compaction is a pure rewrite — same rows, fewer
+    files — and under the generation protocol it is also SAFE: the
+    compacted generation becomes visible in one pointer swap, in-flight
+    readers keep their old generation, and a crash mid-compact changes
+    nothing.  ``partition_paths`` restricts the rewrite (e.g. yesterday's
+    partitions only — compact behind the ingest frontier, never under it).
+
+    Returns the committed manifest, or None if the table is empty.
+    """
+    manifest = current_manifest(spark, table_path)
+    if manifest is None or not manifest["partitions"]:
+        return None
+    todo = {
+        p: g
+        for p, g in manifest["partitions"].items()
+        if partition_paths is None or p in set(partition_paths)
+    }
+    if not todo:
+        return manifest
+
+    gid = uuid.uuid4().hex[:12]
+    for ppath, old_gid in todo.items():
+        base = table_path if ppath == ROOT_PART else f"{table_path}/{ppath}"
+        df = (
+            spark.read.option("basePath", table_path)
+            .parquet(f"{base}/{GEN_COL}={old_gid}")
+            .drop(GEN_COL)
+        )
+        # partition-value columns live in the directory name, not the files
+        part_value_cols = [
+            seg.split("=", 1)[0] for seg in ppath.split("/") if "=" in seg
+        ]
+        (
+            df.drop(*part_value_cols)
+            .coalesce(target_files_per_partition)
+            .write.mode("append")
+            .parquet(f"{base}/{GEN_COL}={gid}")
+        )
+    parts = dict(manifest["partitions"])
+    for p in todo:
+        parts[p] = gid
+    return commit_manifest(spark, table_path, parts)
+
+
 # -------------------------------------------------------------------- vacuum
 
 

@@ -239,3 +239,40 @@ def test_manifest_read_prunes_partitions(spark, tmp_path):
     pf = next(l for l in plan.splitlines() if "PartitionFilters" in l)
     assert "day" in pf and "d2" in pf, plan
     assert rd.count() == 2
+
+
+def test_compact_partitions_atomic(spark, tmp_path):
+    """Many tiny commits -> many files; compaction folds each partition's
+    live generation to one file in a single atomic flip, rows identical;
+    old generations stay readable until vacuumed."""
+    import glob
+
+    path = str(tmp_path / "lake")
+    for i in range(5):  # 5 commits into the same partition = >= 5 file sets
+        txn.atomic_upsert_partitioned(
+            spark, _df(spark, [("A", _T(i), float(i), "d1")]), path, **KW
+        )
+    txn.atomic_upsert_partitioned(
+        spark, _df(spark, [("B", _T(0), 9.0, "d2")]), path, **KW
+    )
+    before = _snapshot(spark, path)
+    snap_old = txn.read_table(spark, path)  # pre-compaction resolution
+
+    m = txn.compact_partitions(spark, path, target_files_per_partition=1)
+    assert m is not None
+    # same rows, through the new manifest
+    assert _snapshot(spark, path) == before
+    # each partition's live generation is now a single parquet file
+    for ppath, gid in m["partitions"].items():
+        files = glob.glob(f"{path}/{ppath}/{txn.GEN_COL}={gid}/*.parquet")
+        assert len(files) == 1, (ppath, files)
+    # snapshot taken before compaction still reads (old gens intact)
+    assert snap_old.count() == len(before)
+
+    # restricted compaction: only d2, d1's mapping untouched
+    m2 = txn.compact_partitions(spark, path, partition_paths=["day=d2"])
+    assert m2["partitions"]["day=d1"] == m["partitions"]["day=d1"]
+    assert _snapshot(spark, path) == before
+
+    txn.vacuum(spark, path, keep_manifests=1)
+    assert _snapshot(spark, path) == before
