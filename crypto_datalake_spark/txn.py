@@ -71,9 +71,29 @@ def _read_text(spark: SparkSession, path: str) -> str | None:
         stream.close()
 
 
-def _write_text_atomic(spark: SparkSession, path: str, text: str) -> None:
-    """Write ``path`` via tmp + rename — visible all-or-nothing."""
+class ConcurrentCommitError(RuntimeError):
+    """Another writer committed the same manifest version first.
+
+    The protocol is optimistic single-writer: manifest version files are
+    IMMUTABLE, so two writers racing to commit v(N+1) conflict exactly at
+    the version-file create — the loser sees the file exist and must
+    re-read the new current manifest, rebase its partition map, and retry
+    (or surface the conflict).  Same contract as Iceberg's optimistic
+    commit loop."""
+
+
+def _write_text_atomic(
+    spark: SparkSession, path: str, text: str, replace: bool = True
+) -> None:
+    """Write ``path`` via tmp + rename — visible all-or-nothing.
+
+    ``replace=False``: the destination is immutable (a manifest version
+    file) — an existing destination means a concurrent writer won the
+    version race, so raise instead of clobbering their commit.
+    """
     jvm, fs, dst = _fs(spark, path)
+    if not replace and fs.exists(dst):
+        raise ConcurrentCommitError(f"{path} already committed by another writer")
     tmp = jvm.org.apache.hadoop.fs.Path(f"{path}.tmp-{uuid.uuid4().hex[:8]}")
     out = fs.create(tmp, True)
     try:
@@ -81,9 +101,17 @@ def _write_text_atomic(spark: SparkSession, path: str, text: str) -> None:
     finally:
         out.close()
     if not fs.rename(tmp, dst):
-        # HDFS rename refuses an existing destination: delete-then-rename.
-        # The pointer being briefly absent is recoverable (readers fall
-        # back to the highest manifest version), unlike a torn write.
+        if not replace:
+            # rename refused because the destination appeared between the
+            # exists-check and now: the race was lost post-check
+            fs.delete(tmp, False)
+            raise ConcurrentCommitError(
+                f"{path} already committed by another writer"
+            )
+        # Pointer file path (HDFS rename refuses an existing destination):
+        # delete-then-rename. The pointer being briefly absent is
+        # recoverable (readers fall back to the highest manifest version),
+        # unlike a torn write.
         fs.delete(dst, False)
         if not fs.rename(tmp, dst):
             raise IOError(f"atomic rename to {path} failed twice")
@@ -136,8 +164,16 @@ def commit_manifest(
     prev = current_manifest(spark, table_path)
     version = (prev["version"] + 1) if prev else 1
     manifest = {"version": version, "partitions": partitions, **extra}
+    # replace=False: losing a version race raises ConcurrentCommitError
+    # instead of clobbering the winner (rebase-and-retry is the caller's
+    # move).  Airtight on HDFS (rename refuses existing dst); on POSIX
+    # local fs a sub-millisecond check-to-rename window remains — local
+    # mode is single-writer by construction.
     _write_text_atomic(
-        spark, _manifest_path(table_path, version), json.dumps(manifest, indent=1)
+        spark,
+        _manifest_path(table_path, version),
+        json.dumps(manifest, indent=1),
+        replace=False,
     )
     _write_text_atomic(
         spark,

@@ -276,3 +276,33 @@ def test_compact_partitions_atomic(spark, tmp_path):
 
     txn.vacuum(spark, path, keep_manifests=1)
     assert _snapshot(spark, path) == before
+
+
+def test_concurrent_commit_detected(spark, tmp_path, monkeypatch):
+    """Optimistic concurrency: a writer whose view went stale (another
+    writer committed the same next version first) gets
+    ConcurrentCommitError instead of silently clobbering the winner's
+    manifest; a fresh read (rebase) then retries as the next version."""
+    path = str(tmp_path / "lake")
+    txn.atomic_upsert_partitioned(spark, _df(spark, [("A", _T(0), 1.0, "d1")]), path, **KW)
+    stale = txn.current_manifest(spark, path)  # both writers read v1
+
+    # winner lands v2 normally
+    winner = txn.commit_manifest(spark, path, dict(stale["partitions"]))
+    assert winner["version"] == 2
+
+    # loser still believes current == v1 and therefore targets v2
+    real = txn.current_manifest
+    monkeypatch.setattr(txn, "current_manifest", lambda *a, **k: stale)
+    with pytest.raises(txn.ConcurrentCommitError):
+        txn.commit_manifest(spark, path, {"day=d1": "zzz"})
+    monkeypatch.setattr(txn, "current_manifest", real)
+
+    # the winner's manifest is untouched and still resolvable
+    assert txn.current_manifest(spark, path)["version"] == 2
+    assert txn.current_manifest(spark, path)["partitions"] == winner["partitions"]
+    # rebase-and-retry commits as v3
+    m = txn.commit_manifest(
+        spark, path, dict(txn.current_manifest(spark, path)["partitions"])
+    )
+    assert m["version"] == 3
