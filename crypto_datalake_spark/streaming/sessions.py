@@ -136,6 +136,64 @@ def _with_watermark(events: DataFrame, watermark: str) -> DataFrame:
     return ev.withWatermark("ts", watermark)
 
 
+def session_stream_native(
+    events: DataFrame,
+    gap_minutes: int = 30,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Same closed-session contract via Spark's BUILT-IN
+    ``F.session_window`` — zero Python in the hot path (state handling,
+    gap-merging, and watermark expiry all run in the JVM's native session
+    aggregation), which makes it the preferred backend whenever the
+    session result is a pure aggregate of its events (our case: count +
+    sum + bounds).  The pandas/TWS backends above remain for sessions
+    carrying non-aggregatable state (order books, pattern machines).
+
+    Semantics note vs ``session_stream``: Spark's session_window treats a
+    gap EQUAL to the threshold as the same session (window is
+    [start, last+gap)); the fold backends break strictly-greater.  The
+    boundary case requires an event at exactly ``last + gap`` — minute
+    data with second-level jitter never produces it; tests pin agreement
+    away from the knife-edge.
+    """
+    ev = _with_watermark(events, watermark)
+    agg = ev.groupBy(
+        "user_id", F.session_window("ts", f"{gap_minutes} minutes")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("value").alias("total_value"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+    )
+    return agg.select(
+        "user_id",
+        F.col("session_start").cast("timestamp_ntz").alias("session_start"),
+        F.col("session_end").cast("timestamp_ntz").alias("session_end"),
+        "n_events",
+        F.col("total_value").cast("double").alias("total_value"),
+    )
+
+
+def dedup_stream_within_watermark(
+    events: DataFrame,
+    keys: list[str] = ("user_id", "event_id"),
+    ts_col: str = "ts",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """At-source duplicate suppression for at-least-once feeds (ST11's
+    dup half) via the built-in ``dropDuplicatesWithinWatermark``: keeps
+    the first arrival per key and drops re-deliveries that land within
+    the watermark horizon, with state expiring as the watermark advances
+    — bounded state, no custom fold.  Downstream keep-last upserts stay
+    as the durable second line of defense (exact dedup across restarts);
+    this trims the duplicate volume before it ever hits a shuffle."""
+    ev = events.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    if ev.isStreaming:
+        ev = ev.withWatermark(ts_col, watermark)
+        return ev.dropDuplicatesWithinWatermark(list(keys))
+    return ev.dropDuplicates(list(keys))
+
+
 # --- transformWithState variant (Spark 4 state-v2 API) ---------------------
 
 

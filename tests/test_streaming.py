@@ -378,3 +378,101 @@ def test_foreach_batch_upsert_atomic(spark, tmp_path, bronze_events):
     assert got.where(F.col("minute_ts") == dt.datetime(2024, 1, 1, 0, 0)).head()[
         "liq_long_notional"
     ] == 200.0
+
+
+def test_session_stream_native_matches_batch(spark, tmp_path):
+    """The built-in session_window backend emits the same closed sessions
+    as the batch sessionize twin (away from the gap knife-edge)."""
+    from crypto_datalake_spark.ops.gaps import sessionize
+    from crypto_datalake_spark.streaming.sessions import session_stream_native
+
+    def m(minutes):
+        return _t(minutes * 60)
+
+    rows = [
+        (1, 1, m(0), 1.0),
+        (1, 2, m(10), 2.0),
+        (1, 3, m(120), 4.0),
+        (1, 4, m(125), 8.0),
+        (2, 5, m(5), 16.0),
+        (3, 6, m(600), 32.0),  # watermark pusher closes everything above
+    ]
+    src = tmp_path / "sessn_src"
+    src.mkdir()
+    _sess_rows(spark, rows).coalesce(1).write.parquet(str(src / "f1"))
+
+    stream = spark.readStream.schema(_SESS_DDL).parquet(str(src / "*"))
+    q = (
+        session_stream_native(stream, gap_minutes=30, watermark="10 minutes")
+        .writeStream.format("memory")
+        .queryName("sessions_native")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "sessn_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"],
+         r["total_value"])
+        for r in spark.table("sessions_native").collect()
+    }
+
+    all_rows = _sess_rows(spark, rows)
+    want_full = sessionize(all_rows, "ts", 30, ["user_id"]) \
+        .groupBy("user_id", "session_id").agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("total_value"),
+        )
+    want = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"],
+         r["total_value"])
+        for r in want_full.collect()
+    }
+    # every closed streaming session equals its batch twin; sessions not
+    # yet past the watermark (the pusher's own) may be withheld
+    assert got <= want
+    closed_users = {g[0] for g in got}
+    assert {1, 2} <= closed_users
+
+
+def test_dedup_stream_within_watermark(spark, tmp_path):
+    from crypto_datalake_spark.streaming.sessions import (
+        dedup_stream_within_watermark,
+    )
+
+    def m(minutes):
+        return _t(minutes * 60)
+
+    rows = [
+        (1, 1, m(0), 1.0),
+        (1, 1, m(1), 1.0),   # re-delivery of (1,1) inside the watermark
+        (1, 2, m(2), 2.0),
+        (2, 1, m(3), 3.0),   # same event_id, different user: distinct key
+    ]
+    src = tmp_path / "dupe_src"
+    src.mkdir()
+    _sess_rows(spark, rows).coalesce(1).write.parquet(str(src / "f1"))
+
+    stream = spark.readStream.schema(_SESS_DDL).parquet(str(src / "*"))
+    q = (
+        dedup_stream_within_watermark(stream, keys=["user_id", "event_id"])
+        .writeStream.format("memory")
+        .queryName("deduped_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "dupe_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        (r["user_id"], r["event_id"]) for r in spark.table("deduped_stream").collect()
+    )
+    assert got == [(1, 1), (1, 2), (2, 1)]
+
+    # batch frames fall back to plain dropDuplicates (same contract)
+    batch = dedup_stream_within_watermark(_sess_rows(spark, rows),
+                                          keys=["user_id", "event_id"])
+    assert batch.count() == 3
