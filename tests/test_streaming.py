@@ -476,3 +476,58 @@ def test_dedup_stream_within_watermark(spark, tmp_path):
     batch = dedup_stream_within_watermark(_sess_rows(spark, rows),
                                           keys=["user_id", "event_id"])
     assert batch.count() == 3
+
+
+def test_interval_join_streams_matches_batch(spark, tmp_path):
+    """Watermarked stream-stream interval join == the same join on batch
+    frames: every (trade, mark) pair with the mark in [t-2min, t]."""
+    from crypto_datalake_spark.streaming.joins import interval_join_streams
+
+    def m(minutes):
+        return _t(minutes * 60)
+
+    trades = [(1, 10, m(5), 100.0), (1, 11, m(9), 101.0), (2, 12, m(5), 50.0)]
+    marks = [(1, 20, m(4), 99.5), (1, 21, m(8), 100.5), (2, 22, m(0), 49.0),
+             (3, 23, m(600), 0.0)]  # watermark pusher
+
+    tdir, mdir = tmp_path / "ij_t", tmp_path / "ij_m"
+    tdir.mkdir(); mdir.mkdir()
+    _sess_rows(spark, trades).coalesce(1).write.parquet(str(tdir / "f"))
+    _sess_rows(spark, marks).coalesce(1).write.parquet(str(mdir / "f"))
+
+    def stream(d):
+        return spark.readStream.schema(_SESS_DDL).parquet(str(d / "*"))
+
+    joined = interval_join_streams(
+        stream(tdir), stream(mdir), by="user_id",
+        left_ts="ts", right_ts="ts", tolerance="2 minutes",
+    ).select(
+        F.col("l.user_id").alias("user_id"),
+        F.col("l.event_id").alias("trade_id"),
+        F.col("r.event_id").alias("mark_id"),
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ij_sink")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ij_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {(r["user_id"], r["trade_id"], r["mark_id"])
+           for r in spark.table("ij_sink").collect()}
+
+    want_df = interval_join_streams(
+        _sess_rows(spark, trades), _sess_rows(spark, marks), by="user_id",
+        left_ts="ts", right_ts="ts", tolerance="2 minutes",
+    ).select(
+        F.col("l.user_id").alias("user_id"),
+        F.col("l.event_id").alias("trade_id"),
+        F.col("r.event_id").alias("mark_id"),
+    )
+    want = {(r["user_id"], r["trade_id"], r["mark_id"]) for r in want_df.collect()}
+    # trade@5 matches mark@4; trade@9 matches mark@8; trade@5/u2 has no
+    # mark within 2min (mark@0 is 5min stale)
+    assert want == {(1, 10, 20), (1, 11, 21)}
+    assert got == want
