@@ -58,9 +58,17 @@ def islands(
     """
     step = step_minutes * 60
     base = F.lit("1970-01-01 00:00:00").cast("timestamp_ntz")
-    slot = (F.timestamp_diff("SECOND", base, F.col(ts_col)) / step).cast("long")
+    slot = F.floor(
+        F.timestamp_diff("SECOND", base, F.col(ts_col)) / F.lit(step)
+    ).cast("long")
     d = df.select(*by, slot.alias("__slot")).distinct()
-    d = d.withColumn("__bucket", F.expr(f"__slot div {int(bucket_slots)}"))
+    # FLOOR division, not `div` (which truncates toward zero): truncation
+    # would make bucket 0 double-width across negative slots (pre-1970
+    # timestamps) and misalign the edge detection below, silently
+    # splitting islands that cross slot 0.
+    d = d.withColumn(
+        "__bucket", F.floor(F.col("__slot") / F.lit(int(bucket_slots))).cast("long")
+    )
 
     # phase 1: runs inside each (by, bucket)
     w1 = Window.partitionBy(*by, "__bucket").orderBy(F.col("__slot").asc())

@@ -52,7 +52,11 @@ def cum_before(
     position, matching a window ordered by the same key.
     """
     streams = list(stream_cols)
-    bucketed = df.withColumn(_B, F.expr(f"{order_col} div {int(bucket_width)}"))
+    # floor division (not truncating `div`) keeps bucket ids aligned and
+    # uniform for negative order keys too
+    bucketed = df.withColumn(
+        _B, F.floor(F.col(order_col) / F.lit(int(bucket_width))).cast("long")
+    )
 
     # phase 1: local exclusive running sum inside each (stream, bucket)
     local_w = (

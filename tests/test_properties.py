@@ -209,7 +209,7 @@ def test_decontam_overlap_matches_set_math(spark, docs):
 
 
 @given(
-    slots=st.lists(st.integers(min_value=0, max_value=60), min_size=1,
+    slots=st.lists(st.integers(min_value=-40, max_value=60), min_size=1,
                    max_size=40, unique=True),
     bucket=st.integers(min_value=1, max_value=9),
 )
@@ -242,7 +242,7 @@ def test_islands_two_phase_matches_naive(spark, slots, bucket):
 @given(
     rows=st.lists(
         st.tuples(st.integers(min_value=0, max_value=2),     # stream
-                  st.integers(min_value=0, max_value=100),   # order key
+                  st.integers(min_value=-50, max_value=100),  # order key
                   st.integers(min_value=0, max_value=9)),    # value
         min_size=1, max_size=40,
         unique_by=lambda r: (r[0], r[1]),
