@@ -101,6 +101,26 @@ def _drop_emptied_partitions(
         fs.delete(p, True)
 
 
+def semi_join_null_safe(
+    df: DataFrame, vals: DataFrame, cols: Sequence[str]
+) -> DataFrame:
+    """``left_semi`` join on ``cols`` treating NULL as a matchable value.
+
+    A plain equi-semi-join silently drops NULL-keyed rows (NULL = NULL is
+    UNKNOWN), which for partition pruning means "the NULL partition's
+    existing rows are invisible to the merge" — a repair into
+    ``day=__HIVE_DEFAULT_PARTITION__`` would REPLACE the partition instead
+    of merging with it.  ``eqNullSafe`` makes NULL partition values
+    first-class.
+    """
+    tagged = vals.select(*[F.col(c).alias(f"__t_{c}") for c in cols]).distinct()
+    cond = None
+    for c in cols:
+        eq = F.col(c).eqNullSafe(F.col(f"__t_{c}"))
+        cond = eq if cond is None else (cond & eq)
+    return df.join(F.broadcast(tagged), cond, "left_semi")
+
+
 def frame_schema_hash(df: DataFrame) -> str:
     """Stable digest of a frame's column names + types — the ledger's
     schema identity (ref writer/atomic.py:113-117 hashes the canonical
@@ -294,7 +314,7 @@ def upsert_partitioned(
     existing = _read_existing(spark, path, cols)
     if existing is not None:
         touched = incoming.select(*partition_cols).distinct()
-        existing = existing.join(F.broadcast(touched), list(partition_cols), "left_semi")
+        existing = semi_join_null_safe(existing, touched, partition_cols)
     out = merge_frames(incoming, existing, keys, order_cols, preserve_cols, flag_cols)
 
     if ledger_path is not None:
@@ -474,9 +494,7 @@ def merge_compute(
             .distinct()
         )
         touched = touched.unionByName(moved).distinct()
-    existing = existing_full.join(
-        F.broadcast(touched), list(partition_cols), "left_semi"
-    )
+    existing = semi_join_null_safe(existing_full, touched, partition_cols)
 
     # explicit presence markers: NULL merge keys on either side must not
     # flip row classification (a target row with a NULL key never joins,

@@ -313,11 +313,11 @@ def atomic_upsert_partitioned(
     manifest = current_manifest(spark, path)
     existing = None
     if manifest is not None and manifest["partitions"]:
+        from crypto_datalake_spark.sinks import semi_join_null_safe
+
         existing = read_table(spark, path).select(*cols)
         touched_dirs = incoming.select(*partition_cols).distinct()
-        existing = existing.join(
-            F.broadcast(touched_dirs), list(partition_cols), "left_semi"
-        )
+        existing = semi_join_null_safe(existing, touched_dirs, partition_cols)
 
     out = merge_frames(incoming, existing, keys, order_cols, preserve_cols, flag_cols)
     out = out.persist()

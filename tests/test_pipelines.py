@@ -627,3 +627,19 @@ def test_incremental_update_atomic_commit(spark, tmp_path):
     b = got.where(F.col("bucket_start") == dt.datetime(2024, 1, 1, 0, 3)).head()
     assert b["high"] == 777.0
     assert current_manifest(spark, path)["version"] == v1 + 2
+
+
+def test_upsert_partitioned_null_partition_merges(spark, tmp_path):
+    """Repairing the NULL partition must MERGE with its existing rows, not
+    replace them: the touched-partition semi-join is null-safe (a plain
+    equi-join would make existing NULL-partition rows invisible)."""
+    path = str(tmp_path / "lake_nullpart")
+    ddl = "sym string, ts timestamp_ntz, v double, day string"
+    v1 = [("A", _ts(0), 1.0, None), ("B", _ts(0), 2.0, "d1")]
+    kw = dict(keys=["sym", "ts"], order_cols=["ts"], partition_cols=["day"])
+    upsert_partitioned(spark, spark.createDataFrame(v1, ddl), path, **kw)
+    v2 = [("A", _ts(1), 9.0, None)]
+    upsert_partitioned(spark, spark.createDataFrame(v2, ddl), path, **kw)
+    got = sorted((r["sym"], r["ts"], r["v"])
+                 for r in spark.read.parquet(path).where("day IS NULL").collect())
+    assert got == [("A", _ts(0), 1.0), ("A", _ts(1), 9.0)]

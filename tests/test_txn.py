@@ -306,3 +306,25 @@ def test_concurrent_commit_detected(spark, tmp_path, monkeypatch):
         spark, path, dict(txn.current_manifest(spark, path)["partitions"])
     )
     assert m["version"] == 3
+
+
+def test_null_partition_value_roundtrip(spark, tmp_path):
+    """A NULL partition value must write, resolve, and repair through the
+    manifest like any other: the path string uses Spark's own escaping
+    (__HIVE_DEFAULT_PARTITION__), so the manifest key matches the
+    directory partitionBy creates."""
+    path = str(tmp_path / "lake")
+    rows = [("A", _T(0), 1.0, None), ("B", _T(0), 2.0, "d1")]
+    m = txn.atomic_upsert_partitioned(spark, _df(spark, rows), path, **KW)
+    assert "day=__HIVE_DEFAULT_PARTITION__" in m["partitions"]
+    got = txn.read_table(spark, path).collect()
+    assert {(r["sym"], r["day"]) for r in got} == {("A", None), ("B", "d1")}
+
+    # repair into the null partition only; d1 untouched
+    m2 = txn.atomic_upsert_partitioned(
+        spark, _df(spark, [("A", _T(1), 9.0, None)]), path, **KW
+    )
+    assert m2["partitions"]["day=d1"] == m["partitions"]["day=d1"]
+    got2 = sorted((r["sym"], r["ts"], r["v"]) for r in
+                  txn.read_table(spark, path).where("day IS NULL").collect())
+    assert got2 == [("A", _T(0), 1.0), ("A", _T(1), 9.0)]
