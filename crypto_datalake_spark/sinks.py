@@ -230,9 +230,36 @@ def read_ledger(spark: SparkSession, ledger_path: str) -> DataFrame:
 def compact_ledger(spark: SparkSession, ledger_path: str) -> None:
     """Fold the append-only ledger log down to one row per partition.
     Run opportunistically (e.g. every N commits); readers are correct
-    with or without it."""
-    current = read_ledger(spark, ledger_path).localCheckpoint(eager=True)
-    current.write.mode("overwrite").parquet(ledger_path)
+    with or without it.
+
+    Crash-safe by log structure, no atomic swap needed: (1) snapshot the
+    file list, (2) APPEND the resolved rows re-tagged with a fresh
+    ``commit_seq`` (they supersede everything they summarize), (3) delete
+    the snapshotted old files.  At every instant the log resolves to the
+    same state — old files only, old + compacted (keep-last picks the
+    compacted rows), or compacted only; a crash between any two steps
+    just leaves extra rows for the next compaction.  A plain
+    read-then-overwrite would instead have a window where the ledger —
+    which IS the watermark state — is empty or torn.
+    """
+    import time
+
+    jvm = spark.sparkContext._jvm
+    root = jvm.org.apache.hadoop.fs.Path(ledger_path)
+    fs = root.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    old_files = [
+        st.getPath()
+        for st in fs.listStatus(root)
+        if st.isFile() and st.getPath().getName().endswith(".parquet")
+    ]
+    current = (
+        read_ledger(spark, ledger_path)
+        .withColumn("commit_seq", F.lit(time.time_ns() // 1000))
+        .localCheckpoint(eager=True)
+    )
+    current.write.mode("append").parquet(ledger_path)
+    for p in old_files:
+        fs.delete(p, False)
 
 
 def merge_frames(

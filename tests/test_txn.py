@@ -328,3 +328,48 @@ def test_null_partition_value_roundtrip(spark, tmp_path):
     got2 = sorted((r["sym"], r["ts"], r["v"]) for r in
                   txn.read_table(spark, path).where("day IS NULL").collect())
     assert got2 == [("A", _T(0), 1.0), ("A", _T(1), 9.0)]
+
+
+def test_compact_ledger_crash_safe_resolution(spark, tmp_path):
+    """Compaction is append-then-prune: at every intermediate state the
+    log resolves to the same ledger, so a crash mid-compaction can never
+    tear or empty the watermark state."""
+    import glob
+    import time
+
+    import pyspark.sql.functions as F
+
+    from crypto_datalake_spark.sinks import compact_ledger
+
+    path, ledger = str(tmp_path / "lake"), str(tmp_path / "ledger")
+    kw = dict(**KW, ledger_path=ledger)
+    for i in range(4):
+        txn.atomic_upsert_partitioned(
+            spark, _df(spark, [("A", _T(i), float(i), "d1")]), path, **kw
+        )
+    resolved_before = {
+        r["day"]: (r["row_count"], r["max_ts"])
+        for r in read_ledger(spark, ledger).collect()
+    }
+    n_files_before = len(glob.glob(f"{ledger}/*.parquet"))
+    assert n_files_before >= 4
+
+    # simulate the crash state: compacted rows appended, old files NOT yet
+    # deleted — the log must resolve identically
+    read_ledger(spark, ledger).withColumn(
+        "commit_seq", F.lit(time.time_ns() // 1000)
+    ).localCheckpoint(eager=True).write.mode("append").parquet(ledger)
+    resolved_mid = {
+        r["day"]: (r["row_count"], r["max_ts"])
+        for r in read_ledger(spark, ledger).collect()
+    }
+    assert resolved_mid == resolved_before
+
+    # full compaction prunes the log; resolution still identical
+    compact_ledger(spark, ledger)
+    resolved_after = {
+        r["day"]: (r["row_count"], r["max_ts"])
+        for r in read_ledger(spark, ledger).collect()
+    }
+    assert resolved_after == resolved_before
+    assert len(glob.glob(f"{ledger}/*.parquet")) < n_files_before
