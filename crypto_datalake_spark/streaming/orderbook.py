@@ -275,15 +275,20 @@ def replay_book_batch(depth_events: DataFrame) -> DataFrame:
     """
     from pyspark.sql import Window, functions as F
 
-    w_sym = Window.partitionBy("symbol")
-    snap_u = F.max(
-        F.when(F.col("kind") == "snapshot", F.col("final_update_id"))
-    ).over(w_sym)
-    ev = depth_events.withColumn("__snap_u", snap_u)
-    live = ev.where(
-        F.col("__snap_u").isNotNull()
-        & (F.col("final_update_id") >= F.col("__snap_u"))
+    # Last-snapshot watermark per symbol as a tiny AGGREGATE (map-side
+    # partial combine, |symbols| output rows) broadcast back onto the
+    # events — NOT a Window.partitionBy("symbol"): that window sorts the
+    # full event store into one task per symbol, and with few hot symbols
+    # (5 in the bench data, dozens on a real exchange) it serialises the
+    # whole scan onto a handful of cores regardless of cluster size.
+    snaps = depth_events.groupBy("symbol").agg(
+        F.max(
+            F.when(F.col("kind") == "snapshot", F.col("final_update_id"))
+        ).alias("__snap_u")
     )
+    live = depth_events.join(
+        F.broadcast(snaps.where(F.col("__snap_u").isNotNull())), "symbol"
+    ).where(F.col("final_update_id") >= F.col("__snap_u"))
 
     # ONE explode over both sides (DataFrame reuse re-evaluates the whole
     # subplan per consumer in Spark — a bids/asks union would parse every
@@ -302,16 +307,21 @@ def replay_book_batch(depth_events: DataFrame) -> DataFrame:
     lv = live.select(
         "symbol",
         F.col("final_update_id").alias("u"),
-        F.explode(
+        F.posexplode(
             F.concat(side_structs("bids", "bid"), side_structs("asks", "ask"))
-        ).alias("lv"),
-    ).select("symbol", "u", "lv.side", "lv.price", "lv.qty")
+        ).alias("pos", "lv"),
+    ).select("symbol", "u", "pos", "lv.side", "lv.price", "lv.qty")
 
-    w_level = Window.partitionBy("symbol", "side", "price").orderBy(F.col("u").desc())
+    # Last write per (symbol, side, price) as max_by over (u, pos) — an
+    # aggregation with map-side partial combine instead of a row_number
+    # window: no per-key sort, no skew hazard on hot price levels, and
+    # the reduce side shrinks to |distinct levels| rows. pos breaks ties
+    # when one event lists the same price twice (array order = apply
+    # order in the fold, websocket.py:300-345).
     fin = (
-        lv.withColumn("__rr", F.row_number().over(w_level))
-        .where((F.col("__rr") == 1) & (F.col("qty") > 0))
-        .drop("__rr", "u")
+        lv.groupBy("symbol", "side", "price")
+        .agg(F.max_by("qty", F.struct("u", "pos")).alias("qty"))
+        .where(F.col("qty") > 0)
     )
 
     # ONE window pass (rank within side + ask-notional running sum share the
@@ -360,9 +370,10 @@ def replay_book_batch(depth_events: DataFrame) -> DataFrame:
         "symbol", F.date_trunc("minute", "event_time").cast("timestamp_ntz").alias("minute_ts")
     ).distinct()
     # synced == "a snapshot was applied" (fold semantics) — True even when
-    # every level was subsequently deleted
-    synced = ev.groupBy("symbol").agg(
-        F.max("__snap_u").isNotNull().alias("synced")
+    # every level was subsequently deleted; derived from the same tiny
+    # snaps aggregate, no second pass over the event store
+    synced = snaps.select(
+        "symbol", F.col("__snap_u").isNotNull().alias("synced")
     )
 
     met = met.withColumn(
@@ -375,7 +386,12 @@ def replay_book_batch(depth_events: DataFrame) -> DataFrame:
     )
     ok = F.col("ok")
     spread = (F.col("best_ask") - F.col("best_bid")) / F.col("mid") * 100
-    out = minutes.join(synced, "symbol", "left").join(met, "symbol", "left").select(
+    # synced/met are |symbols|-row aggregates — broadcast both so the
+    # minute spine never shuffles
+    out = (
+        minutes.join(F.broadcast(synced), "symbol", "left")
+        .join(F.broadcast(met), "symbol", "left")
+    ).select(
         "symbol",
         "minute_ts",
         F.when(ok, F.col("best_bid")).alias("best_bid"),
