@@ -49,7 +49,10 @@ def cum_before(
 
     ``order_col`` must be integral (bucketed by value-range division);
     rows with equal (stream, order) values are summed into the same
-    position, matching a window ordered by the same key.
+    position — the local frame is a RANGE frame, so every tied row gets
+    the sum of strictly-smaller order values (deterministic regardless of
+    physical row order; a ROWS frame would hand ties distinct,
+    arbitrarily-ordered prefixes).
     """
     streams = list(stream_cols)
     # floor division (not truncating `div`) keeps bucket ids aligned and
@@ -58,11 +61,12 @@ def cum_before(
         _B, F.floor(F.col(order_col) / F.lit(int(bucket_width))).cast("long")
     )
 
-    # phase 1: local exclusive running sum inside each (stream, bucket)
+    # phase 1: local exclusive running sum inside each (stream, bucket);
+    # RANGE (value-based) frame so equal order keys share one position
     local_w = (
         Window.partitionBy(*streams, _B)
         .orderBy(order_col)
-        .rowsBetween(Window.unboundedPreceding, -1)
+        .rangeBetween(Window.unboundedPreceding, -1)
     )
     local = bucketed.withColumn(
         _LOCAL, F.coalesce(F.sum(value_col).over(local_w), F.lit(0))

@@ -47,6 +47,16 @@ def global_row_number(
         if num_partitions
         else df.repartitionByRange(*order_exprs)
     )
+    # MATERIALIZE the range exchange before deriving the two branches
+    # (local ranks + partition counts).  repartitionByRange samples its
+    # boundaries; if the exchange were recomputed per branch (exchange
+    # reuse disabled, task-retry lineage recompute), the two branches
+    # could see DIFFERENT boundaries and offsets would misalign with
+    # local ranks.  localCheckpoint pins one physical realization —
+    # recompute becomes impossible (fail-loud on block loss, never a
+    # silently wrong rank); a long-lived cluster job would use
+    # reliable-checkpoint or persist-to-table instead.
+    ranged = ranged.localCheckpoint(eager=False)
     pid = ranged.withColumn(_PID, F.spark_partition_id())
 
     local_w = Window.partitionBy(_PID).orderBy(*order_exprs)

@@ -203,15 +203,32 @@ def upsert_ledger(
     ledger`` folds the log down when it grows.  A repair rewrite appends a
     newer row for the same partition, which supersedes the old one at read
     time — same visible semantics as the previous in-place replace."""
-    import time
-
     entries = (
         entries.withColumn("schema_hash", F.lit(schema_hash))
         .withColumn("status", F.lit("COMMITTED"))
         .withColumn("committed_at_utc", F.current_timestamp().cast("string"))
-        .withColumn("commit_seq", F.lit(time.time_ns() // 1000))
+        .withColumn("commit_seq", F.lit(_next_commit_seq(spark, ledger_path)))
     )
     entries.write.mode("append").parquet(ledger_path)
+
+
+def _next_commit_seq(spark: SparkSession, ledger_path: str) -> int:
+    """Monotonic commit sequence: max(existing seq)+1, floored at the
+    wall clock.  Pure wall-clock seqs break keep-last resolution when NTP
+    steps the clock backwards or two commits land in the same microsecond;
+    the max() read is one footer-stat aggregate over the partition-count-
+    sized log — cheap, and the only read the commit path does."""
+    import time
+
+    wall = time.time_ns() // 1000
+    try:
+        led = spark.read.parquet(ledger_path)
+        if "commit_seq" not in led.columns:
+            return wall
+        prev = led.agg(F.max("commit_seq")).first()[0]
+    except Exception:  # first commit: path does not exist yet
+        return wall
+    return wall if prev is None else max(prev + 1, wall)
 
 
 def read_ledger(spark: SparkSession, ledger_path: str) -> DataFrame:
@@ -242,8 +259,6 @@ def compact_ledger(spark: SparkSession, ledger_path: str) -> None:
     read-then-overwrite would instead have a window where the ledger —
     which IS the watermark state — is empty or torn.
     """
-    import time
-
     jvm = spark.sparkContext._jvm
     root = jvm.org.apache.hadoop.fs.Path(ledger_path)
     fs = root.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
@@ -254,7 +269,7 @@ def compact_ledger(spark: SparkSession, ledger_path: str) -> None:
     ]
     current = (
         read_ledger(spark, ledger_path)
-        .withColumn("commit_seq", F.lit(time.time_ns() // 1000))
+        .withColumn("commit_seq", F.lit(_next_commit_seq(spark, ledger_path)))
         .localCheckpoint(eager=True)
     )
     current.write.mode("append").parquet(ledger_path)

@@ -156,12 +156,73 @@ def current_manifest(spark: SparkSession, table_path: str) -> dict | None:
     return json.loads(_read_text(spark, _manifest_path(table_path, versions[-1])))
 
 
+def guard_unmanaged_data(spark: SparkSession, table_path: str) -> None:
+    """Refuse to treat a directory that already holds plain parquet as a
+    fresh txn table.  A pre-manifest table at ``table_path`` reads as
+    None through :func:`read_table`, so a first generation-format commit
+    would silently orphan its history AND leave flat files coexisting
+    with ``__gen=`` directories (plain ``spark.read.parquet`` readers see
+    duplicates).  Called only on the manifest-less path, so steady-state
+    commits never pay the listing."""
+    jvm, fs, jpath = _fs(spark, table_path)
+    if not fs.exists(jpath):
+        return
+    if fs.exists(jvm.org.apache.hadoop.fs.Path(f"{table_path}/{MANIFEST_DIR}")):
+        return
+    it = fs.listFiles(jpath, True)
+    while it.hasNext():
+        p = it.next().getPath()
+        if not p.getName().endswith(".parquet"):
+            continue
+        # generation files from a crashed pre-first-commit write are fine
+        if f"/{GEN_COL}=" in p.toString():
+            continue
+        raise ValueError(
+            f"{table_path} contains plain parquet data but no "
+            f"{MANIFEST_DIR}/ — refusing to overlay generation-format "
+            "writes on an unmanaged table. Migrate it first: read the "
+            "existing data and commit it as an initial generation "
+            "(e.g. txn.atomic_overwrite(spark, spark.read.parquet(path), "
+            "tmp_path) then swap paths), or point this writer at a "
+            "fresh directory."
+        )
+
+
+_UNCHECKED = object()  # sentinel: commit without base-version validation
+
+
 def commit_manifest(
-    spark: SparkSession, table_path: str, partitions: dict[str, str], **extra
+    spark: SparkSession,
+    table_path: str,
+    partitions: dict[str, str],
+    base_version: int | None | object = _UNCHECKED,
+    **extra,
 ) -> dict:
     """Publish a new manifest mapping partition-path → generation id and
-    atomically swing ``_CURRENT`` to it."""
+    atomically swing ``_CURRENT`` to it.
+
+    ``base_version`` is the compare-and-swap guard: pass the version of
+    the manifest the caller READ when it planned this commit (``None``
+    for "table had no manifest").  If another writer committed in
+    between, the live version differs from the base and the commit is
+    rejected with :class:`ConcurrentCommitError` — the caller must
+    re-read, rebase its partition map, and retry (Iceberg-style).
+    Without the guard, a stale writer would publish a partition map that
+    silently reverts the interleaved commit; the version-file name race
+    below only catches the narrow same-version window.  Omitting
+    ``base_version`` skips validation — correct only for full-replace
+    semantics (``atomic_overwrite``) where clobbering the map is the
+    contract.
+    """
     prev = current_manifest(spark, table_path)
+    if base_version is not _UNCHECKED:
+        live = prev["version"] if prev else None
+        if live != base_version:
+            raise ConcurrentCommitError(
+                f"{table_path}: manifest moved {base_version!r} -> {live!r} "
+                "since this commit was planned; re-read, rebase the "
+                "partition map, and retry"
+            )
     version = (prev["version"] + 1) if prev else 1
     manifest = {"version": version, "partitions": partitions, **extra}
     # replace=False: losing a version race raises ConcurrentCommitError
@@ -275,6 +336,8 @@ def atomic_overwrite(
     new generation, then swing the pointer.  Readers never observe a
     mid-rewrite state — the fix for the read-then-overwrite-same-path window
     the plain ``mode("overwrite")`` rewrite has."""
+    if current_manifest(spark, table_path) is None:
+        guard_unmanaged_data(spark, table_path)
     gid = write_generation(df, table_path, [])
     return commit_manifest(spark, table_path, {ROOT_PART: gid})
 
@@ -311,6 +374,8 @@ def atomic_upsert_partitioned(
 
     cols = incoming.columns
     manifest = current_manifest(spark, path)
+    if manifest is None:
+        guard_unmanaged_data(spark, path)
     existing = None
     if manifest is not None and manifest["partitions"]:
         from crypto_datalake_spark.sinks import semi_join_null_safe
@@ -334,7 +399,11 @@ def atomic_upsert_partitioned(
         for p in present:
             parts[p] = gid
         committed = commit_manifest(
-            spark, path, parts, schema_hash=frame_schema_hash(out)
+            spark,
+            path,
+            parts,
+            base_version=manifest["version"] if manifest else None,
+            schema_hash=frame_schema_hash(out),
         )
 
         if ledger_path is not None:
@@ -369,10 +438,14 @@ def atomic_merge_into(
 
     cols = source.columns
     manifest = current_manifest(spark, path)
+    if manifest is None:
+        guard_unmanaged_data(spark, path)
     if manifest is None or not manifest["partitions"]:
         gid = write_generation(source, path, partition_cols)
         present = _partition_path_strings(spark, source, partition_cols)
-        return commit_manifest(spark, path, {p: gid for p in present})
+        return commit_manifest(
+            spark, path, {p: gid for p in present}, base_version=None
+        )
 
     existing_full = read_table(spark, path).select(*cols)
     out, touched = merge_compute(
@@ -388,7 +461,9 @@ def atomic_merge_into(
             parts.pop(p, None)  # emptied/moved-away partitions vanish here
         for p in present:
             parts[p] = gid
-        return commit_manifest(spark, path, parts)
+        return commit_manifest(
+            spark, path, parts, base_version=manifest["version"]
+        )
     finally:
         out.unpersist()
 
@@ -445,7 +520,9 @@ def compact_partitions(
     parts = dict(manifest["partitions"])
     for p in todo:
         parts[p] = gid
-    return commit_manifest(spark, table_path, parts)
+    return commit_manifest(
+        spark, table_path, parts, base_version=manifest["version"]
+    )
 
 
 # -------------------------------------------------------------------- vacuum

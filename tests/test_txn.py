@@ -13,6 +13,8 @@ import datetime as dt
 
 import pytest
 
+from pyspark.sql import functions as F
+
 from crypto_datalake_spark import txn
 from crypto_datalake_spark.sinks import read_ledger
 
@@ -373,3 +375,118 @@ def test_compact_ledger_crash_safe_resolution(spark, tmp_path):
     }
     assert resolved_after == resolved_before
     assert len(glob.glob(f"{ledger}/*.parquet")) < n_files_before
+
+
+def test_stale_base_commit_rejected_cas(spark, tmp_path):
+    """True compare-and-swap: a writer whose BASE manifest went stale
+    (another commit landed in between, so the versions no longer collide)
+    must still be rejected — otherwise its partition map silently reverts
+    the interleaved commit (lost update)."""
+    path = str(tmp_path / "lake")
+    txn.atomic_upsert_partitioned(
+        spark, _df(spark, [("A", _T(0), 1.0, "d1")]), path, **KW
+    )
+    base = txn.current_manifest(spark, path)  # writer W read v1
+
+    # interleaved writer lands v2 with a different partition map
+    inter = txn.commit_manifest(
+        spark, path, {**base["partitions"], "day=d9": "interleaved"},
+        base_version=base["version"],
+    )
+    assert inter["version"] == base["version"] + 1
+
+    # W plans against its stale base: versions don't collide (W would
+    # write v3), but the base check rejects it for rebase
+    with pytest.raises(txn.ConcurrentCommitError):
+        txn.commit_manifest(
+            spark, path, dict(base["partitions"]),
+            base_version=base["version"],
+        )
+    # interleaved commit survives
+    assert txn.current_manifest(spark, path)["partitions"]["day=d9"] == "interleaved"
+
+    # rebase-and-retry: re-read, merge W's intent onto the live map, win
+    live = txn.current_manifest(spark, path)
+    retried = txn.commit_manifest(
+        spark, path, {**live["partitions"], "day=d1": "rebased"},
+        base_version=live["version"],
+    )
+    assert retried["version"] == live["version"] + 1
+    final = txn.current_manifest(spark, path)["partitions"]
+    assert final["day=d9"] == "interleaved" and final["day=d1"] == "rebased"
+
+
+def test_two_writer_interleaving_no_lost_update(spark, tmp_path):
+    """End-to-end two-writer interleaving through the high-level upsert:
+    writer B commits between writer A's read and A's commit; A's commit
+    must fail (not silently drop B's partition), and A's retry preserves
+    both writers' data."""
+    path = str(tmp_path / "lake")
+    txn.atomic_upsert_partitioned(
+        spark, _df(spark, [("A", _T(0), 1.0, "d1")]), path, **KW
+    )
+
+    # Writer A: plan an upsert but stall before commit — simulated by
+    # capturing the manifest A read, then letting B commit first.
+    a_base = txn.current_manifest(spark, path)
+    txn.atomic_upsert_partitioned(  # writer B lands
+        spark, _df(spark, [("B", _T(0), 9.0, "dB")]), path, **KW
+    )
+    with pytest.raises(txn.ConcurrentCommitError):
+        txn.commit_manifest(
+            spark, path, {**a_base["partitions"], "day=dA": "a-gen"},
+            base_version=a_base["version"],
+        )
+    # A retries through the high-level path (fresh read inside) — both
+    # writers' rows visible afterwards
+    txn.atomic_upsert_partitioned(
+        spark, _df(spark, [("A2", _T(1), 2.0, "dA")]), path, **KW
+    )
+    got = {r["sym"] for r in txn.read_table(spark, path).collect()}
+    assert got == {"A", "B", "A2"}
+
+
+def test_unmanaged_parquet_dir_rejected(spark, tmp_path):
+    """A directory holding plain (pre-manifest) parquet must not be
+    treated as a fresh txn table: its history would silently disappear
+    from txn readers while flat files duplicate for plain readers."""
+    path = str(tmp_path / "legacy")
+    _df(spark, [("A", _T(0), 1.0, "d1")]).write.parquet(path)
+    with pytest.raises(ValueError, match="unmanaged"):
+        txn.atomic_upsert_partitioned(
+            spark, _df(spark, [("B", _T(0), 2.0, "d1")]), path, **KW
+        )
+    with pytest.raises(ValueError, match="unmanaged"):
+        txn.atomic_overwrite(spark, _df(spark, [("B", _T(0), 2.0, "d1")]), path)
+    # legacy data untouched by the refusals
+    assert spark.read.parquet(path).count() == 1
+
+
+def test_ledger_commit_seq_monotonic_under_clock_step(spark, tmp_path):
+    """commit_seq must stay strictly increasing even if the wall clock
+    steps backwards between commits (NTP) — keep-last resolution picks
+    rows by seq, so a regression would surface a stale watermark."""
+    from crypto_datalake_spark import sinks
+
+    ledger = str(tmp_path / "ledger")
+    entries = spark.createDataFrame([("d1", 1)], "day string, row_count int")
+    # first commit stamps a far-future seq (simulated clock ahead)
+    far_future = 4102444800000000  # year 2100, microseconds
+    stamped = entries.withColumn("schema_hash", F.lit("h")).withColumn(
+        "status", F.lit("COMMITTED")
+    ).withColumn("committed_at_utc", F.lit("t")).withColumn(
+        "commit_seq", F.lit(far_future)
+    )
+    stamped.write.mode("append").parquet(ledger)
+    # next commit's wall clock is "behind" the ledger max: seq must still
+    # advance past it, so this row supersedes at read time
+    sinks.upsert_ledger(
+        spark, ledger,
+        spark.createDataFrame([("d1", 2)], "day string, row_count int"),
+        ["day"], "h2",
+    )
+    led = spark.read.parquet(ledger)
+    seqs = sorted(r["commit_seq"] for r in led.collect())
+    assert seqs[1] == far_future + 1
+    current = sinks.read_ledger(spark, ledger)
+    assert current.where("day = 'd1'").first()["row_count"] == 2
