@@ -18,6 +18,7 @@ from crypto_datalake_spark.streaming.minute_features import (  # noqa: F401
 from crypto_datalake_spark.streaming.orderbook import (  # noqa: F401
     DEPTH_EVENT_SCHEMA,
     book_state_stream,
+    book_state_stream_tws,
 )
 from crypto_datalake_spark.streaming.sessions import (  # noqa: F401
     session_stream,

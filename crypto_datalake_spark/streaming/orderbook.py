@@ -178,43 +178,10 @@ def _book_metrics(st: dict, symbol: str, minute_ts) -> dict:
 def _process(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
     (symbol,) = key
     st = json.loads(state.get[0]) if state.exists else dict(_EMPTY, buffer=[])
-
-    events = []
-    for pdf in pdfs:
-        for r in pdf.itertuples(index=False):
-            events.append(
-                dict(
-                    event_time=r.event_time,
-                    kind=r.kind,
-                    U=None if pd.isna(r.first_update_id) else int(r.first_update_id),
-                    u=None if pd.isna(r.final_update_id) else int(r.final_update_id),
-                    pu=None if pd.isna(r.prev_final_update_id) else int(r.prev_final_update_id),
-                    bids=json.loads(r.bids) if r.bids else [],
-                    asks=json.loads(r.asks) if r.asks else [],
-                )
-            )
-    events.sort(key=lambda e: (e["event_time"], -1 if e["kind"] == "snapshot" else e["u"] or 0))
-
-    out_rows = []
-    touched_minutes: dict = {}
-    for ev in events:
-        if ev["kind"] == "snapshot":
-            _sync_from_snapshot(st, ev)
-        elif st["synced"]:
-            _apply_delta(st, ev)
-        else:
-            st["buffer"].append(ev)  # buffer-until-snapshot
-        minute = ev["event_time"].floor("min")
-        touched_minutes[minute] = True
-    if touched_minutes:
-        # every emitted minute reflects the post-batch state, so compute the
-        # metrics (book sort + impact walk) ONCE and replicate per minute —
-        # a batch replay touching thousands of minutes would otherwise
-        # re-sort the whole book per minute
-        base = _book_metrics(st, symbol, None)
-        for minute in touched_minutes:  # one metrics row per observed minute
-            out_rows.append(dict(base, minute_ts=minute))
-
+    # concat the whole micro-batch before folding: the event sort must see
+    # every chunk of the group, not each Arrow batch independently
+    chunks = [pdf for pdf in pdfs if len(pdf)]
+    out_rows = _fold_batch(symbol, st, pd.concat(chunks)) if chunks else []
     state.update((json.dumps(st, default=str),))
     if out_rows:
         yield pd.DataFrame(out_rows)
@@ -253,6 +220,100 @@ def book_state_stream(depth_events: DataFrame) -> DataFrame:
 
     return depth_events.groupBy(col("symbol")).applyInPandas(
         _batch, BOOK_METRICS_SCHEMA
+    )
+
+
+def _fold_batch(symbol: str, st: dict, pdf: pd.DataFrame) -> list[dict]:
+    """Apply one micro-batch of depth events to ``st`` in place and return
+    the per-minute metric rows — the shared core of both streaming
+    backends (and of batch replay via ``book_state_stream``)."""
+    events = []
+    for r in pdf.itertuples(index=False):
+        events.append(
+            dict(
+                event_time=r.event_time,
+                kind=r.kind,
+                U=None if pd.isna(r.first_update_id) else int(r.first_update_id),
+                u=None if pd.isna(r.final_update_id) else int(r.final_update_id),
+                pu=None if pd.isna(r.prev_final_update_id) else int(r.prev_final_update_id),
+                bids=json.loads(r.bids) if r.bids else [],
+                asks=json.loads(r.asks) if r.asks else [],
+            )
+        )
+    events.sort(key=lambda e: (e["event_time"], -1 if e["kind"] == "snapshot" else e["u"] or 0))
+
+    touched_minutes: dict = {}
+    for ev in events:
+        if ev["kind"] == "snapshot":
+            _sync_from_snapshot(st, ev)
+        elif st["synced"]:
+            _apply_delta(st, ev)
+        else:
+            st["buffer"].append(ev)  # buffer-until-snapshot
+        minute = ev["event_time"].floor("min")
+        touched_minutes[minute] = True
+    if not touched_minutes:
+        return []
+    # every emitted minute reflects the post-batch state, so compute the
+    # metrics (book sort + impact walk) ONCE and replicate per minute —
+    # a batch replay touching thousands of minutes would otherwise
+    # re-sort the whole book per minute
+    base = _book_metrics(st, symbol, None)
+    return [dict(base, minute_ts=minute) for minute in touched_minutes]
+
+
+def _make_book_processor():
+    """Build the order-book `StatefulProcessor` lazily: importable on any
+    PySpark 4 driver, but executing it needs `protobuf` on the workers
+    (the TWS state server speaks protobuf to the JVM)."""
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    class OrderBookProcessor(StatefulProcessor):
+        """Per-symbol depth-diff fold on the Spark-4 state-v2 API.
+
+        Same contract and same fold helpers (`_sync_from_snapshot`,
+        `_apply_delta`, `_book_metrics`) as the legacy
+        `applyInPandasWithState` backend — equivalence is by shared code,
+        not by parallel reimplementation. No timers: the book never
+        expires (reference keeps one live book per symbol for the
+        process lifetime, websocket.py:234-345)."""
+
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._book = handle.getValueState("book", _STATE_SCHEMA)
+
+        def handleInputRows(self, key, rows, timer_values):
+            (symbol,) = key
+            st = (
+                json.loads(tuple(self._book.get())[0])
+                if self._book.exists()
+                else dict(_EMPTY, buffer=[])
+            )
+            chunks = [pdf for pdf in rows if len(pdf)]
+            out_rows = _fold_batch(symbol, st, pd.concat(chunks)) if chunks else []
+            self._book.update((json.dumps(st, default=str),))
+            if out_rows:
+                yield pd.DataFrame(out_rows)
+
+        def close(self) -> None:
+            pass
+
+    return OrderBookProcessor()
+
+
+def book_state_stream_tws(depth_events: DataFrame) -> DataFrame:
+    """`transformWithStateInPandas` twin of ``book_state_stream`` — the
+    non-deprecated Spark-4 stateful API, same per-symbol book fold and the
+    same BOOK_METRICS_SCHEMA output. Raises ImportError up front when the
+    TWS state server's `protobuf` dependency is missing on the workers
+    (as in this container), so callers can fall back to the legacy
+    backend instead of crashing mid-query."""
+    import google.protobuf  # noqa: F401 — fail fast, not mid-query
+
+    return depth_events.groupBy("symbol").transformWithStateInPandas(
+        _make_book_processor(),
+        BOOK_METRICS_SCHEMA,
+        "append",
+        "none",
     )
 
 

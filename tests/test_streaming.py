@@ -132,7 +132,31 @@ def test_book_sequence_break_degrades(spark):
     assert not out[0]["synced"] and out[0]["degraded"]
 
 
-def test_book_buffer_until_snapshot_across_batches(spark, tmp_path):
+def _has_protobuf() -> bool:
+    try:
+        import google.protobuf  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.parametrize(
+    "backend",
+    [
+        "legacy",
+        pytest.param(
+            "tws",
+            marks=pytest.mark.skipif(
+                not _has_protobuf(),
+                reason="transformWithState state server needs protobuf",
+            ),
+        ),
+    ],
+)
+def test_book_buffer_until_snapshot_across_batches(spark, tmp_path, backend):
+    from crypto_datalake_spark.streaming import book_state_stream_tws
+
     src = tmp_path / "depth"
     src.mkdir()
     # file 1: delta before any snapshot → buffered, unsynced metrics
@@ -147,8 +171,9 @@ def test_book_buffer_until_snapshot_across_batches(spark, tmp_path):
     stream = spark.readStream.schema(DEPTH_EVENT_SCHEMA).option(
         "maxFilesPerTrigger", 1
     ).parquet(str(src / "*"))
+    fold = book_state_stream if backend == "legacy" else book_state_stream_tws
     q = (
-        book_state_stream(stream)
+        fold(stream)
         .writeStream.format("memory")
         .queryName("book_stream")
         .outputMode("append")
@@ -315,6 +340,20 @@ def test_session_stream_tws_requires_protobuf(spark):
         return
     # protobuf present: building the plan must succeed (not executed here).
     session_stream_tws(ev)
+
+
+def test_book_stream_tws_requires_protobuf(spark):
+    """Same fail-fast contract for the order-book TWS twin."""
+    from crypto_datalake_spark.streaming import book_state_stream_tws
+
+    depth = _depth_rows(spark, [])
+    try:
+        import google.protobuf  # noqa: F401
+    except ImportError:
+        with pytest.raises(ImportError):
+            book_state_stream_tws(depth)
+        return
+    book_state_stream_tws(depth)
 
 
 def test_declarative_replay_matches_fold(spark):

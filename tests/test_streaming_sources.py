@@ -5,6 +5,7 @@ test feeding minute_feature_stream end-to-end."""
 from __future__ import annotations
 
 import json
+import os
 import socket
 import threading
 import time
@@ -173,6 +174,66 @@ def test_socket_transport_end_to_end(spark):
         stop.set()
         q.stop()
         srv.close()
+
+
+def _kafka_available(spark, bootstrap: str) -> str | None:
+    """Reason the Kafka e2e test cannot run, or None if it can: needs the
+    spark-sql-kafka connector on the classpath AND a reachable broker."""
+    try:
+        spark.readStream.format("kafka").option(
+            "kafka.bootstrap.servers", bootstrap
+        ).option("subscribe", "probe").load()
+    except Exception:
+        return "spark-sql-kafka connector not on classpath"
+    host, _, port = bootstrap.partition(":")
+    try:
+        with socket.create_connection((host, int(port or 9092)), timeout=2):
+            pass
+    except OSError:
+        return f"no Kafka broker reachable at {bootstrap}"
+    return None
+
+
+def test_kafka_transport_end_to_end(spark):
+    """Mirror of the socket e2e test on the production transport: Spark
+    batch-writes the WS-envelope lines to a topic (the connector is its
+    own producer — no Python Kafka client needed), then
+    kafka_event_stream replays it from earliest through the same parser
+    into a memory sink.  Runs wherever the connector + a broker exist
+    ($KAFKA_BOOTSTRAP, default localhost:9092); skips cleanly otherwise."""
+    import uuid
+
+    bootstrap = os.environ.get("KAFKA_BOOTSTRAP", "localhost:9092")
+    reason = _kafka_available(spark, bootstrap)
+    if reason:
+        pytest.skip(reason)
+
+    topic = f"ws-events-{uuid.uuid4().hex[:8]}"
+    lines = [TRADE, TRADE_NO_E, LIQ, LIQ_UNFILLED, MARK, DEPTH, GARBAGE]
+    (
+        spark.createDataFrame([(l,) for l in lines], "value string")
+        .write.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap)
+        .option("topic", topic)
+        .save()
+    )
+
+    name = "src_kafka_sink"
+    q = (
+        kafka_event_stream(spark, bootstrap, topic, starting_offsets="earliest")
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.table(name).collect()
+    assert len(rows) == 6  # GARBAGE dropped, six valid events parsed
+    kinds = sorted(r["stream"] for r in rows)
+    assert kinds == ["depth", "liq", "liq", "mark", "trade", "trade"]
+    # broker timestamps flow through as arrival_time (latency decomposition)
+    assert all(r["arrival_time"] is not None for r in rows)
 
 
 def test_kafka_gate_raises_clear_error_without_connector(spark):

@@ -490,3 +490,39 @@ def test_ledger_commit_seq_monotonic_under_clock_step(spark, tmp_path):
     assert seqs[1] == far_future + 1
     current = sinks.read_ledger(spark, ledger)
     assert current.where("day = 'd1'").first()["row_count"] == 2
+
+
+def test_commit_scales_to_100k_partitions(spark, tmp_path):
+    """Commit cost is O(live partitions) driver-side JSON (txn.py module
+    docstring). Pin the measured ceiling: a 100k-partition manifest —
+    ~3 years of hourly partitions across 4 symbols — must commit in
+    seconds, and the marginal cost of one more commit on top of a large
+    manifest must stay flat (no accidental O(n^2) from re-listing or
+    re-serializing history). The recorded numbers live in SCALE.md."""
+    import time
+
+    from crypto_datalake_spark import txn
+
+    table = str(tmp_path / "bigmani")
+    parts_100k = {f"sym=S{i % 4}/hour={i}": "g0" for i in range(100_000)}
+
+    t0 = time.perf_counter()
+    txn.commit_manifest(spark, table, parts_100k, base_version=None)
+    first = time.perf_counter() - t0
+
+    # steady-state: read-current + CAS + rewrite, on top of the big map
+    t0 = time.perf_counter()
+    m = txn.current_manifest(spark, table)
+    m["partitions"]["sym=S0/hour=100001"] = "g1"
+    txn.commit_manifest(
+        spark, table, m["partitions"], base_version=m["version"]
+    )
+    steady = time.perf_counter() - t0
+
+    live = txn.current_manifest(spark, table)
+    assert live["version"] == 2
+    assert len(live["partitions"]) == 100_001
+    # generous wall-clock bounds (shared CI hardware): the point is
+    # "seconds, not minutes" and "steady-state is not worse than first"
+    assert first < 20.0, f"100k-partition first commit took {first:.1f}s"
+    assert steady < 20.0, f"steady-state commit took {steady:.1f}s"
