@@ -20,6 +20,8 @@ microseconds — some Spark builds surface the physical long already
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
@@ -208,3 +210,51 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
     BI view, /root/reference/src/binance_minute_lake/cli/app.py:112-154)."""
     for t in TABLES:
         load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+
+
+def warehouse_cached(spark: SparkSession, name: str, source_paths, build):
+    """Build-once parquet cache for derived tables (trained centroids,
+    materialized synthetic stores): returns ``spark.read.parquet`` over a
+    warehouse directory, building it via ``build() -> DataFrame`` on
+    first use.
+
+    The cache key fingerprints the SOURCE files (size + mtime), so a
+    regenerated source dataset — or a different dataset mounted at the
+    same directory name — invalidates the cache instead of silently
+    serving stale derived data.  Publication is atomic: the build writes
+    to a tmp directory that is renamed into place, so two processes
+    racing the first build cannot interleave files (the loser discards
+    its tmp and reads the winner's), and a crashed build leaves only an
+    orphan tmp, never a half-written cache that passes the existence
+    check.  Stale keys of the same ``name`` are pruned best-effort on
+    publish.  A production lake would key on the source table's txn
+    generation (txn.py) instead of file stat."""
+    import glob
+    import hashlib
+    import shutil
+    import uuid as _uuid
+
+    fp = hashlib.md5()
+    for p in sorted(source_paths):
+        st = os.stat(p)
+        fp.update(f"{p}:{st.st_size}:{st.st_mtime_ns};".encode())
+    key = fp.hexdigest()[:12]
+
+    wh = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "spark-warehouse",
+    )
+    path = os.path.join(wh, f"{name}__{key}")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        tmp = f"{path}.tmp-{_uuid.uuid4().hex[:8]}"
+        build().write.mode("overwrite").parquet(tmp)
+        try:
+            os.rename(tmp, path)  # atomic publish; fails if winner beat us
+            for old in glob.glob(os.path.join(wh, f"{name}__*")):
+                if old != path and not old.startswith(f"{path}.tmp"):
+                    shutil.rmtree(old, ignore_errors=True)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)
+            if not os.path.exists(os.path.join(path, "_SUCCESS")):
+                raise
+    return spark.read.parquet(path)

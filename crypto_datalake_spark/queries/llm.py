@@ -767,24 +767,30 @@ def kmeans_centroids(
 def ivf_centroid_table(spark, sf_dir, k: int = _IVF_K, seed: int = 7):
     """Persisted-centroid serving path: read the trained centroid table
     from the warehouse, training + writing it exactly once per
-    (sf, k, seed).  This is the production IVF split — train offline on a
-    sample, persist, broadcast at query time — so serving queries never
-    pay the iterative fit.  The cache key encodes sf/k/seed; the test
-    corpus is immutable, so no data-version key is needed (a real lake
-    would key on the source table's txn generation, txn.py)."""
+    (source data, k, seed).  This is the production IVF split — train
+    offline on a sample, persist, broadcast at query time — so serving
+    queries never pay the iterative fit.  ``warehouse_cached``
+    fingerprints the source embeddings file, so regenerated testdata
+    retrains instead of serving stale centroids (a real lake would key
+    on the source table's txn generation, txn.py)."""
     import os
 
-    wh = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
-        "spark-warehouse",
-    )
+    from crypto_datalake_spark.io import warehouse_cached
+
     name = os.path.basename(os.path.normpath(sf_dir))
-    path = os.path.join(wh, f"ivf_centroids_{name}_k{k}_s{seed}")
-    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+
+    def build():
         e = t(spark, sf_dir, "embeddings")
-        cents = kmeans_centroids(e.where(F.col("vec_id") != 0), k=k, seed=seed)
-        cents.coalesce(1).write.mode("overwrite").parquet(path)
-    return spark.read.parquet(path)
+        return kmeans_centroids(
+            e.where(F.col("vec_id") != 0), k=k, seed=seed
+        ).coalesce(1)
+
+    return warehouse_cached(
+        spark,
+        f"ivf_centroids_{name}_k{k}_s{seed}",
+        [os.path.join(sf_dir, "embeddings.parquet")],
+        build,
+    )
 
 
 @register(

@@ -95,23 +95,22 @@ def synth_depth_events(spark, sf_dir):
     scale hazard the replay itself avoids (see replay_book_batch)."""
     import os
 
-    wh = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
-        "spark-warehouse",
-    )
+    from crypto_datalake_spark.io import warehouse_cached
+
     name = os.path.basename(os.path.normpath(sf_dir))
-    path = os.path.join(wh, f"synth_depth_{name}")
-    if not os.path.exists(os.path.join(path, "_SUCCESS")):
-        _build_synth_depth(spark, sf_dir).write.mode("overwrite").parquet(path)
+    store = warehouse_cached(
+        spark,
+        f"synth_depth_{name}",
+        [os.path.join(sf_dir, "events.parquet")],
+        lambda: _build_synth_depth(spark, sf_dir),
+    )
     # the test-scale store is a few MB, so the file-combining cost model
     # hands the whole scan to ONE task — and every downstream from_json /
     # explode then runs single-threaded. Spread the rows across the
     # executor cores up front (a ~10 MB exchange); at production scale
     # the store is >>maxPartitionBytes and file splits parallelize the
     # scan naturally, making the repartition a no-op-cost safety net.
-    return spark.read.parquet(path).repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    return store.repartition(spark.sparkContext.defaultParallelism)
 
 
 def _build_synth_depth(spark, sf_dir):

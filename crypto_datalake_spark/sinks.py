@@ -195,10 +195,12 @@ def upsert_ledger(
     46-136: one row per committed partition).
 
     The ledger is LOG-STRUCTURED: each commit appends only its own rows
-    tagged with a monotonically increasing ``commit_seq``; nothing is read
-    back, so commit cost is independent of how many partitions the table
-    has ever committed (the old read-modify-rewrite was O(total ledger) per
-    write — a driver-side bottleneck at real partition counts).  Readers
+    tagged with a monotonically increasing ``commit_seq``; the only
+    read-back is the one-column max(seq) scan (see ``_next_commit_seq``),
+    so commit cost no longer scales with how many partitions the table
+    has ever committed (the old read-modify-REWRITE was O(total ledger)
+    data movement per write — a driver bottleneck at real partition
+    counts).  Readers
     resolve the latest row per partition via ``read_ledger``; ``compact_
     ledger`` folds the log down when it grows.  A repair rewrite appends a
     newer row for the same partition, which supersedes the old one at read
@@ -215,19 +217,30 @@ def upsert_ledger(
 def _next_commit_seq(spark: SparkSession, ledger_path: str) -> int:
     """Monotonic commit sequence: max(existing seq)+1, floored at the
     wall clock.  Pure wall-clock seqs break keep-last resolution when NTP
-    steps the clock backwards or two commits land in the same microsecond;
-    the max() read is one footer-stat aggregate over the partition-count-
-    sized log — cheap, and the only read the commit path does."""
+    steps the clock backwards or two commits land in the same microsecond.
+
+    Cost: one single-COLUMN scan of the append log (parquet is v1 here,
+    so the max() does not push to footer stats) — O(log files) with a
+    small constant, bounded by ``compact_ledger``.  Only a genuinely
+    missing path falls back to the wall clock; any OTHER read failure
+    (corrupt file, permission, FS hiccup) must fail the commit loudly —
+    silently reverting to wall-clock seqs on a log whose max is ahead of
+    the clock would resurrect exactly the stale-watermark bug this
+    function exists to prevent."""
     import time
+
+    from pyspark.errors import AnalysisException
 
     wall = time.time_ns() // 1000
     try:
         led = spark.read.parquet(ledger_path)
-        if "commit_seq" not in led.columns:
+    except AnalysisException as e:  # first commit: path does not exist yet
+        if "PATH_NOT_FOUND" in str(e) or "Path does not exist" in str(e):
             return wall
-        prev = led.agg(F.max("commit_seq")).first()[0]
-    except Exception:  # first commit: path does not exist yet
+        raise
+    if "commit_seq" not in led.columns:
         return wall
+    prev = led.agg(F.max("commit_seq")).first()[0]
     return wall if prev is None else max(prev + 1, wall)
 
 
@@ -610,7 +623,18 @@ def merge_scd2(
         [vf],
     )
 
-    existing = txn.read_table(spark, path)
+    # pin the base: read the manifest version first, read the table AS OF
+    # that version, and commit with it as the CAS guard — a concurrent
+    # SCD2 merge that lands in between turns this commit into a
+    # ConcurrentCommitError (rebase and retry) instead of a silent
+    # lost-update of the interleaved version chain
+    manifest = txn.current_manifest(spark, path)
+    base_version = manifest["version"] if manifest else None
+    existing = (
+        txn.read_table(spark, path, at_version=base_version)
+        if base_version is not None
+        else None
+    )
     if existing is not None:
         existing = existing.select(*out_cols)
 
@@ -646,4 +670,4 @@ def merge_scd2(
     # in-place overwrite is needed.
     from crypto_datalake_spark import txn
 
-    txn.atomic_overwrite(spark, out, path)
+    txn.atomic_overwrite(spark, out, path, base_version=base_version)

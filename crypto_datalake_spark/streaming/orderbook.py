@@ -304,9 +304,12 @@ def book_state_stream_tws(depth_events: DataFrame) -> DataFrame:
     """`transformWithStateInPandas` twin of ``book_state_stream`` — the
     non-deprecated Spark-4 stateful API, same per-symbol book fold and the
     same BOOK_METRICS_SCHEMA output. Raises ImportError up front when the
-    TWS state server's `protobuf` dependency is missing on the workers
-    (as in this container), so callers can fall back to the legacy
-    backend instead of crashing mid-query."""
+    TWS state server's `protobuf` dependency is missing, so callers can
+    fall back to the legacy backend instead of crashing mid-query.  The
+    probe runs on the DRIVER — airtight in local mode (driver == workers,
+    this container) but advisory on a cluster with heterogeneous images,
+    where the workers need protobuf too (ship it via the same image or
+    --archives env, as with any Python worker dep)."""
     import google.protobuf  # noqa: F401 — fail fast, not mid-query
 
     return depth_events.groupBy("symbol").transformWithStateInPandas(

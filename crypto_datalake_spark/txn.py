@@ -167,7 +167,10 @@ def guard_unmanaged_data(spark: SparkSession, table_path: str) -> None:
     jvm, fs, jpath = _fs(spark, table_path)
     if not fs.exists(jpath):
         return
-    if fs.exists(jvm.org.apache.hadoop.fs.Path(f"{table_path}/{MANIFEST_DIR}")):
+    # a _manifest DIRECTORY alone proves nothing (a crashed pre-commit
+    # write leaves one holding only .tmp files) — only an actual committed
+    # manifest version exempts the table from the unmanaged check
+    if _list_versions(spark, table_path):
         return
     it = fs.listFiles(jpath, True)
     while it.hasNext():
@@ -330,16 +333,29 @@ def write_generation(
 
 
 def atomic_overwrite(
-    spark: SparkSession, df: DataFrame, table_path: str
+    spark: SparkSession,
+    df: DataFrame,
+    table_path: str,
+    base_version: int | None | object = _UNCHECKED,
 ) -> dict:
     """Replace a whole (unpartitioned) table in one atomic step: write the
     new generation, then swing the pointer.  Readers never observe a
     mid-rewrite state — the fix for the read-then-overwrite-same-path window
-    the plain ``mode("overwrite")`` rewrite has."""
+    the plain ``mode("overwrite")`` rewrite has.
+
+    ``base_version``: pass the manifest version the caller READ when it
+    derived ``df`` to get compare-and-swap semantics (required whenever
+    the overwrite is really a read-modify-write, e.g. ``merge_scd2``
+    rebuilding a version chain — without it a stale writer silently
+    reverts an interleaved commit).  Default skips the check, correct
+    only for genuine full-replace writes that derive nothing from the
+    table's current state."""
     if current_manifest(spark, table_path) is None:
         guard_unmanaged_data(spark, table_path)
     gid = write_generation(df, table_path, [])
-    return commit_manifest(spark, table_path, {ROOT_PART: gid})
+    return commit_manifest(
+        spark, table_path, {ROOT_PART: gid}, base_version=base_version
+    )
 
 
 def atomic_upsert_partitioned(

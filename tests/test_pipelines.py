@@ -643,3 +643,84 @@ def test_upsert_partitioned_null_partition_merges(spark, tmp_path):
     got = sorted((r["sym"], r["ts"], r["v"])
                  for r in spark.read.parquet(path).where("day IS NULL").collect())
     assert got == [("A", _ts(0), 1.0), ("A", _ts(1), 9.0)]
+
+
+def test_merge_scd2_stale_base_rejected(spark, tmp_path):
+    """merge_scd2 is read-modify-write: a concurrent merge landing between
+    this writer's read and commit must raise ConcurrentCommitError (CAS on
+    the base manifest version) instead of silently reverting the
+    interleaved version chain."""
+    from unittest import mock
+
+    from crypto_datalake_spark import txn
+    from crypto_datalake_spark.sinks import merge_scd2
+
+    path = str(tmp_path / "dim")
+    ddl = "k bigint, attr string, ts timestamp_ntz"
+    merge_scd2(
+        spark,
+        spark.createDataFrame([(1, "a", _ts(0))], ddl),
+        path, keys=["k"], tracked_cols=["attr"], ts_col="ts",
+    )
+
+    # interleave: writer B's merge commits after A reads its base manifest
+    real_read = txn.read_table
+    fired = []
+
+    def read_then_interleave(sp, p, at_version=None):
+        out = real_read(sp, p, at_version=at_version)
+        if not fired:  # fire once — writer B's own merge must run clean
+            fired.append(1)
+            with mock.patch.object(txn, "read_table", real_read):
+                merge_scd2(  # writer B lands while A is mid-merge
+                    sp,
+                    sp.createDataFrame([(2, "x", _ts(1))], ddl),
+                    p, keys=["k"], tracked_cols=["attr"], ts_col="ts",
+                )
+        return out
+
+    with mock.patch.object(txn, "read_table", read_then_interleave):
+        with pytest.raises(txn.ConcurrentCommitError):
+            merge_scd2(
+                spark,
+                spark.createDataFrame([(1, "b", _ts(2))], ddl),
+                path, keys=["k"], tracked_cols=["attr"], ts_col="ts",
+            )
+    # B's row survived; A can simply retry on the fresh state
+    assert txn.read_table(spark, path).where("k = 2").count() == 1
+
+
+def test_warehouse_cache_invalidates_on_source_change(spark, tmp_path):
+    """warehouse_cached must fingerprint its source files: rewriting the
+    source (regenerated testdata) rebuilds the derived table instead of
+    serving the stale cache."""
+    import os
+    import time
+
+    from crypto_datalake_spark import io as cio
+
+    src = str(tmp_path / "src.parquet")
+    spark.range(5).toPandas().to_parquet(src)
+    calls = []
+
+    def build():
+        calls.append(1)
+        return spark.read.parquet(src)
+
+    name = f"wc_test_{os.path.basename(str(tmp_path))}"
+    assert cio.warehouse_cached(spark, name, [src], build).count() == 5
+    assert cio.warehouse_cached(spark, name, [src], build).count() == 5
+    assert len(calls) == 1  # second call served from cache
+
+    time.sleep(0.01)  # ensure a distinct mtime_ns
+    spark.range(9).toPandas().to_parquet(src)
+    assert cio.warehouse_cached(spark, name, [src], build).count() == 9
+    assert len(calls) == 2  # fingerprint change -> rebuild
+
+    # cleanup the repo-level warehouse entries this test created
+    import glob
+    import shutil
+
+    wh = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(cio.__file__))), "spark-warehouse")
+    for d in glob.glob(os.path.join(wh, f"{name}__*")):
+        shutil.rmtree(d, ignore_errors=True)

@@ -185,13 +185,16 @@ def _kafka_available(spark, bootstrap: str) -> str | None:
         ).option("subscribe", "probe").load()
     except Exception:
         return "spark-sql-kafka connector not on classpath"
-    host, _, port = bootstrap.partition(":")
-    try:
-        with socket.create_connection((host, int(port or 9092)), timeout=2):
-            pass
-    except OSError:
-        return f"no Kafka broker reachable at {bootstrap}"
-    return None
+    # bootstrap.servers is comma-separated; probe each entry, any one
+    # reachable broker is enough to bootstrap the cluster metadata
+    for entry in bootstrap.split(","):
+        host, _, port = entry.strip().partition(":")
+        try:
+            with socket.create_connection((host, int(port or 9092)), timeout=2):
+                return None
+        except (OSError, ValueError):
+            continue
+    return f"no Kafka broker reachable at {bootstrap}"
 
 
 def test_kafka_transport_end_to_end(spark):
