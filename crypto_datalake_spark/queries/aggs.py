@@ -270,7 +270,13 @@ def a6_weighted_avg_fallback(spark, sf_dir):
     "taker_buy_ratio; README.md:283-285).",
 )
 def a7_ratio_of_sums(spark, sf_dir):
-    li = t(spark, sf_dir, "lineitem")
+    from crypto_datalake_spark.queries.common import spread
+
+    # decimal multiply-accumulate is per-row-HEAVY (BigDecimal, no
+    # codegen primitive path) — spread an under-parallel single-row-group
+    # scan so the map-side partial agg uses every core (identity at
+    # production split counts; see common.spread)
+    li = spread(t(spark, sf_dir, "lineitem"))
     eff = F.sum(
         F.col("l_extendedprice").cast("decimal(18,6)")
         * F.col("l_discount").cast("decimal(18,6)")

@@ -41,7 +41,10 @@ def s1_scan_project_filter(spark, sf_dir):
     FROM events
     """,
     doc="S3: min/max/latest inspection scan (ref: aggregator/source_reader.py:13-28). "
-    "Parquet footer statistics answer this without a full read.",
+    "Column pruning reduces this to a one-column read; true footer-stat "
+    "answer (no data pages at all) needs DSv2 aggregate pushdown "
+    "(spark.sql.parquet.aggregatePushdown), which the ts-normalization "
+    "expression in io.load_table would block on the events table anyway.",
 )
 def s3_minmax_scan(spark, sf_dir):
     return events(spark, sf_dir).agg(

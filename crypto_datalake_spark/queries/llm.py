@@ -278,7 +278,11 @@ def embedding_cosine_pairs(e, cap=_CELL_CAP, threshold=0.3):
     base = e.select(
         "vec_id",
         "label",
-        "embedding",
+        # cast float->double ONCE per row: every row joins into many
+        # candidate pairs, and an in-HOF cast would re-run per element
+        # per PAIR — hoisting it makes the per-pair work a bare
+        # multiply-add
+        F.col("embedding").cast("array<double>").alias("embedding"),
         _norm_expr("embedding").alias("nrm"),
         _sp_bucket("embedding").alias("sub"),
     ).withColumn("cell_n", F.count(F.lit(1)).over(Window.partitionBy("label")))
@@ -304,7 +308,7 @@ def embedding_cosine_pairs(e, cap=_CELL_CAP, threshold=0.3):
         F.col("nrm").alias("nb"),
     )
     dot = F.aggregate(
-        F.zip_with("ea", "eb", lambda x, y: x.cast("double") * y.cast("double")),
+        F.zip_with("ea", "eb", lambda x, y: x * y),
         F.lit(0.0),
         lambda acc, v: acc + v,
     )
