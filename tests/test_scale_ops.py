@@ -109,3 +109,22 @@ def test_connected_components_long_chain(spark):
     docs2 = spark.createDataFrame([(i,) for i in (10, 11, 12, 20, 21, 99)], "doc_id long")
     got = {r["doc_id"]: r["label"] for r in connected_components(docs2, pairs2).collect()}
     assert got == {10: 10, 11: 10, 12: 10, 20: 20, 21: 20, 99: 99}
+
+
+def test_spread_is_identity_when_scan_already_parallel(spark, sf_dir):
+    """spread()'s 100 TB guarantee: it repartitions ONLY an under-parallel
+    scan. A frame that already has >= defaultParallelism partitions (a
+    production table's thousands of row-group splits) must pass through
+    untouched — no round-robin exchange is ever inserted at scale."""
+    from crypto_datalake_spark.queries.common import spread, t
+
+    target = spark.sparkContext.defaultParallelism
+    wide = spark.range(0, 10_000, 1, target + 4)
+    assert spread(wide) is wide  # identity, not even a new plan node
+
+    narrow = t(spark, sf_dir, "documents")  # loader applies spread already
+    assert narrow.rdd.getNumPartitions() >= min(
+        target, 2
+    )  # under-parallel single-file scan got spread to the cores
+    plan = spread(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    assert "roundrobin" in plan._jdf.queryExecution().toString().lower()
