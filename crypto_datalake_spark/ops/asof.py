@@ -55,6 +55,17 @@ def asof_join(
     right_on = right_on or on
     if value_cols is None:
         value_cols = [c for c in right.columns if c != right_on and c not in by]
+    clash = set(value_cols) & set(left.columns)
+    if clash:
+        # the union-based plan merges same-named columns, so a left row's
+        # "matched" value could be filled from ANOTHER LEFT ROW's own
+        # column — silent corruption, and a duplicate output column.
+        # Rename on one side before joining.
+        raise ValueError(
+            f"as-of value column(s) {sorted(clash)} also exist on the left "
+            "side; rename them on one side (the union-based as-of cannot "
+            "disambiguate same-named columns)"
+        )
 
     jts = "__join_ts"
     src = "__src_ts"

@@ -87,8 +87,11 @@ def cum_before(
 
     # broadcast the tiny offset frame back onto the bucketed data — no
     # second shuffle of the data itself
+    # no cast: sum() already widens integers to long, and a forced
+    # cast("long") would silently truncate fractional prefixes for
+    # double value columns (cumulative notional etc.)
     return (
         local.join(F.broadcast(offsets), [*streams, _B])
-        .withColumn(out_col, (F.col(_BOFF) + F.col(_LOCAL)).cast("long"))
+        .withColumn(out_col, F.col(_BOFF) + F.col(_LOCAL))
         .drop(_B, _LOCAL, _BOFF)
     )

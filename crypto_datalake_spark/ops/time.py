@@ -56,7 +56,12 @@ def bucket_floor(ts: Column | str, minutes: int) -> Column:
     step = minutes * 60
     base = F.lit("1970-01-01 00:00:00").cast("timestamp_ntz")
     secs = F.timestamp_diff("SECOND", base, c)
-    floored = (secs - (secs % step)).cast("long")
+    # pmod, not %: Spark's % keeps the dividend sign, so plain remainder
+    # TRUNCATES pre-1970 timestamps toward zero (a "floor" later than its
+    # input) where DuckDB's floor(epoch/s)*s floors — pmod's non-negative
+    # remainder gives true floor for either sign (same fix as
+    # ops.gaps.islands' bucket ids)
+    floored = (secs - F.pmod(secs, F.lit(step))).cast("long")
     return F.timestamp_add("SECOND", floored, base)
 
 

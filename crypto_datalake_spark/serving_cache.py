@@ -52,7 +52,12 @@ class ServingCache:
     def __init__(
         self,
         max_entries: int = 256,
-        clock: Callable[[], float] = _time.monotonic,
+        # epoch clock, NOT monotonic: _ttl compares the clock against
+        # entry.end_time, which is epoch seconds (domain time) — a
+        # monotonic clock (process uptime) would make every window's age
+        # hugely negative, so nothing ever reached the stable tier and
+        # day-old windows re-hit the cluster every RECENT_TTL seconds
+        clock: Callable[[], float] = _time.time,
         stable_ttl_s: float = STABLE_TTL_S,
         recent_ttl_s: float = RECENT_TTL_S,
         stable_age_s: float = STABLE_AGE_S,
@@ -110,20 +115,32 @@ class ServingCache:
         with self._global:
             now = self._clock()
             old = self._entries.pop(key, None)
+            old_live = old is not None and self._fresh(old, now)
             merged: dict = {}
-            if old is not None and self._fresh(old, now):
+            if old_live:
                 for r in old.rows:
                     merged[r[0]] = r
             for r in rows:
                 merged[r[0]] = r  # new rows win
             out = [merged[k] for k in sorted(merged)]
+            # the entry's end_time may only extend past the caller's when
+            # the old rows actually survived the merge: keeping a STALE
+            # entry's later end_time while dropping its rows would let a
+            # later get() serve an "exact" window whose data ends hours
+            # before the end_time it claims
+            new_end = (
+                max(end_time, old.end_time) if old_live else end_time
+            )
             self._entries[key] = _Entry(
-                end_time=max(end_time, old.end_time if old else end_time),
+                end_time=new_end,
                 rows=out,
                 cached_at=now,
             )
             while len(self._entries) > self._max:  # LRU evict
-                self._entries.popitem(last=False)
+                evicted, _ = self._entries.popitem(last=False)
+                # drop the single-flight lock with its entry — an open
+                # request keyspace would otherwise grow _locks forever
+                self._locks.pop(evicted, None)
 
     def single_flight(self, key: tuple) -> threading.Lock:
         """Per-key lock: concurrent identical requests collapse to one

@@ -642,15 +642,21 @@ def merge_scd2(
         kdf = incoming.select(*keys).distinct()
         untouched = existing.join(F.broadcast(kdf), list(keys), "left_anti")
         touched = existing.join(F.broadcast(kdf), list(keys), "left_semi")
-        versions = touched.select(*keys, *tracked_cols, vf).unionByName(incoming)
+        versions = touched.select(*keys, *tracked_cols, vf).withColumn(
+            "__prio", F.lit(0)
+        ).unionByName(incoming.withColumn("__prio", F.lit(1)))
     else:
         untouched = None
-        versions = incoming
+        versions = incoming.withColumn("__prio", F.lit(1))
 
     # Re-derive the chain: order versions, drop runs where tracked values
     # did not change, then valid_to = next valid_from.
     w = Window.partitionBy(*keys).orderBy(F.col(vf).asc())
-    versions = keep_last(versions, [*keys, vf], [vf])  # one candidate per ts
+    # one candidate per (key, ts); an incoming CORRECTION re-sent at the
+    # same valid_from as a stored version must deterministically beat it
+    # (__prio), not race it — the order column alone equals the dedup key
+    # here, which would leave the winner to partition luck
+    versions = keep_last(versions, [*keys, vf], [vf, "__prio"]).drop("__prio")
     changed = None
     for c in tracked_cols:
         ne = ~F.col(c).eqNullSafe(F.lag(c).over(w))

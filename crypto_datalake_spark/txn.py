@@ -142,17 +142,27 @@ def _list_versions(spark: SparkSession, table_path: str) -> list[int]:
 def current_manifest(spark: SparkSession, table_path: str) -> dict | None:
     """The live manifest, or None if the table has never committed.
 
-    Resolution order: ``_CURRENT`` pointer, else highest manifest version
-    (recovery after a lost pointer swap).
+    Resolution: the HIGHEST manifest version wins, with the ``_CURRENT``
+    pointer as a fast path.  A version file only ever appears after its
+    data generations are fully durable and its writer won the version
+    CAS, and it appears atomically (tmp + rename) — so a version file
+    NEWER than the pointer means exactly one thing: a writer crashed (or
+    is an instant away from) swinging the pointer.  Treating it as live
+    both serves that committed data and un-wedges the table: without
+    this, a crash in the pointer-swap window would leave every later
+    commit colliding with the orphaned version file forever.
     """
     ptr = _read_text(spark, f"{table_path}/{MANIFEST_DIR}/{CURRENT}")
+    ptr_manifest = None
     if ptr is not None:
         text = _read_text(spark, f"{table_path}/{MANIFEST_DIR}/{ptr.strip()}")
         if text is not None:
-            return json.loads(text)
+            ptr_manifest = json.loads(text)
     versions = _list_versions(spark, table_path)
     if not versions:
-        return None
+        return ptr_manifest
+    if ptr_manifest is not None and ptr_manifest["version"] >= versions[-1]:
+        return ptr_manifest
     return json.loads(_read_text(spark, _manifest_path(table_path, versions[-1])))
 
 
@@ -295,15 +305,23 @@ def _partition_path_strings(
 ) -> list[str]:
     """Hive-escaped relative partition paths for the distinct partition
     values in ``df`` — uses Spark's OWN escaping so the strings match the
-    directories ``partitionBy`` writes (':' → '%3A', NULL → default, …)."""
+    directories ``partitionBy`` writes (':' → '%3A', NULL → default, …).
+
+    Values are rendered by SPARK's cast-to-string, not Python ``str()``:
+    the two diverge exactly where it corrupts the manifest — booleans
+    (``true`` vs ``True``) and fractional-second timestamps (``.5`` vs
+    ``.500000``) — and a mis-rendered key maps a directory that does not
+    exist (reads fail) or misses one that does (deleted rows resurrect
+    through ``_drop_emptied_partitions``)."""
     esc = spark.sparkContext._jvm.org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+    rendered = df.select(
+        *[F.col(c).cast("string").alias(c) for c in partition_cols]
+    ).distinct()
     out = []
-    for r in df.select(*partition_cols).distinct().collect():
+    for r in rendered.collect():
         out.append(
             "/".join(
-                esc.getPartitionPathString(
-                    c, "" if r[c] is None else str(r[c])
-                )
+                esc.getPartitionPathString(c, "" if r[c] is None else r[c])
                 for c in partition_cols
             )
         )
@@ -456,14 +474,17 @@ def atomic_merge_into(
     manifest = current_manifest(spark, path)
     if manifest is None:
         guard_unmanaged_data(spark, path)
+    base_version = manifest["version"] if manifest else None
     if manifest is None or not manifest["partitions"]:
-        gid = write_generation(source, path, partition_cols)
-        present = _partition_path_strings(spark, source, partition_cols)
-        return commit_manifest(
-            spark, path, {p: gid for p in present}, base_version=None
-        )
-
-    existing_full = read_table(spark, path).select(*cols)
+        # empty table: run the SAME merge_compute against an empty frame
+        # so insert=False / conditions behave identically (a dedicated
+        # "just write the source" branch silently inserted on
+        # update-only merges), and commit with the CAS base we actually
+        # read — an emptied-but-versioned manifest is NOT version None,
+        # and committing None against it would wedge every retry.
+        existing_full = spark.createDataFrame([], source.schema).select(*cols)
+    else:
+        existing_full = read_table(spark, path).select(*cols)
     out, touched = merge_compute(
         source, existing_full, on, partition_cols, **merge_kwargs
     )
@@ -472,14 +493,12 @@ def atomic_merge_into(
         gid = write_generation(out, path, partition_cols)
         touched_paths = set(_partition_path_strings(spark, touched, partition_cols))
         present = set(_partition_path_strings(spark, out, partition_cols))
-        parts = dict(manifest["partitions"])
+        parts = dict(manifest["partitions"]) if manifest else {}
         for p in touched_paths:
             parts.pop(p, None)  # emptied/moved-away partitions vanish here
         for p in present:
             parts[p] = gid
-        return commit_manifest(
-            spark, path, parts, base_version=manifest["version"]
-        )
+        return commit_manifest(spark, path, parts, base_version=base_version)
     finally:
         out.unpersist()
 

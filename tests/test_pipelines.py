@@ -724,3 +724,25 @@ def test_warehouse_cache_invalidates_on_source_change(spark, tmp_path):
     wh = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(cio.__file__))), "spark-warehouse")
     for d in glob.glob(os.path.join(wh, f"{name}__*")):
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_merge_scd2_same_ts_correction_wins(spark, tmp_path):
+    """A correction re-sent at the SAME valid_from as a stored version but
+    with different tracked values must deterministically replace it —
+    incoming beats existing on ties, never partition luck."""
+    from crypto_datalake_spark.sinks import merge_scd2
+    from crypto_datalake_spark.txn import read_table
+
+    path = str(tmp_path / "dim")
+    ddl = "k bigint, attr string, ts timestamp_ntz"
+    merge_scd2(
+        spark, spark.createDataFrame([(1, "wrong", _ts(0))], ddl),
+        path, keys=["k"], tracked_cols=["attr"], ts_col="ts",
+    )
+    merge_scd2(  # correction at the same ts
+        spark, spark.createDataFrame([(1, "right", _ts(0))], ddl),
+        path, keys=["k"], tracked_cols=["attr"], ts_col="ts",
+    )
+    got = read_table(spark, path).collect()
+    assert len(got) == 1
+    assert got[0]["attr"] == "right" and got[0]["is_current"]

@@ -299,3 +299,25 @@ def test_global_row_number_matches_naive(spark, vals, nparts):
         ).collect()
     }
     assert got == want
+
+
+def test_bucket_floor_floors_negative_epochs(spark):
+    """bucket_floor must FLOOR pre-1970 timestamps, not truncate toward
+    zero (Spark's % keeps the dividend sign) — parity with DuckDB's
+    floor(epoch/s)*s."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from crypto_datalake_spark.ops.time import bucket_floor
+
+    rows = [
+        (dt.datetime(1969, 12, 31, 23, 58, 30),),
+        (dt.datetime(1970, 1, 1, 0, 1, 30),),
+    ]
+    df = spark.createDataFrame(rows, "ts timestamp_ntz")
+    got = [r[0] for r in df.select(bucket_floor("ts", 1)).collect()]
+    assert got == [
+        dt.datetime(1969, 12, 31, 23, 58, 0),  # floored DOWN, not up
+        dt.datetime(1970, 1, 1, 0, 1, 0),
+    ]

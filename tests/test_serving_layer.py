@@ -18,7 +18,7 @@ from crypto_datalake_spark.functions.timeframes import (
     parse_timeframe_requests,
 )
 from crypto_datalake_spark.io import load_csv_with_variants
-from crypto_datalake_spark.serving_cache import ServingCache
+from crypto_datalake_spark.serving_cache import STABLE_TTL_S, ServingCache, _Entry
 
 
 # --- S7 CSV with header variants ------------------------------------------
@@ -295,3 +295,43 @@ def test_serve_timeframe_htf_only_lake_skips_probe(spark):
     assert "no_1m_lake_coverage_probe_skipped" in plan.notes
     got = sorted(r["bucket_ts"] for r in bars.collect())
     assert got == [dt.datetime(2024, 1, 1, 0, 6), dt.datetime(2024, 1, 1, 0, 9)]
+
+
+def test_cache_stale_entry_does_not_inflate_end_time():
+    """put() over an EXPIRED entry drops its rows — it must drop its
+    end_time too, or a later get() serves an 'exact' window whose data
+    ends hours before the end_time it claims."""
+    clk = [1_000_000.0]
+    c = ServingCache(clock=lambda: clk[0], recent_ttl_s=15.0, stable_age_s=1e12)
+    end_late = clk[0] - 100.0
+    c.put(("BTC", "1m"), end_late, [(end_late - 60, "old")])
+    clk[0] += 1_000.0  # entry expires (recent tier)
+    end_early = end_late - 7_200.0  # caller cached an EARLIER window
+    c.put(("BTC", "1m"), end_early, [(end_early - 60, "new")])
+    kind, rows = c.get(("BTC", "1m"), end_late, limit=1)
+    # must NOT be an 'exact' hit at the stale end_time
+    assert kind in ("miss", "partial"), (kind, rows)
+    kind2, rows2 = c.get(("BTC", "1m"), end_early, limit=1)
+    assert kind2 == "exact" and rows2 == [(end_early - 60, "new")]
+
+
+def test_cache_default_clock_reaches_stable_tier():
+    """The default clock must be epoch-based: entry end_times are epoch
+    seconds, and a monotonic default would classify every window as
+    'recent' (negative age), re-fetching day-old windows every 15s."""
+    import time
+
+    c = ServingCache()
+    day_old = time.time() - 86_400.0
+    e = _Entry(end_time=day_old, rows=[], cached_at=time.time())
+    assert c._ttl(e, c._clock()) == STABLE_TTL_S
+
+
+def test_cache_lock_dict_bounded():
+    c = ServingCache(max_entries=2, clock=lambda: 0.0)
+    for i in range(10):
+        key = ("S", i)
+        c.single_flight(key)
+        c.put(key, float(i), [(float(i), "r")])
+    assert len(c._entries) <= 2
+    assert len(c._locks) <= 3  # evicted entries drop their locks

@@ -526,3 +526,79 @@ def test_commit_scales_to_100k_partitions(spark, tmp_path):
     # "seconds, not minutes" and "steady-state is not worse than first"
     assert first < 20.0, f"100k-partition first commit took {first:.1f}s"
     assert steady < 20.0, f"steady-state commit took {steady:.1f}s"
+
+
+def test_orphaned_version_file_recovers_not_wedges(spark, tmp_path):
+    """Crash between the version-file write and the _CURRENT swing must
+    NOT wedge the table: the orphaned version is fully durable committed
+    data, so resolution serves it (highest version wins over a stale
+    pointer) and the next commit lands on top of it."""
+    import json
+
+    path = str(tmp_path / "lake")
+    txn.atomic_upsert_partitioned(
+        spark, _df(spark, [("A", _T(0), 1.0, "d1")]), path, **KW
+    )
+    live = txn.current_manifest(spark, path)
+
+    # simulate the crash: v2 file exists, pointer still names v1
+    orphan = {"version": 2, "partitions": dict(live["partitions"])}
+    txn._write_text_atomic(
+        spark, txn._manifest_path(path, 2), json.dumps(orphan), replace=False
+    )
+    assert txn.current_manifest(spark, path)["version"] == 2  # not stale v1
+
+    # and a fresh commit proceeds (v3), instead of colliding on v2 forever
+    m = txn.atomic_upsert_partitioned(
+        spark, _df(spark, [("B", _T(1), 2.0, "d1")]), path, **KW
+    )
+    assert m["version"] == 3
+    got = {r["sym"] for r in txn.read_table(spark, path).collect()}
+    assert got == {"A", "B"}
+
+
+def test_merge_into_emptied_table_not_wedged(spark, tmp_path):
+    """A merge against a table whose previous merge DELETED every row must
+    commit (CAS base = the emptied manifest's version), not raise
+    ConcurrentCommitError forever; and an update-only merge (insert=False)
+    against the empty table must write nothing, not insert the source."""
+    path = str(tmp_path / "lake")
+    df = spark.createDataFrame(
+        [(1, "d1", 1.0)], "k bigint, day string, v double"
+    )
+    txn.atomic_merge_into(spark, df, path, on=["k"], partition_cols=["day"])
+    txn.atomic_merge_into(  # delete everything
+        spark, df, path, on=["k"], partition_cols=["day"],
+        delete_condition=F.lit(True),
+    )
+    assert txn.read_table(spark, path) is None
+
+    nxt = spark.createDataFrame([(2, "d1", 2.0)], "k bigint, day string, v double")
+    txn.atomic_merge_into(  # must land, not wedge
+        spark, nxt, path, on=["k"], partition_cols=["day"]
+    )
+    got = txn.read_table(spark, path).collect()
+    assert [(r["k"], r["v"]) for r in got] == [(2, 2.0)]
+
+    upd_only = spark.createDataFrame([(9, "d1", 9.0)], "k bigint, day string, v double")
+    txn.atomic_merge_into(
+        spark, upd_only, path, on=["k"], partition_cols=["day"], insert=False
+    )
+    ks = {r["k"] for r in txn.read_table(spark, path).collect()}
+    assert ks == {2}  # update-only merge inserted nothing
+
+
+def test_partition_paths_render_like_spark(spark, tmp_path):
+    """Manifest partition keys must match the directory names partitionBy
+    writes — including booleans, where Python str() ('True') diverges
+    from Spark's rendering ('true')."""
+    path = str(tmp_path / "flags")
+    df = spark.createDataFrame([(1, True), (2, False)], "k bigint, flag boolean")
+    gid = txn.write_generation(df, path, ["flag"])
+    paths = set(txn._partition_path_strings(spark, df, ["flag"]))
+    assert paths == {"flag=true", "flag=false"}
+    m = txn.commit_manifest(
+        spark, path, {p: gid for p in paths}, base_version=None
+    )
+    back = txn.read_table(spark, path)
+    assert back.count() == 2  # keys resolved to real directories
