@@ -31,20 +31,31 @@ from pyspark.sql.types import StructField, StructType
 
 
 def _ema_series(values: Sequence[float], length: int) -> list[float | None]:
+    """SMA-seeded EMA with null SKIPPING: null/NaN bars emit None and do
+    not advance the state.  Without the skip a single NaN input poisons
+    the SMA seed and every subsequent value (NaN propagates through the
+    recurrence forever) — the reference only ever feeds COMPLETE bars
+    (service.py raises below ``length`` complete bars), so skipping
+    incomplete ones is the same contract expressed tolerantly."""
+    import math
+
     alpha = 2.0 / (length + 1.0)
     out: list[float | None] = []
     s = 0.0
+    seen = 0
     prev: float | None = None
-    for i, x in enumerate(values):
-        if i < length:
-            s += x
-        if i < length - 1:
+    for x in values:
+        if x is None or (isinstance(x, float) and math.isnan(x)):
             out.append(None)
             continue
-        if i == length - 1:
+        if prev is None:
+            seen += 1
+            s += x
+            if seen < length:
+                out.append(None)
+                continue
             prev = s / length
         else:
-            assert prev is not None
             prev = alpha * x + (1.0 - alpha) * prev
         out.append(prev)
     return out

@@ -171,9 +171,22 @@ def serve_timeframe(
             return per_symbol_tail(htf, "bucket_ts"), plan
         if end_time is None:
             end_time = base.agg(F.max("timestamp")).collect()[0][0]
-        window_start = end_time - _dt.timedelta(
-            minutes=limit * TIMEFRAME_MINUTES[plan.timeframe]
-        )
+        unit_minutes = TIMEFRAME_MINUTES[plan.timeframe]
+        if unit_minutes is not None:
+            window_start = end_time - _dt.timedelta(minutes=limit * unit_minutes)
+        elif plan.timeframe == "1w":
+            window_start = end_time - _dt.timedelta(weeks=limit)
+        else:  # "1M": calendar months have no fixed minute length
+            total = (end_time.month - 1) - limit
+            window_start = end_time.replace(
+                year=end_time.year + total // 12,
+                month=total % 12 + 1,
+                day=1,
+                hour=0,
+                minute=0,
+                second=0,
+                microsecond=0,
+            )
         htf = clip(load_table(plan.timeframe), "bucket_ts")
         tail = per_symbol_tail(htf, "bucket_ts").localCheckpoint()
         counts = tail.where(F.col("bucket_ts") > F.lit(window_start)).groupBy(

@@ -65,7 +65,12 @@ def extract_media_features(
 
     def _features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            n_bytes = pdf[payload_col].map(len).astype("int64")
+            # NULL payloads yield null features (nullable Int64), not a
+            # len(None) TypeError that kills the whole job for one row
+            n_bytes = pd.array(
+                [None if b is None else len(b) for b in pdf[payload_col]],
+                dtype="Int64",
+            )
             yield pd.DataFrame(
                 {
                     "doc_id": pdf[id_col].astype("int64"),
@@ -113,7 +118,9 @@ def resize_images(
 
     def _resize_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            def fit(b: bytes) -> bytes:
+            def fit(b: bytes | None) -> bytes | None:
+                if b is None:
+                    return None  # null in → null out, never len(None)
                 if len(b) >= budget:
                     return bytes(b[:budget])
                 reps = -(-budget // max(len(b), 1))

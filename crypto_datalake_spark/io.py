@@ -90,6 +90,33 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def _variant_columns(schema: StructType, column_variants) -> tuple[list, dict]:
+    names = [f.name for f in schema.fields]
+    variants = {
+        f.name: [f.name, *(column_variants or {}).get(f.name, [])]
+        for f in schema.fields
+    }
+    return names, variants
+
+
+def _coalesce_variants(raw_pdf, names: list, variants: dict):
+    """First-present-variant coalesce over ONE parsed file's columns —
+    the shared core of the plain-CSV and ZIP-member loaders."""
+    import pandas as pd
+
+    out = {}
+    for n in names:
+        present = [v for v in variants[n] if v in raw_pdf.columns]
+        if not present:
+            out[n] = pd.Series([None] * len(raw_pdf), dtype=object)
+        else:
+            s = raw_pdf[present[0]]
+            for v in present[1:]:
+                s = s.combine_first(raw_pdf[v])
+            out[n] = s
+    return pd.DataFrame(out)
+
+
 def load_csv_with_variants(
     spark: SparkSession,
     path: str,
@@ -101,28 +128,44 @@ def load_csv_with_variants(
     The reference's Vision ZIP loader parses daily CSVs whose headers
     drifted across history and coalesces alternate column names into the
     canonical one (/root/reference/src/binance_minute_lake/sources/
-    vision_loader.py:121-155, 264-346). Spark-side: read with header
-    inference, then for each canonical column take the first present
-    variant; missing columns become NULL, then cast to the target schema.
+    vision_loader.py:121-155, 264-346).
 
-    gzip/bzip2 CSVs decompress natively; true ZIP archives go through
-    :func:`load_zip_csv` (binaryFile + in-executor extraction) — Spark's
-    text sources do not read .zip members.
+    Parsing is PER FILE — ``binaryFile`` scan (parallel across files) +
+    in-executor pandas parse of each file's OWN header — not Spark's
+    multi-file csv source: that source takes column names from the FIRST
+    file only and binds every other file's rows positionally, so header
+    drift across daily files (the entire point of variant tolerance)
+    would never surface in ``columns`` and reordered/extra columns would
+    silently land under the wrong canonical names.  Each file's columns
+    coalesce first-present-variant, then ONE Spark-side cast to the
+    target schema.  gzip/bzip2 decompress per extension; true ZIP
+    archives go through :func:`load_zip_csv`.
     """
-    raw = spark.read.option("header", True).csv(path)
-    cols = set(raw.columns)
-    out = []
-    for field in schema.fields:
-        variants = [field.name, *(column_variants or {}).get(field.name, [])]
-        present = [v for v in variants if v in cols]
-        if not present:
-            expr = F.lit(None)
-        elif len(present) == 1:
-            expr = F.col(present[0])
-        else:
-            expr = F.coalesce(*[F.col(v) for v in present])
-        out.append(expr.cast(field.dataType).alias(field.name))
-    return raw.select(*out)
+    import pandas as pd
+
+    names, variants = _variant_columns(schema, column_variants)
+    str_schema = StructType([StructField(n, StringType()) for n in names])
+
+    def parse(batches):
+        import io as _io
+
+        for pdf in batches:
+            for p, content in zip(pdf["path"], pdf["content"]):
+                comp = (
+                    "gzip"
+                    if p.endswith(".gz")
+                    else "bz2" if p.endswith(".bz2") else None
+                )
+                raw = pd.read_csv(
+                    _io.BytesIO(content), dtype=str, compression=comp
+                )
+                yield _coalesce_variants(raw, names, variants)
+
+    raw = spark.read.format("binaryFile").load(path)
+    strs = raw.select("path", "content").mapInPandas(parse, str_schema)
+    return strs.select(
+        *[F.col(f.name).cast(f.dataType).alias(f.name) for f in schema.fields]
+    )
 
 
 def load_zip_csv(
@@ -158,11 +201,7 @@ def load_zip_csv(
     """
     import pandas as pd
 
-    names = [f.name for f in schema.fields]
-    variants = {
-        f.name: [f.name, *(column_variants or {}).get(f.name, [])]
-        for f in schema.fields
-    }
+    names, variants = _variant_columns(schema, column_variants)
     str_schema = StructType([StructField(n, StringType()) for n in names])
 
     def extract(batches):
@@ -178,17 +217,7 @@ def load_zip_csv(
                     for m in members:
                         with zf.open(m) as fh:
                             raw = pd.read_csv(fh, dtype=str)
-                        out = {}
-                        for n in names:
-                            present = [v for v in variants[n] if v in raw.columns]
-                            if not present:
-                                out[n] = pd.Series([None] * len(raw), dtype=object)
-                            else:
-                                s = raw[present[0]]
-                                for v in present[1:]:
-                                    s = s.combine_first(raw[v])
-                                out[n] = s
-                        yield pd.DataFrame(out)
+                        yield _coalesce_variants(raw, names, variants)
 
     raw = (
         spark.read.format("binaryFile")
@@ -251,7 +280,11 @@ def warehouse_cached(spark: SparkSession, name: str, source_paths, build):
         try:
             os.rename(tmp, path)  # atomic publish; fails if winner beat us
             for old in glob.glob(os.path.join(wh, f"{name}__*")):
-                if old != path and not old.startswith(f"{path}.tmp"):
+                # never touch ANY in-flight tmp dir — another process may
+                # be mid-build for a different source fingerprint, and
+                # deleting under its parquet write would crash a valid
+                # concurrent build
+                if old != path and ".tmp-" not in os.path.basename(old):
                     shutil.rmtree(old, ignore_errors=True)
         except OSError:
             shutil.rmtree(tmp, ignore_errors=True)

@@ -159,19 +159,26 @@ def validate_hard_required(df: DataFrame, keys: tuple[str, ...] = ("symbol", "ti
     """DQ gate: unique keys + zero nulls in HARD_REQUIRED columns
     (ref: validation/dq.py:22-63). Returns (ok, dict of violation counts);
     one aggregation pass, no collect loops."""
-    agg_exprs = [
-        F.sum(F.col(c).isNull().cast("long")).alias(f"nulls_{c}") for c in HARD_REQUIRED
-    ]
+    # ONE pass: per-key counts carry the per-key null sums, the global agg
+    # folds both — two separate actions would scan the source twice
     row = (
         df.groupBy(*keys)
-        .agg(F.count(F.lit(1)).alias("_n"))
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            *[
+                F.sum(F.col(c).isNull().cast("long")).alias(f"nulls_{c}")
+                for c in HARD_REQUIRED
+            ],
+        )
         .agg(
             F.sum((F.col("_n") > 1).cast("long")).alias("dup_keys"),
+            *[F.sum(f"nulls_{c}").alias(f"nulls_{c}") for c in HARD_REQUIRED],
         )
         .collect()[0]
+        .asDict()
     )
-    nulls = df.agg(*agg_exprs).collect()[0].asDict()
-    violations = {k: v for k, v in nulls.items() if v} | (
-        {"dup_keys": row["dup_keys"]} if row["dup_keys"] else {}
+    dup = row.pop("dup_keys")
+    violations = {k: v for k, v in row.items() if v} | (
+        {"dup_keys": dup} if dup else {}
     )
     return (not violations, violations)

@@ -38,8 +38,12 @@ EVENT_COLUMNS = (
     "arrival_time",  # timestamp (local receipt)
     "side",          # string: BUY|SELL (liq/trade)
     "price",         # double
-    "qty",           # double
+    "qty",           # double (liq: DISPLAY qty — executed if > 0 else original)
     "orig_qty",      # double (liq: original order qty)
+    "exec_qty",      # double (liq: RAW executed qty clamped to [0, orig];
+                     # null when the payload lacks z/l/q — the unfilled
+                     # ratio needs the raw value, which the display qty's
+                     # orig-fallback destroys for fully-unfilled orders)
 )
 
 
@@ -80,10 +84,22 @@ def minute_feature_stream(events: DataFrame, watermark: str = "3 minutes") -> Da
             F.sum(F.when(is_liq, F.col("price") * F.col("qty")))
             / F.sum(F.when(is_liq, F.col("qty")))
         ).alias("liq_avg_fill_price"),
-        # unfilled ratio Σ(orig−exec)/Σorig, only when orig_qty supported
-        (
-            F.sum(F.when(is_liq, F.col("orig_qty") - F.col("qty")))
-            / F.sum(F.when(is_liq, F.col("orig_qty")))
+        # unfilled ratio Σ(orig−exec)/Σorig over the RAW executed qty —
+        # the display qty falls back to orig for fully-unfilled orders,
+        # which would count them as fully FILLED. NULL (unsupported)
+        # when any liq row in the minute lacks orig/exec, mirroring the
+        # reference's unfilled_supported latch (websocket.py:1073-1099).
+        F.when(
+            F.min(
+                F.when(
+                    is_liq,
+                    F.col("orig_qty").isNotNull()
+                    & (F.col("orig_qty") > 0)
+                    & F.col("exec_qty").isNotNull(),
+                )
+            ),
+            F.sum(F.when(is_liq, F.col("orig_qty") - F.col("exec_qty")))
+            / F.sum(F.when(is_liq, F.col("orig_qty"))),
         ).alias("liq_unfilled_ratio"),
         # ST6 latency decomposition (approx p95 — mergeable)
         F.percentile_approx(engine_ms, 0.95).alias("engine_latency_p95_ms"),

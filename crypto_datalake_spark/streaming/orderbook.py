@@ -82,6 +82,14 @@ _STATE_SCHEMA = StructType([StructField("blob", StringType())])
 
 _EMPTY = {"bids": {}, "asks": {}, "last_u": None, "synced": False, "buffer": []}
 
+# Bound the pre-snapshot delta buffer: an unsynced symbol whose snapshot
+# never arrives (resync job down) would otherwise grow per-key state —
+# and its per-batch JSON serialization — linearly with event volume.
+# Oldest deltas are useless for the bridge anyway (it needs u >
+# lastUpdateId), so trimming from the front only risks missing a bridge
+# against a VERY stale snapshot, which the next snapshot repairs.
+MAX_BUFFERED_DELTAS = 10_000
+
 
 def _apply_levels(book_side: dict, levels: list) -> None:
     for price, qty in levels:
@@ -93,8 +101,28 @@ def _apply_levels(book_side: dict, levels: list) -> None:
 
 
 def _apply_delta(st: dict, ev: dict) -> None:
-    """One depth diff against a synced book (websocket.py:300-345)."""
-    if st["last_u"] is not None and ev["pu"] is not None and ev["pu"] != st["last_u"]:
+    """One depth diff against a synced book (websocket.py:300-345).
+
+    The FIRST delta applied after a snapshot uses the bridge rule
+    (``U <= lastUpdateId+1 <= u``) instead of pu-continuity: its ``pu``
+    chains to the previous STREAM event, not to the REST snapshot's
+    lastUpdateId, so the strict check would spuriously desync a
+    perfectly bridged book whenever the snapshot and its first following
+    delta land in different micro-batches (the buffered-delta bridge in
+    ``_sync_from_snapshot`` only covers deltas that arrived BEFORE the
+    snapshot was processed)."""
+    if st.pop("await_bridge", False):
+        if ev["u"] is not None and st["last_u"] is not None and ev["u"] <= st["last_u"]:
+            st["await_bridge"] = True  # stale pre-snapshot delta: skip, keep waiting
+            return
+        if not (
+            ev["U"] is not None
+            and st["last_u"] is not None
+            and ev["U"] <= st["last_u"] + 1 <= ev["u"]
+        ):
+            st["synced"] = False  # gap between snapshot and first delta
+            return
+    elif st["last_u"] is not None and ev["pu"] is not None and ev["pu"] != st["last_u"]:
         st["synced"] = False  # sequence break → resync required
         return
     _apply_levels(st["bids"], ev["bids"])
@@ -111,7 +139,12 @@ def _sync_from_snapshot(st: dict, snap: dict) -> None:
     last_id = snap["u"]
     st["last_u"] = last_id
     st["synced"] = True
+    st.pop("await_bridge", None)
     pending = [e for e in st["buffer"] if e["u"] > last_id]
+    if not pending:
+        # no buffered delta to bridge with: the NEXT live delta must be
+        # admitted by the bridge rule, not pu-continuity (_apply_delta)
+        st["await_bridge"] = True
     if pending:
         first = pending[0]
         if not (first["U"] <= last_id + 1 <= first["u"]):
@@ -250,6 +283,8 @@ def _fold_batch(symbol: str, st: dict, pdf: pd.DataFrame) -> list[dict]:
             _apply_delta(st, ev)
         else:
             st["buffer"].append(ev)  # buffer-until-snapshot
+            if len(st["buffer"]) > MAX_BUFFERED_DELTAS:  # bound per-key state
+                del st["buffer"][: len(st["buffer"]) - MAX_BUFFERED_DELTAS]
         minute = ev["event_time"].floor("min")
         touched_minutes[minute] = True
     if not touched_minutes:

@@ -74,14 +74,31 @@ def retention_delete(path: str, partition_col: str, keep_values: set) -> int:
 
     Returns the number of partitions removed. Partition-granular — no file
     rewrite, O(partitions to drop) filesystem ops.
+
+    Directory names are Hive-ESCAPED (``:`` → ``%3A``, null →
+    ``__HIVE_DEFAULT_PARTITION__``), so values are unescaped before the
+    keep check — raw string comparison would never match a timestamp
+    partition and silently delete every partition, kept or not.  Null
+    partitions are kept iff ``None`` is in ``keep_values``.  (Fractional
+    -second timestamp partitions would still mismatch str() rendering —
+    partition on truncated/formatted columns, as every caller here does.)
     """
+    from urllib.parse import unquote
+
     removed = 0
     root = Path(path)
     if not root.exists():
         return 0
+    keep = {str(v) for v in keep_values if v is not None}
+    keep_null = any(v is None for v in keep_values)
     for child in root.glob(f"**/{partition_col}=*"):
-        value = child.name.split("=", 1)[1]
-        if value not in {str(v) for v in keep_values}:
+        raw = child.name.split("=", 1)[1]
+        if raw == "__HIVE_DEFAULT_PARTITION__":
+            if not keep_null:
+                shutil.rmtree(child)
+                removed += 1
+            continue
+        if unquote(raw) not in keep:
             shutil.rmtree(child)
             removed += 1
     return removed

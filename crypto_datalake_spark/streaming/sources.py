@@ -107,6 +107,13 @@ def parse_ws_envelope(
         F.when(is_liq, liq_price).otherwise(gdbl("data.p")).alias("price"),
         F.when(is_liq, liq_qty).otherwise(gdbl("data.q")).alias("qty"),
         F.when(is_liq, gdbl("data.o.q")).alias("orig_qty"),
+        # raw executed qty clamped to [0, orig] (websocket.py:1079-1087);
+        # null when z/l or q missing → the minute fold reports the
+        # unfilled ratio as unsupported for that minute
+        F.when(
+            is_liq & liq_exec.isNotNull() & gdbl("data.o.q").isNotNull(),
+            F.least(F.greatest(liq_exec, F.lit(0.0)), gdbl("data.o.q")),
+        ).alias("exec_qty"),
         # depth continuity ids, kept for the book path / DQ
         glong("data.U").alias("first_update_id"),
         glong("data.u").alias("final_update_id"),

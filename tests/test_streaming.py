@@ -28,7 +28,7 @@ from crypto_datalake_spark.streaming.silver import heartbeat_stream
 _EVENTS_DDL = (
     "symbol string, stream string, event_time timestamp_ntz, "
     "transact_time timestamp_ntz, arrival_time timestamp_ntz, side string, "
-    "price double, qty double, orig_qty double"
+    "price double, qty double, orig_qty double, exec_qty double"
 )
 
 
@@ -41,10 +41,10 @@ def bronze_events(spark):
     # minute 0: two liqs (one SELL/long, one BUY/short) + a depth event
     # minute 1: trade only — liq columns must be NULL (0-vs-NULL)
     rows = [
-        ("BTC", "liq", _t(10), _t(9.9), _t(10.2), "SELL", 100.0, 2.0, 3.0),
-        ("BTC", "liq", _t(20), _t(19.9), _t(20.1), "BUY", 200.0, 1.0, 1.0),
-        ("BTC", "depth", _t(30), _t(29.9), _t(30.05), None, None, None, None),
-        ("BTC", "trade", _t(70), _t(69.9), _t(70.8), "BUY", 101.0, 5.0, None),
+        ("BTC", "liq", _t(10), _t(9.9), _t(10.2), "SELL", 100.0, 2.0, 3.0, 2.0),
+        ("BTC", "liq", _t(20), _t(19.9), _t(20.1), "BUY", 200.0, 1.0, 1.0, 1.0),
+        ("BTC", "depth", _t(30), _t(29.9), _t(30.05), None, None, None, None, None),
+        ("BTC", "trade", _t(70), _t(69.9), _t(70.8), "BUY", 101.0, 5.0, None, None),
     ]
     return spark.createDataFrame(rows, _EVENTS_DDL)
 
@@ -570,3 +570,78 @@ def test_interval_join_streams_matches_batch(spark, tmp_path):
     # mark within 2min (mark@0 is 5min stale)
     assert want == {(1, 10, 20), (1, 11, 21)}
     assert got == want
+
+
+def test_book_first_delta_after_snapshot_bridges_across_batches(spark, tmp_path):
+    """A snapshot that arrives ALONE (empty buffer) must admit the next
+    delta by the bridge rule (U <= lastUpdateId+1 <= u) — its pu chains
+    to the previous STREAM event, not the REST snapshot, so strict
+    pu-continuity would spuriously desync a valid book."""
+    src = tmp_path / "depth"
+    src.mkdir()
+    # batch 1: snapshot only, lastUpdateId=100
+    _depth_rows(spark, [("BTC", _t(5), "snapshot", None, 100, None,
+                         json.dumps([[100.0, 600.0]]),
+                         json.dumps([[101.0, 600.0], [102.0, 600.0]]))]) \
+        .coalesce(1).write.parquet(str(src / "f1"))
+    # batch 2: first live delta; pu=99 (chains to stream, NOT the
+    # snapshot's 100) but U=98 <= 101 <= u=105 bridges correctly
+    _depth_rows(spark, [("BTC", _t(65), "delta", 98, 105, 99,
+                         json.dumps([[100.0, 700.0]]), json.dumps([]))]) \
+        .coalesce(1).write.parquet(str(src / "f2"))
+    stream = spark.readStream.schema(DEPTH_EVENT_SCHEMA).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(str(src / "*"))
+    q = (
+        book_state_stream(stream)
+        .writeStream.format("memory")
+        .queryName("book_bridge_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(spark.table("book_bridge_stream").collect(),
+                 key=lambda r: r["minute_ts"])
+    assert len(got) == 2
+    assert got[0]["synced"] and got[1]["synced"]   # no spurious desync
+    assert got[1]["best_bid"] == 100.0             # delta applied
+
+    # and a genuine gap (u jumps past the bridge window) still degrades
+    gap = ("BTC", _t(7), "delta", 300, 310, 299,
+           json.dumps([[100.0, 1.0]]), json.dumps([]))
+    out = book_state_stream(
+        _depth_rows(spark, [("BTC", _t(5), "snapshot", None, 100, None,
+                             json.dumps([[100.0, 600.0]]),
+                             json.dumps([[101.0, 600.0]]))])
+    )
+    snap_only = out.collect()
+    assert snap_only[0]["synced"]  # snapshot alone: synced, awaiting bridge
+
+
+def test_unfilled_ratio_uses_raw_executed_qty(spark):
+    """A fully-unfilled liquidation (z=0) must contribute its WHOLE
+    original qty to the unfilled ratio — the display qty falls back to
+    orig for such orders, which would count them as fully filled. A liq
+    row with no executed qty at all makes the minute's ratio NULL
+    (unsupported), mirroring the reference's latch."""
+    rows = [
+        # z=0 order: display qty = orig (3.0), raw exec = 0.0
+        ("BTC", "liq", _t(10), _t(9.9), _t(10.2), "SELL", 100.0, 3.0, 3.0, 0.0),
+        # partial fill: 1 of 2
+        ("BTC", "liq", _t(20), _t(19.9), _t(20.1), "BUY", 200.0, 1.0, 2.0, 1.0),
+    ]
+    got = minute_feature_stream(
+        spark.createDataFrame(rows, _EVENTS_DDL)
+    ).collect()[0]
+    # unfilled = (3-0) + (2-1) = 4 over orig total 5
+    assert got["liq_unfilled_ratio"] == pytest.approx(4.0 / 5.0)
+
+    unsupported = rows + [
+        ("BTC", "liq", _t(30), _t(29.9), _t(30.1), "SELL", 99.0, 1.0, 1.0, None),
+    ]
+    got2 = minute_feature_stream(
+        spark.createDataFrame(unsupported, _EVENTS_DDL)
+    ).collect()[0]
+    assert got2["liq_unfilled_ratio"] is None  # any unsupported row -> NULL

@@ -114,3 +114,47 @@ def test_zip_csv_reads_reference_daily_klines(spark):
     # minute spacing holds within each archive
     first = df.orderBy("open_time").limit(2).collect()
     assert first[1]["open_time"] - first[0]["open_time"] == 60_000
+
+
+def test_plain_csv_header_drift_across_files(spark, tmp_path):
+    """Two daily CSVs in one directory whose headers DIFFER (variant name
+    + reordered columns). Spark's multi-file csv source binds rows
+    positionally to the first file's header; the per-file loader must
+    parse each file's own header so both days land correctly."""
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+    from crypto_datalake_spark.io import load_csv_with_variants
+
+    d = tmp_path / "daily"
+    d.mkdir()
+    (d / "day1.csv").write_text("open_time,open\n1000,1.5\n")
+    # day2: variant header name AND reversed column order
+    (d / "day2.csv").write_text("open,openTime\n2.5,2000\n")
+
+    schema = StructType(
+        [StructField("open_time", LongType()), StructField("open", DoubleType())]
+    )
+    got = sorted(
+        load_csv_with_variants(
+            spark, str(d), schema, {"open_time": ["openTime"]}
+        ).collect()
+    )
+    assert [(r["open_time"], r["open"]) for r in got] == [
+        (1000, 1.5),
+        (2000, 2.5),  # NOT (2, 2000.0) — positional binding would corrupt
+    ]
+
+
+def test_plain_csv_gzip_member(spark, tmp_path):
+    import gzip
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from crypto_datalake_spark.io import load_csv_with_variants
+
+    d = tmp_path / "gz"
+    d.mkdir()
+    (d / "a.csv.gz").write_bytes(gzip.compress(b"k\n7\n"))
+    schema = StructType([StructField("k", LongType())])
+    got = load_csv_with_variants(spark, str(d), schema).collect()
+    assert [r["k"] for r in got] == [7]
