@@ -68,14 +68,23 @@ def asof_join(
         )
 
     jts = "__join_ts"
-    src = "__src_ts"
+    row = "__r_row"
     tag = "__is_left"
 
+    # the matched timestamp and EVERY value column travel in ONE struct:
+    # filling each column with last-non-null independently would let a
+    # NULL-valued right row desync value from matched-ts — the value
+    # comes from an older row while __m_ts reflects the newer one, so a
+    # stale value sails through the tolerance gate as fresh.  The as-of
+    # contract is "the latest right ROW" (Polars join_asof), nulls and
+    # all, which is also what the DuckDB ASOF oracles return.
     r = right.select(
         *by,
         F.col(right_on).alias(jts),
-        F.col(right_on).alias(src),
-        *[F.col(c) for c in value_cols],
+        F.struct(
+            F.col(right_on).alias("ts"),
+            *[F.col(c) for c in value_cols],
+        ).alias(row),
     ).withColumn(tag, F.lit(0))
 
     left_key = F.col(on)
@@ -99,14 +108,15 @@ def asof_join(
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
 
-    filled = merged.select(
-        "*",
-        F.last(F.col(src), ignorenulls=True).over(w).alias("__m_ts"),
-        *[
-            F.last(F.col(c), ignorenulls=True).over(w).alias(f"__m_{c}")
-            for c in value_cols
-        ],
-    ).where(F.col(tag) == 1)
+    filled = (
+        merged.withColumn("__m", F.last(F.col(row), ignorenulls=True).over(w))
+        .where(F.col(tag) == 1)
+        .select(
+            "*",
+            F.col("__m.ts").alias("__m_ts"),
+            *[F.col(f"__m.{c}").alias(f"__m_{c}") for c in value_cols],
+        )
+    )
 
     if tolerance_seconds is not None:
         # Exact microsecond-precision comparison (no truncation/rounding

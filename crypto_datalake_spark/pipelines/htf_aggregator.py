@@ -82,8 +82,17 @@ def aggregate_minutes(minute_df: DataFrame, timeframe: str) -> DataFrame:
     accounting. Pure; callers filter complete-only per policy."""
     b = minute_df.withColumn("bucket_start", timeframe_floor("timestamp", timeframe))
     w = Window.partitionBy("symbol", "bucket_start").orderBy("timestamp")
+    prev_close = F.lag("close", 1).over(w)
+    # positive-price guard (same as w1/w2): log returns are undefined
+    # otherwise, and under ANSI mode the unguarded close/prev raises
+    # DIVIDE_BY_ZERO on a zero close (halted market, bad tick) — one bar
+    # would crash the whole incremental tick
     b = b.withColumn(
-        "__log_ret", F.log(F.col("close") / F.lag("close", 1).over(w))
+        "__log_ret",
+        F.when(
+            (F.col("close") > 0) & (prev_close > 0),
+            F.log(F.col("close") / prev_close),
+        ),
     )
     obs = F.count(F.lit(1))
     agg = b.groupBy("symbol", "bucket_start").agg(

@@ -82,7 +82,7 @@ def a2_mean_last_rollup(spark, sf_dir):
     ev = events(spark, sf_dir)
     return ev.groupBy("minute_ts").agg(
         (dsum("value") / F.count("value").cast("double")).alias("mean_value"),
-        F.max_by("value", "event_id").alias("last_value"),
+        last_nonnull("value", "event_id").alias("last_value"),
     )
 
 
@@ -109,10 +109,10 @@ def minute_bars(spark, sf_dir):
     shape re-targeted at the generic events table."""
     ev = events(spark, sf_dir)
     return ev.groupBy("minute_ts").agg(
-        F.min_by("value", "event_id").alias("open"),
+        first_nonnull("value", "event_id").alias("open"),
         F.max("value").alias("high"),
         F.min("value").alias("low"),
-        F.max_by("value", "event_id").alias("close"),
+        last_nonnull("value", "event_id").alias("close"),
         dsum("value").alias("volume"),
         F.count(F.lit(1)).alias("n_events"),
         F.max(F.col("event_type") == "error").alias("has_error"),
@@ -158,10 +158,10 @@ def a4_htf_bucket_agg(spark, sf_dir):
     mb = minute_bars(spark, sf_dir)
     b = mb.withColumn("bucket_start", bucket_floor("minute_ts", 15))
     return b.groupBy("bucket_start").agg(
-        F.min_by("open", "minute_ts").alias("open"),
+        first_nonnull("open", "minute_ts").alias("open"),
         F.max("high").alias("high"),
         F.min("low").alias("low"),
-        F.max_by("close", "minute_ts").alias("close"),
+        last_nonnull("close", "minute_ts").alias("close"),
         dsum("volume").alias("volume"),
         F.sum("n_events").alias("n_events"),
         F.max("has_error").alias("has_error"),
@@ -342,10 +342,10 @@ def a9_ohlc_complete_only(spark, sf_dir):
     return (
         b.groupBy("bucket_start")
         .agg(
-            F.min_by("open", "minute_ts").alias("open"),
+            first_nonnull("open", "minute_ts").alias("open"),
             F.max("high").alias("high"),
             F.min("low").alias("low"),
-            F.max_by("close", "minute_ts").alias("close"),
+            last_nonnull("close", "minute_ts").alias("close"),
             F.count(F.lit(1)).alias("observed_minutes"),
         )
         .where(F.col("observed_minutes") == 3)

@@ -256,13 +256,29 @@ def j9_union_dedup_priority(spark, sf_dir):
     "lake.",
 )
 def s4_write_audit_ledger(spark, sf_dir):
-    import tempfile
+    import uuid
 
     from crypto_datalake_spark.sinks import upsert_partitioned
+    from crypto_datalake_spark.txn import _fs
 
-    # fresh per-invocation dir: a fixed shared path would race concurrent
-    # sweeps (rmtree under a mid-merge sibling) and collide across lakes
-    base = tempfile.mkdtemp(prefix="cds_s4_ledger_")
+    # fresh per-invocation dir UNDER THE WAREHOUSE, not tempfile.mkdtemp:
+    # /tmp is driver-local, so on a multi-node cluster executors would
+    # scatter their partitions across machines and the read-back merge
+    # would see fragments. warehouse.dir is a shared-filesystem URI on
+    # any real deployment. Per-invocation suffix avoids racing concurrent
+    # sweeps; prior invocations' scratch dirs are pruned best-effort.
+    wh = spark.conf.get(
+        "spark.sql.warehouse.dir", "file:/tmp/spark-warehouse"
+    ).rstrip("/")
+    scratch_root = f"{wh}/cds_s4_ledger"
+    jvm, fs, root = _fs(spark, scratch_root)
+    try:
+        if fs.exists(root):
+            for st in fs.listStatus(root):
+                fs.delete(st.getPath(), True)
+    except Exception:
+        pass  # concurrent invocation mid-sweep: leave its dir alone
+    base = f"{scratch_root}/{uuid.uuid4().hex[:8]}"
     data_path, ledger_path = f"{base}/data", f"{base}/ledger"
 
     agg = (

@@ -9,7 +9,7 @@ from pyspark.sql import functions as F
 
 from crypto_datalake_spark.functions.ema import ema_by_group
 from crypto_datalake_spark.functions.pivots import traditional_pivots
-from crypto_datalake_spark.ops.agg import dsum, ratio_of_sums
+from crypto_datalake_spark.ops.agg import dsum, last_nonnull, ratio_of_sums
 from crypto_datalake_spark.ops.time import bucket_floor, minute_spine
 from crypto_datalake_spark.queries.common import SPINE_END, SPINE_START, events
 from crypto_datalake_spark.queries.registry import register
@@ -84,7 +84,14 @@ def p8_partition_audit(spark, sf_dir):
     stats = ev.groupBy(bucket_floor("ts", 60).alias("hour_ts")).agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.countDistinct("minute_ts").alias("observed_minutes"),
-        (F.count(F.lit(1)) - F.countDistinct("user_id", "minute_ts")).alias("dup_key_rows"),
+        # struct-wrapped: bare countDistinct(a, b) SKIPS rows where any
+        # argument is NULL, inflating dup_key_rows by every NULL-user row;
+        # the struct is never null, so (NULL, minute) counts as its own
+        # distinct key — matching DuckDB's count(DISTINCT (a, b))
+        (
+            F.count(F.lit(1))
+            - F.countDistinct(F.struct("user_id", "minute_ts"))
+        ).alias("dup_key_rows"),
         F.count(F.when(F.col("value").isNull(), 1)).alias("null_values"),
     )
     j = hours.join(stats, "hour_ts", "left")
@@ -149,7 +156,7 @@ def u1_ema(spark, sf_dir):
     ev = events(spark, sf_dir)
     hourly = ev.groupBy(
         "user_id", bucket_floor("ts", 60).alias("hour_ts")
-    ).agg(F.max_by("value", "event_id").alias("close"))
+    ).agg(last_nonnull("value", "event_id").alias("close"))
     return ema_by_group(
         hourly, "close", "hour_ts", ["user_id"], _EMA_LEN, out_col="ema"
     )
@@ -188,7 +195,7 @@ def u2_traditional_pivots(spark, sf_dir):
     bars = ev.groupBy(bucket_floor("ts", 15).alias("bucket_start")).agg(
         F.max("value").alias("high"),
         F.min("value").alias("low"),
-        F.max_by("value", "event_id").alias("close"),
+        last_nonnull("value", "event_id").alias("close"),
     )
     return traditional_pivots(bars, order_col="bucket_start")
 

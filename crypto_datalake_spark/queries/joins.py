@@ -122,7 +122,7 @@ _SQL_ASOF_BASE = """
       WHERE CAST(epoch(s.slot_ts) AS BIGINT) % 900 = 0
     ),
     src AS (
-      SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'
+      SELECT user_id, ts, event_id, value FROM events WHERE event_type = 'purchase'
     )
 """
 
@@ -134,10 +134,12 @@ def _asof_spine(spark, sf_dir):
 
 
 def _purchases(spark, sf_dir):
+    # event_id rides along as the dedup tiebreak (ts alone is not a
+    # total order); as-of consumers simply don't select it
     return (
         events(spark, sf_dir)
         .where(F.col("event_type") == "purchase")
-        .select("user_id", "ts", "value")
+        .select("user_id", "ts", "event_id", "value")
     )
 
 
@@ -298,7 +300,7 @@ def j3_exact_bucket_align(spark, sf_dir):
       QUALIFY row_number() OVER (
         PARTITION BY user_id, TIMESTAMP '1970-01-01 00:00:00'
           + to_seconds(CAST(floor(epoch(ts) / 900) * 900 AS BIGINT))
-        ORDER BY ts DESC
+        ORDER BY ts DESC, event_id DESC
       ) = 1
     ),
     asof_m AS (
@@ -331,7 +333,8 @@ def j6_exact_asof_fallback(spark, sf_dir):
     exact = keep_last(
         src.withColumn("slot_ts", bucket_floor("ts", 15)),
         ["user_id", "slot_ts"],
-        ["ts"],
+        ["ts", "event_id"],  # event_id tiebreak: ts alone is not a total
+        # order, so same-ts purchases would pick a shuffle-dependent row
     ).select("user_id", "slot_ts", F.col("value").alias("exact_value"))
     # The as-of output preserves every spine row (left semantics), so the
     # exact arm joins onto it directly — the spine is evaluated once, not

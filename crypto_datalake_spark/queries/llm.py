@@ -695,17 +695,43 @@ def ivf_topk(corpus, queries, cents, nprobe: int, k: int = 10):
     from pyspark.sql import Window
 
     sim = F.round(_cosine(F.col("embedding"), F.col("cv")), 9)
-    w_assign = Window.partitionBy("vec_id").orderBy(
-        F.col("sim").desc(), F.col("cent_id").asc()
+    # Corpus assignment is a PER-ROW argmax fold over the centroid array —
+    # the centroids collapse to ONE broadcast row (collect_list), each
+    # corpus row computes its best cell inline, and NO exchange touches
+    # the corpus: the old crossJoin + row_number window shuffled K·N rows
+    # through a sort just to pick the max.  array_sort orders cells by
+    # cent_id, and the strict > keeps the FIRST (lowest cent_id) on sim
+    # ties — identical to the window's (sim desc, cent_id asc) ranking.
+    # normalize cent_id to LONG across callers (stand-in centroids use
+    # vec_id:long, the trained table stores int) so the fold's struct
+    # types line up either way
+    cents = cents.select(F.col("cent_id").cast("long").alias("cent_id"), "cv")
+    cents_arr = cents.agg(
+        F.array_sort(F.collect_list(F.struct("cent_id", "cv"))).alias("__cs")
+    )
+
+    def _step(acc, c):
+        s = F.round(_cosine(F.col("embedding"), c["cv"]), 9)
+        return F.when(
+            s > acc["sim"],
+            F.struct(s.alias("sim"), c["cent_id"].alias("cid")),
+        ).otherwise(acc)
+
+    best = F.aggregate(
+        F.col("__cs"),
+        F.struct(
+            F.lit(float("-inf")).alias("sim"), F.lit(None).cast("long").alias("cid")
+        ),
+        _step,
     )
     assign = (
-        corpus.crossJoin(F.broadcast(cents))
-        .withColumn("sim", sim)
-        .withColumn("__rn", F.row_number().over(w_assign))
-        .where(F.col("__rn") == 1)
+        corpus.crossJoin(F.broadcast(cents_arr))
+        .withColumn("cent_id", best["cid"])
         .select("vec_id", "label", "embedding", "cent_id")
     )
-    # per-query probe ranking over a #centroids-row frame (bounded)
+    # per-query probe ranking keeps the window form: it needs TOP-nprobe
+    # (not argmax) and the frame is |queries|·K rows — queries are the
+    # small side by definition, so this window never sees corpus scale
     w_q = Window.partitionBy("vec_id").orderBy(
         F.col("sim").desc(), F.col("cent_id").asc()
     )

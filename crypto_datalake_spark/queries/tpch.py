@@ -641,7 +641,14 @@ def q16_supplier_cnt_by_part(spark, sf_dir):
         "s_suppkey"
     )
     return (
-        li.join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti")
+        # NOT IN three-valued logic: a NULL l_suppkey is excluded by the
+        # oracle's NOT IN (NULL matches nothing either way, but NOT
+        # (NULL IN ...) is NULL → filtered), while left_anti would KEEP
+        # it. Filter nulls first so the translation matches. (The bad-
+        # supplier side is a primary key — never NULL — so the
+        # subquery-contains-NULL arm of NOT IN cannot fire.)
+        li.where(F.col("l_suppkey").isNotNull())
+        .join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti")
         .join(p, F.col("l_partkey") == p.p_partkey)
         .groupBy("p_brand", F.col("p_size").cast("long").alias("p_size"))
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))

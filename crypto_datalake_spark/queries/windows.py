@@ -10,6 +10,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
+from crypto_datalake_spark.ops.agg import last_nonnull
 from crypto_datalake_spark.ops.fill import ffill
 from crypto_datalake_spark.ops.time import bucket_floor, minute_spine
 from crypto_datalake_spark.queries.common import SQL_SPINE, SPINE_END, SPINE_START, events
@@ -184,7 +185,7 @@ def w5_ffill_limited(spark, sf_dir):
             & (F.col("ts") < F.lit(SPINE_END).cast("timestamp_ntz"))
         )
         .groupBy("minute_ts")
-        .agg(F.max_by("value", "event_id").alias("v"))
+        .agg(last_nonnull("value", "event_id").alias("v"))
     )
     joined = spine.join(sparse, spine.slot_ts == sparse.minute_ts, "left").select(
         "slot_ts", "v"

@@ -746,3 +746,31 @@ def test_merge_scd2_same_ts_correction_wins(spark, tmp_path):
     got = read_table(spark, path).collect()
     assert len(got) == 1
     assert got[0]["attr"] == "right" and got[0]["is_current"]
+
+
+def test_serving_ffill_carries_across_buckets(spark):
+    """The unlimited pre-aggregation forward-fill, pushed to bar level:
+    a bucket whose snapshot columns are all NULL must inherit the last
+    non-null from EARLIER buckets (oi: last-of-filled; funding:
+    first-of-filled = the carry when the bucket opens null)."""
+    rows = []
+    # bucket 1 (00:00-00:15): oi/funding set at minute 3 only
+    for m in range(15):
+        rows.append(_minute_row(
+            _ts(m),
+            oi_contracts=500.0 if m == 3 else None,
+            funding_rate=0.01 if m == 3 else None,
+        ))
+    # bucket 2 (00:15-00:30): all null → carries bucket 1's values
+    for m in range(15, 30):
+        rows.append(_minute_row(_ts(m), oi_contracts=None, funding_rate=None))
+    bars = {
+        r["bucket_ts"]: r
+        for r in aggregate_canonical_frame(
+            _minute_frame(spark, rows), "15m", complete_only=True
+        ).collect()
+    }
+    b1, b2 = bars[_ts(0)], bars[_ts(15)]
+    assert b1["oi_contracts"] == 500.0 and b1["funding_rate"] == 0.01
+    assert b2["oi_contracts"] == 500.0     # carried forward, unlimited
+    assert b2["funding_rate"] == 0.01      # bucket opens null -> carry

@@ -321,3 +321,29 @@ def test_bucket_floor_floors_negative_epochs(spark):
         dt.datetime(1969, 12, 31, 23, 58, 0),  # floored DOWN, not up
         dt.datetime(1970, 1, 1, 0, 1, 0),
     ]
+
+
+def test_asof_null_valued_row_is_the_match(spark):
+    """The as-of contract is "the latest right ROW": a NULL-valued right
+    row inside tolerance must yield a NULL value (it IS the match), not
+    resurrect an older row's value past the freshness gate — per-column
+    last-non-null fill desyncs value from matched-ts."""
+    import datetime as dt
+
+    from crypto_datalake_spark.ops.asof import asof_join
+
+    t0 = dt.datetime(2024, 1, 1, 1, 0)
+    t1 = dt.datetime(2024, 1, 1, 2, 0)
+    left = spark.createDataFrame(
+        [(dt.datetime(2024, 1, 1, 2, 30),)], "ts timestamp_ntz"
+    )
+    right = spark.createDataFrame(
+        [(t0, 5.0), (t1, None)], "rts timestamp_ntz, v double"
+    )
+    got = asof_join(
+        left, right, on="ts", right_on="rts",
+        value_cols=["v"], tolerance_seconds=1800,
+        matched_ts_col="m_ts",
+    ).collect()[0]
+    assert got["m_ts"] == t1      # the 02:00 row IS the as-of match
+    assert got["v"] is None       # and its value is NULL — not the stale 5.0
