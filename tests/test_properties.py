@@ -33,7 +33,12 @@ _SETTINGS = dict(
 
 # Timestamps as small epoch-second integers → cast to timestamp in Spark.
 _ts = st.integers(min_value=0, max_value=120)
-_val = st.integers(min_value=-5, max_value=5).map(float)
+# nullable values: the as-of contract is "the latest right ROW", so a
+# NULL-valued row must be a valid match — a generator without Nones
+# could never catch per-column-fill desync (the round-5 asof bug)
+_val = st.one_of(
+    st.none(), st.integers(min_value=-5, max_value=5).map(float)
+)
 
 
 def _mk(spark, rows, fields):
@@ -347,3 +352,69 @@ def test_asof_null_valued_row_is_the_match(spark):
     ).collect()[0]
     assert got["m_ts"] == t1      # the 02:00 row IS the as-of match
     assert got["v"] is None       # and its value is NULL — not the stale 5.0
+
+
+@given(
+    data=st.data(),
+    n_events=st.integers(min_value=0, max_value=14),
+    snap_levels=st.integers(min_value=0, max_value=3),
+)
+@settings(**_SETTINGS)
+def test_orderbook_fold_matches_declarative_on_random_books(
+    spark, data, n_events, snap_levels
+):
+    """Random continuous depth streams (snapshot first, pu-chained deltas,
+    random writes and qty=0 deletes over a small price grid) must replay
+    identically through the stateful fold and the declarative
+    window/agg plan — the two independent implementations of ST3."""
+    import datetime as _dt
+    import json as _json
+
+    from crypto_datalake_spark.streaming import DEPTH_EVENT_SCHEMA, book_state_stream
+    from crypto_datalake_spark.streaming.orderbook import replay_book_batch
+
+    prices_bid = [99.0, 98.5, 98.0]
+    prices_ask = [101.0, 101.5, 102.0]
+    qty = st.sampled_from([0.0, 1.0, 2.5, 700.0])
+
+    def levels(side_prices, max_n):
+        n = data.draw(st.integers(min_value=0, max_value=max_n))
+        return [
+            [data.draw(st.sampled_from(side_prices)), data.draw(qty)]
+            for _ in range(n)
+        ]
+
+    t0 = _dt.datetime(2024, 1, 1)
+    base = 100
+    rows = [(
+        "SYM", t0, "snapshot", None, base, None,
+        _json.dumps(levels(prices_bid, snap_levels)),
+        _json.dumps(levels(prices_ask, snap_levels)),
+    )]
+    sec = 0
+    for i in range(n_events):
+        u = base + i + 1
+        # event time advances WITH the update-id chain (a validated store
+        # is time-ordered; 0-step keeps same-second same-minute ties)
+        sec += data.draw(st.integers(0, 90))
+        rows.append((
+            "SYM",
+            t0 + _dt.timedelta(seconds=sec),
+            "delta", u, u, u - 1,
+            _json.dumps(levels(prices_bid, 2)),
+            _json.dumps(levels(prices_ask, 2)),
+        ))
+    depth = spark.createDataFrame(rows, DEPTH_EVENT_SCHEMA)
+
+    def canon(df):
+        rounded = [
+            "best_bid", "best_ask", "mid", "spread_pct", "impact_pct",
+            "avg_bid_qty_top10", "avg_ask_qty_top10",
+        ]
+        cols = [
+            F.round(c, 6).alias(c) if c in rounded else F.col(c)
+            for c in df.columns
+        ]
+        return sorted(map(tuple, df.select(*cols).collect()))
+
+    assert canon(replay_book_batch(depth)) == canon(book_state_stream(depth))
