@@ -140,6 +140,14 @@ def load_csv_with_variants(
     coalesce first-present-variant, then ONE Spark-side cast to the
     target schema.  gzip/bzip2 decompress per extension; true ZIP
     archives go through :func:`load_zip_csv`.
+
+    Bounds: ``binaryFile`` holds ONE whole file per task and caps files
+    at 2 GiB — the right trade at the data's natural daily-file grain
+    (the reference's Vision files are ~1-40 MB).  A monolithic
+    uniform-header giant should go through plain splittable
+    ``spark.read.csv`` instead.  Zero-byte / header-only files yield no
+    rows (pandas raises EmptyDataError on truly empty input; an absent
+    day is absent data, not a parse failure).
     """
     import pandas as pd
 
@@ -156,9 +164,12 @@ def load_csv_with_variants(
                     if p.endswith(".gz")
                     else "bz2" if p.endswith(".bz2") else None
                 )
-                raw = pd.read_csv(
-                    _io.BytesIO(content), dtype=str, compression=comp
-                )
+                try:
+                    raw = pd.read_csv(
+                        _io.BytesIO(content), dtype=str, compression=comp
+                    )
+                except pd.errors.EmptyDataError:
+                    continue  # zero-byte file: no rows, not an error
                 yield _coalesce_variants(raw, names, variants)
 
     raw = spark.read.format("binaryFile").load(path)
@@ -274,20 +285,35 @@ def warehouse_cached(spark: SparkSession, name: str, source_paths, build):
         "spark-warehouse",
     )
     path = os.path.join(wh, f"{name}__{key}")
-    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+    # validity check is the DIRECTORY, not _SUCCESS: publication is an
+    # atomic rename of a fully-written tmp, so the path existing already
+    # proves a complete build (and sessions configured with
+    # marksuccessfuljobs=false would otherwise rebuild + EEXIST forever)
+    if not os.path.exists(path):
+        import time as _time
+
         tmp = f"{path}.tmp-{_uuid.uuid4().hex[:8]}"
         build().write.mode("overwrite").parquet(tmp)
         try:
             os.rename(tmp, path)  # atomic publish; fails if winner beat us
             for old in glob.glob(os.path.join(wh, f"{name}__*")):
-                # never touch ANY in-flight tmp dir — another process may
-                # be mid-build for a different source fingerprint, and
-                # deleting under its parquet write would crash a valid
-                # concurrent build
-                if old != path and ".tmp-" not in os.path.basename(old):
+                base = os.path.basename(old)
+                if old == path:
+                    continue
+                if ".tmp-" in base:
+                    # an in-flight tmp belongs to a live concurrent build —
+                    # but a CRASHED build's orphan (full parquet copy of a
+                    # derived table) would otherwise accumulate forever.
+                    # Age-gate: no build runs for 6 hours.
+                    try:
+                        if _time.time() - os.path.getmtime(old) > 6 * 3600:
+                            shutil.rmtree(old, ignore_errors=True)
+                    except OSError:
+                        pass
+                else:
                     shutil.rmtree(old, ignore_errors=True)
         except OSError:
             shutil.rmtree(tmp, ignore_errors=True)
-            if not os.path.exists(os.path.join(path, "_SUCCESS")):
+            if not os.path.exists(path):  # not a lost race: real failure
                 raise
     return spark.read.parquet(path)

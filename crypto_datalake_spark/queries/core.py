@@ -274,10 +274,17 @@ def s4_write_audit_ledger(spark, sf_dir):
     jvm, fs, root = _fs(spark, scratch_root)
     try:
         if fs.exists(root):
+            # age-gate the sweep: a CONCURRENT invocation's scratch dir is
+            # minutes old at most (its data/ledger children bump the dir
+            # mtime at creation), so deleting only hour-stale dirs never
+            # pulls files out from under a live sibling (e.g. bench.py
+            # racing pytest on the shared warehouse)
+            now_ms = jvm.java.lang.System.currentTimeMillis()
             for st in fs.listStatus(root):
-                fs.delete(st.getPath(), True)
+                if now_ms - st.getModificationTime() > 3_600_000:
+                    fs.delete(st.getPath(), True)
     except Exception:
-        pass  # concurrent invocation mid-sweep: leave its dir alone
+        pass  # sweep is best-effort; never fail the query over scratch
     base = f"{scratch_root}/{uuid.uuid4().hex[:8]}"
     data_path, ledger_path = f"{base}/data", f"{base}/ledger"
 

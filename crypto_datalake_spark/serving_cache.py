@@ -138,9 +138,23 @@ class ServingCache:
             )
             while len(self._entries) > self._max:  # LRU evict
                 evicted, _ = self._entries.popitem(last=False)
-                # drop the single-flight lock with its entry — an open
-                # request keyspace would otherwise grow _locks forever
-                self._locks.pop(evicted, None)
+                # reap the single-flight lock with its entry, but NEVER a
+                # held one: popping a lock some fetch is inside would hand
+                # the next requester a fresh lock and silently break
+                # in-flight dedup under exactly the churn it exists for
+                lk = self._locks.get(evicted)
+                if lk is not None and not lk.locked():
+                    del self._locks[evicted]
+            if len(self._locks) > 2 * self._max:
+                # keys whose fetch raised before ever put() have no entry
+                # to be evicted with — sweep their idle locks here so an
+                # open request keyspace cannot grow _locks forever
+                for k in [
+                    k
+                    for k, lk in self._locks.items()
+                    if k not in self._entries and not lk.locked()
+                ]:
+                    del self._locks[k]
 
     def single_flight(self, key: tuple) -> threading.Lock:
         """Per-key lock: concurrent identical requests collapse to one

@@ -179,6 +179,7 @@ _LEDGER_META = frozenset(
         "status",
         "committed_at_utc",
         "commit_seq",
+        "commit_token",
         "generation",
     }
 )
@@ -205,11 +206,20 @@ def upsert_ledger(
     ledger`` folds the log down when it grows.  A repair rewrite appends a
     newer row for the same partition, which supersedes the old one at read
     time — same visible semantics as the previous in-place replace."""
+    import uuid
+
+    # commit_token breaks commit_seq ties DETERMINISTICALLY: two writers
+    # racing _next_commit_seq can stamp the same seq (read-max-then-+1 is
+    # not atomic), and which of them "wins" keep-last must at least be
+    # stable across re-reads — same-partition concurrent writes have no
+    # defined order anyway, but a resolution that flips between reads
+    # would surface as a flapping watermark.
     entries = (
         entries.withColumn("schema_hash", F.lit(schema_hash))
         .withColumn("status", F.lit("COMMITTED"))
         .withColumn("committed_at_utc", F.current_timestamp().cast("string"))
         .withColumn("commit_seq", F.lit(_next_commit_seq(spark, ledger_path)))
+        .withColumn("commit_token", F.lit(uuid.uuid4().hex))
     )
     entries.write.mode("append").parquet(ledger_path)
 
@@ -254,7 +264,13 @@ def read_ledger(spark: SparkSession, ledger_path: str) -> DataFrame:
     key_cols = [c for c in led.columns if c not in _LEDGER_META]
     if "commit_seq" not in led.columns:  # pre-log-structured ledgers
         return led
-    return keep_last(led, key_cols, ["commit_seq"])
+    # commit_token tiebreak (when present) pins resolution of seq
+    # collisions; pre-token rows sort with null tokens, losing to any
+    # tokened row at the same seq — acceptable, those rows predate the fix
+    order = ["commit_seq"] + (
+        ["commit_token"] if "commit_token" in led.columns else []
+    )
+    return keep_last(led, key_cols, order)
 
 
 def compact_ledger(spark: SparkSession, ledger_path: str) -> None:
@@ -263,14 +279,19 @@ def compact_ledger(spark: SparkSession, ledger_path: str) -> None:
     with or without it.
 
     Crash-safe by log structure, no atomic swap needed: (1) snapshot the
-    file list, (2) APPEND the resolved rows re-tagged with a fresh
-    ``commit_seq`` (they supersede everything they summarize), (3) delete
-    the snapshotted old files.  At every instant the log resolves to the
-    same state — old files only, old + compacted (keep-last picks the
-    compacted rows), or compacted only; a crash between any two steps
-    just leaves extra rows for the next compaction.  A plain
-    read-then-overwrite would instead have a window where the ledger —
-    which IS the watermark state — is empty or torn.
+    file list, (2) APPEND the resolved rows with their ORIGINAL
+    ``commit_seq``/``commit_token`` (each is a byte-identical copy of the
+    row it preserves, so keep-last ties between original and copy are
+    harmless), (3) delete the snapshotted old files.  At every instant
+    the log resolves to the same state — old files only, old + compacted,
+    or compacted only; a crash between any two steps just leaves extra
+    rows for the next compaction.  Keeping original seqs (not re-stamping
+    max+1) also makes compaction safe against a CONCURRENT commit: a
+    fresh commit's seq is strictly greater than anything the compaction
+    snapshot read, so it always wins resolution — a re-stamped summary
+    racing that commit could tie with it and resurrect the stale row.
+    A plain read-then-overwrite would instead have a window where the
+    ledger — which IS the watermark state — is empty or torn.
     """
     jvm = spark.sparkContext._jvm
     root = jvm.org.apache.hadoop.fs.Path(ledger_path)
@@ -280,11 +301,7 @@ def compact_ledger(spark: SparkSession, ledger_path: str) -> None:
         for st in fs.listStatus(root)
         if st.isFile() and st.getPath().getName().endswith(".parquet")
     ]
-    current = (
-        read_ledger(spark, ledger_path)
-        .withColumn("commit_seq", F.lit(_next_commit_seq(spark, ledger_path)))
-        .localCheckpoint(eager=True)
-    )
+    current = read_ledger(spark, ledger_path).localCheckpoint(eager=True)
     current.write.mode("append").parquet(ledger_path)
     for p in old_files:
         fs.delete(p, False)

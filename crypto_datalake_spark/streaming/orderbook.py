@@ -117,9 +117,12 @@ def _apply_delta(st: dict, ev: dict) -> None:
             return
         if not (
             ev["U"] is not None
+            and ev["u"] is not None
             and st["last_u"] is not None
             and ev["U"] <= st["last_u"] + 1 <= ev["u"]
         ):
+            # a null-u delta can never prove the bridge — degrade instead
+            # of letting the chained comparison hit `int <= None`
             st["synced"] = False  # gap between snapshot and first delta
             return
     elif st["last_u"] is not None and ev["pu"] is not None and ev["pu"] != st["last_u"]:

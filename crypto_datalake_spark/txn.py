@@ -158,6 +158,21 @@ def current_manifest(spark: SparkSession, table_path: str) -> dict | None:
         text = _read_text(spark, f"{table_path}/{MANIFEST_DIR}/{ptr.strip()}")
         if text is not None:
             ptr_manifest = json.loads(text)
+    if ptr_manifest is not None:
+        # Fast path: ONE exists() probe (HEAD on object stores) instead of
+        # a directory LIST on every resolution.  Version files are
+        # allocated as live+1, so the only way the pointer is stale is
+        # that v(ptr+1) exists (crashed pre-swap writer); chained crashes
+        # (v(ptr+2) without the pointer moving) still create v(ptr+1)
+        # first, and vacuum only ever deletes a contiguous PREFIX of
+        # versions (it keeps the top-N) — if v(ptr+1) were vacuumed, the
+        # pointer's own manifest would be gone too and we'd be on the
+        # listing path below.
+        jvm, fs, nxt = _fs(
+            spark, _manifest_path(table_path, ptr_manifest["version"] + 1)
+        )
+        if not fs.exists(nxt):
+            return ptr_manifest
     versions = _list_versions(spark, table_path)
     if not versions:
         return ptr_manifest

@@ -774,3 +774,54 @@ def test_serving_ffill_carries_across_buckets(spark):
     assert b1["oi_contracts"] == 500.0 and b1["funding_rate"] == 0.01
     assert b2["oi_contracts"] == 500.0     # carried forward, unlimited
     assert b2["funding_rate"] == 0.01      # bucket opens null -> carry
+
+
+def test_warehouse_cache_no_success_marker_and_stale_tmp_prune(spark, tmp_path):
+    """Validity is the published DIRECTORY (atomic rename), not _SUCCESS —
+    sessions with marksuccessfuljobs=false must serve the cache, not
+    rebuild into EEXIST forever.  Crashed builds' tmp dirs are pruned
+    once hour-stale; a fresh tmp (live concurrent build) is left alone."""
+    import glob
+    import os
+    import shutil
+    import time
+
+    from crypto_datalake_spark import io as cio
+
+    src = str(tmp_path / "src.parquet")
+    spark.range(4).toPandas().to_parquet(src)
+    calls = []
+
+    def build():
+        calls.append(1)
+        return spark.read.parquet(src)
+
+    name = f"wcns_{os.path.basename(str(tmp_path))}"
+    wh = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(cio.__file__))),
+        "spark-warehouse",
+    )
+    try:
+        assert cio.warehouse_cached(spark, name, [src], build).count() == 4
+        (pub,) = [
+            d for d in glob.glob(os.path.join(wh, f"{name}__*")) if ".tmp-" not in d
+        ]
+        os.remove(os.path.join(pub, "_SUCCESS"))
+        assert cio.warehouse_cached(spark, name, [src], build).count() == 4
+        assert len(calls) == 1  # no marker, still a cache hit
+
+        # plant a crashed build's orphan (old) and a live build's tmp (new)
+        stale = os.path.join(wh, f"{name}__deadbeef.tmp-crash")
+        fresh = os.path.join(wh, f"{name}__cafebabe.tmp-live")
+        os.makedirs(stale)
+        os.makedirs(fresh)
+        old = time.time() - 7 * 3600
+        os.utime(stale, (old, old))
+        time.sleep(0.01)
+        spark.range(6).toPandas().to_parquet(src)  # force a republish
+        assert cio.warehouse_cached(spark, name, [src], build).count() == 6
+        assert not os.path.exists(stale)  # hour-stale orphan reclaimed
+        assert os.path.exists(fresh)  # live concurrent build untouched
+    finally:
+        for d in glob.glob(os.path.join(wh, f"{name}__*")):
+            shutil.rmtree(d, ignore_errors=True)

@@ -335,3 +335,29 @@ def test_cache_lock_dict_bounded():
         c.put(key, float(i), [(float(i), "r")])
     assert len(c._entries) <= 2
     assert len(c._locks) <= 3  # evicted entries drop their locks
+
+
+def test_cache_held_single_flight_lock_survives_eviction():
+    """Evicting a key's LRU entry while a fetch holds its lock must not
+    hand the next requester a fresh lock (duplicate cluster query)."""
+    c = ServingCache(max_entries=1, clock=lambda: 0.0)
+    k = ("S", "1m")
+    lk = c.single_flight(k)
+    lk.acquire()
+    try:
+        c.put(k, 0.0, [(0.0, "r")])
+        for i in range(3):  # churn k out of the LRU while its fetch runs
+            c.put(("T", i), 0.0, [(0.0, "r")])
+        assert c.single_flight(k) is lk  # in-flight dedup intact
+    finally:
+        lk.release()
+
+
+def test_cache_orphan_locks_swept():
+    """Keys whose fetch raised before any put() leave no entry to evict —
+    their idle locks must still be reaped, not leak forever."""
+    c = ServingCache(max_entries=2, clock=lambda: 0.0)
+    for i in range(50):
+        c.single_flight(("orphan", i))
+    c.put(("x", 0), 0.0, [(0.0, "r")])
+    assert len(c._locks) <= 2 * c._max + 1

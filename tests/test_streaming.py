@@ -645,3 +645,16 @@ def test_unfilled_ratio_uses_raw_executed_qty(spark):
         spark.createDataFrame(unsupported, _EVENTS_DDL)
     ).collect()[0]
     assert got2["liq_unfilled_ratio"] is None  # any unsupported row -> NULL
+
+
+def test_book_null_u_delta_degrades_not_crashes(spark):
+    """A delta with NULL final_update_id arriving while the bridge is
+    pending can never prove continuity — the book must degrade to
+    unsynced, not crash the fold on `int <= None`."""
+    snap = ("BTC", _t(5), "snapshot", None, 100, None,
+            json.dumps([[100.0, 5.0]]), json.dumps([[101.0, 5.0]]))
+    nullu = ("BTC", _t(6), "delta", 99, None, None,
+             json.dumps([[100.0, 7.0]]), json.dumps([]))
+    out = book_state_stream(_depth_rows(spark, [snap, nullu])).collect()
+    assert len(out) == 1
+    assert not out[0]["synced"] and out[0]["degraded"]

@@ -602,3 +602,60 @@ def test_partition_paths_render_like_spark(spark, tmp_path):
     )
     back = txn.read_table(spark, path)
     assert back.count() == 2  # keys resolved to real directories
+
+
+def test_compact_preserves_original_commit_seqs(spark, tmp_path):
+    """Compaction must NOT re-stamp resolved rows with a fresh seq: a
+    commit racing the compaction snapshot would then tie with the
+    summary and could lose keep-last to stale data.  Original seqs make
+    any concurrent commit strictly newer than everything compaction
+    writes."""
+    import glob
+
+    from crypto_datalake_spark.sinks import compact_ledger
+
+    path, ledger = str(tmp_path / "lake"), str(tmp_path / "ledger")
+    kw = dict(**KW, ledger_path=ledger)
+    for i in range(3):
+        txn.atomic_upsert_partitioned(
+            spark, _df(spark, [("A", _T(i), float(i), "d1")]), path, **kw
+        )
+    led = spark.read.parquet(ledger)
+    max_seq_before = led.agg(F.max("commit_seq")).first()[0]
+
+    compact_ledger(spark, ledger)
+    led = spark.read.parquet(ledger)
+    assert led.agg(F.max("commit_seq")).first()[0] == max_seq_before
+    assert len(glob.glob(f"{ledger}/*.parquet")) < 3
+
+    # the next real commit is strictly newer than the compacted summary
+    txn.atomic_upsert_partitioned(
+        spark, _df(spark, [("A", _T(9), 9.0, "d1")]), path, **kw
+    )
+    led = spark.read.parquet(ledger)
+    assert led.agg(F.max("commit_seq")).first()[0] > max_seq_before
+    # and resolution reflects it
+    (row,) = read_ledger(spark, ledger).collect()
+    assert row["max_ts"] == _T(9)
+
+
+def test_ledger_seq_tie_resolves_deterministically(spark, tmp_path):
+    """Two writers racing _next_commit_seq can stamp the same seq; the
+    commit_token tiebreak makes keep-last resolution stable across
+    re-reads instead of flapping with scan order."""
+    import pyspark.sql.functions as SF
+
+    ledger = str(tmp_path / "ledger")
+    base = spark.createDataFrame(
+        [("d1", 5, "2024-01-01", "aaaa"), ("d1", 7, "2024-01-01", "zzzz")],
+        "day string, row_count long, committed_at_utc string, commit_token string",
+    ).withColumn("commit_seq", SF.lit(1000))
+    base.withColumn("schema_hash", SF.lit("h")).withColumn(
+        "status", SF.lit("COMMITTED")
+    ).write.mode("append").parquet(ledger)
+    got = {
+        tuple(r)
+        for _ in range(3)
+        for r in read_ledger(spark, ledger).select("day", "row_count").collect()
+    }
+    assert got == {("d1", 7)}  # highest token wins, every time
