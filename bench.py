@@ -66,6 +66,7 @@ BENCH_QUERIES = [
     "ann_lsh_multiprobe",
     "ann_ivf_probe",
     "ann_ivf_kmeans",
+    "ann_ivf_pq",
     "st2_streaming_minute_agg",
     "st3_orderbook_replay",
 ]

@@ -473,3 +473,42 @@ def a13_distinct_agg(spark, sf_dir):
         F.countDistinct(F.date_trunc("day", "ts")).alias("n_days"),
         F.count(F.lit(1)).alias("n_events"),
     )
+
+
+@register(
+    "sketch_profile",
+    sql=None,
+    doc="Sketch-based corpus profiling — the 100 TB form of a13's exact "
+    "distincts: per event_type, HLL (Apache DataSketches, lgK=12) user "
+    "cardinality and approx percentiles of value, plus exact counts. "
+    "Sketches are MERGEABLE partial aggregates: per-partition sketches "
+    "combine map-side, shuffle bytes are the sketch size (~4 KB), not "
+    "the key space — and daily sketch columns stored in a lake table "
+    "roll up to any coarser grain later via hll_union_agg without "
+    "rescanning the data (tests/test_scale_ops.py pins "
+    "estimate(union(daily)) == estimate(global)). No SQL oracle: "
+    "DuckDB's approx algorithms differ by construction (rows-only "
+    "driver check); the pytest bounds the HLL estimate against the "
+    "exact distinct count instead.",
+)
+def sketch_profile(spark, sf_dir):
+    ev = events(spark, sf_dir)
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.hll_sketch_estimate(F.hll_sketch_agg("user_id", F.lit(12))).alias(
+                "approx_users"
+            ),
+            F.percentile_approx(
+                "value", F.array(F.lit(0.5), F.lit(0.95)), F.lit(10_000)
+            ).alias("value_p50_p95"),
+        )
+        .select(
+            "event_type",
+            "n_events",
+            "approx_users",
+            F.col("value_p50_p95").getItem(0).alias("p50_value"),
+            F.col("value_p50_p95").getItem(1).alias("p95_value"),
+        )
+    )

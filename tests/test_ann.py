@@ -152,3 +152,63 @@ def test_ann_ivf_kmeans_registered_query_shape(spark, sf_dir):
     # deterministic under the fixed seed
     rows2 = REGISTRY["ann_ivf_kmeans"].fn(spark, sf_dir).collect()
     assert [r["vec_id"] for r in rows] == [r["vec_id"] for r in rows2]
+
+
+def test_pq_codes_shape_and_bounds(spark, ann_fixture):
+    from crypto_datalake_spark.queries.llm import (
+        _PQ_K,
+        _PQ_M,
+        _codebook_array,
+        pq_codebooks,
+        pq_encode,
+    )
+
+    e, _, _ = ann_fixture
+    cb = pq_codebooks(e, m=_PQ_M, k=_PQ_K, seed=7).localCheckpoint()
+    assert cb.count() == _PQ_M * _PQ_K
+    enc = pq_encode(e.limit(20), _codebook_array(cb)).collect()
+    for r in enc:
+        assert len(r["codes"]) == _PQ_M
+        assert all(0 <= c < _PQ_K for c in r["codes"])
+        assert r["vnorm"] > 0
+
+
+def test_pq_adc_recall_monotone_and_exact_at_full_depth(spark, ann_fixture):
+    """ADC candidates under one fixed code assignment are NESTED in the
+    re-rank depth, so recall@10 is non-decreasing — and once the depth
+    covers the whole corpus the exact re-rank IS brute force, so recall
+    must be exactly 1.0 (pins that the re-rank scoring is exact)."""
+    from crypto_datalake_spark.queries.llm import (
+        _codebook_array,
+        pq_adc_rescore,
+        pq_codebooks,
+        pq_encode,
+    )
+
+    e, qs, exact = ann_fixture
+    corpus = e.where(F.col("vec_id") != 0)
+    cb_arr = _codebook_array(
+        pq_codebooks(corpus, seed=7).localCheckpoint()
+    ).localCheckpoint()
+    encoded = pq_encode(
+        corpus.withColumn("cent_id", F.lit(0)), cb_arr
+    ).localCheckpoint()
+
+    n_corpus = encoded.count()
+    recalls = []
+    for depth in (10, 50, n_corpus):
+        per_q = {}
+        for q in qs.collect():
+            qdf = spark.createDataFrame([(q["qv"],)], "qv array<float>")
+            got = pq_adc_rescore(
+                encoded.where(F.col("vec_id") != q["qid"]), qdf, cb_arr,
+                rerank=depth,
+            ).collect()
+            per_q[q["qid"]] = {r["vec_id"] for r in got}
+        recalls.append(_recall(per_q, exact))
+
+    assert recalls[0] <= recalls[1] <= recalls[2]
+    assert recalls[2] == 1.0  # full-depth re-rank == brute force
+    # ADC at depth 50 must carry real signal: scanning 50/n_corpus of the
+    # corpus at random would land recall ~= 50/n_corpus
+    assert recalls[1] > 50 / n_corpus + 0.1

@@ -128,3 +128,55 @@ def test_spread_is_identity_when_scan_already_parallel(spark, sf_dir):
     )  # under-parallel single-file scan got spread to the cores
     plan = spread(spark.read.parquet(f"{sf_dir}/documents.parquet"))
     assert "roundrobin" in plan._jdf.queryExecution().toString().lower()
+
+
+def test_sketch_profile_bounds_and_mergeability(spark, sf_dir):
+    """HLL estimates must land within the sketch's error envelope of the
+    exact distinct count, and daily partial sketches must union to the
+    SAME estimate as one global sketch — the property that lets a lake
+    store per-partition sketch columns and roll them up to any grain
+    without rescanning data."""
+    import pytest
+
+    from crypto_datalake_spark.queries import REGISTRY
+    from crypto_datalake_spark.queries.common import events
+
+    got = {
+        r["event_type"]: r
+        for r in REGISTRY["sketch_profile"].fn(spark, sf_dir).collect()
+    }
+    ev = events(spark, sf_dir)
+    exact = {
+        r["event_type"]: r
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("n_users"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.expr("percentile(value, 0.5)").alias("p50"),
+        )
+        .collect()
+    }
+    assert set(got) == set(exact)
+    for et, r in got.items():
+        ex = exact[et]
+        assert r["n_events"] == ex["n_events"]  # exact col stays exact
+        # lgK=12 → rsd ~1.6%; 10% is a generous deterministic envelope
+        assert abs(r["approx_users"] - ex["n_users"]) <= max(
+            0.10 * ex["n_users"], 2
+        )
+        # percentile_approx at accuracy 10k over ~10k rows is near-exact
+        if ex["p50"] is not None:
+            assert r["p50_value"] == pytest.approx(ex["p50"], rel=0.05)
+
+    # mergeability: per-day sketches union to the global estimate exactly
+    daily = (
+        ev.groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(F.hll_sketch_agg("user_id", F.lit(12)).alias("sk"))
+    )
+    merged = {
+        r["event_type"]: r["est"]
+        for r in daily.groupBy("event_type")
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"))
+        .collect()
+    }
+    assert merged == {et: r["approx_users"] for et, r in got.items()}
