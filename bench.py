@@ -26,12 +26,17 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from crypto_datalake_spark.queries import REGISTRY  # noqa: E402
 from crypto_datalake_spark.session import get_spark  # noqa: E402
 
-# Every benched query sits inside the driver's 50-query correctness
-# window (queries/__init__.py _WINDOW) so each timing row has a matching
-# oracle-green CORRECTNESS row — a benchmark on an unverified query
-# proves nothing. The TPC-H shapes benched in r01 (q1/q17/q19/q21/...)
-# rotated out with the window curation; they remain registered and
-# pytest-oracle-checked, runnable via REGISTRY[name].
+# Benched queries are verified before they are timed — a benchmark on an
+# unverified query proves nothing. Most sit inside the driver's 50-query
+# correctness window (queries/__init__.py _WINDOW) and carry an
+# oracle-green CORRECTNESS row; the exceptions (ann_lsh_bucketed — whose
+# machinery the windowed multiprobe variant supersets — and the
+# trained-codebook ann_ivf_kmeans / ann_ivf_pq, whose KMeans fits are
+# non-SQL-expressible) are pytest-verified instead: oracle-parity sweep
+# plus recall/monotonicity bounds in tests/test_ann.py. The TPC-H shapes
+# benched in r01 (q1/q17/q19/q21/...) rotated out with the window
+# curation; they remain registered and pytest-oracle-checked, runnable
+# via REGISTRY[name].
 BENCH_QUERIES = [
     # headline mix: scan-agg, joins, as-of, windows, dedup, similarity
     "s1_scan_project_filter",
