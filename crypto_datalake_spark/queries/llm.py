@@ -15,20 +15,18 @@ from crypto_datalake_spark.queries.common import t
 from crypto_datalake_spark.queries.registry import register
 
 
-def _cosine(a, b):
-    """Exact cosine similarity between two array<float> columns, JVM-side."""
-    dot = F.aggregate(
+def _dot(a, b):
+    """Inner product of two array<float|double> columns, JVM-side fold."""
+    return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
         lambda acc, v: acc + v,
     )
-    def norm(c):
-        return F.sqrt(
-            F.aggregate(
-                c, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double")
-            )
-        )
-    return dot / (norm(a) * norm(b))
+
+
+def _cosine(a, b):
+    """Exact cosine similarity between two array<float> columns, JVM-side."""
+    return _dot(a, b) / (F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b)))
 
 
 _DK_COS = """
@@ -772,6 +770,49 @@ def ivf_topk(corpus, queries, cents, nprobe: int, k: int = 10):
     )
 
 
+def _det_sample(e, sample_rows: int):
+    """Deterministic training sample: the ``sample_rows`` smallest
+    md5(vec_id) rows — reproducible across runs and partitionings, no RNG
+    state.  Shared by both codebook tiers so they always train on the
+    SAME sample."""
+    return e.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id").limit(
+        sample_rows
+    )
+
+
+def _fit_centers(feats, k: int, seed: int, max_iter: int) -> list[list[float]]:
+    """One MLlib KMeans fit (k-means|| init) → plain-Python centers.
+    Persists ``feats`` for the fit's many passes, unpersists after."""
+    from pyspark.ml.clustering import KMeans
+
+    feats.persist()
+    try:
+        model = KMeans(k=k, seed=seed, maxIter=max_iter).fit(feats)
+    finally:
+        feats.unpersist()
+    return [[float(x) for x in c] for c in model.clusterCenters()]
+
+
+def _served_model_table(spark, sf_dir, prefix: str, suffix: str, build):
+    """Offline-train / persist / broadcast-at-serve split shared by the
+    IVF centroid and PQ codebook tables: ``build()`` runs once per
+    (source fingerprint, params); serving reads the warehouse table.
+    ``warehouse_cached`` fingerprints the source embeddings file, so
+    regenerated testdata retrains instead of serving stale models (a
+    real lake would key on the source table's txn generation, txn.py)."""
+    import os
+
+    from crypto_datalake_spark.io import warehouse_cached
+
+    name = os.path.basename(os.path.normpath(sf_dir))
+    return warehouse_cached(
+        spark,
+        f"{prefix}_{name}_{suffix}",
+        [os.path.join(sf_dir, "embeddings.parquet")],
+        build,
+    )
+
+
 def kmeans_centroids(
     e, k: int = _IVF_K, seed: int = 7, max_iter: int = 10,
     sample_rows: int = 4096,
@@ -789,42 +830,20 @@ def kmeans_centroids(
     carries no DuckDB oracle (the driver records the weaker rows-only
     check); determinism comes from the fixed seed + deterministic
     sample."""
-    from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
-    sample = e.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id").limit(
-        sample_rows
-    )
-    feats = sample.select(
+    feats = _det_sample(e, sample_rows).select(
         array_to_vector(F.col("embedding").cast("array<double>")).alias("features")
     )
-    # materialize once — k-means|| makes many passes and would otherwise
-    # recompute the top-k sample lineage on every one
-    feats.persist()
-    try:
-        model = KMeans(k=k, seed=seed, maxIter=max_iter).fit(feats)
-    finally:
-        feats.unpersist()
-    rows = [
-        (i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
-    ]
+    rows = [(i, c) for i, c in enumerate(_fit_centers(feats, k, seed, max_iter))]
     return e.sparkSession.createDataFrame(rows, "cent_id int, cv array<double>")
 
 
 def ivf_centroid_table(spark, sf_dir, k: int = _IVF_K, seed: int = 7):
     """Persisted-centroid serving path: read the trained centroid table
     from the warehouse, training + writing it exactly once per
-    (source data, k, seed).  This is the production IVF split — train
-    offline on a sample, persist, broadcast at query time — so serving
-    queries never pay the iterative fit.  ``warehouse_cached``
-    fingerprints the source embeddings file, so regenerated testdata
-    retrains instead of serving stale centroids (a real lake would key
-    on the source table's txn generation, txn.py)."""
-    import os
-
-    from crypto_datalake_spark.io import warehouse_cached
-
-    name = os.path.basename(os.path.normpath(sf_dir))
+    (source data, k, seed) — the production IVF split (see
+    :func:`_served_model_table`)."""
 
     def build():
         e = t(spark, sf_dir, "embeddings")
@@ -832,11 +851,8 @@ def ivf_centroid_table(spark, sf_dir, k: int = _IVF_K, seed: int = 7):
             e.where(F.col("vec_id") != 0), k=k, seed=seed
         ).coalesce(1)
 
-    return warehouse_cached(
-        spark,
-        f"ivf_centroids_{name}_k{k}_s{seed}",
-        [os.path.join(sf_dir, "embeddings.parquet")],
-        build,
+    return _served_model_table(
+        spark, sf_dir, "ivf_centroids", f"k{k}_s{seed}", build
     )
 
 
@@ -872,14 +888,6 @@ _PQ_K = 16  # codes per subspace (4-bit)
 _PQ_RERANK = 50  # exact-rescore candidate depth
 
 
-def _dot(a, b):
-    return F.aggregate(
-        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
-
-
 def _sqd(a, b):
     return F.aggregate(
         F.zip_with(
@@ -909,29 +917,28 @@ def pq_codebooks(
     iterative and non-SQL-expressible, so PQ paths carry no DuckDB
     oracle (rows-only driver check); recall is pinned in
     tests/test_ann.py instead."""
-    from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
-    dim = len(e.select("embedding").first()["embedding"])
-    if dim % m:
-        raise ValueError(f"dim {dim} not divisible by m={m}")
-    sub = dim // m
-    sample = (
-        e.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
-        .limit(sample_rows)
-        .select(F.col("embedding").cast("array<double>").alias("emb"))
+    sample = _det_sample(e, sample_rows).select(
+        F.col("embedding").cast("array<double>").alias("emb")
     )
     sample.persist()  # m fits re-scan the sample; don't recompute the top-k
     rows = []
     try:
+        first = sample.first()
+        if first is None:
+            raise ValueError("pq_codebooks: empty input")
+        dim = len(first["emb"])
+        if dim % m:
+            raise ValueError(f"dim {dim} not divisible by m={m}")
+        sub = dim // m
         for j in range(m):
             feats = sample.select(
                 array_to_vector(F.slice("emb", j * sub + 1, sub)).alias("features")
             )
-            model = KMeans(k=k, seed=seed + j, maxIter=max_iter).fit(feats)
             rows += [
-                (j, c, [float(x) for x in cv])
-                for c, cv in enumerate(model.clusterCenters())
+                (j, c, cv)
+                for c, cv in enumerate(_fit_centers(feats, k, seed + j, max_iter))
             ]
     finally:
         sample.unpersist()
@@ -945,12 +952,7 @@ def pq_codebook_table(
 ):
     """Persisted PQ codebooks, trained once per (source data, m, k, seed)
     — same offline-train / broadcast-at-serve split as
-    :func:`ivf_centroid_table`."""
-    import os
-
-    from crypto_datalake_spark.io import warehouse_cached
-
-    name = os.path.basename(os.path.normpath(sf_dir))
+    :func:`ivf_centroid_table` (see :func:`_served_model_table`)."""
 
     def build():
         e = t(spark, sf_dir, "embeddings")
@@ -958,11 +960,8 @@ def pq_codebook_table(
             e.where(F.col("vec_id") != 0), m=m, k=k, seed=seed
         ).coalesce(1)
 
-    return warehouse_cached(
-        spark,
-        f"pq_codebooks_{name}_m{m}_k{k}_s{seed}",
-        [os.path.join(sf_dir, "embeddings.parquet")],
-        build,
+    return _served_model_table(
+        spark, sf_dir, "pq_codebooks", f"m{m}_k{k}_s{seed}", build
     )
 
 
@@ -1025,8 +1024,17 @@ def pq_adc_rescore(encoded, query, cb_arr, k: int = 10, rerank: int = _PQ_RERANK
     independent of d: the classic reason PQ scans beat raw-vector scans
     at memory bandwidth.  The top-``rerank`` ADC candidates are
     re-scored with EXACT cosine, so approximation only affects candidate
-    selection, never the reported similarity.  ``query`` is one row
-    (qv); multi-query callers loop or join on probed cells."""
+    selection, never the reported similarity.  ``query`` must be ONE row
+    (qv) — the global top-k has no query id to partition by, so two
+    query rows would silently interleave into one mixed top-k;
+    multi-query callers loop or join on probed cells.  The guard costs
+    one bounded job on the (tiny by contract) query side."""
+    n_q = query.limit(2).count()
+    if n_q != 1:
+        raise ValueError(
+            f"pq_adc_rescore expects exactly one query row, got "
+            f"{'>= 2' if n_q > 1 else 0}"
+        )
     subw = _subw()
     lut = F.transform(
         F.col("__cb"),

@@ -185,8 +185,13 @@ def test_pq_adc_recall_monotone_and_exact_at_full_depth(spark, ann_fixture):
         pq_encode,
     )
 
-    e, qs, exact = ann_fixture
+    e, qs, _ = ann_fixture
     corpus = e.where(F.col("vec_id") != 0)
+    # exact oracle over the SAME candidate pool the PQ scan sees (the
+    # fixture's `exact` also admits vec_id 0 as a candidate, which the
+    # corpus excludes — full-depth recall == 1.0 must hold by
+    # construction, not by vec 0 happening to miss every true top-10)
+    exact = _topk_ids(_scored(corpus, qs))
     cb_arr = _codebook_array(
         pq_codebooks(corpus, seed=7).localCheckpoint()
     ).localCheckpoint()
@@ -212,3 +217,30 @@ def test_pq_adc_recall_monotone_and_exact_at_full_depth(spark, ann_fixture):
     # ADC at depth 50 must carry real signal: scanning 50/n_corpus of the
     # corpus at random would land recall ~= 50/n_corpus
     assert recalls[1] > 50 / n_corpus + 0.1
+
+
+def test_ann_ivf_pq_registered_query_shape(spark, sf_dir):
+    """The registered composition (probe -> assign -> PQ encode -> ADC ->
+    exact re-rank, persisted codebooks) — not just the helpers."""
+    from crypto_datalake_spark.queries import REGISTRY
+    from crypto_datalake_spark.queries.llm import pq_adc_rescore
+
+    df = REGISTRY["ann_ivf_pq"].fn(spark, sf_dir)
+    rows = df.collect()
+    assert len(rows) == K
+    assert df.columns == ["vec_id", "label", "cent_id", "cosine"]
+    assert all(r["vec_id"] != 0 for r in rows)  # query never in results
+    # deterministic under fixed seeds + persisted codebooks
+    rows2 = REGISTRY["ann_ivf_pq"].fn(spark, sf_dir).collect()
+    assert [r["vec_id"] for r in rows] == [r["vec_id"] for r in rows2]
+
+    # multi-row query input must fail loudly, not interleave two top-ks
+    from crypto_datalake_spark.queries.common import t as _t
+    from crypto_datalake_spark.queries.llm import _codebook_array, pq_codebook_table, pq_encode
+
+    e = _t(spark, sf_dir, "embeddings")
+    cb_arr = _codebook_array(pq_codebook_table(spark, sf_dir))
+    enc = pq_encode(e.limit(5).withColumn("cent_id", F.lit(0)), cb_arr)
+    two_q = e.limit(2).select(F.col("embedding").alias("qv"))
+    with pytest.raises(ValueError, match="exactly one query row"):
+        pq_adc_rescore(enc, two_q, cb_arr)
