@@ -141,3 +141,23 @@ def test_ann_recall_exact_arm_broadcasts_queries(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" in p  # cross join with broadcast q
     assert "BroadcastHashJoin" in p       # bucket equi-join, q broadcast
     assert "CartesianProduct" not in p
+
+
+def test_ivf_pq_plan_no_corpus_shuffle(spark, sf_dir):
+    """IVF-PQ's 100 TB contract: the corpus is scanned once, assigned /
+    encoded / ADC-scored via per-row folds over broadcast codebooks, and
+    reduced by TakeOrdered — it is never hash-repartitioned and never
+    sort-merge-joined."""
+    from crypto_datalake_spark.queries import REGISTRY
+
+    df = REGISTRY["ann_ivf_pq"].fn(spark, sf_dir)
+    plan = plan_text(df, "extended")
+    assert "SortMergeJoin" not in plan
+    assert "TakeOrderedAndProject" in plan  # bounded top-k, no global Sort
+    # every hashpartitioning exchange sits on a tiny model-side frame
+    # (codebook collect_list, |queries|*K probe window) — none on the
+    # corpus columns
+    import re
+
+    for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        assert "embedding" not in m.group(1) and "codes" not in m.group(1)
