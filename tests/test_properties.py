@@ -418,3 +418,70 @@ def test_orderbook_fold_matches_declarative_on_random_books(
         return sorted(map(tuple, df.select(*cols).collect()))
 
     assert canon(replay_book_batch(depth)) == canon(book_state_stream(depth))
+
+
+@given(
+    vecs=st.lists(
+        st.lists(
+            st.integers(min_value=-4, max_value=4).map(float),
+            min_size=8, max_size=8,
+        ),
+        min_size=3, max_size=14,
+    ),
+    q=st.lists(
+        st.integers(min_value=-4, max_value=4).map(float),
+        min_size=8, max_size=8,
+    ),
+)
+@settings(**_SETTINGS)
+def test_pq_full_depth_rescore_is_bruteforce(spark, vecs, q):
+    """IVF-PQ's exactness contract on arbitrary vectors: when the re-rank
+    depth covers every candidate, the PQ pipeline (codebooks -> encode ->
+    ADC -> exact re-rank) must return exactly the brute-force cosine
+    top-k — approximation may only ever shrink the CANDIDATE set."""
+    import math
+
+    from crypto_datalake_spark.queries.llm import (
+        _codebook_array,
+        pq_adc_rescore,
+        pq_codebooks,
+        pq_encode,
+    )
+
+    def norm(v):
+        return math.sqrt(sum(x * x for x in v))
+
+    # zero vectors make cosine undefined on both paths; keep inputs lawful
+    vecs = [v for v in vecs if norm(v) > 0]
+    if len(vecs) < 3 or norm(q) == 0:
+        return
+
+    corpus = spark.createDataFrame(
+        [(i + 1, v, 0) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>, label int",
+    ).localCheckpoint()
+    cb_arr = _codebook_array(pq_codebooks(corpus, m=4, k=4, seed=3))
+    encoded = pq_encode(corpus.withColumn("cent_id", F.lit(0)), cb_arr)
+    got = pq_adc_rescore(
+        encoded,
+        spark.createDataFrame([(q,)], "qv array<float>"),
+        cb_arr,
+        k=3,
+        rerank=len(vecs),
+    ).collect()
+
+    def cos(a, b):
+        return sum(x * y for x, y in zip(a, b)) / (norm(a) * norm(b))
+
+    def round_half_up(x, nd=6):  # F.round is HALF_UP; python round is not
+        from decimal import ROUND_HALF_UP, Decimal
+
+        return float(Decimal(repr(x)).quantize(Decimal("1e-%d" % nd), ROUND_HALF_UP))
+
+    brute = sorted(
+        ((round_half_up(cos(v, q)), i + 1) for i, v in enumerate(vecs)),
+        key=lambda t: (-t[0], t[1]),
+    )[:3]
+    assert [(r["cosine"], r["vec_id"]) for r in got] == [
+        (c, i) for c, i in brute
+    ]
