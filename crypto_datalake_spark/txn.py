@@ -312,6 +312,81 @@ def read_table(
     return spark.read.option("basePath", table_path).parquet(*dirs).drop(GEN_COL)
 
 
+def _manifest_at(spark: SparkSession, table_path: str, version: int | None) -> dict:
+    """Load a specific manifest version (None → the live one); raise if
+    it was vacuumed / never committed."""
+    if version is None:
+        m = current_manifest(spark, table_path)
+        if m is None:
+            raise ValueError(f"{table_path} has no committed manifest")
+        return m
+    text = _read_text(spark, _manifest_path(table_path, version))
+    if text is None:
+        raise ValueError(
+            f"manifest v{version:08d} not found (vacuumed or never "
+            f"committed) under {table_path}"
+        )
+    return json.loads(text)
+
+
+def table_diff(
+    spark: SparkSession,
+    table_path: str,
+    from_version: int,
+    to_version: int | None = None,
+) -> DataFrame:
+    """Row-level change feed between two manifest versions (CDC-style):
+    every column plus ``__change`` ∈ {'insert', 'delete'}; an updated row
+    appears as its delete+insert pair.  ``to_version`` None = live.
+
+    Scale: versions are compared at the MANIFEST level first — only
+    partitions whose generation changed (or appeared / vanished) between
+    the two versions are scanned at all, so cost is proportional to the
+    CHURN, never the table (an incremental consumer of a 100 TB table
+    with one hot day reads one day).  Within changed partitions the diff
+    is ``exceptAll`` — multiset semantics, so duplicate rows diff
+    correctly — one shuffle over changed partitions only.  A compaction
+    (same rows, new generation) diffs to zero rows.  Retention matches
+    ``at_version`` reads: both versions' generations must not be
+    vacuumed.
+    """
+    old_parts = _manifest_at(spark, table_path, from_version)["partitions"]
+    new_parts = _manifest_at(spark, table_path, to_version)["partitions"]
+    changed_old = {p: g for p, g in old_parts.items() if new_parts.get(p) != g}
+    changed_new = {p: g for p, g in new_parts.items() if old_parts.get(p) != g}
+
+    def _rd(parts: dict) -> DataFrame | None:
+        if not parts:
+            return None
+        dirs = _partition_dirs(table_path, {"partitions": parts})
+        return (
+            spark.read.option("basePath", table_path).parquet(*dirs).drop(GEN_COL)
+        )
+
+    old_df, new_df = _rd(changed_old), _rd(changed_new)
+    if old_df is None and new_df is None:
+        # no churn: empty frame with the table's schema
+        base = read_table(spark, table_path, at_version=to_version)
+        if base is None:
+            raise ValueError(f"{table_path} is empty at both versions")
+        return base.limit(0).withColumn("__change", F.lit(""))
+    ref = new_df if new_df is not None else old_df
+    cols = ref.columns
+    deletes = (
+        old_df.select(cols).exceptAll(new_df.select(cols))
+        if old_df is not None and new_df is not None
+        else (old_df.select(cols) if old_df is not None else ref.limit(0))
+    )
+    inserts = (
+        new_df.select(cols).exceptAll(old_df.select(cols))
+        if old_df is not None and new_df is not None
+        else (new_df.select(cols) if new_df is not None else ref.limit(0))
+    )
+    return deletes.withColumn("__change", F.lit("delete")).unionByName(
+        inserts.withColumn("__change", F.lit("insert"))
+    )
+
+
 # ----------------------------------------------------------------- write side
 
 

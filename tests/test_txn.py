@@ -659,3 +659,46 @@ def test_ledger_seq_tie_resolves_deterministically(spark, tmp_path):
         for r in read_ledger(spark, ledger).select("day", "row_count").collect()
     }
     assert got == {("d1", 7)}  # highest token wins, every time
+
+
+def test_table_diff_reads_only_changed_partitions(spark, tmp_path):
+    """CDC between manifest versions: row-level delete+insert pairs for
+    churn, zero rows for a pure compaction, and — the scale contract —
+    input files drawn ONLY from partitions whose generation moved."""
+    path = str(tmp_path / "lake")
+    # v1: days d1 (2 rows) and d2 (1 row)
+    txn.atomic_upsert_partitioned(
+        spark,
+        _df(spark, [("A", _T(0), 1.0, "d1"), ("B", _T(1), 2.0, "d1"),
+                    ("A", _T(2), 3.0, "d2")]),
+        path, **KW,
+    )
+    # v2: update one d1 row, add day d3; d2 untouched
+    txn.atomic_upsert_partitioned(
+        spark,
+        _df(spark, [("A", _T(0), 9.0, "d1"), ("C", _T(5), 5.0, "d3")]),
+        path, **KW,
+    )
+    diff = txn.table_diff(spark, path, 1, 2)
+    got = {(r["__change"], r["sym"], r["v"], r["day"]) for r in diff.collect()}
+    assert got == {
+        ("delete", "A", 1.0, "d1"),
+        ("insert", "A", 9.0, "d1"),
+        ("insert", "C", 5.0, "d3"),
+    }
+    # untouched d2 never read
+    assert all("day=d2" not in f for f in diff.inputFiles())
+
+    # diff to live (None) == diff to 2
+    got_live = {(r["__change"], r["sym"], r["v"], r["day"])
+                for r in txn.table_diff(spark, path, 1).collect()}
+    assert got_live == got
+
+    # compaction rewrites generations but not rows -> empty diff
+    txn.compact_partitions(spark, path, partition_paths=["day=d1"])
+    diff2 = txn.table_diff(spark, path, 2, 3)
+    assert diff2.count() == 0
+    # no-churn fast path: empty frame, schema + __change preserved
+    assert diff2.columns == ["sym", "ts", "v", "day", "__change"]
+    same = txn.table_diff(spark, path, 3, 3)
+    assert same.count() == 0 and "__change" in same.columns
