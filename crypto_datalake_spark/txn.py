@@ -309,7 +309,28 @@ def read_table(
     if manifest is None or not manifest["partitions"]:
         return None
     dirs = _partition_dirs(table_path, manifest)
-    return spark.read.option("basePath", table_path).parquet(*dirs).drop(GEN_COL)
+    reader = spark.read.option("basePath", table_path)
+    ts = manifest.get("table_schema")
+    if ts is not None:
+        # Schema is METADATA, not file-sampled (the Delta/Iceberg model):
+        # every commit records its table schema, so (a) reads skip footer
+        # sampling and always see the committed column set/order, (b)
+        # schema EVOLVES — older generations missing a newly added column
+        # read as null for it, and time-travel reads return the schema as
+        # of that version.  Fields pin nullable: parquet round-trips
+        # everything nullable, and a stricter declared field would reject
+        # what files physically hold.
+        from pyspark.sql.types import StringType, StructField, StructType
+
+        st = StructType(
+            [
+                StructField(f.name, f.dataType, True, f.metadata)
+                for f in StructType.fromJson(ts).fields
+            ]
+        )
+        st = st.add(StructField(GEN_COL, StringType(), True))
+        reader = reader.schema(st)
+    return reader.parquet(*dirs).drop(GEN_COL)
 
 
 def _manifest_at(spark: SparkSession, table_path: str, version: int | None) -> dict:
@@ -462,7 +483,11 @@ def atomic_overwrite(
         guard_unmanaged_data(spark, table_path)
     gid = write_generation(df, table_path, [])
     return commit_manifest(
-        spark, table_path, {ROOT_PART: gid}, base_version=base_version
+        spark,
+        table_path,
+        {ROOT_PART: gid},
+        base_version=base_version,
+        table_schema=json.loads(df.schema.json()),
     )
 
 
@@ -504,7 +529,21 @@ def atomic_upsert_partitioned(
     if manifest is not None and manifest["partitions"]:
         from crypto_datalake_spark.sinks import semi_join_null_safe
 
-        existing = read_table(spark, path).select(*cols)
+        existing = read_table(spark, path)
+        # add-only schema evolution: a column the incoming batch carries
+        # but the table does not yet have null-fills for existing rows;
+        # the commit records the widened schema, and generations written
+        # before the column existed keep reading as null through the
+        # manifest-schema path in read_table
+        inc_type = {f.name: f.dataType for f in incoming.schema.fields}
+        existing = existing.select(
+            *[
+                F.col(c)
+                if c in existing.columns
+                else F.lit(None).cast(inc_type[c]).alias(c)
+                for c in cols
+            ]
+        )
         touched_dirs = incoming.select(*partition_cols).distinct()
         existing = semi_join_null_safe(existing, touched_dirs, partition_cols)
 
@@ -528,6 +567,7 @@ def atomic_upsert_partitioned(
             parts,
             base_version=manifest["version"] if manifest else None,
             schema_hash=frame_schema_hash(out),
+            table_schema=json.loads(out.schema.json()),
         )
 
         if ledger_path is not None:
@@ -588,7 +628,13 @@ def atomic_merge_into(
             parts.pop(p, None)  # emptied/moved-away partitions vanish here
         for p in present:
             parts[p] = gid
-        return commit_manifest(spark, path, parts, base_version=base_version)
+        return commit_manifest(
+            spark,
+            path,
+            parts,
+            base_version=base_version,
+            table_schema=json.loads(out.schema.json()),
+        )
     finally:
         out.unpersist()
 
@@ -645,8 +691,15 @@ def compact_partitions(
     parts = dict(manifest["partitions"])
     for p in todo:
         parts[p] = gid
+    # a compaction never changes the table's logical shape — carry the
+    # recorded schema forward so reads stay metadata-driven
+    carry = (
+        {"table_schema": manifest["table_schema"]}
+        if "table_schema" in manifest
+        else {}
+    )
     return commit_manifest(
-        spark, table_path, parts, base_version=manifest["version"]
+        spark, table_path, parts, base_version=manifest["version"], **carry
     )
 
 

@@ -702,3 +702,38 @@ def test_table_diff_reads_only_changed_partitions(spark, tmp_path):
     assert diff2.columns == ["sym", "ts", "v", "day", "__change"]
     same = txn.table_diff(spark, path, 3, 3)
     assert same.count() == 0 and "__change" in same.columns
+
+
+def test_manifest_schema_evolution_add_column(spark, tmp_path):
+    """Schema is metadata: every commit records its table schema, reads
+    never sample parquet footers. An add-only evolution through the
+    upsert path widens the table — untouched partitions' OLD generation
+    files (physically missing the column) read as null through the
+    manifest schema — and time travel returns each version's own shape."""
+    path = str(tmp_path / "lake")
+    txn.atomic_upsert_partitioned(
+        spark,
+        _df(spark, [("A", _T(0), 1.0, "d1"), ("B", _T(1), 2.0, "d2")]),
+        path, **KW,
+    )
+    wide = spark.createDataFrame(
+        [("A", _T(0), 9.0, 7.5, "d1")],
+        "sym string, ts timestamp_ntz, v double, q double, day string",
+    )
+    txn.atomic_upsert_partitioned(spark, wide, path, **KW)
+
+    live = txn.read_table(spark, path)
+    assert live.columns == ["sym", "ts", "v", "q", "day"]
+    by_sym = {r["sym"]: r for r in live.collect()}
+    assert by_sym["A"]["q"] == 7.5 and by_sym["A"]["v"] == 9.0
+    # d2's generation predates column q -> null, not an error
+    assert by_sym["B"]["q"] is None and by_sym["B"]["v"] == 2.0
+
+    v1 = txn.read_table(spark, path, at_version=1)
+    assert v1.columns == ["sym", "ts", "v", "day"]  # old version, old shape
+
+    # compaction carries the recorded schema forward
+    txn.compact_partitions(spark, path)
+    after = txn.read_table(spark, path)
+    assert after.columns == ["sym", "ts", "v", "q", "day"]
+    assert {r["sym"]: r["q"] for r in after.collect()} == {"A": 7.5, "B": None}
