@@ -780,16 +780,22 @@ def _det_sample(e, sample_rows: int):
     )
 
 
-def _fit_centers(feats, k: int, seed: int, max_iter: int) -> list[list[float]]:
+def _fit_centers(
+    feats, k: int, seed: int, max_iter: int, persist: bool = True
+) -> list[list[float]]:
     """One MLlib KMeans fit (k-means|| init) → plain-Python centers.
-    Persists ``feats`` for the fit's many passes, unpersists after."""
+    Persists ``feats`` for the fit's many passes unless the caller's
+    lineage is already cached (``persist=False`` — re-caching a cheap
+    projection of a cached frame buys nothing)."""
     from pyspark.ml.clustering import KMeans
 
-    feats.persist()
+    if persist:
+        feats.persist()
     try:
         model = KMeans(k=k, seed=seed, maxIter=max_iter).fit(feats)
     finally:
-        feats.unpersist()
+        if persist:
+            feats.unpersist()
     return [[float(x) for x in c] for c in model.clusterCenters()]
 
 
@@ -938,7 +944,9 @@ def pq_codebooks(
             )
             rows += [
                 (j, c, cv)
-                for c, cv in enumerate(_fit_centers(feats, k, seed + j, max_iter))
+                for c, cv in enumerate(
+                    _fit_centers(feats, k, seed + j, max_iter, persist=False)
+                )
             ]
     finally:
         sample.unpersist()
@@ -1027,14 +1035,26 @@ def pq_adc_rescore(encoded, query, cb_arr, k: int = 10, rerank: int = _PQ_RERANK
     selection, never the reported similarity.  ``query`` must be ONE row
     (qv) — the global top-k has no query id to partition by, so two
     query rows would silently interleave into one mixed top-k;
-    multi-query callers loop or join on probed cells.  The guard costs
-    one bounded job on the (tiny by contract) query side."""
-    n_q = query.limit(2).count()
-    if n_q != 1:
-        raise ValueError(
-            f"pq_adc_rescore expects exactly one query row, got "
-            f"{'>= 2' if n_q > 1 else 0}"
-        )
+    multi-query callers loop or join on probed cells.  The guard is
+    LAZY (a raise_error branch on the tiny query side), so building or
+    EXPLAINing the plan stays side-effect-free; an empty query side
+    simply yields an empty result."""
+    from pyspark.sql import Window
+
+    # Gate qv ITSELF, not a derived column: the output `cosine` depends
+    # on qv, so the guard can never be optimized away (a guard on a
+    # derived column like __qnorm gets pruned whenever collapsing limits
+    # let Catalyst drop the approx-ordering it feeds).
+    qn = F.count(F.lit(1)).over(Window.partitionBy())
+    qv_type = query.schema["qv"].dataType.simpleString()
+    query = query.withColumn("__qn", qn).withColumn(
+        "qv",
+        F.when(F.col("__qn") == 1, F.col("qv")).otherwise(
+            F.raise_error(
+                F.lit("pq_adc_rescore expects exactly one query row")
+            ).cast(qv_type)
+        ),
+    ).drop("__qn")
     subw = _subw()
     lut = F.transform(
         F.col("__cb"),

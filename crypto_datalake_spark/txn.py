@@ -297,40 +297,12 @@ def read_table(
     directory set.
     """
     if at_version is not None:
-        text = _read_text(spark, _manifest_path(table_path, at_version))
-        if text is None:
-            raise ValueError(
-                f"manifest v{at_version:08d} not found (vacuumed or never "
-                f"committed) under {table_path}"
-            )
-        manifest = json.loads(text)
+        manifest = _manifest_at(spark, table_path, at_version)
     else:
         manifest = current_manifest(spark, table_path)
     if manifest is None or not manifest["partitions"]:
         return None
-    dirs = _partition_dirs(table_path, manifest)
-    reader = spark.read.option("basePath", table_path)
-    ts = manifest.get("table_schema")
-    if ts is not None:
-        # Schema is METADATA, not file-sampled (the Delta/Iceberg model):
-        # every commit records its table schema, so (a) reads skip footer
-        # sampling and always see the committed column set/order, (b)
-        # schema EVOLVES — older generations missing a newly added column
-        # read as null for it, and time-travel reads return the schema as
-        # of that version.  Fields pin nullable: parquet round-trips
-        # everything nullable, and a stricter declared field would reject
-        # what files physically hold.
-        from pyspark.sql.types import StringType, StructField, StructType
-
-        st = StructType(
-            [
-                StructField(f.name, f.dataType, True, f.metadata)
-                for f in StructType.fromJson(ts).fields
-            ]
-        )
-        st = st.add(StructField(GEN_COL, StringType(), True))
-        reader = reader.schema(st)
-    return reader.parquet(*dirs).drop(GEN_COL)
+    return _read_generation_dirs(spark, table_path, manifest)
 
 
 def _manifest_at(spark: SparkSession, table_path: str, version: int | None) -> dict:
@@ -348,6 +320,49 @@ def _manifest_at(spark: SparkSession, table_path: str, version: int | None) -> d
             f"committed) under {table_path}"
         )
     return json.loads(text)
+
+
+def _manifest_struct(manifest: dict):
+    """The manifest's recorded table schema as a StructType (fields pinned
+    nullable — parquet round-trips everything nullable, and a stricter
+    declared field would reject what files physically hold), or None for
+    pre-schema manifests."""
+    ts = manifest.get("table_schema")
+    if ts is None:
+        return None
+    from pyspark.sql.types import StructField, StructType
+
+    return StructType(
+        [
+            StructField(f.name, f.dataType, True, f.metadata)
+            for f in StructType.fromJson(ts).fields
+        ]
+    )
+
+
+def _read_generation_dirs(
+    spark: SparkSession, table_path: str, manifest: dict, parts: dict | None = None
+) -> DataFrame | None:
+    """Read the generation dirs of ``parts`` (default: the whole manifest)
+    with the manifest's recorded schema applied.
+
+    Schema is METADATA, not file-sampled (the Delta/Iceberg model):
+    every commit records its table schema, so (a) reads skip footer
+    sampling and always see the committed column set/order, (b) schema
+    EVOLVES — older generations missing a newly added column read as
+    null for it, and time-travel reads return the schema as of that
+    version.  Pre-schema manifests fall back to footer sampling."""
+    parts = manifest["partitions"] if parts is None else parts
+    if not parts:
+        return None
+    dirs = _partition_dirs(table_path, {"partitions": parts})
+    reader = spark.read.option("basePath", table_path)
+    st = _manifest_struct(manifest)
+    if st is not None:
+        from pyspark.sql.types import StringType, StructField
+
+        reader = reader.schema(st.add(StructField(GEN_COL, StringType(), True)))
+    return reader.parquet(*dirs).drop(GEN_COL)
 
 
 def table_diff(
@@ -370,38 +385,60 @@ def table_diff(
     (same rows, new generation) diffs to zero rows.  Retention matches
     ``at_version`` reads: both versions' generations must not be
     vacuumed.
+
+    Schema evolution: each side reads with ITS OWN version's recorded
+    manifest schema; the feed is emitted in the to-version's shape, the
+    older side aligning by name with null fill — so a row whose only
+    change is a newly added column diffs as a proper delete+insert pair,
+    and a dropped column is simply absent from the feed.
     """
-    old_parts = _manifest_at(spark, table_path, from_version)["partitions"]
-    new_parts = _manifest_at(spark, table_path, to_version)["partitions"]
+    old_m = _manifest_at(spark, table_path, from_version)
+    new_m = _manifest_at(spark, table_path, to_version)
+    old_parts, new_parts = old_m["partitions"], new_m["partitions"]
     changed_old = {p: g for p, g in old_parts.items() if new_parts.get(p) != g}
     changed_new = {p: g for p, g in new_parts.items() if old_parts.get(p) != g}
+    old_df = _read_generation_dirs(spark, table_path, old_m, changed_old)
+    new_df = _read_generation_dirs(spark, table_path, new_m, changed_new)
 
-    def _rd(parts: dict) -> DataFrame | None:
-        if not parts:
-            return None
-        dirs = _partition_dirs(table_path, {"partitions": parts})
-        return (
-            spark.read.option("basePath", table_path).parquet(*dirs).drop(GEN_COL)
-        )
-
-    old_df, new_df = _rd(changed_old), _rd(changed_new)
     if old_df is None and new_df is None:
-        # no churn: empty frame with the table's schema
+        # no churn (possibly both versions empty): empty feed in the
+        # to-version's shape, falling back through the from-version and
+        # a live read for pre-schema manifests
+        for m in (new_m, old_m):
+            st = _manifest_struct(m)
+            if st is not None:
+                empty = spark.createDataFrame([], st)
+                return empty.withColumn("__change", F.lit(""))
         base = read_table(spark, table_path, at_version=to_version)
         if base is None:
-            raise ValueError(f"{table_path} is empty at both versions")
+            base = read_table(spark, table_path, at_version=from_version)
+        if base is None:
+            raise ValueError(
+                f"{table_path} has no readable schema at either version"
+            )
         return base.limit(0).withColumn("__change", F.lit(""))
+
     ref = new_df if new_df is not None else old_df
     cols = ref.columns
+    typ = {f.name: f.dataType for f in ref.schema.fields}
+
+    def _align(df: DataFrame) -> DataFrame:
+        return df.select(
+            *[
+                F.col(c) if c in df.columns else F.lit(None).cast(typ[c]).alias(c)
+                for c in cols
+            ]
+        )
+
     deletes = (
-        old_df.select(cols).exceptAll(new_df.select(cols))
+        _align(old_df).exceptAll(_align(new_df))
         if old_df is not None and new_df is not None
-        else (old_df.select(cols) if old_df is not None else ref.limit(0))
+        else (_align(old_df) if old_df is not None else ref.limit(0))
     )
     inserts = (
-        new_df.select(cols).exceptAll(old_df.select(cols))
+        _align(new_df).exceptAll(_align(old_df))
         if old_df is not None and new_df is not None
-        else (new_df.select(cols) if new_df is not None else ref.limit(0))
+        else (_align(new_df) if new_df is not None else ref.limit(0))
     )
     return deletes.withColumn("__change", F.lit("delete")).unionByName(
         inserts.withColumn("__change", F.lit("insert"))
@@ -437,6 +474,41 @@ def _partition_path_strings(
             )
         )
     return out
+
+
+def _guard_and_align_evolution(
+    manifest: dict | None, incoming: DataFrame, existing: DataFrame | None
+) -> DataFrame | None:
+    """Enforce the ADD-ONLY evolution contract shared by the upsert and
+    merge write paths, and align ``existing`` to the incoming column set.
+
+    A column the incoming batch adds null-fills for existing rows (the
+    commit then records the widened schema; generations written before
+    the column existed keep reading as null through the manifest-schema
+    path).  A committed column the batch LACKS is rejected loudly:
+    committing the narrowed schema would hide that column table-wide —
+    including untouched partitions whose files still hold the data."""
+    prior = manifest.get("table_schema") if manifest else None
+    cols = incoming.columns
+    if prior is not None:
+        missing = [f["name"] for f in prior["fields"] if f["name"] not in cols]
+        if missing:
+            raise ValueError(
+                f"incoming batch lacks committed column(s) {missing}: "
+                "schema evolution is add-only — dropping a column needs an "
+                "explicit full-table rewrite (atomic_overwrite)"
+            )
+    if existing is None:
+        return None
+    inc_type = {f.name: f.dataType for f in incoming.schema.fields}
+    return existing.select(
+        *[
+            F.col(c)
+            if c in existing.columns
+            else F.lit(None).cast(inc_type[c]).alias(c)
+            for c in cols
+        ]
+    )
 
 
 def write_generation(
@@ -529,23 +601,13 @@ def atomic_upsert_partitioned(
     if manifest is not None and manifest["partitions"]:
         from crypto_datalake_spark.sinks import semi_join_null_safe
 
-        existing = read_table(spark, path)
-        # add-only schema evolution: a column the incoming batch carries
-        # but the table does not yet have null-fills for existing rows;
-        # the commit records the widened schema, and generations written
-        # before the column existed keep reading as null through the
-        # manifest-schema path in read_table
-        inc_type = {f.name: f.dataType for f in incoming.schema.fields}
-        existing = existing.select(
-            *[
-                F.col(c)
-                if c in existing.columns
-                else F.lit(None).cast(inc_type[c]).alias(c)
-                for c in cols
-            ]
+        existing = _guard_and_align_evolution(
+            manifest, incoming, read_table(spark, path)
         )
         touched_dirs = incoming.select(*partition_cols).distinct()
         existing = semi_join_null_safe(existing, touched_dirs, partition_cols)
+    # an emptied-but-versioned table holds no data a narrowed schema
+    # could hide, so the add-only guard applies only when rows exist
 
     out = merge_frames(incoming, existing, keys, order_cols, preserve_cols, flag_cols)
     out = out.persist()
@@ -614,7 +676,12 @@ def atomic_merge_into(
         # and committing None against it would wedge every retry.
         existing_full = spark.createDataFrame([], source.schema).select(*cols)
     else:
-        existing_full = read_table(spark, path).select(*cols)
+        # same add-only evolution contract as the upsert path: a source
+        # column the table lacks null-fills; a committed column the
+        # source lacks is rejected (narrowed schema would hide it)
+        existing_full = _guard_and_align_evolution(
+            manifest, source, read_table(spark, path)
+        )
     out, touched = merge_compute(
         source, existing_full, on, partition_cols, **merge_kwargs
     )

@@ -234,7 +234,9 @@ def test_ann_ivf_pq_registered_query_shape(spark, sf_dir):
     rows2 = REGISTRY["ann_ivf_pq"].fn(spark, sf_dir).collect()
     assert [r["vec_id"] for r in rows] == [r["vec_id"] for r in rows2]
 
-    # multi-row query input must fail loudly, not interleave two top-ks
+    # multi-row query input must fail loudly, not interleave two top-ks;
+    # the guard is lazy (raise_error) so it fires on execution, keeping
+    # plan construction / EXPLAIN side-effect-free
     from crypto_datalake_spark.queries.common import t as _t
     from crypto_datalake_spark.queries.llm import _codebook_array, pq_codebook_table, pq_encode
 
@@ -242,5 +244,6 @@ def test_ann_ivf_pq_registered_query_shape(spark, sf_dir):
     cb_arr = _codebook_array(pq_codebook_table(spark, sf_dir))
     enc = pq_encode(e.limit(5).withColumn("cent_id", F.lit(0)), cb_arr)
     two_q = e.limit(2).select(F.col("embedding").alias("qv"))
-    with pytest.raises(ValueError, match="exactly one query row"):
-        pq_adc_rescore(enc, two_q, cb_arr)
+    bad = pq_adc_rescore(enc, two_q, cb_arr)  # plan builds fine, no job
+    with pytest.raises(Exception, match="exactly one query row"):
+        bad.collect()

@@ -737,3 +737,65 @@ def test_manifest_schema_evolution_add_column(spark, tmp_path):
     after = txn.read_table(spark, path)
     assert after.columns == ["sym", "ts", "v", "q", "day"]
     assert {r["sym"]: r["q"] for r in after.collect()} == {"A": 7.5, "B": None}
+
+
+def test_evolution_narrowing_rejected_and_diff_across_evolution(spark, tmp_path):
+    """The add-only contract is enforced on BOTH write paths, and
+    table_diff emits the feed in the to-version's shape across an
+    evolution commit (old side null-fills the new column)."""
+    path = str(tmp_path / "lake")
+    txn.atomic_upsert_partitioned(
+        spark, _df(spark, [("A", _T(0), 1.0, "d1")]), path, **KW
+    )
+    wide_ddl = "sym string, ts timestamp_ntz, v double, q double, day string"
+    txn.atomic_upsert_partitioned(
+        spark, spark.createDataFrame([("A", _T(0), 2.0, 5.0, "d1")], wide_ddl),
+        path, **KW,
+    )
+    # narrowing batch (no q) must be rejected on both write paths
+    with pytest.raises(ValueError, match="add-only"):
+        txn.atomic_upsert_partitioned(
+            spark, _df(spark, [("A", _T(1), 3.0, "d1")]), path, **KW
+        )
+    with pytest.raises(ValueError, match="add-only"):
+        txn.atomic_merge_into(
+            spark, _df(spark, [("A", _T(0), 9.0, "d1")]), path,
+            on=["sym", "ts"], partition_cols=["day"],
+        )
+    # diff across the evolution commit: to-version shape, delete row
+    # carries null for the column that did not exist at from-version
+    got = {
+        (r["__change"], r["sym"], r["v"], r["q"])
+        for r in txn.table_diff(spark, path, 1, 2).collect()
+    }
+    assert got == {("delete", "A", 1.0, None), ("insert", "A", 2.0, 5.0)}
+
+    # merge path widens too: source adds column r
+    wider = spark.createDataFrame(
+        [("A", _T(0), 2.0, 5.0, 1.0, "d1")],
+        "sym string, ts timestamp_ntz, v double, q double, r double, day string",
+    )
+    txn.atomic_merge_into(
+        spark, wider, path, on=["sym", "ts"], partition_cols=["day"]
+    )
+    assert txn.read_table(spark, path).columns == [
+        "sym", "ts", "v", "q", "r", "day"
+    ]
+
+
+def test_table_diff_through_emptied_table(spark, tmp_path):
+    """A table that transits through empty must diff cleanly, not raise —
+    an incremental consumer polls across the empty state."""
+    path = str(tmp_path / "lake")
+    txn.atomic_upsert_partitioned(
+        spark, _df(spark, [("A", _T(0), 1.0, "d1")]), path, **KW
+    )
+    txn.atomic_merge_into(
+        spark, _df(spark, [("A", _T(0), 1.0, "d1")]), path,
+        on=["sym", "ts"], partition_cols=["day"],
+        delete_condition="true", insert=False,
+    )  # empties the table (v2 has no partitions)
+    d12 = {(r["__change"], r["sym"]) for r in txn.table_diff(spark, path, 1, 2).collect()}
+    assert d12 == {("delete", "A")}
+    empty = txn.table_diff(spark, path, 2, 2)
+    assert empty.count() == 0 and "__change" in empty.columns
