@@ -418,27 +418,30 @@ def table_diff(
             )
         return base.limit(0).withColumn("__change", F.lit(""))
 
-    ref = new_df if new_df is not None else old_df
-    cols = ref.columns
-    typ = {f.name: f.dataType for f in ref.schema.fields}
+    # output shape comes from the TO-version's MANIFEST schema, not from
+    # whichever side happens to have changed partitions: a commit that
+    # widens the schema while emptying its touched partitions leaves
+    # new_df None, and deriving the shape from old_df would emit the
+    # feed without the new column — breaking consumers that unionByName
+    # consecutive feeds
+    st_ref = _manifest_struct(new_m) or _manifest_struct(old_m)
+    if st_ref is None:  # both versions pre-schema: fall back to a read side
+        st_ref = (new_df if new_df is not None else old_df).schema
+    cols = [f.name for f in st_ref.fields]
+    typ = {f.name: f.dataType for f in st_ref.fields}
 
-    def _align(df: DataFrame) -> DataFrame:
-        return df.select(
-            *[
-                F.col(c) if c in df.columns else F.lit(None).cast(typ[c]).alias(c)
-                for c in cols
-            ]
-        )
-
+    a_old = _align_to(old_df, cols, typ) if old_df is not None else None
+    a_new = _align_to(new_df, cols, typ) if new_df is not None else None
+    empty = (a_new if a_new is not None else a_old).limit(0)
     deletes = (
-        _align(old_df).exceptAll(_align(new_df))
-        if old_df is not None and new_df is not None
-        else (_align(old_df) if old_df is not None else ref.limit(0))
+        a_old.exceptAll(a_new)
+        if a_old is not None and a_new is not None
+        else (a_old if a_old is not None else empty)
     )
     inserts = (
-        _align(new_df).exceptAll(_align(old_df))
-        if old_df is not None and new_df is not None
-        else (_align(new_df) if new_df is not None else ref.limit(0))
+        a_new.exceptAll(a_old)
+        if a_old is not None and a_new is not None
+        else (a_new if a_new is not None else empty)
     )
     return deletes.withColumn("__change", F.lit("delete")).unionByName(
         inserts.withColumn("__change", F.lit("insert"))
@@ -476,6 +479,23 @@ def _partition_path_strings(
     return out
 
 
+def _align_to(df: DataFrame, cols: Sequence[str], typ: dict) -> DataFrame:
+    """Align ``df`` to the (cols, typ) shape by name: present columns
+    cast to the target type, absent ones null-filled.  Shared by the
+    CDC diff and both evolving write paths so schema alignment can
+    never drift between them."""
+    return df.select(
+        *[
+            (
+                F.col(c).cast(typ[c])
+                if c in df.columns
+                else F.lit(None).cast(typ[c])
+            ).alias(c)
+            for c in cols
+        ]
+    )
+
+
 def _guard_and_align_evolution(
     manifest: dict | None, incoming: DataFrame, existing: DataFrame | None
 ) -> DataFrame | None:
@@ -487,28 +507,47 @@ def _guard_and_align_evolution(
     the column existed keep reading as null through the manifest-schema
     path).  A committed column the batch LACKS is rejected loudly:
     committing the narrowed schema would hide that column table-wide —
-    including untouched partitions whose files still hold the data."""
-    prior = manifest.get("table_schema") if manifest else None
+    including untouched partitions whose files still hold the data.
+    The prior shape comes from the manifest's recorded schema, falling
+    back to the existing read's columns for pre-schema tables (which
+    would otherwise narrow silently and then RECORD the narrowed
+    schema).  A same-name column whose TYPE changed is rejected too —
+    silently casting stored data to the batch's type is a rewrite, not
+    an evolution (atomic_overwrite is the escape hatch)."""
+    from pyspark.sql.types import StructType
+
     cols = incoming.columns
-    if prior is not None:
-        missing = [f["name"] for f in prior["fields"] if f["name"] not in cols]
+    inc_type = {f.name: f.dataType for f in incoming.schema.fields}
+    prior_st = _manifest_struct(manifest) if manifest else None
+    if prior_st is None and existing is not None:
+        prior_st = StructType(
+            [f for f in existing.schema.fields if f.name != GEN_COL]
+        )
+    if prior_st is not None:
+        missing = [f.name for f in prior_st.fields if f.name not in cols]
         if missing:
             raise ValueError(
                 f"incoming batch lacks committed column(s) {missing}: "
                 "schema evolution is add-only — dropping a column needs an "
                 "explicit full-table rewrite (atomic_overwrite)"
             )
+        # compare by simpleString: containsNull/metadata variations are
+        # not type changes (parquet round-trips everything nullable)
+        retyped = [
+            f.name
+            for f in prior_st.fields
+            if f.name in inc_type
+            and inc_type[f.name].simpleString() != f.dataType.simpleString()
+        ]
+        if retyped:
+            raise ValueError(
+                f"incoming batch changes the type of column(s) {retyped}: "
+                "schema evolution is add-only — a type change needs an "
+                "explicit full-table rewrite (atomic_overwrite)"
+            )
     if existing is None:
         return None
-    inc_type = {f.name: f.dataType for f in incoming.schema.fields}
-    return existing.select(
-        *[
-            F.col(c)
-            if c in existing.columns
-            else F.lit(None).cast(inc_type[c]).alias(c)
-            for c in cols
-        ]
-    )
+    return _align_to(existing, cols, inc_type)
 
 
 def write_generation(

@@ -247,3 +247,23 @@ def test_ann_ivf_pq_registered_query_shape(spark, sf_dir):
     bad = pq_adc_rescore(enc, two_q, cb_arr)  # plan builds fine, no job
     with pytest.raises(Exception, match="exactly one query row"):
         bad.collect()
+
+
+def test_pq_empty_query_side_yields_empty_result(spark, sf_dir):
+    """Documented behavior of the lazy guard: an EMPTY query side yields
+    an empty result (no query, no hits) rather than raising — callers
+    distinguishing 'no query registered' from 'no candidates' should
+    check their query side, not the output."""
+    from crypto_datalake_spark.queries.common import t as _t
+    from crypto_datalake_spark.queries.llm import (
+        _codebook_array,
+        pq_adc_rescore,
+        pq_codebook_table,
+        pq_encode,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    cb_arr = _codebook_array(pq_codebook_table(spark, sf_dir))
+    enc = pq_encode(e.limit(5).withColumn("cent_id", F.lit(0)), cb_arr)
+    no_q = e.where(F.lit(False)).select(F.col("embedding").alias("qv"))
+    assert pq_adc_rescore(enc, no_q, cb_arr).count() == 0

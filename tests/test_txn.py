@@ -799,3 +799,72 @@ def test_table_diff_through_emptied_table(spark, tmp_path):
     assert d12 == {("delete", "A")}
     empty = txn.table_diff(spark, path, 2, 2)
     assert empty.count() == 0 and "__change" in empty.columns
+
+
+def test_diff_shape_from_to_version_manifest_even_when_new_side_empty(spark, tmp_path):
+    """A commit that widens the schema while emptying its touched
+    partitions leaves no changed partitions on the new side — the feed
+    must still come out in the to-version's (widened) shape so
+    consumers can unionByName consecutive feeds."""
+    path = str(tmp_path / "lake")
+    txn.atomic_upsert_partitioned(
+        spark, _df(spark, [("A", _T(0), 1.0, "d1")]), path, **KW
+    )
+    wider = spark.createDataFrame(
+        [("A", _T(0), 1.0, 2.0, "d1")],
+        "sym string, ts timestamp_ntz, v double, r double, day string",
+    )
+    txn.atomic_merge_into(
+        spark, wider, path, on=["sym", "ts"], partition_cols=["day"],
+        delete_condition="true", insert=False,
+    )  # v2: schema gains r, table empties
+    diff = txn.table_diff(spark, path, 1, 2)
+    assert diff.columns == ["sym", "ts", "v", "r", "day", "__change"]
+    got = {(r["__change"], r["sym"], r["r"]) for r in diff.collect()}
+    assert got == {("delete", "A", None)}  # old side null-fills r
+
+
+def test_evolution_guard_covers_pre_schema_manifests_and_type_changes(spark, tmp_path):
+    """Narrowing against a manifest that predates recorded schemas must
+    still be rejected (it would RECORD the narrowed schema and hide the
+    column table-wide), and a same-name type change is a rewrite, not
+    an evolution."""
+    import json as _json
+
+    path = str(tmp_path / "lake")
+    wide = spark.createDataFrame(
+        [("A", _T(0), 1.0, 2.0, "d1")],
+        "sym string, ts timestamp_ntz, v double, x double, day string",
+    )
+    txn.atomic_upsert_partitioned(
+        spark, wide, path,
+        keys=["sym", "ts"], order_cols=["ts"], partition_cols=["day"],
+    )
+    # simulate a v1 written by the pre-schema code: strip table_schema
+    # (and the Hadoop local-FS checksum sidecar, which would otherwise
+    # flag the out-of-band edit)
+    import os as _os
+
+    mp = f"{path}/{txn.MANIFEST_DIR}/v00000001.json"
+    m = _json.loads(open(mp).read())
+    del m["table_schema"]
+    open(mp, "w").write(_json.dumps(m))
+    crc = f"{path}/{txn.MANIFEST_DIR}/.v00000001.json.crc"
+    if _os.path.exists(crc):
+        _os.remove(crc)
+
+    with pytest.raises(ValueError, match="add-only"):
+        txn.atomic_upsert_partitioned(
+            spark, _df(spark, [("A", _T(1), 3.0, "d1")]), path, **KW
+        )
+
+    # type change: x double -> x string
+    restring = spark.createDataFrame(
+        [("A", _T(0), 1.0, "oops", "d1")],
+        "sym string, ts timestamp_ntz, v double, x string, day string",
+    )
+    with pytest.raises(ValueError, match="type"):
+        txn.atomic_upsert_partitioned(
+            spark, restring, path,
+            keys=["sym", "ts"], order_cols=["ts"], partition_cols=["day"],
+        )
