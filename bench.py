@@ -65,6 +65,7 @@ BENCH_QUERIES = [
     "dedup_ngram_jaccard",
     "doc_fingerprints",
     "text_profile",
+    "quality_score_classifier",
     "dedup_embedding_cosine",
     "ann_cosine_topk",
     "ann_lsh_bucketed",

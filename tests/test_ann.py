@@ -267,3 +267,35 @@ def test_pq_empty_query_side_yields_empty_result(spark, sf_dir):
     enc = pq_encode(e.limit(5).withColumn("cent_id", F.lit(0)), cb_arr)
     no_q = e.where(F.lit(False)).select(F.col("embedding").alias("qv"))
     assert pq_adc_rescore(enc, no_q, cb_arr).count() == 0
+
+
+def test_quality_classifier_deterministic_and_learns_weak_rule(spark, sf_dir):
+    """The served scoring path (persisted coefficients, broadcast
+    dot-product + sigmoid) must be deterministic across runs, and the
+    fitted model must reproduce the weak training labels on the full
+    corpus — the separable-rule sanity check that the offline-train /
+    serve split is wired correctly end to end."""
+    from crypto_datalake_spark.queries import REGISTRY
+    from crypto_datalake_spark.queries.common import t as _t
+    from crypto_datalake_spark.queries.llm import (
+        _weak_quality_label,
+        quality_model_table,
+    )
+
+    w = quality_model_table(spark, sf_dir).collect()
+    assert len(w) == 1 and len(w[0]["weights"]) == 4
+
+    df = REGISTRY["quality_score_classifier"].fn(spark, sf_dir)
+    rows = {r["doc_id"]: r for r in df.collect()}
+    rows2 = {r["doc_id"]: r for r in REGISTRY["quality_score_classifier"].fn(spark, sf_dir).collect()}
+    assert {k: v["quality_prob"] for k, v in rows.items()} == {
+        k: v["quality_prob"] for k, v in rows2.items()
+    }
+
+    d = _t(spark, sf_dir, "documents")
+    want = {
+        r["doc_id"]: r["y"] > 0.5
+        for r in d.select("doc_id", _weak_quality_label(d).alias("y")).collect()
+    }
+    agree = sum(rows[k]["quality_label"] == want[k] for k in want)
+    assert agree / len(want) >= 0.95  # the rule is separable in features
