@@ -32,8 +32,9 @@ from crypto_datalake_spark.session import get_spark  # noqa: E402
 # oracle-green CORRECTNESS row; the exceptions (ann_lsh_bucketed — whose
 # machinery the windowed multiprobe variant supersets — and the
 # trained-codebook ann_ivf_kmeans / ann_ivf_pq, whose KMeans fits are
-# non-SQL-expressible) are pytest-verified instead: oracle-parity sweep
-# plus recall/monotonicity bounds in tests/test_ann.py. The TPC-H shapes
+# non-SQL-expressible, and quality_score_classifier, whose logistic fit
+# likewise is) are pytest-verified instead: oracle-parity sweep plus
+# recall/monotonicity/determinism bounds in tests/test_ann.py. The TPC-H shapes
 # benched in r01 (q1/q17/q19/q21/...) rotated out with the window
 # curation; they remain registered and pytest-oracle-checked, runnable
 # via REGISTRY[name].

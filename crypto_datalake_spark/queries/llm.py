@@ -15,6 +15,12 @@ from crypto_datalake_spark.queries.common import t
 from crypto_datalake_spark.queries.registry import register
 
 
+# One stopword list for every text-quality heuristic (text_quality_score,
+# text_profile, the quality classifier) so they cannot drift independently.
+# The SQL oracles inline the same literals.
+_STOPWORDS = ("the", "a", "of", "and", "is")
+
+
 def _dot(a, b):
     """Inner product of two array<float|double> columns, JVM-side fold."""
     return F.aggregate(
@@ -114,9 +120,8 @@ def text_token_stats(spark, sf_dir):
 )
 def text_quality_score(spark, sf_dir):
     d = t(spark, sf_dir, "documents")
-    stop = ("the", "a", "of", "and", "is")
     tok = F.split(F.col("text"), " ")
-    n_stop = F.size(F.filter(tok, lambda x: x.isin(*stop)))
+    n_stop = F.size(F.filter(tok, lambda x: x.isin(*_STOPWORDS)))
     n_tok = F.size(tok)
     return d.select(
         "doc_id",
@@ -200,8 +205,7 @@ def text_profile(spark, sf_dir):
         .when(counts["de"] > 0, "de")
         .otherwise("unknown")
     )
-    stop = ("the", "a", "of", "and", "is")
-    n_stop = F.size(F.filter(tok, lambda x: x.isin(*stop)))
+    n_stop = F.size(F.filter(tok, lambda x: x.isin(*_STOPWORDS)))
     n_tok = F.size(tok)
     return d.select(
         "doc_id",
@@ -1312,18 +1316,16 @@ def corpus_curation(spark, sf_dir):
 
 # --------------------------------------------------------- quality classifier
 
-_QC_STOP = ("the", "a", "of", "and", "is")
 
-
-def doc_quality_features(d):
+def doc_quality_features():
     """Per-document feature vector for the quality classifier, as one
-    codegen'd ``array<double>`` — log token count, stopword ratio,
-    type-token ratio, chars-per-token.  Pure JVM expressions (the same
-    heuristics text_profile emits), so feature extraction is a map pass
-    with zero Python and zero shuffle at any scale."""
+    JVM-evaluated ``array<double>`` — log token count, stopword ratio,
+    type-token ratio, chars-per-token.  Unbound column expressions over
+    ``text``/``n_chars`` (the same heuristics text_profile emits), so
+    feature extraction is a map pass with zero Python at any scale."""
     tok = F.split("text", " ")
     n_tok = F.size(tok).cast("double")
-    n_stop = F.size(F.filter(tok, lambda x: x.isin(*_QC_STOP))).cast("double")
+    n_stop = F.size(F.filter(tok, lambda x: x.isin(*_STOPWORDS))).cast("double")
     return F.array(
         F.log1p(n_tok),
         n_stop / n_tok,
@@ -1332,55 +1334,57 @@ def doc_quality_features(d):
     )
 
 
-def _weak_quality_label(d):
+def _weak_quality_label():
     """Weak supervision stand-in for human quality ratings: a document is
     'quality' when it reads like running prose (carries a meaningful
-    stopword share — a single threshold, so the class IS linearly
-    separable in the feature space and the fit's correctness is
-    testable).  In production these labels come from human raters or a
-    teacher model; the weak rule keeps the pipeline deterministic and
+    stopword share).  Defined as a threshold on feature[1] of
+    doc_quality_features, so the class is linearly separable in the
+    feature space BY CONSTRUCTION and the fit's correctness is testable.
+    In production these labels come from human raters or a teacher
+    model; the weak rule keeps the pipeline deterministic and
     self-contained, and what the tests certify is the MACHINERY —
     offline fit, persisted coefficients, broadcast scoring — not the
     label source (same posture as the stubbed multimodal decode)."""
-    tok = F.split("text", " ")
-    n_tok = F.size(tok).cast("double")
-    stop_ratio = F.size(F.filter(tok, lambda x: x.isin(*_QC_STOP))).cast("double") / n_tok
-    return (stop_ratio > 0.03).cast("double")
+    return (doc_quality_features()[1] > 0.03).cast("double")
 
 
-def quality_model_table(spark, sf_dir, seed: int = 7, sample_rows: int = 4096):
+def _fit_quality_model(spark, sf_dir, sample_rows: int):
+    """Offline LogisticRegression fit on the deterministic document
+    sample; returns (weights: list[float], intercept: float).  Separated
+    from the cache wrapper so tests can re-run the fit and pin its
+    determinism (the cached table alone would never retrain)."""
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.functions import array_to_vector
+
+    d = t(spark, sf_dir, "documents")
+    train = _det_sample(d, sample_rows, id_col="doc_id").select(
+        array_to_vector(doc_quality_features()).alias("features"),
+        _weak_quality_label().alias("label"),
+    )
+    train.persist()
+    try:
+        model = LogisticRegression(
+            maxIter=50, regParam=0.01, standardization=True
+        ).fit(train)
+    finally:
+        train.unpersist()
+    return [float(x) for x in model.coefficients], float(model.intercept)
+
+
+def quality_model_table(spark, sf_dir, sample_rows: int = 4096):
     """Persisted logistic quality model: ONE row (weights array<double>,
     intercept) trained by MLlib LogisticRegression on the deterministic
     document sample with weak labels — same offline-train /
     broadcast-at-serve split as the IVF/PQ model tables."""
 
     def build():
-        from pyspark.ml.classification import LogisticRegression
-        from pyspark.ml.functions import array_to_vector
-
-        d = t(spark, sf_dir, "documents")
-        train = (
-            _det_sample(d, sample_rows, id_col="doc_id")
-            .select(
-                array_to_vector(doc_quality_features(d)).alias("features"),
-                _weak_quality_label(d).alias("label"),
-            )
-        )
-        train.persist()
-        try:
-            model = LogisticRegression(
-                maxIter=50, regParam=0.01, standardization=True
-            ).fit(train)
-        finally:
-            train.unpersist()
-        w = [float(x) for x in model.coefficients]
+        w, b = _fit_quality_model(spark, sf_dir, sample_rows)
         return spark.createDataFrame(
-            [(w, float(model.intercept))],
-            "weights array<double>, intercept double",
+            [(w, b)], "weights array<double>, intercept double"
         )
 
     return _served_model_table(
-        spark, sf_dir, "quality_logreg", f"s{seed}_n{sample_rows}_v2", build,
+        spark, sf_dir, "quality_logreg", f"n{sample_rows}_v3", build,
         source="documents.parquet",
     )
 
@@ -1392,8 +1396,10 @@ def quality_model_table(spark, sf_dir, seed: int = 7, sample_rows: int = 4096):
     "trained OFFLINE (MLlib, deterministic sample, weak prose-heuristic "
     "labels standing in for human ratings) and persisted as a one-row "
     "coefficient table (quality_model_table); serving broadcasts the "
-    "coefficients and scores every document with a single codegen'd "
-    "dot-product + sigmoid map pass — no Python, no shuffle, cost = one "
+    "coefficients and scores every document with a single JVM-evaluated "
+    "dot-product + sigmoid map pass (higher-order array fns — "
+    "interpreted-lambda, not whole-stage codegen, but zero Python and "
+    "no data shuffle beyond the broadcast) — cost = one "
     "scan regardless of corpus size. The model-quality scorer every "
     "curation pipeline runs (fastText/teacher-model shaped), reduced to "
     "its Spark-side plumbing. No SQL oracle: the iterative fit is "
@@ -1406,17 +1412,21 @@ def quality_score_classifier(spark, sf_dir):
     w = quality_model_table(spark, sf_dir)
     z = F.col("intercept") + F.aggregate(
         F.zip_with(
-            doc_quality_features(d), F.col("weights"), lambda x, wi: x * wi
+            doc_quality_features(), F.col("weights"), lambda x, wi: x * wi
         ),
         F.lit(0.0),
         lambda acc, v: acc + v,
     )
+    # Materialize prob once: higher-order fns are CodegenFallback, so the
+    # optimizer would otherwise inline and evaluate the full feature +
+    # sigmoid expression twice (once per output column).
     prob = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
     return (
         d.crossJoin(F.broadcast(w))
+        .select("doc_id", prob.alias("_prob"))
         .select(
             "doc_id",
-            F.round(prob, 6).alias("quality_prob"),
-            (prob >= 0.5).alias("quality_label"),
+            F.round("_prob", 6).alias("quality_prob"),
+            (F.col("_prob") >= 0.5).alias("quality_label"),
         )
     )

@@ -270,32 +270,33 @@ def test_pq_empty_query_side_yields_empty_result(spark, sf_dir):
 
 
 def test_quality_classifier_deterministic_and_learns_weak_rule(spark, sf_dir):
-    """The served scoring path (persisted coefficients, broadcast
-    dot-product + sigmoid) must be deterministic across runs, and the
-    fitted model must reproduce the weak training labels on the full
-    corpus — the separable-rule sanity check that the offline-train /
-    serve split is wired correctly end to end."""
+    """The TRAINING path must be deterministic (two independent fits,
+    not two reads of one cached table, yield identical coefficients),
+    and the fitted model must reproduce the weak training labels on the
+    full corpus — the separable-rule sanity check that the
+    offline-train / serve split is wired correctly end to end."""
     from crypto_datalake_spark.queries import REGISTRY
     from crypto_datalake_spark.queries.common import t as _t
     from crypto_datalake_spark.queries.llm import (
+        _fit_quality_model,
         _weak_quality_label,
         quality_model_table,
     )
+
+    w1, b1 = _fit_quality_model(spark, sf_dir, sample_rows=512)
+    w2, b2 = _fit_quality_model(spark, sf_dir, sample_rows=512)
+    assert w1 == w2 and b1 == b2  # fit itself reruns deterministically
 
     w = quality_model_table(spark, sf_dir).collect()
     assert len(w) == 1 and len(w[0]["weights"]) == 4
 
     df = REGISTRY["quality_score_classifier"].fn(spark, sf_dir)
     rows = {r["doc_id"]: r for r in df.collect()}
-    rows2 = {r["doc_id"]: r for r in REGISTRY["quality_score_classifier"].fn(spark, sf_dir).collect()}
-    assert {k: v["quality_prob"] for k, v in rows.items()} == {
-        k: v["quality_prob"] for k, v in rows2.items()
-    }
 
     d = _t(spark, sf_dir, "documents")
     want = {
         r["doc_id"]: r["y"] > 0.5
-        for r in d.select("doc_id", _weak_quality_label(d).alias("y")).collect()
+        for r in d.select("doc_id", _weak_quality_label().alias("y")).collect()
     }
     agree = sum(rows[k]["quality_label"] == want[k] for k in want)
     assert agree / len(want) >= 0.95  # the rule is separable in features
