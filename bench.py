@@ -32,9 +32,10 @@ from crypto_datalake_spark.session import get_spark  # noqa: E402
 # oracle-green CORRECTNESS row; the exceptions (ann_lsh_bucketed — whose
 # machinery the windowed multiprobe variant supersets — and the
 # trained-codebook ann_ivf_kmeans / ann_ivf_pq, whose KMeans fits are
-# non-SQL-expressible, and quality_score_classifier, whose logistic fit
-# likewise is) are pytest-verified instead: oracle-parity sweep plus
-# recall/monotonicity/determinism bounds in tests/test_ann.py. The TPC-H shapes
+# non-SQL-expressible, and quality_score_classifier /
+# dedup_semantic_clusters, whose MLlib fits likewise are) are
+# pytest-verified instead: oracle-parity sweep plus recall/monotonicity/
+# determinism/witness bounds in tests/test_ann.py. The TPC-H shapes
 # benched in r01 (q1/q17/q19/q21/...) rotated out with the window
 # curation; they remain registered and pytest-oracle-checked, runnable
 # via REGISTRY[name].
@@ -63,11 +64,13 @@ BENCH_QUERIES = [
     "d1_derived_fields",
     "dedup_exact_hash",
     "dedup_minhash_lsh",
+    "sample_domain_mixture",
     "dedup_ngram_jaccard",
     "doc_fingerprints",
     "text_profile",
     "quality_score_classifier",
     "dedup_embedding_cosine",
+    "dedup_semantic_clusters",
     "ann_cosine_topk",
     "ann_lsh_bucketed",
     "ann_lsh_multiprobe",

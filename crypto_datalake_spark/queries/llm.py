@@ -700,8 +700,11 @@ def _cells_sorted(cents):
     return cents, cents_arr
 
 
-def _assign_cells(corpus, cents_arr):
-    """argmax-cosine cell per corpus row (adds ``cent_id``).
+def _assign_cells(corpus, cents_arr, keep_sim: bool = False):
+    """argmax-cosine cell per corpus row (adds ``cent_id``; with
+    ``keep_sim`` also the winning cosine as ``cent_sim`` — the SemDeDup
+    keep-policy key, materialized in one projection so the fold runs
+    once).
 
     A PER-ROW fold over the broadcast centroid array — each row computes
     its best cell inline and NO exchange touches the corpus (a crossJoin
@@ -723,11 +726,15 @@ def _assign_cells(corpus, cents_arr):
         ),
         _step,
     )
-    return (
+    out = (
         corpus.crossJoin(F.broadcast(cents_arr))
-        .withColumn("cent_id", best["cid"])
+        .withColumn("__best", best)
         .drop("__cs")
+        .withColumn("cent_id", F.col("__best")["cid"])
     )
+    if keep_sim:
+        out = out.withColumn("cent_sim", F.col("__best")["sim"])
+    return out.drop("__best")
 
 
 def _probe_cells(queries, cents, nprobe: int):
@@ -893,6 +900,73 @@ def ann_ivf_kmeans(spark, sf_dir):
     corpus = e.where(F.col("vec_id") != 0)
     cents = ivf_centroid_table(spark, sf_dir)
     return ivf_topk(corpus, e.where(F.col("vec_id") == 0), cents, _IVF_NPROBE)
+
+
+# Production SemDeDup runs tau ~0.95 on real embeddings; the synthetic
+# near-uniform vectors only cross that at identity, so the registered
+# query uses the same 0.3 "near-dup" bar as dedup_embedding_cosine to
+# actually exercise the drop path (tau stays a parameter).
+_SEMDEDUP_TAU = 0.3
+
+
+@register(
+    "dedup_semantic_clusters",
+    sql=None,
+    doc="SemDeDup-style semantic deduplication (Abbas et al. 2023): "
+    "assign every embedding to its TRAINED KMeans cluster (the persisted "
+    "ivf_centroid_table — one broadcast fold per row, no shuffle), then "
+    "compare pairs ONLY within a cluster and drop a row when a "
+    "'keepier' near-duplicate exists there (cosine >= tau; keep-rank = "
+    "higher cosine-to-centroid, vec_id ascending as the tie-break, so "
+    "the survivor set is deterministic). Differs from "
+    "dedup_embedding_cosine in both blocking (learned clusters that "
+    "track the data distribution vs fixed hyperplane cells) and policy "
+    "(representative-by-centroid-proximity vs pair listing). Scale "
+    "shape: the quadratic term is bounded per cluster (sum of "
+    "cluster_size^2, the paper's own design — cluster count grows with "
+    "the corpus to cap cell sizes; the hot-cell sub-bucket guard from "
+    "dedup_embedding_cosine applies if a cluster degenerates), "
+    "everything JVM-side. No SQL oracle: cluster assignment depends on "
+    "the KMeans fit (non-SQL); rows-only driver check, invariants "
+    "pinned in tests/test_ann.py (witness property, tau monotonicity, "
+    "determinism).",
+)
+def dedup_semantic_clusters(spark, sf_dir, tau: float = _SEMDEDUP_TAU):
+    e = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    _, cents_arr = _cells_sorted(ivf_centroid_table(spark, sf_dir))
+    # The assignment frame feeds three consumers (both self-join sides +
+    # the verdict projection); checkpoint it once so the scan + argmax
+    # fold run once, matching the minhash-signature pattern (dedup.py).
+    assign = (
+        _assign_cells(e, cents_arr, keep_sim=True)
+        .select("vec_id", "embedding", "cent_id", "cent_sim")
+        .localCheckpoint()
+    )
+    a, b = assign.alias("a"), assign.alias("b")
+    keepier = (F.col("b.cent_sim") > F.col("a.cent_sim")) | (
+        (F.col("b.cent_sim") == F.col("a.cent_sim"))
+        & (F.col("b.vec_id") < F.col("a.vec_id"))
+    )
+    dups = a.join(
+        b,
+        (F.col("a.cent_id") == F.col("b.cent_id"))
+        & (F.col("a.vec_id") != F.col("b.vec_id"))
+        & keepier
+        & (
+            F.round(_cosine(F.col("a.embedding"), F.col("b.embedding")), 9)
+            >= F.lit(tau)
+        ),
+        "left_semi",
+    ).select("vec_id")
+    return (
+        assign.join(dups.withColumn("__dup", F.lit(True)), "vec_id", "left")
+        .select(
+            "vec_id",
+            "cent_id",
+            F.round("cent_sim", 6).alias("cent_sim"),
+            F.coalesce(~F.col("__dup"), F.lit(True)).alias("kept"),
+        )
+    )
 
 
 # ------------------------------------------------------- product quantization
@@ -1177,6 +1251,51 @@ def sample_stratified(spark, sf_dir):
         .withColumn("sample_rank", F.row_number().over(w).cast("long"))
         .where(F.col("sample_rank") <= 20)
         .select("doc_id", "lang", "sample_rank")
+    )
+
+
+@register(
+    "sample_domain_mixture",
+    sql="""
+    WITH c AS (SELECT lang, count(*) AS cnt FROM documents GROUP BY lang),
+         m AS (SELECT min(cnt) AS mn FROM c),
+         h AS (
+           SELECT doc_id, lang,
+                  CAST(concat('0x', substr(md5('m1:' || CAST(doc_id AS VARCHAR)), 1, 15))
+                       AS BIGINT) AS hv
+           FROM documents
+         )
+    SELECT h.doc_id, h.lang,
+           round(CAST(mn AS DOUBLE) / cnt, 9) AS accept_rate
+    FROM h JOIN c USING (lang) CROSS JOIN m
+    WHERE CAST(hv AS DOUBLE) / 1152921504606846976.0
+          < CAST(mn AS DOUBLE) / cnt
+    """,
+    doc="Domain-mixture rebalancing (the DoReMi / Pile-style data-mixing "
+    "primitive): downsample each language domain at acceptance rate "
+    "min_count/count so the surviving corpus is a UNIFORM mixture whose "
+    "budget is set by the scarcest domain — the rate generalizes to any "
+    "target weight vector as target_share*budget/count. Acceptance is a "
+    "seeded-md5 hash threshold ('m1:' prefix), so the sample is "
+    "deterministic across runs, engines, and partitionings, and "
+    "per-domain subsets are uniform. Scale shape: one tiny per-domain "
+    "count agg (|domains| rows, broadcast back), then a shuffle-FREE "
+    "map-side filter over the corpus — no window, no rank, cost = one "
+    "scan at 100 TB.",
+)
+def sample_domain_mixture(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    c = d.groupBy("lang").agg(F.count(F.lit(1)).alias("cnt"))
+    mn = c.agg(F.min("cnt").alias("mn"))
+    hv = F.expr(
+        "CAST(conv(substr(md5(concat('m1:', CAST(doc_id AS STRING))), 1, 15), 16, 10) AS BIGINT)"
+    )
+    rate = F.col("mn").cast("double") / F.col("cnt")
+    return (
+        d.join(F.broadcast(c), "lang")
+        .crossJoin(F.broadcast(mn))
+        .where(hv.cast("double") / F.lit(float(1 << 60)) < rate)
+        .select("doc_id", "lang", F.round(rate, 9).alias("accept_rate"))
     )
 
 

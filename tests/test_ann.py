@@ -300,3 +300,82 @@ def test_quality_classifier_deterministic_and_learns_weak_rule(spark, sf_dir):
     }
     agree = sum(rows[k]["quality_label"] == want[k] for k in want)
     assert agree / len(want) >= 0.95  # the rule is separable in features
+
+
+def test_semantic_dedup_witness_monotone_deterministic(spark, sf_dir):
+    """SemDeDup invariants: (1) witness — every dropped row has a
+    same-cluster neighbor at cosine >= tau with a strictly higher
+    keep-rank (cent_sim desc, vec_id asc), and the top-ranked member of
+    every cluster is always kept, all recomputed independently in
+    numpy; (2) tau monotonicity — raising tau can only keep more rows,
+    and an impossible tau keeps everything; (3) the kept set is
+    deterministic across runs."""
+    import numpy as np
+
+    from crypto_datalake_spark.queries.common import t as _t
+    from crypto_datalake_spark.queries.llm import dedup_semantic_clusters
+
+    tau = 0.3
+    out = {r["vec_id"]: r for r in dedup_semantic_clusters(spark, sf_dir, tau=tau).collect()}
+    out2 = {r["vec_id"]: r["kept"] for r in dedup_semantic_clusters(spark, sf_dir, tau=tau).collect()}
+    assert {k: v["kept"] for k, v in out.items()} == out2  # deterministic
+
+    emb = {
+        r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+        for r in _t(spark, sf_dir, "embeddings").select("vec_id", "embedding").collect()
+    }
+    assert set(out) == set(emb)  # one verdict per corpus row
+
+    def cos(u, v):
+        return float(u @ v / (np.linalg.norm(u) * np.linalg.norm(v)))
+
+    by_cluster: dict[int, list[int]] = {}
+    for vid, r in out.items():
+        by_cluster.setdefault(r["cent_id"], []).append(vid)
+
+    n_dropped = 0
+    for cid, vids in by_cluster.items():
+        rank = sorted(vids, key=lambda v: (-out[v]["cent_sim"], v))
+        assert out[rank[0]]["kept"]  # cluster representative survives
+        for v in vids:
+            if out[v]["kept"]:
+                continue
+            n_dropped += 1
+            higher = rank[: rank.index(v)]
+            assert any(
+                round(cos(emb[v], emb[h]), 9) >= tau for h in higher
+            ), f"dropped {v} has no keepier witness in cluster {cid}"
+    assert n_dropped > 0  # tau=0.3 actually exercises the drop path
+
+    loose = {r["vec_id"]: r["kept"] for r in dedup_semantic_clusters(spark, sf_dir, tau=0.9).collect()}
+    assert all(loose[v] for v in out if out[v]["kept"])  # monotone in tau
+    assert all(
+        r["kept"] for r in dedup_semantic_clusters(spark, sf_dir, tau=1.01).collect()
+    )
+
+
+def test_domain_mixture_rates_and_scarcest_domain(spark, sf_dir):
+    """The mixture sampler's acceptance rate must equal
+    min_domain_count / domain_count (so the scarcest domain is kept in
+    full and expected post-sample counts are uniform), and the output
+    must be the deterministic hash-threshold subset of the corpus."""
+    from pyspark.sql import functions as F
+
+    from crypto_datalake_spark.queries import REGISTRY
+    from crypto_datalake_spark.queries.common import t as _t
+
+    d = _t(spark, sf_dir, "documents")
+    cnt = {r["lang"]: r["n"] for r in d.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    mn = min(cnt.values())
+
+    rows = REGISTRY["sample_domain_mixture"].fn(spark, sf_dir).collect()
+    assert rows, "sampler returned nothing"
+    per_lang: dict[str, int] = {}
+    for r in rows:
+        assert abs(r["accept_rate"] - round(mn / cnt[r["lang"]], 9)) < 1e-9
+        per_lang[r["lang"]] = per_lang.get(r["lang"], 0) + 1
+    # scarcest domain passes the filter in full (rate == 1.0)
+    scarce = min(cnt, key=cnt.get)
+    assert per_lang.get(scarce, 0) == cnt[scarce]
+    rows2 = REGISTRY["sample_domain_mixture"].fn(spark, sf_dir).collect()
+    assert sorted(r["doc_id"] for r in rows) == sorted(r["doc_id"] for r in rows2)
