@@ -922,10 +922,11 @@ _SEMDEDUP_TAU = 0.3
     "dedup_embedding_cosine in both blocking (learned clusters that "
     "track the data distribution vs fixed hyperplane cells) and policy "
     "(representative-by-centroid-proximity vs pair listing). Scale "
-    "shape: the quadratic term is bounded per cluster (sum of "
-    "cluster_size^2, the paper's own design — cluster count grows with "
-    "the corpus to cap cell sizes; the hot-cell sub-bucket guard from "
-    "dedup_embedding_cosine applies if a cluster degenerates), "
+    "shape: the quadratic term is sum of cluster_size^2 — the paper's "
+    "own design, kept in check by growing the cluster count with the "
+    "corpus (k is a training parameter; a degenerate fit wants a re-fit "
+    "with larger k, NOT sub-bucketing — splitting a cluster by hash "
+    "would hide a dropped row's keepier witness in another sub-bucket), "
     "everything JVM-side. No SQL oracle: cluster assignment depends on "
     "the KMeans fit (non-SQL); rows-only driver check, invariants "
     "pinned in tests/test_ann.py (witness property, tau monotonicity, "
@@ -963,7 +964,10 @@ def dedup_semantic_clusters(spark, sf_dir, tau: float = _SEMDEDUP_TAU):
         .select(
             "vec_id",
             "cent_id",
-            F.round("cent_sim", 6).alias("cent_sim"),
+            # cent_sim is already rounded to 9 digits by the assignment
+            # fold — emit it at that precision so the output key exactly
+            # reproduces the keep-rank the verdicts were decided on.
+            "cent_sim",
             F.coalesce(~F.col("__dup"), F.lit(True)).alias("kept"),
         )
     )
@@ -1211,13 +1215,35 @@ def ann_ivf_pq(spark, sf_dir):
     )
 
 
+# Seeded 60-bit md5 hash of doc_id: ONE definition of the cross-engine
+# hash bridge for every sampler — dedup.py's _SP_H/_DK_H templates are
+# the single source of the width/conv form, so a change there reaches
+# both engines and all samplers together.  The SQL side is a pure
+# string (usable in register() at import time); the Column side must be
+# built inside a query (F.expr needs a live SparkContext).
+
+
+def _seeded_hash_sql(seed: str) -> str:
+    from crypto_datalake_spark.queries.dedup import _DK_H
+
+    return _DK_H.format(x=f"'{seed}:' || CAST(doc_id AS VARCHAR)")
+
+
+def _seeded_hash_col(seed: str):
+    from crypto_datalake_spark.queries.dedup import _SP_H
+
+    return F.expr(_SP_H.format(x=f"concat('{seed}:', CAST(doc_id AS STRING))"))
+
+
+_STRAT_HV_SQL = _seeded_hash_sql("s1")
+_MIX_HV_SQL = _seeded_hash_sql("m1")
+
+
 @register(
     "sample_stratified",
-    sql="""
+    sql=f"""
     WITH h AS (
-      SELECT doc_id, lang,
-             CAST(concat('0x', substr(md5('s1:' || CAST(doc_id AS VARCHAR)), 1, 15))
-                  AS BIGINT) AS hv
+      SELECT doc_id, lang, {_STRAT_HV_SQL} AS hv
       FROM documents
     )
     SELECT doc_id, lang, CAST(rk AS BIGINT) AS sample_rank
@@ -1242,9 +1268,7 @@ def sample_stratified(spark, sf_dir):
     from pyspark.sql import Window
 
     d = t(spark, sf_dir, "documents")
-    hv = F.expr(
-        "CAST(conv(substr(md5(concat('s1:', CAST(doc_id AS STRING))), 1, 15), 16, 10) AS BIGINT)"
-    )
+    hv = _seeded_hash_col("s1")
     w = Window.partitionBy("lang").orderBy("hv", "doc_id")
     return (
         d.select("doc_id", "lang", hv.alias("hv"))
@@ -1256,13 +1280,11 @@ def sample_stratified(spark, sf_dir):
 
 @register(
     "sample_domain_mixture",
-    sql="""
+    sql=f"""
     WITH c AS (SELECT lang, count(*) AS cnt FROM documents GROUP BY lang),
          m AS (SELECT min(cnt) AS mn FROM c),
          h AS (
-           SELECT doc_id, lang,
-                  CAST(concat('0x', substr(md5('m1:' || CAST(doc_id AS VARCHAR)), 1, 15))
-                       AS BIGINT) AS hv
+           SELECT doc_id, lang, {_MIX_HV_SQL} AS hv
            FROM documents
          )
     SELECT h.doc_id, h.lang,
@@ -1287,9 +1309,7 @@ def sample_domain_mixture(spark, sf_dir):
     d = t(spark, sf_dir, "documents")
     c = d.groupBy("lang").agg(F.count(F.lit(1)).alias("cnt"))
     mn = c.agg(F.min("cnt").alias("mn"))
-    hv = F.expr(
-        "CAST(conv(substr(md5(concat('m1:', CAST(doc_id AS STRING))), 1, 15), 16, 10) AS BIGINT)"
-    )
+    hv = _seeded_hash_col("m1")
     rate = F.col("mn").cast("double") / F.col("cnt")
     return (
         d.join(F.broadcast(c), "lang")

@@ -316,7 +316,9 @@ def test_semantic_dedup_witness_monotone_deterministic(spark, sf_dir):
     from crypto_datalake_spark.queries.llm import dedup_semantic_clusters
 
     tau = 0.3
-    out = {r["vec_id"]: r for r in dedup_semantic_clusters(spark, sf_dir, tau=tau).collect()}
+    raw = dedup_semantic_clusters(spark, sf_dir, tau=tau).collect()
+    out = {r["vec_id"]: r for r in raw}
+    assert len(raw) == len(out)  # exactly one verdict row per vec_id
     out2 = {r["vec_id"]: r["kept"] for r in dedup_semantic_clusters(spark, sf_dir, tau=tau).collect()}
     assert {k: v["kept"] for k, v in out.items()} == out2  # deterministic
 
