@@ -1306,14 +1306,23 @@ def sample_stratified(spark, sf_dir):
     "scan at 100 TB.",
 )
 def sample_domain_mixture(spark, sf_dir):
+    from pyspark.sql import Window
+
     d = t(spark, sf_dir, "documents")
-    c = d.groupBy("lang").agg(F.count(F.lit(1)).alias("cnt"))
-    mn = c.agg(F.min("cnt").alias("mn"))
+    # min(cnt) via an unpartitioned window over the ALREADY-AGGREGATED
+    # |domains|-row frame — a separate c.agg(min) branch would re-scan
+    # and re-count the corpus (no plan reuse without caching); this way
+    # the corpus is counted once and the single-task window only ever
+    # sees |domains| rows.
+    c = (
+        d.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("mn", F.min("cnt").over(Window.partitionBy()))
+    )
     hv = _seeded_hash_col("m1")
     rate = F.col("mn").cast("double") / F.col("cnt")
     return (
         d.join(F.broadcast(c), "lang")
-        .crossJoin(F.broadcast(mn))
         .where(hv.cast("double") / F.lit(float(1 << 60)) < rate)
         .select("doc_id", "lang", F.round(rate, 9).alias("accept_rate"))
     )
