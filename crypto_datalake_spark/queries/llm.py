@@ -938,9 +938,18 @@ def dedup_semantic_clusters(spark, sf_dir, tau: float = _SEMDEDUP_TAU):
     # The assignment frame feeds three consumers (both self-join sides +
     # the verdict projection); checkpoint it once so the scan + argmax
     # fold run once, matching the minhash-signature pattern (dedup.py).
+    # The vector norm rides along so the per-PAIR cosine is one dot
+    # product — recomputing both norms per pair triples the dominant
+    # interpreted-lambda cost (same hoist as dedup_embedding_cosine).
     assign = (
         _assign_cells(e, cents_arr, keep_sim=True)
-        .select("vec_id", "embedding", "cent_id", "cent_sim")
+        .select(
+            "vec_id",
+            "embedding",
+            "cent_id",
+            "cent_sim",
+            F.sqrt(_dot(F.col("embedding"), F.col("embedding"))).alias("vnorm"),
+        )
         .localCheckpoint()
     )
     a, b = assign.alias("a"), assign.alias("b")
@@ -948,15 +957,15 @@ def dedup_semantic_clusters(spark, sf_dir, tau: float = _SEMDEDUP_TAU):
         (F.col("b.cent_sim") == F.col("a.cent_sim"))
         & (F.col("b.vec_id") < F.col("a.vec_id"))
     )
+    pair_cos = _dot(F.col("a.embedding"), F.col("b.embedding")) / (
+        F.col("a.vnorm") * F.col("b.vnorm")
+    )
     dups = a.join(
         b,
         (F.col("a.cent_id") == F.col("b.cent_id"))
         & (F.col("a.vec_id") != F.col("b.vec_id"))
         & keepier
-        & (
-            F.round(_cosine(F.col("a.embedding"), F.col("b.embedding")), 9)
-            >= F.lit(tau)
-        ),
+        & (F.round(pair_cos, 9) >= F.lit(tau)),
         "left_semi",
     ).select("vec_id")
     return (
