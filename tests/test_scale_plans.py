@@ -161,3 +161,34 @@ def test_ivf_pq_plan_no_corpus_shuffle(spark, sf_dir):
 
     for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
         assert "embedding" not in m.group(1) and "codes" not in m.group(1)
+
+
+def test_domain_mixture_counts_corpus_once(spark, sf_dir):
+    """The mixture sampler's 100 TB contract: exactly two corpus scans
+    (the filtered base + one lang-only count), the min-count derived by
+    a window over the tiny aggregated frame (never a second count of
+    the corpus), and the per-domain rate table broadcast — the corpus
+    itself is never hash-shuffled."""
+    df = REGISTRY["sample_domain_mixture"].fn(spark, sf_dir)
+    plan = plan_text(df, "simple")
+    assert plan.count("FileScan parquet") == 2
+    assert "BroadcastHashJoin" in plan       # rate table broadcast
+    assert "SortMergeJoin" not in plan
+    # the one SinglePartition exchange feeds the |domains|-row window,
+    # never corpus columns
+    assert plan.count("Exchange SinglePartition") == 1
+    # count scan reads ONLY the stratum column
+    m = re.findall(r"ReadSchema: struct<([^>]*)>", plan_text(df, "formatted"))
+    assert any(s == "lang:string" for s in m)
+
+
+def test_semantic_dedup_join_is_cluster_keyed(spark, sf_dir):
+    """SemDeDup's scale contract: the within-cluster pair join is keyed
+    on cent_id (broadcast at test SF; a hash join on cent_id at scale),
+    never a CartesianProduct, and the checkpointed assignment frame is
+    scanned — the argmax fold does not recompute per consumer."""
+    df = REGISTRY["dedup_semantic_clusters"].fn(spark, sf_dir)
+    plan = plan_text(df, "simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("Scan ExistingRDD") == 3  # checkpoint reused 3x
