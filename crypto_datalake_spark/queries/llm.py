@@ -938,14 +938,16 @@ def dedup_semantic_clusters(spark, sf_dir, tau: float = _SEMDEDUP_TAU):
     # The assignment frame feeds three consumers (both self-join sides +
     # the verdict projection); checkpoint it once so the scan + argmax
     # fold run once, matching the minhash-signature pattern (dedup.py).
-    # The vector norm rides along so the per-PAIR cosine is one dot
-    # product — recomputing both norms per pair triples the dominant
-    # interpreted-lambda cost (same hoist as dedup_embedding_cosine).
+    # The vector norm and the float->double cast ride along so the
+    # per-PAIR cosine is one bare multiply-add dot product — recomputing
+    # norms (3x) or re-casting elements per pair would multiply the
+    # dominant interpreted-lambda cost (same hoists as
+    # dedup_embedding_cosine).
     assign = (
         _assign_cells(e, cents_arr, keep_sim=True)
         .select(
             "vec_id",
-            "embedding",
+            F.col("embedding").cast("array<double>").alias("embedding"),
             "cent_id",
             "cent_sim",
             F.sqrt(_dot(F.col("embedding"), F.col("embedding"))).alias("vnorm"),
@@ -1311,7 +1313,9 @@ def sample_stratified(spark, sf_dir):
     "deterministic across runs, engines, and partitionings, and "
     "per-domain subsets are uniform. Scale shape: one tiny per-domain "
     "count agg (|domains| rows, broadcast back), then a shuffle-FREE "
-    "map-side filter over the corpus — no window, no rank, cost = one "
+    "map-side filter over the corpus — the only window runs over the "
+    "|domains|-row aggregated frame (never the corpus), no rank over "
+    "data, cost = one count pass + one "
     "scan at 100 TB.",
 )
 def sample_domain_mixture(spark, sf_dir):
