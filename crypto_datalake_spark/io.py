@@ -311,7 +311,21 @@ def warehouse_cached(spark: SparkSession, name: str, source_paths, build):
                     except OSError:
                         pass
                 else:
-                    shutil.rmtree(old, ignore_errors=True)
+                    # UNPUBLISH before deleting: rmtree is not atomic, and
+                    # a crash mid-delete would leave a partial directory at
+                    # a readable cache path — a process still keyed to the
+                    # old source fingerprint would read it as a complete
+                    # build (silently truncated derived table).  Renaming
+                    # to a .trash-* name first is atomic, so the old key's
+                    # path either holds the full build or nothing; the
+                    # trash path is never a computed cache key (keys are
+                    # 12 hex chars, no suffix) so nothing ever reads it.
+                    trash = f"{old}.trash-{_uuid.uuid4().hex[:8]}"
+                    try:
+                        os.rename(old, trash)
+                    except OSError:
+                        continue  # lost a race to a concurrent publisher
+                    shutil.rmtree(trash, ignore_errors=True)
         except OSError:
             shutil.rmtree(tmp, ignore_errors=True)
             if not os.path.exists(path):  # not a lost race: real failure

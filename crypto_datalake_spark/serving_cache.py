@@ -28,6 +28,55 @@ from dataclasses import dataclass, field
 STABLE_TTL_S = 21_600.0  # windows ending well in the past (service.py:195)
 RECENT_TTL_S = 15.0      # windows near now (service.py:196)
 STABLE_AGE_S = 3_600.0   # end_time older than this → stable tier
+LEASE_GRACE_S = 600.0    # handed-out-but-never-acquired locks reap after
+
+
+class _KeyLock:
+    """``threading.Lock`` plus a lease count of hand-outs not yet
+    acquired.  Closes the reap TOCTOU: ``single_flight`` returns the
+    lock under ``_global`` but the caller acquires it only after
+    releasing ``_global`` — in that window the lock is unlocked, and a
+    concurrent ``put`` that reaped it on ``locked()`` alone would hand
+    the NEXT requester a fresh lock, running two fetches for one key
+    (the exact dedup break single-flight exists to prevent).  A lock is
+    reapable only when it is unlocked AND has no outstanding lease (or
+    the lease is older than ``LEASE_GRACE_S`` — a caller that took a
+    hand-out and never acquired has abandoned it).
+
+    The lease decrement on ``acquire`` races ``single_flight``'s
+    increment without ``_global`` — benign: a lost update can only
+    over-count ``pending`` (floored at 0), delaying the reap until the
+    grace age, never reaping early."""
+
+    __slots__ = ("_inner", "pending", "leased_at")
+
+    def __init__(self) -> None:
+        self._inner = threading.Lock()
+        self.pending = 0
+        self.leased_at = 0.0
+
+    def acquire(self, blocking: bool = True, timeout: float = -1) -> bool:
+        got = self._inner.acquire(blocking, timeout)
+        if got and self.pending > 0:
+            self.pending -= 1  # hand-out consumed; locked() guards now
+        return got
+
+    def release(self) -> None:
+        self._inner.release()
+
+    def locked(self) -> bool:
+        return self._inner.locked()
+
+    def reapable(self, now: float) -> bool:
+        return not self._inner.locked() and (
+            self.pending == 0 or now - self.leased_at > LEASE_GRACE_S
+        )
+
+    def __enter__(self) -> bool:
+        return self.acquire()
+
+    def __exit__(self, *exc) -> None:
+        self.release()
 
 
 @dataclass
@@ -63,7 +112,7 @@ class ServingCache:
         stable_age_s: float = STABLE_AGE_S,
     ) -> None:
         self._entries: OrderedDict[tuple, _Entry] = OrderedDict()
-        self._locks: dict[tuple, threading.Lock] = {}
+        self._locks: dict[tuple, _KeyLock] = {}
         self._global = threading.Lock()
         self._clock = clock
         self._max = max_entries
@@ -138,12 +187,14 @@ class ServingCache:
             )
             while len(self._entries) > self._max:  # LRU evict
                 evicted, _ = self._entries.popitem(last=False)
-                # reap the single-flight lock with its entry, but NEVER a
-                # held one: popping a lock some fetch is inside would hand
-                # the next requester a fresh lock and silently break
+                # reap the single-flight lock with its entry, but NEVER
+                # one that is held OR freshly handed out and not yet
+                # acquired (reapable() checks both): popping a lock some
+                # fetch is inside — or about to enter — would hand the
+                # next requester a fresh lock and silently break
                 # in-flight dedup under exactly the churn it exists for
                 lk = self._locks.get(evicted)
-                if lk is not None and not lk.locked():
+                if lk is not None and lk.reapable(now):
                     del self._locks[evicted]
             if len(self._locks) > 2 * self._max:
                 # keys whose fetch raised before ever put() have no entry
@@ -152,12 +203,18 @@ class ServingCache:
                 for k in [
                     k
                     for k, lk in self._locks.items()
-                    if k not in self._entries and not lk.locked()
+                    if k not in self._entries and lk.reapable(now)
                 ]:
                     del self._locks[k]
 
-    def single_flight(self, key: tuple) -> threading.Lock:
+    def single_flight(self, key: tuple) -> _KeyLock:
         """Per-key lock: concurrent identical requests collapse to one
-        compute (service.py:476-550 in-flight dedup)."""
+        compute (service.py:476-550 in-flight dedup).  The hand-out is
+        LEASED (pending count + timestamp) until the caller acquires, so
+        a concurrent ``put``'s reap cannot delete it in the window
+        between return and acquire — see ``_KeyLock``."""
         with self._global:
-            return self._locks.setdefault(key, threading.Lock())
+            lk = self._locks.setdefault(key, _KeyLock())
+            lk.pending += 1
+            lk.leased_at = self._clock()
+            return lk

@@ -394,6 +394,31 @@ def table_diff(
     """
     old_m = _manifest_at(spark, table_path, from_version)
     new_m = _manifest_at(spark, table_path, to_version)
+    # Refuse to diff across a TYPE-CHANGING rewrite (the atomic_overwrite
+    # escape hatch from the add-only evolution guard): aligning the old
+    # side to the new type is a cast, and a lossy cast (string→double →
+    # null) would emit delete rows with nulls in place of the original
+    # values and could make genuinely changed rows compare equal —
+    # silently corrupting the change feed.  Added/dropped columns remain
+    # fine (null-fill / absence is exact, documented above).
+    old_st, new_st = _manifest_struct(old_m), _manifest_struct(new_m)
+    if old_st is not None and new_st is not None:
+        new_types = {f.name: f.dataType for f in new_st.fields}
+        retyped = [
+            f"{f.name}: {f.dataType.simpleString()} -> "
+            f"{new_types[f.name].simpleString()}"
+            for f in old_st.fields
+            if f.name in new_types and f.dataType != new_types[f.name]
+        ]
+        if retyped:
+            raise ValueError(
+                f"table_diff({table_path}, v{from_version} -> "
+                f"v{to_version if to_version is not None else 'live'}) "
+                "crosses a rewrite that changed column types "
+                f"({'; '.join(retyped)}); the diff is undefined across a "
+                "lossy cast. Diff up to the rewrite and from it "
+                "separately, or re-snapshot consumers at the rewrite."
+            )
     old_parts, new_parts = old_m["partitions"], new_m["partitions"]
     changed_old = {p: g for p, g in old_parts.items() if new_parts.get(p) != g}
     changed_new = {p: g for p, g in new_parts.items() if old_parts.get(p) != g}

@@ -331,8 +331,8 @@ def test_cache_lock_dict_bounded():
     c = ServingCache(max_entries=2, clock=lambda: 0.0)
     for i in range(10):
         key = ("S", i)
-        c.single_flight(key)
-        c.put(key, float(i), [(float(i), "r")])
+        with c.single_flight(key):  # acquire/release, as a real fetch does
+            c.put(key, float(i), [(float(i), "r")])
     assert len(c._entries) <= 2
     assert len(c._locks) <= 3  # evicted entries drop their locks
 
@@ -355,9 +355,43 @@ def test_cache_held_single_flight_lock_survives_eviction():
 
 def test_cache_orphan_locks_swept():
     """Keys whose fetch raised before any put() leave no entry to evict —
-    their idle locks must still be reaped, not leak forever."""
+    their idle locks must still be reaped, not leak forever.  A real
+    failed fetch acquires its lock and releases on unwind (``with``), so
+    the lease is consumed and the lock is idle+unleased afterwards."""
     c = ServingCache(max_entries=2, clock=lambda: 0.0)
     for i in range(50):
-        c.single_flight(("orphan", i))
+        with c.single_flight(("orphan", i)):
+            pass  # fetch raised; no put()
     c.put(("x", 0), 0.0, [(0.0, "r")])
+    assert len(c._locks) <= 2 * c._max + 1
+
+
+def test_cache_leased_lock_survives_reap_before_acquire():
+    """TOCTOU guard: a lock handed out by single_flight() but not yet
+    acquired must survive a concurrent put()'s reap — deleting it would
+    give the next requester a fresh lock and run two fetches for the
+    same key."""
+    c = ServingCache(max_entries=1, clock=lambda: 0.0)
+    k = ("S", "1m")
+    lk = c.single_flight(k)  # handed out, NOT yet acquired
+    c.put(k, 0.0, [(0.0, "r")])
+    for i in range(3):  # churn k's entry out while the lease is open
+        c.put(("T", i), 0.0, [(0.0, "r")])
+    assert c.single_flight(k) is lk  # dedup intact across the window
+    with lk:
+        pass  # leases consumed; lock is now reapable again
+    c.put(("T", 99), 0.0, [(0.0, "r")])
+
+
+def test_cache_abandoned_lease_reaps_after_grace():
+    """A hand-out never acquired is an abandoned lease: after
+    LEASE_GRACE_S it must become reapable so _locks cannot leak."""
+    from crypto_datalake_spark.serving_cache import LEASE_GRACE_S
+
+    t = [0.0]
+    c = ServingCache(max_entries=2, clock=lambda: t[0])
+    for i in range(50):
+        c.single_flight(("abandoned", i))  # never acquired
+    t[0] = LEASE_GRACE_S + 1.0
+    c.put(("x", 0), t[0], [(t[0], "r")])
     assert len(c._locks) <= 2 * c._max + 1

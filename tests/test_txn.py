@@ -801,6 +801,34 @@ def test_table_diff_through_emptied_table(spark, tmp_path):
     assert empty.count() == 0 and "__change" in empty.columns
 
 
+def test_table_diff_refuses_type_changing_rewrite(spark, tmp_path):
+    """Diffing across an atomic_overwrite that changed a column's TYPE
+    must raise, not silently cast: a lossy cast (string→double → null)
+    would null-fill delete rows and could equate genuinely changed rows,
+    corrupting the change feed.  Diffs on either side of the rewrite
+    stay valid."""
+    path = str(tmp_path / "lake")
+    txn.atomic_upsert_partitioned(
+        spark, _df(spark, [("A", _T(0), 1.0, "d1")]), path, **KW
+    )  # v1: v double
+    txn.atomic_upsert_partitioned(
+        spark, _df(spark, [("B", _T(1), 2.0, "d1")]), path, **KW
+    )  # v2: same schema
+    retyped = spark.createDataFrame(
+        [("A", _T(0), "not-a-number", "d1")],
+        "sym string, ts timestamp_ntz, v string, day string",
+    )
+    txn.atomic_overwrite(spark, retyped, path)  # v3: v double -> string
+    with pytest.raises(ValueError, match="changed column types"):
+        txn.table_diff(spark, path, 1, 3)
+    with pytest.raises(ValueError, match=r"v: double -> string"):
+        txn.table_diff(spark, path, 2)  # to live crosses the rewrite too
+    # either side of the rewrite still diffs fine
+    d12 = {(r["__change"], r["sym"]) for r in txn.table_diff(spark, path, 1, 2).collect()}
+    assert d12 == {("insert", "B")}
+    assert txn.table_diff(spark, path, 3, 3).count() == 0
+
+
 def test_diff_shape_from_to_version_manifest_even_when_new_side_empty(spark, tmp_path):
     """A commit that widens the schema while emptying its touched
     partitions leaves no changed partitions on the new side — the feed
