@@ -37,4 +37,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    # Surrogate oracles (the trained-model queries) read persisted
+    # fitted artifacts from spark-warehouse/; if the driver executes an
+    # oracle before the corresponding Spark query has built its
+    # artifact, read_parquet would fail — so pre-build any missing
+    # artifact here.  No-op (three os.path.exists checks) when the
+    # artifacts are already on disk.
+    import os
+
+    from crypto_datalake_spark.queries.llm import (
+        ensure_model_tables,
+        model_artifact_paths,
+    )
+    from crypto_datalake_spark.queries.registry import DRIVER_SF_DIR
+    from crypto_datalake_spark.session import get_spark
+
+    if not all(os.path.exists(p) for p in model_artifact_paths(DRIVER_SF_DIR)):
+        # reuses the driver's active session when one exists; otherwise
+        # builds a local one (subsequent driver getOrCreate reuses it)
+        ensure_model_tables(get_spark("cds-oracle-prebuild"), DRIVER_SF_DIR)
     return _catalog.oracle_sql()

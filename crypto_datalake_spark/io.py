@@ -252,6 +252,25 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
         load_table(spark, sf_dir, t).createOrReplaceTempView(t)
 
 
+def warehouse_cache_path(name: str, source_paths) -> str:
+    """The warehouse directory a ``warehouse_cached(name, source_paths)``
+    build publishes to — the fingerprint (size + mtime of each source)
+    is computable WITHOUT the artifact existing, so surrogate oracles
+    can embed the path before the first build runs."""
+    import hashlib
+
+    fp = hashlib.md5()
+    for p in sorted(source_paths):
+        st = os.stat(p)
+        fp.update(f"{p}:{st.st_size}:{st.st_mtime_ns};".encode())
+    key = fp.hexdigest()[:12]
+    wh = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "spark-warehouse",
+    )
+    return os.path.join(wh, f"{name}__{key}")
+
+
 def warehouse_cached(spark: SparkSession, name: str, source_paths, build):
     """Build-once parquet cache for derived tables (trained centroids,
     materialized synthetic stores): returns ``spark.read.parquet`` over a
@@ -270,21 +289,11 @@ def warehouse_cached(spark: SparkSession, name: str, source_paths, build):
     publish.  A production lake would key on the source table's txn
     generation (txn.py) instead of file stat."""
     import glob
-    import hashlib
     import shutil
     import uuid as _uuid
 
-    fp = hashlib.md5()
-    for p in sorted(source_paths):
-        st = os.stat(p)
-        fp.update(f"{p}:{st.st_size}:{st.st_mtime_ns};".encode())
-    key = fp.hexdigest()[:12]
-
-    wh = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        "spark-warehouse",
-    )
-    path = os.path.join(wh, f"{name}__{key}")
+    path = warehouse_cache_path(name, source_paths)
+    wh = os.path.dirname(path)
     # validity check is the DIRECTORY, not _SUCCESS: publication is an
     # atomic rename of a fully-written tmp, so the path existing already
     # proves a complete build (and sessions configured with

@@ -35,6 +35,18 @@ from crypto_datalake_spark.queries.registry import (  # noqa: F401
 
 # The driver's 50-query correctness window, one entry per SURVEY.md §2 /
 # LLM-pipeline operator row (see COVERAGE.md for the op -> query map).
+#
+# Round-6 membership decision: the window is kept as curated in round 4.
+# Swapping a slot to a round-5 addition (e.g. ann_lsh_multiprobe ->
+# sample_domain_mixture) was considered and declined: every candidate
+# swap demotes exactly one §2/LLM operator row from driver-green to
+# pytest-only to promote another, a net-zero trade — and the six benched
+# queries outside the window either carry full DuckDB oracles swept
+# bit-exact by tests/test_oracle_parity.py (sample_domain_mixture,
+# ann_lsh_bucketed) or are iterative ML fits whose persisted artifacts
+# are surrogate-oracled plus invariant-tested in tests/test_ann.py
+# (ann_ivf_kmeans, ann_ivf_pq, dedup_semantic_clusters,
+# quality_score_classifier), so no coverage is gained by rotation.
 _WINDOW = [
     # §2.1 scans / §2.2 projections-predicates
     "s1_scan_project_filter",   # S1 + P1/P2 (pushdown-proven)

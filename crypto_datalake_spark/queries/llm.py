@@ -834,6 +834,23 @@ def _served_model_table(
     )
 
 
+def _served_model_path(
+    sf_dir, prefix: str, suffix: str, source: str = "embeddings.parquet"
+) -> str:
+    """The warehouse path :func:`_served_model_table` publishes to, for
+    the same (prefix, suffix, source) — computable before the artifact
+    exists, so surrogate SQL oracles can embed it.  MUST mirror the
+    table function's naming exactly."""
+    import os
+
+    from crypto_datalake_spark.io import warehouse_cache_path
+
+    name = os.path.basename(os.path.normpath(sf_dir))
+    return warehouse_cache_path(
+        f"{prefix}_{name}_{suffix}", [os.path.join(sf_dir, source)]
+    )
+
+
 def kmeans_centroids(
     e, k: int = _IVF_K, seed: int = 7, max_iter: int = 10,
     sample_rows: int = 4096,
@@ -877,9 +894,55 @@ def ivf_centroid_table(spark, sf_dir, k: int = _IVF_K, seed: int = 7):
     )
 
 
+def ivf_centroid_path(sf_dir, k: int = _IVF_K, seed: int = 7) -> str:
+    """Where :func:`ivf_centroid_table` persists its fit."""
+    return _served_model_path(sf_dir, "ivf_centroids", f"k{k}_s{seed}")
+
+
+def _ann_ivf_kmeans_sql(sf_dir: str) -> str:
+    """Surrogate oracle: the IVF probe POLICY conditional on the
+    persisted trained centroids — DuckDB reads the same warehouse
+    parquet the serving path broadcasts, then mirrors ann_ivf_probe's
+    certified assignment/probe/score plan (round-9 pre-argmax, identical
+    tie-breaks).  The KMeans fit itself stays pytest-verified
+    (tests/test_ann.py determinism + recall invariants); what this
+    certifies is everything downstream of the fit."""
+    path = ivf_centroid_path(sf_dir)
+    return f"""
+    WITH cents AS (
+      SELECT CAST(cent_id AS BIGINT) AS cent_id, cv
+      FROM read_parquet('{path}/*.parquet')
+    ),
+    assign AS (
+      SELECT e.vec_id, e.label, e.embedding, c.cent_id,
+             round({_DK_COS.format(a="e.embedding", b="c.cv")}, 9) AS sim
+      FROM embeddings e CROSS JOIN cents c
+      WHERE e.vec_id <> 0
+      QUALIFY row_number() OVER (
+        PARTITION BY e.vec_id ORDER BY sim DESC, c.cent_id ASC
+      ) = 1
+    ),
+    qcells AS (
+      SELECT c.cent_id, e.embedding AS qv
+      FROM embeddings e CROSS JOIN cents c
+      WHERE e.vec_id = 0
+      QUALIFY row_number() OVER (
+        PARTITION BY e.vec_id
+        ORDER BY round({_DK_COS.format(a="e.embedding", b="c.cv")}, 9) DESC,
+                 c.cent_id ASC
+      ) <= {_IVF_NPROBE}
+    )
+    SELECT a.vec_id, a.label, a.cent_id,
+           round({_DK_COS.format(a="a.embedding", b="q.qv")}, 6) AS cosine
+    FROM assign a JOIN qcells q ON a.cent_id = q.cent_id
+    ORDER BY cosine DESC, vec_id ASC
+    LIMIT 10
+    """
+
+
 @register(
     "ann_ivf_kmeans",
-    sql=None,
+    sql=_ann_ivf_kmeans_sql,
     doc=f"IVF ANN with TRAINED coarse centroids: MLlib KMeans (k-means|| "
     f"init, fixed seed) fits {_IVF_K} cells on the corpus, then the same "
     "probe plan as ann_ivf_probe (assign = argmax-cosine map pass, query "
@@ -891,9 +954,11 @@ def ivf_centroid_table(spark, sf_dir, k: int = _IVF_K, seed: int = 7):
     "balanced and probing fewer cells loses less recall than with "
     "arbitrary stand-in centroids — tests/test_ann.py measures "
     "recall@10 and its monotonicity in nprobe (probed cell sets are "
-    "nested by construction). No SQL oracle: KMeans is iterative "
-    "(driver-side rows-only check); the probe plan itself is certified "
-    "through ann_ivf_probe's full oracle.",
+    "nested by construction). SURROGATE oracle: the iterative KMeans "
+    "fit is non-SQL, but the serving POLICY conditional on it is — "
+    "DuckDB reads the same persisted centroid parquet and mirrors the "
+    "probe plan, so assignment/probe/score are fully oracle-checked "
+    "and only the fit rests on the pytest invariants.",
 )
 def ann_ivf_kmeans(spark, sf_dir):
     e = t(spark, sf_dir, "embeddings")
@@ -909,9 +974,42 @@ def ann_ivf_kmeans(spark, sf_dir):
 _SEMDEDUP_TAU = 0.3
 
 
+def _semantic_clusters_sql(sf_dir: str) -> str:
+    """Surrogate oracle: the SemDeDup keep/drop POLICY conditional on
+    the persisted trained centroids — assignment argmax (round-9, same
+    tie-break as the Spark fold), then a correlated EXISTS for the
+    'keepier near-duplicate in my cluster' verdict.  Only the KMeans
+    fit itself stays pytest-verified."""
+    path = ivf_centroid_path(sf_dir)
+    return f"""
+    WITH cents AS (
+      SELECT CAST(cent_id AS BIGINT) AS cent_id, cv
+      FROM read_parquet('{path}/*.parquet')
+    ),
+    assign AS (
+      SELECT e.vec_id, e.embedding, c.cent_id,
+             round({_DK_COS.format(a="e.embedding", b="c.cv")}, 9) AS cent_sim
+      FROM embeddings e CROSS JOIN cents c
+      QUALIFY row_number() OVER (
+        PARTITION BY e.vec_id ORDER BY cent_sim DESC, c.cent_id ASC
+      ) = 1
+    )
+    SELECT a.vec_id, a.cent_id, a.cent_sim,
+           NOT EXISTS (
+             SELECT 1 FROM assign b
+             WHERE b.cent_id = a.cent_id AND b.vec_id <> a.vec_id
+               AND (b.cent_sim > a.cent_sim
+                    OR (b.cent_sim = a.cent_sim AND b.vec_id < a.vec_id))
+               AND round({_DK_COS.format(a="a.embedding", b="b.embedding")}, 9)
+                   >= {_SEMDEDUP_TAU}
+           ) AS kept
+    FROM assign a
+    """
+
+
 @register(
     "dedup_semantic_clusters",
-    sql=None,
+    sql=_semantic_clusters_sql,
     doc="SemDeDup-style semantic deduplication (Abbas et al. 2023): "
     "assign every embedding to its TRAINED KMeans cluster (the persisted "
     "ivf_centroid_table — one broadcast fold per row, no shuffle), then "
@@ -927,10 +1025,11 @@ _SEMDEDUP_TAU = 0.3
     "corpus (k is a training parameter; a degenerate fit wants a re-fit "
     "with larger k, NOT sub-bucketing — splitting a cluster by hash "
     "would hide a dropped row's keepier witness in another sub-bucket), "
-    "everything JVM-side. No SQL oracle: cluster assignment depends on "
-    "the KMeans fit (non-SQL); rows-only driver check, invariants "
-    "pinned in tests/test_ann.py (witness property, tau monotonicity, "
-    "determinism).",
+    "everything JVM-side. SURROGATE oracle: the KMeans fit is non-SQL, "
+    "but assignment + keep/drop verdicts conditional on the persisted "
+    "centroid table are fully oracle-checked in DuckDB; the fit's own "
+    "invariants (witness property, tau monotonicity, determinism) stay "
+    "pinned in tests/test_ann.py.",
 )
 def dedup_semantic_clusters(spark, sf_dir, tau: float = _SEMDEDUP_TAU):
     e = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
@@ -1070,6 +1169,13 @@ def pq_codebook_table(
     )
 
 
+def pq_codebook_path(
+    sf_dir, m: int = _PQ_M, k: int = _PQ_K, seed: int = 7
+) -> str:
+    """Where :func:`pq_codebook_table` persists its fit."""
+    return _served_model_path(sf_dir, "pq_codebooks", f"m{m}_k{k}_s{seed}")
+
+
 def _codebook_array(cb):
     """Collapse (sub_idx, code_id, cv) to ONE broadcast row: ``__cb`` =
     subspace-ordered array of structs, each holding that subspace's
@@ -1100,12 +1206,20 @@ def pq_encode(df, cb_arr, vec_col: str = "embedding"):
     subw = _subw()
 
     def best_code(s):
+        # distance rounded(9) pre-argmin, same discipline as
+        # _assign_cells: float-sum association differs across engines at
+        # ~1e-15 and must not flip which code a near-equidistant
+        # subvector gets — the surrogate DuckDB oracle mirrors the
+        # rounded comparison exactly
         cands = F.transform(
             s["codes"],
             lambda cc: F.struct(
-                _sqd(
-                    F.slice(F.col(vec_col), s["sub_idx"] * subw + 1, subw),
-                    cc["cv"],
+                F.round(
+                    _sqd(
+                        F.slice(F.col(vec_col), s["sub_idx"] * subw + 1, subw),
+                        cc["cv"],
+                    ),
+                    9,
                 ).alias("d"),
                 cc["code_id"].alias("c"),
             ),
@@ -1175,9 +1289,12 @@ def pq_adc_rescore(encoded, query, cb_arr, k: int = 10, rerank: int = _PQ_RERANK
         F.lit(0.0),
         lambda acc, v: acc + v,
     ) / (F.col("vnorm") * F.col("__qnorm"))
+    # candidate cut ordered on round-9 approx (tie-break vec_id): the
+    # rerank boundary must not move with ~1e-15 cross-engine float-sum
+    # association, or the surrogate oracle's candidate set would drift
     cand = (
         encoded.crossJoin(F.broadcast(q))
-        .withColumn("__approx", approx)
+        .withColumn("__approx", F.round(approx, 9))
         .orderBy(F.col("__approx").desc(), F.col("vec_id").asc())
         .limit(rerank)
     )
@@ -1191,9 +1308,101 @@ def pq_adc_rescore(encoded, query, cb_arr, k: int = 10, rerank: int = _PQ_RERANK
     )
 
 
+_DK_SQD = """
+    list_sum(list_transform(list_zip({a}, {b}),
+             p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))
+                * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))))
+"""
+
+_DK_DOT = """
+    list_sum(list_transform(list_zip({a}, {b}),
+             p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+"""
+
+
+def _ann_ivf_pq_sql(sf_dir: str) -> str:
+    """Surrogate oracle: the full IVFADC serving POLICY conditional on
+    BOTH persisted fitted artifacts — coarse centroids (probe plan) and
+    PQ codebooks (per-subspace argmin encode, ADC candidate ordering,
+    exact-cosine re-rank).  Every comparison the Spark side rounds(9)
+    pre-argmin/argmax is mirrored, so code assignment and the rerank
+    boundary are engine-independent.  Subvector width is derived from
+    the codebook rows (len(cv)), same as the Spark fold."""
+    cpath = ivf_centroid_path(sf_dir)
+    pqpath = pq_codebook_path(sf_dir)
+    sub = "(cb.sub_idx * len(cb.cv) + 1):(cb.sub_idx * len(cb.cv) + len(cb.cv))"
+    return f"""
+    WITH cents AS (
+      SELECT CAST(cent_id AS BIGINT) AS cent_id, cv
+      FROM read_parquet('{cpath}/*.parquet')
+    ),
+    cb AS (
+      SELECT sub_idx, code_id, cv FROM read_parquet('{pqpath}/*.parquet')
+    ),
+    q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    assign AS (
+      SELECT e.vec_id, e.label, e.embedding, c.cent_id,
+             round({_DK_COS.format(a="e.embedding", b="c.cv")}, 9) AS sim
+      FROM embeddings e CROSS JOIN cents c
+      WHERE e.vec_id <> 0
+      QUALIFY row_number() OVER (
+        PARTITION BY e.vec_id ORDER BY sim DESC, c.cent_id ASC
+      ) = 1
+    ),
+    qcells AS (
+      SELECT c.cent_id
+      FROM q CROSS JOIN cents c
+      QUALIFY row_number() OVER (
+        ORDER BY round({_DK_COS.format(a="q.qv", b="c.cv")}, 9) DESC,
+                 c.cent_id ASC
+      ) <= {_IVF_NPROBE}
+    ),
+    probed AS (
+      SELECT a.vec_id, a.label, a.embedding, a.cent_id
+      FROM assign a JOIN qcells USING (cent_id)
+    ),
+    -- per (row, subspace): the argmin-L2 code's sub-centroid (round-9
+    -- distance, code_id tie-break — exactly pq_encode's array_min rank)
+    chosen AS (
+      SELECT p.vec_id, cb.sub_idx, cb.cv
+      FROM probed p CROSS JOIN cb
+      QUALIFY row_number() OVER (
+        PARTITION BY p.vec_id, cb.sub_idx
+        ORDER BY round({_DK_SQD.format(a=f"p.embedding[{sub}]", b="cb.cv")}, 9) ASC,
+                 cb.code_id ASC
+      ) = 1
+    ),
+    -- ADC numerator: sum over subspaces (in sub_idx order, like the
+    -- Spark fold) of dot(query subvector, chosen sub-centroid)
+    adc AS (
+      SELECT cb.vec_id,
+             list_sum(list(
+               {_DK_DOT.format(a=f"q.qv[{sub}]", b="cb.cv")}
+               ORDER BY cb.sub_idx)) AS num
+      FROM chosen cb CROSS JOIN q
+      GROUP BY cb.vec_id
+    ),
+    cand AS (
+      SELECT p.vec_id, p.label, p.cent_id, p.embedding
+      FROM probed p JOIN adc USING (vec_id) CROSS JOIN q
+      QUALIFY row_number() OVER (
+        ORDER BY round(adc.num
+                   / (sqrt({_DK_DOT.format(a="p.embedding", b="p.embedding")})
+                    * sqrt({_DK_DOT.format(a="q.qv", b="q.qv")})), 9) DESC,
+                 p.vec_id ASC
+      ) <= {_PQ_RERANK}
+    )
+    SELECT c.vec_id, c.label, c.cent_id,
+           round({_DK_COS.format(a="c.embedding", b="q.qv")}, 6) AS cosine
+    FROM cand c CROSS JOIN q
+    ORDER BY cosine DESC, vec_id ASC
+    LIMIT 10
+    """
+
+
 @register(
     "ann_ivf_pq",
-    sql=None,
+    sql=_ann_ivf_pq_sql,
     doc=f"IVF-PQ ANN (FAISS-style IVFADC shape): coarse-quantize the "
     f"corpus into {_IVF_K} trained cells, probe the query's best "
     f"{_IVF_NPROBE}, PQ-encode the probed subset ({_PQ_M} 4-bit codes + "
@@ -1203,10 +1412,13 @@ def pq_adc_rescore(encoded, query, cb_arr, k: int = 10, rerank: int = _PQ_RERANK
     "are trained offline on deterministic samples and PERSISTED "
     "(ivf_centroid_table / pq_codebook_table); serving reads + "
     "broadcasts them. Everything after the scan is per-row JVM folds — "
-    "no shuffle before the bounded top-k, no Python. No SQL oracle "
-    "(KMeans codebooks are iterative; rows-only driver check); "
-    "tests/test_ann.py pins recall floors and monotonicity in rerank "
-    "depth. At 100 TB this is the memory-resident scan path: raw "
+    "no shuffle before the bounded top-k, no Python. SURROGATE oracle: "
+    "the KMeans codebook fits are iterative (non-SQL), but the entire "
+    "serving policy conditional on the two persisted artifacts — "
+    "probe, encode, ADC ordering, exact re-rank — is oracle-checked in "
+    "DuckDB; tests/test_ann.py additionally pins recall floors and "
+    "monotonicity in rerank depth. "
+    "At 100 TB this is the memory-resident scan path: raw "
     "vectors stay on disk for the re-rank fetch, the PQ codes fit in "
     "RAM.",
 )
@@ -1550,9 +1762,55 @@ def quality_model_table(spark, sf_dir, sample_rows: int = 4096):
     )
 
 
+def quality_model_path(sf_dir, sample_rows: int = 4096) -> str:
+    """Where :func:`quality_model_table` persists its fit."""
+    return _served_model_path(
+        sf_dir, "quality_logreg", f"n{sample_rows}_v3",
+        source="documents.parquet",
+    )
+
+
+def _quality_classifier_sql(sf_dir: str) -> str:
+    """Surrogate oracle: the SCORING policy conditional on the persisted
+    fitted coefficients — DuckDB reads the one-row (weights, intercept)
+    table and recomputes feature extraction + dot + sigmoid with the
+    same evaluation order as the Spark fold.  Only the iterative
+    LogisticRegression fit stays pytest-verified (determinism +
+    learns-the-separable-rule in tests/test_ann.py)."""
+    path = quality_model_path(sf_dir)
+    sw = ", ".join(repr(w) for w in _STOPWORDS)
+    return f"""
+    WITH model AS (
+      SELECT weights, intercept FROM read_parquet('{path}/*.parquet')
+    ),
+    feat AS (
+      SELECT doc_id,
+             CAST(len(tok) AS DOUBLE) AS n_tok,
+             CAST(len(list_filter(tok, x -> x IN ({sw}))) AS DOUBLE) AS n_stop,
+             CAST(len(list_distinct(tok)) AS DOUBLE) AS n_uniq,
+             CAST(n_chars AS DOUBLE) AS nc
+      FROM (SELECT doc_id, n_chars, string_split(text, ' ') AS tok
+            FROM documents)
+    ),
+    scored AS (
+      SELECT doc_id,
+             1.0 / (1.0 + exp(-(m.intercept
+               + (ln(1.0 + n_tok)   * m.weights[1]
+                  + (n_stop / n_tok) * m.weights[2]
+                  + (n_uniq / n_tok) * m.weights[3]
+                  + (nc / n_tok)     * m.weights[4])))) AS prob
+      FROM feat CROSS JOIN model m
+    )
+    SELECT doc_id,
+           round(prob, 6) AS quality_prob,
+           prob >= 0.5 AS quality_label
+    FROM scored
+    """
+
+
 @register(
     "quality_score_classifier",
-    sql=None,
+    sql=_quality_classifier_sql,
     doc="Supervised quality scoring at lake scale: a logistic classifier "
     "trained OFFLINE (MLlib, deterministic sample, weak prose-heuristic "
     "labels standing in for human ratings) and persisted as a one-row "
@@ -1563,10 +1821,11 @@ def quality_model_table(spark, sf_dir, sample_rows: int = 4096):
     "no data shuffle beyond the broadcast) — cost = one "
     "scan regardless of corpus size. The model-quality scorer every "
     "curation pipeline runs (fastText/teacher-model shaped), reduced to "
-    "its Spark-side plumbing. No SQL oracle: the iterative fit is "
-    "non-SQL (rows-only driver check); tests pin determinism and that "
-    "the served scores reproduce the training labels on the full "
-    "corpus.",
+    "its Spark-side plumbing. SURROGATE oracle: the iterative fit is "
+    "non-SQL, but feature extraction + dot + sigmoid conditional on "
+    "the persisted coefficient table are oracle-checked in DuckDB; "
+    "tests additionally pin fit determinism and that the served scores "
+    "reproduce the training labels on the full corpus.",
 )
 def quality_score_classifier(spark, sf_dir):
     d = t(spark, sf_dir, "documents")
@@ -1591,3 +1850,22 @@ def quality_score_classifier(spark, sf_dir):
             (F.col("_prob") >= 0.5).alias("quality_label"),
         )
     )
+
+
+def model_artifact_paths(sf_dir: str) -> list[str]:
+    """Every persisted fitted artifact the surrogate oracles read."""
+    return [
+        ivf_centroid_path(sf_dir),
+        pq_codebook_path(sf_dir),
+        quality_model_path(sf_dir),
+    ]
+
+
+def ensure_model_tables(spark, sf_dir: str) -> None:
+    """Build (if missing) every persisted fitted artifact for ``sf_dir``
+    — called before handing surrogate oracle SQL to a consumer that may
+    execute it ahead of the Spark queries (the artifacts are otherwise
+    built lazily on each query's first run)."""
+    ivf_centroid_table(spark, sf_dir)
+    pq_codebook_table(spark, sf_dir)
+    quality_model_table(spark, sf_dir)

@@ -18,18 +18,34 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession
 
 
+# The scale factor the external driver runs its correctness compare at;
+# surrogate oracles that embed artifact paths resolve against it when no
+# explicit sf_dir is given.
+DRIVER_SF_DIR = "/root/testdata/sf0.01"
+
+
 @dataclass(frozen=True)
 class Query:
     name: str
     fn: Callable[[SparkSession, str], DataFrame]
-    sql: str | None
+    # str: static DuckDB oracle.  Callable: SURROGATE oracle — resolved
+    # lazily with the sf_dir under test, so it can embed the path of a
+    # persisted fitted artifact (trained centroids/codebooks/
+    # coefficients) and oracle the serving policy CONDITIONAL on the
+    # fit.  None: genuinely non-SQL-expressible (rows-only check).
+    sql: str | Callable[[str], str] | None
     doc: str
+
+    def resolved_sql(self, sf_dir: str = DRIVER_SF_DIR) -> str | None:
+        return self.sql(sf_dir) if callable(self.sql) else self.sql
 
 
 REGISTRY: dict[str, Query] = {}
 
 
-def register(name: str, sql: str | None = None, doc: str = ""):
+def register(
+    name: str, sql: str | Callable[[str], str] | None = None, doc: str = ""
+):
     """Decorator: add a (spark, sf_dir) -> DataFrame callable under ``name``."""
 
     def deco(fn: Callable[[SparkSession, str], DataFrame]):
@@ -46,4 +62,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    return {q.name: q.sql for q in REGISTRY.values() if q.sql is not None}
+    """Driver-facing oracle map, resolved at the driver's correctness SF
+    (surrogate oracles embed artifact paths for that SF)."""
+    out = {}
+    for q in REGISTRY.values():
+        s = q.resolved_sql()
+        if s is not None:
+            out[q.name] = s
+    return out

@@ -43,34 +43,54 @@ class _KeyLock:
     the lease is older than ``LEASE_GRACE_S`` — a caller that took a
     hand-out and never acquired has abandoned it).
 
-    The lease decrement on ``acquire`` races ``single_flight``'s
-    increment without ``_global`` — benign: a lost update can only
-    over-count ``pending`` (floored at 0), delaying the reap until the
-    grace age, never reaping early."""
+    Lease accounting (``pending``/``leased_at``) is guarded by its own
+    ``_meta`` lock: an unsynchronized decrement racing the increment can
+    lose an update in EITHER direction, and an under-count would re-open
+    the premature-reap window this class exists to close.  Lock order is
+    strictly ``_global → _meta`` / ``_inner → _meta``, never the
+    reverse, so no deadlock.  ``release`` refreshes ``leased_at``: a
+    waiter blocked in ``acquire`` behind a fetch slower than the grace
+    age must not look abandoned in the hand-over window between the
+    holder's release and the waiter's acquire completing."""
 
-    __slots__ = ("_inner", "pending", "leased_at")
+    __slots__ = ("_inner", "_meta", "_clock", "pending", "leased_at")
 
-    def __init__(self) -> None:
+    def __init__(self, clock: Callable[[], float] = _time.time) -> None:
         self._inner = threading.Lock()
+        self._meta = threading.Lock()
+        self._clock = clock
         self.pending = 0
         self.leased_at = 0.0
 
+    def lease(self, now: float) -> None:
+        with self._meta:
+            self.pending += 1
+            self.leased_at = now
+
     def acquire(self, blocking: bool = True, timeout: float = -1) -> bool:
         got = self._inner.acquire(blocking, timeout)
-        if got and self.pending > 0:
-            self.pending -= 1  # hand-out consumed; locked() guards now
+        if got:
+            with self._meta:
+                if self.pending > 0:
+                    self.pending -= 1  # hand-out consumed; locked() guards
         return got
 
     def release(self) -> None:
+        with self._meta:
+            # restart the abandonment clock for any waiter about to win
+            # the hand-over; leases never acquired keep their original
+            # stamp (no release ever runs for them) and still expire
+            self.leased_at = self._clock()
         self._inner.release()
 
     def locked(self) -> bool:
         return self._inner.locked()
 
     def reapable(self, now: float) -> bool:
-        return not self._inner.locked() and (
-            self.pending == 0 or now - self.leased_at > LEASE_GRACE_S
-        )
+        if self._inner.locked():
+            return False
+        with self._meta:
+            return self.pending == 0 or now - self.leased_at > LEASE_GRACE_S
 
     def __enter__(self) -> bool:
         return self.acquire()
@@ -214,7 +234,8 @@ class ServingCache:
         a concurrent ``put``'s reap cannot delete it in the window
         between return and acquire — see ``_KeyLock``."""
         with self._global:
-            lk = self._locks.setdefault(key, _KeyLock())
-            lk.pending += 1
-            lk.leased_at = self._clock()
+            lk = self._locks.get(key)
+            if lk is None:
+                lk = self._locks[key] = _KeyLock(self._clock)
+            lk.lease(self._clock())
             return lk

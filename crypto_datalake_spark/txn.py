@@ -401,14 +401,12 @@ def table_diff(
     # values and could make genuinely changed rows compare equal —
     # silently corrupting the change feed.  Added/dropped columns remain
     # fine (null-fill / absence is exact, documented above).
-    old_st, new_st = _manifest_struct(old_m), _manifest_struct(new_m)
-    if old_st is not None and new_st is not None:
-        new_types = {f.name: f.dataType for f in new_st.fields}
+    def _refuse_retyped(old_types: dict, new_types: dict) -> None:
         retyped = [
-            f"{f.name}: {f.dataType.simpleString()} -> "
-            f"{new_types[f.name].simpleString()}"
-            for f in old_st.fields
-            if f.name in new_types and f.dataType != new_types[f.name]
+            f"{c}: {old_types[c].simpleString()} -> "
+            f"{new_types[c].simpleString()}"
+            for c in old_types
+            if c in new_types and old_types[c] != new_types[c]
         ]
         if retyped:
             raise ValueError(
@@ -419,6 +417,13 @@ def table_diff(
                 "lossy cast. Diff up to the rewrite and from it "
                 "separately, or re-snapshot consumers at the rewrite."
             )
+
+    old_st, new_st = _manifest_struct(old_m), _manifest_struct(new_m)
+    if old_st is not None and new_st is not None:
+        _refuse_retyped(
+            {f.name: f.dataType for f in old_st.fields},
+            {f.name: f.dataType for f in new_st.fields},
+        )
     old_parts, new_parts = old_m["partitions"], new_m["partitions"]
     changed_old = {p: g for p, g in old_parts.items() if new_parts.get(p) != g}
     changed_new = {p: g for p, g in new_parts.items() if old_parts.get(p) != g}
@@ -454,6 +459,17 @@ def table_diff(
         st_ref = (new_df if new_df is not None else old_df).schema
     cols = [f.name for f in st_ref.fields]
     typ = {f.name: f.dataType for f in st_ref.fields}
+
+    if old_st is None or new_st is None:
+        # pre-schema manifest on either side: the manifest-level guard
+        # above could not run, but the same lossy-cast corruption applies
+        # — check the READ sides' (footer-derived) types against the
+        # target shape before any _align_to cast
+        for df in (old_df, new_df):
+            if df is not None:
+                _refuse_retyped(
+                    {f.name: f.dataType for f in df.schema.fields}, typ
+                )
 
     a_old = _align_to(old_df, cols, typ) if old_df is not None else None
     a_new = _align_to(new_df, cols, typ) if new_df is not None else None

@@ -25,12 +25,15 @@ def con(sf_dir):
 @pytest.mark.parametrize("name", sorted(REGISTRY.keys()))
 def test_query_matches_oracle(name, spark, sf_dir, con):
     q = REGISTRY[name]
-    if q.sql is None:
-        df = q.fn(spark, sf_dir)
+    # Run the Spark side FIRST: surrogate oracles read a persisted fitted
+    # artifact (trained centroids/codebooks/coefficients) that the query's
+    # own run builds on first use.
+    df = q.fn(spark, sf_dir)
+    sql = q.resolved_sql(sf_dir)
+    if sql is None:
         assert df.count() >= 0  # rows-only check, like the driver
         return
-    df = q.fn(spark, sf_dir)
-    ok, msg = compare(df, con, q.sql)
+    ok, msg = compare(df, con, sql)
     assert ok, f"{name}: {msg}"
-    exact, total = exact_fraction(df, con, q.sql)
+    exact, total = exact_fraction(df, con, sql)
     assert exact == total, f"{name}: only {exact}/{total} cells bit-exact"

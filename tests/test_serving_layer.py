@@ -383,6 +383,27 @@ def test_cache_leased_lock_survives_reap_before_acquire():
     c.put(("T", 99), 0.0, [(0.0, "r")])
 
 
+def test_cache_release_refreshes_lease_age():
+    """A waiter blocked behind a fetch slower than the grace age must
+    not look abandoned in the hand-over window: release() restarts the
+    abandonment clock, so an outstanding lease older than LEASE_GRACE_S
+    is still honored right after the holder releases."""
+    from crypto_datalake_spark.serving_cache import LEASE_GRACE_S, _KeyLock
+
+    t = [0.0]
+    lk = _KeyLock(clock=lambda: t[0])
+    lk.lease(t[0])      # holder's hand-out
+    lk.acquire()        # holder starts its (slow) fetch
+    lk.lease(t[0])      # waiter's hand-out; it now blocks in acquire()
+    t[0] = LEASE_GRACE_S + 100.0  # fetch ran past the grace age
+    lk.release()        # hand-over window: unlocked, waiter not yet in
+    assert not lk.reapable(t[0])  # lease re-aged, waiter still protected
+    lk.acquire()
+    lk.release()
+    t[0] += LEASE_GRACE_S + 1.0
+    assert lk.reapable(t[0])  # all leases consumed
+
+
 def test_cache_abandoned_lease_reaps_after_grace():
     """A hand-out never acquired is an abandoned lease: after
     LEASE_GRACE_S it must become reapable so _locks cannot leak."""

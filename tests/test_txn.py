@@ -829,6 +829,37 @@ def test_table_diff_refuses_type_changing_rewrite(spark, tmp_path):
     assert txn.table_diff(spark, path, 3, 3).count() == 0
 
 
+def test_table_diff_type_guard_covers_pre_schema_manifests(spark, tmp_path):
+    """When the from-version manifest predates recorded schemas, the
+    manifest-level type guard cannot run — the READ side's footer types
+    must still be checked against the to-version shape, or the old side
+    would be silently lossy-cast (the exact corruption the guard
+    exists to refuse)."""
+    import json as _json
+    import os as _os
+
+    path = str(tmp_path / "lake")
+    txn.atomic_upsert_partitioned(
+        spark, _df(spark, [("A", _T(0), 1.0, "d1")]), path, **KW
+    )  # v1: v double
+    # simulate a v1 written by the pre-schema code (strip table_schema +
+    # the local-FS checksum sidecar that would flag the edit)
+    mp = f"{path}/{txn.MANIFEST_DIR}/v00000001.json"
+    m = _json.loads(open(mp).read())
+    del m["table_schema"]
+    open(mp, "w").write(_json.dumps(m))
+    crc = f"{path}/{txn.MANIFEST_DIR}/.v00000001.json.crc"
+    if _os.path.exists(crc):
+        _os.remove(crc)
+    retyped = spark.createDataFrame(
+        [("A", _T(0), "not-a-number", "d1")],
+        "sym string, ts timestamp_ntz, v string, day string",
+    )
+    txn.atomic_overwrite(spark, retyped, path)  # v2: v double -> string
+    with pytest.raises(ValueError, match=r"v: double -> string"):
+        txn.table_diff(spark, path, 1, 2)
+
+
 def test_diff_shape_from_to_version_manifest_even_when_new_side_empty(spark, tmp_path):
     """A commit that widens the schema while emptying its touched
     partitions leaves no changed partitions on the new side — the feed
