@@ -52,7 +52,15 @@ def oracle_sql() -> dict[str, str]:
     from crypto_datalake_spark.queries.registry import DRIVER_SF_DIR
     from crypto_datalake_spark.session import get_spark
 
-    if not all(os.path.exists(p) for p in model_artifact_paths(DRIVER_SF_DIR)):
+    try:
+        prebuild = not all(
+            os.path.exists(p) for p in model_artifact_paths(DRIVER_SF_DIR)
+        )
+    except OSError:
+        # sf0.01 sources absent on this host: the surrogate oracles
+        # degrade to rows-only in resolved_sql(); nothing to pre-build
+        prebuild = False
+    if prebuild:
         # reuses the driver's active session when one exists; otherwise
         # builds a local one (subsequent driver getOrCreate reuses it)
         ensure_model_tables(get_spark("cds-oracle-prebuild"), DRIVER_SF_DIR)

@@ -810,6 +810,19 @@ def _fit_centers(
     return [[float(x) for x in c] for c in model.clusterCenters()]
 
 
+def _model_cache_key(
+    sf_dir, prefix: str, suffix: str, source: str
+) -> tuple[str, list[str]]:
+    """(cache name, source paths) for a served model table — the ONE
+    definition both the build side (:func:`_served_model_table`) and the
+    path side (:func:`_served_model_path`, feeding the surrogate
+    oracles' read_parquet) derive from, so they cannot desynchronize."""
+    import os
+
+    name = os.path.basename(os.path.normpath(sf_dir))
+    return f"{prefix}_{name}_{suffix}", [os.path.join(sf_dir, source)]
+
+
 def _served_model_table(
     spark, sf_dir, prefix: str, suffix: str, build,
     source: str = "embeddings.parquet",
@@ -821,17 +834,10 @@ def _served_model_table(
     the source file, so regenerated testdata retrains instead of serving
     stale models (a real lake would key on the source table's txn
     generation, txn.py)."""
-    import os
-
     from crypto_datalake_spark.io import warehouse_cached
 
-    name = os.path.basename(os.path.normpath(sf_dir))
-    return warehouse_cached(
-        spark,
-        f"{prefix}_{name}_{suffix}",
-        [os.path.join(sf_dir, source)],
-        build,
-    )
+    name, sources = _model_cache_key(sf_dir, prefix, suffix, source)
+    return warehouse_cached(spark, name, sources, build)
 
 
 def _served_model_path(
@@ -839,16 +845,10 @@ def _served_model_path(
 ) -> str:
     """The warehouse path :func:`_served_model_table` publishes to, for
     the same (prefix, suffix, source) — computable before the artifact
-    exists, so surrogate SQL oracles can embed it.  MUST mirror the
-    table function's naming exactly."""
-    import os
-
+    exists, so surrogate SQL oracles can embed it."""
     from crypto_datalake_spark.io import warehouse_cache_path
 
-    name = os.path.basename(os.path.normpath(sf_dir))
-    return warehouse_cache_path(
-        f"{prefix}_{name}_{suffix}", [os.path.join(sf_dir, source)]
-    )
+    return warehouse_cache_path(*_model_cache_key(sf_dir, prefix, suffix, source))
 
 
 def kmeans_centroids(
@@ -899,17 +899,13 @@ def ivf_centroid_path(sf_dir, k: int = _IVF_K, seed: int = 7) -> str:
     return _served_model_path(sf_dir, "ivf_centroids", f"k{k}_s{seed}")
 
 
-def _ann_ivf_kmeans_sql(sf_dir: str) -> str:
-    """Surrogate oracle: the IVF probe POLICY conditional on the
-    persisted trained centroids — DuckDB reads the same warehouse
-    parquet the serving path broadcasts, then mirrors ann_ivf_probe's
-    certified assignment/probe/score plan (round-9 pre-argmax, identical
-    tie-breaks).  The KMeans fit itself stays pytest-verified
-    (tests/test_ann.py determinism + recall invariants); what this
-    certifies is everything downstream of the fit."""
-    path = ivf_centroid_path(sf_dir)
-    return f"""
-    WITH cents AS (
+def _ivf_probe_ctes_sql(path: str) -> str:
+    """The shared trained-centroid probe plan as DuckDB CTEs (cents /
+    assign / qcells) — ONE definition of the centroid read, round-9
+    argmax assignment, and top-nprobe probe set, consumed by BOTH IVF
+    surrogate oracles so a tie-break or rounding fix cannot reach one
+    and miss the other."""
+    return f"""cents AS (
       SELECT CAST(cent_id AS BIGINT) AS cent_id, cv
       FROM read_parquet('{path}/*.parquet')
     ),
@@ -931,7 +927,19 @@ def _ann_ivf_kmeans_sql(sf_dir: str) -> str:
         ORDER BY round({_DK_COS.format(a="e.embedding", b="c.cv")}, 9) DESC,
                  c.cent_id ASC
       ) <= {_IVF_NPROBE}
-    )
+    )"""
+
+
+def _ann_ivf_kmeans_sql(sf_dir: str) -> str:
+    """Surrogate oracle: the IVF probe POLICY conditional on the
+    persisted trained centroids — DuckDB reads the same warehouse
+    parquet the serving path broadcasts, then mirrors ann_ivf_probe's
+    certified assignment/probe/score plan (round-9 pre-argmax, identical
+    tie-breaks).  The KMeans fit itself stays pytest-verified
+    (tests/test_ann.py determinism + recall invariants); what this
+    certifies is everything downstream of the fit."""
+    return f"""
+    WITH {_ivf_probe_ctes_sql(ivf_centroid_path(sf_dir))}
     SELECT a.vec_id, a.label, a.cent_id,
            round({_DK_COS.format(a="a.embedding", b="q.qv")}, 6) AS cosine
     FROM assign a JOIN qcells q ON a.cent_id = q.cent_id
@@ -1328,35 +1336,14 @@ def _ann_ivf_pq_sql(sf_dir: str) -> str:
     pre-argmin/argmax is mirrored, so code assignment and the rerank
     boundary are engine-independent.  Subvector width is derived from
     the codebook rows (len(cv)), same as the Spark fold."""
-    cpath = ivf_centroid_path(sf_dir)
     pqpath = pq_codebook_path(sf_dir)
     sub = "(cb.sub_idx * len(cb.cv) + 1):(cb.sub_idx * len(cb.cv) + len(cb.cv))"
     return f"""
-    WITH cents AS (
-      SELECT CAST(cent_id AS BIGINT) AS cent_id, cv
-      FROM read_parquet('{cpath}/*.parquet')
-    ),
+    WITH {_ivf_probe_ctes_sql(ivf_centroid_path(sf_dir))},
     cb AS (
       SELECT sub_idx, code_id, cv FROM read_parquet('{pqpath}/*.parquet')
     ),
     q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
-    assign AS (
-      SELECT e.vec_id, e.label, e.embedding, c.cent_id,
-             round({_DK_COS.format(a="e.embedding", b="c.cv")}, 9) AS sim
-      FROM embeddings e CROSS JOIN cents c
-      WHERE e.vec_id <> 0
-      QUALIFY row_number() OVER (
-        PARTITION BY e.vec_id ORDER BY sim DESC, c.cent_id ASC
-      ) = 1
-    ),
-    qcells AS (
-      SELECT c.cent_id
-      FROM q CROSS JOIN cents c
-      QUALIFY row_number() OVER (
-        ORDER BY round({_DK_COS.format(a="q.qv", b="c.cv")}, 9) DESC,
-                 c.cent_id ASC
-      ) <= {_IVF_NPROBE}
-    ),
     probed AS (
       SELECT a.vec_id, a.label, a.embedding, a.cent_id
       FROM assign a JOIN qcells USING (cent_id)
@@ -1803,7 +1790,7 @@ def _quality_classifier_sql(sf_dir: str) -> str:
     )
     SELECT doc_id,
            round(prob, 6) AS quality_prob,
-           prob >= 0.5 AS quality_label
+           round(prob, 9) >= 0.5 AS quality_label
     FROM scored
     """
 
@@ -1847,7 +1834,11 @@ def quality_score_classifier(spark, sf_dir):
         .select(
             "doc_id",
             F.round("_prob", 6).alias("quality_prob"),
-            (F.col("_prob") >= 0.5).alias("quality_label"),
+            # threshold on the round-9 prob: JVM and DuckDB exp() may
+            # differ in the last ulp, and a document landing within
+            # ~1e-16 of 0.5 must not flip labels across engines (same
+            # discipline as every round-9 argmin/argmax comparison)
+            (F.round("_prob", 9) >= 0.5).alias("quality_label"),
         )
     )
 

@@ -37,7 +37,16 @@ class Query:
     doc: str
 
     def resolved_sql(self, sf_dir: str = DRIVER_SF_DIR) -> str | None:
-        return self.sql(sf_dir) if callable(self.sql) else self.sql
+        if not callable(self.sql):
+            return self.sql
+        try:
+            return self.sql(sf_dir)
+        except OSError:
+            # surrogate oracles fingerprint their source parquet to embed
+            # the fitted-artifact path; on a host where sf_dir's sources
+            # are absent the surrogate degrades to the rows-only check
+            # instead of taking every STATIC oracle down with it
+            return None
 
 
 REGISTRY: dict[str, Query] = {}

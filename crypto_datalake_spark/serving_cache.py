@@ -62,10 +62,10 @@ class _KeyLock:
         self.pending = 0
         self.leased_at = 0.0
 
-    def lease(self, now: float) -> None:
+    def lease(self) -> None:
         with self._meta:
             self.pending += 1
-            self.leased_at = now
+            self.leased_at = self._clock()
 
     def acquire(self, blocking: bool = True, timeout: float = -1) -> bool:
         got = self._inner.acquire(blocking, timeout)
@@ -237,5 +237,5 @@ class ServingCache:
             lk = self._locks.get(key)
             if lk is None:
                 lk = self._locks[key] = _KeyLock(self._clock)
-            lk.lease(self._clock())
+            lk.lease()
             return lk

@@ -461,15 +461,46 @@ def table_diff(
     typ = {f.name: f.dataType for f in st_ref.fields}
 
     if old_st is None or new_st is None:
-        # pre-schema manifest on either side: the manifest-level guard
+        # Pre-schema manifest on either side: the manifest-level guard
         # above could not run, but the same lossy-cast corruption applies
-        # — check the READ sides' (footer-derived) types against the
-        # target shape before any _align_to cast
-        for df in (old_df, new_df):
-            if df is not None:
-                _refuse_retyped(
-                    {f.name: f.dataType for f in df.schema.fields}, typ
+        # — check the READ sides' types against the target shape before
+        # any _align_to cast.  Footer-derived DATA-column types are the
+        # files' physical truth, but two classes of read-side type are
+        # INFERRED and must not false-refuse a legitimate diff:
+        # partition columns (directory-name inference: day=20240101
+        # reads as int where the manifest records string) and the
+        # timestamp<->timestamp_ntz pair (inferTimestampNTZ config).
+        part_cols = {
+            seg.split("=", 1)[0]
+            for m in (old_m, new_m)
+            for p in m["partitions"]
+            for seg in p.split("/")
+            if "=" in seg
+        }
+        _TS = {"timestamp", "timestamp_ntz"}
+
+        def _real_mismatches(types: dict) -> dict:
+            return {
+                c: dt
+                for c, dt in types.items()
+                if c not in part_cols
+                and not (
+                    c in typ
+                    and {dt.simpleString(), typ[c].simpleString()} <= _TS
                 )
+            }
+
+        if old_df is not None:
+            _refuse_retyped(_real_mismatches(
+                {f.name: f.dataType for f in old_df.schema.fields}
+            ), typ)
+        if new_df is not None:
+            # arrow direction: typ is the OLD shape here (st_ref fell
+            # back to old_m when new_st is None), so the new side goes
+            # on the right of the old -> new arrow
+            _refuse_retyped(typ, _real_mismatches(
+                {f.name: f.dataType for f in new_df.schema.fields}
+            ))
 
     a_old = _align_to(old_df, cols, typ) if old_df is not None else None
     a_new = _align_to(new_df, cols, typ) if new_df is not None else None

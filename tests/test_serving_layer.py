@@ -392,9 +392,9 @@ def test_cache_release_refreshes_lease_age():
 
     t = [0.0]
     lk = _KeyLock(clock=lambda: t[0])
-    lk.lease(t[0])      # holder's hand-out
+    lk.lease()          # holder's hand-out
     lk.acquire()        # holder starts its (slow) fetch
-    lk.lease(t[0])      # waiter's hand-out; it now blocks in acquire()
+    lk.lease()          # waiter's hand-out; it now blocks in acquire()
     t[0] = LEASE_GRACE_S + 100.0  # fetch ran past the grace age
     lk.release()        # hand-over window: unlocked, waiter not yet in
     assert not lk.reapable(t[0])  # lease re-aged, waiter still protected
