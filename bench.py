@@ -63,6 +63,7 @@ BENCH_QUERIES = [
     "u1_ema",
     "d1_derived_fields",
     "dedup_exact_hash",
+    "dedup_exact_substring",
     "dedup_minhash_lsh",
     "sample_domain_mixture",
     "dedup_ngram_jaccard",

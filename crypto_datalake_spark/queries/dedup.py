@@ -606,3 +606,140 @@ def connected_components(docs, pairs, max_rounds: int = 25):
             f"label propagation did not converge in {max_rounds} rounds"
         )
     return labels
+
+
+# ------------------------------------------------- exact-substring dedup
+
+_ESS_N = 8       # minimum verbatim run (tokens); production ~50 BPE tokens
+_ESS_DF_CAP = 16  # windows seen in more docs are boilerplate: skip pairing
+
+
+@register(
+    "dedup_exact_substring",
+    sql=f"""
+    WITH tok AS (
+      SELECT doc_id, string_split(text, ' ') AS tok FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+             md5(array_to_string(tok[pos:pos+{_ESS_N - 1}], ' ')) AS gram
+      FROM (SELECT doc_id, tok,
+                   unnest(generate_series(1, len(tok) - {_ESS_N} + 1)) AS pos
+            FROM tok WHERE len(tok) >= {_ESS_N})
+    ),
+    keep AS (
+      SELECT gram FROM grams
+      GROUP BY gram HAVING count(DISTINCT doc_id) <= {_ESS_DF_CAP}
+    ),
+    m AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.pos AS pos_a, b.pos AS pos_b, a.pos - b.pos AS diag
+      FROM grams a JOIN grams b USING (gram)
+      WHERE a.doc_id < b.doc_id AND gram IN (SELECT gram FROM keep)
+    ),
+    isl AS (
+      SELECT doc_a, doc_b, diag, pos_a, pos_b,
+             pos_a - row_number() OVER (
+               PARTITION BY doc_a, doc_b, diag ORDER BY pos_a) AS grp
+      FROM m
+    )
+    SELECT doc_a, doc_b,
+           min(pos_a) AS a_start,
+           min(pos_b) AS b_start,
+           count(*) + {_ESS_N} - 1 AS match_tokens
+    FROM isl
+    GROUP BY doc_a, doc_b, diag, grp
+    """,
+    doc=f"Exact-substring deduplication (Lee et al. 2022, 'Deduplicating "
+    "Training Data Makes Language Models Better'): find every MAXIMAL "
+    f"verbatim run of >= {_ESS_N} tokens shared across two documents — "
+    "the overlap tier MinHash misses (high-similarity pairs get caught "
+    "by Jaccard, but a 60-token verbatim quote inside two otherwise "
+    "unrelated documents does not move their global similarity). "
+    "Suffix arrays are the single-machine tool; the Spark shape is: "
+    f"every {_ESS_N}-token window hashed per position (any run of "
+    f"length L >= {_ESS_N} is exactly L-{_ESS_N}+1 consecutive window "
+    "matches), ONE groupBy-gram shuffle builds posting lists whose "
+    "cross-document pairs are expanded in-place (cost = co-occurrences, "
+    "like dedup_ngram_jaccard's inverted index), then a gaps-and-islands "
+    "stitch per (pair, alignment diagonal) merges consecutive window "
+    "matches into maximal runs: match_tokens = N + islands_size - 1. "
+    f"Windows appearing in > {_ESS_DF_CAP} documents are boilerplate "
+    "(licenses, headers) and are df-capped out BEFORE pair expansion — "
+    "the Σ|posting|² term is bounded by the cap, the documented "
+    "stop-gram policy at 100 TB (mirrored exactly by the oracle). The "
+    "stitch windows partition by (doc_a, doc_b, diag): millions of "
+    "tiny partitions, fully parallel, never a per-corpus serial window.",
+)
+def dedup_exact_substring(spark, sf_dir):
+    return exact_substring_runs(t(spark, sf_dir, "documents"))
+
+
+def exact_substring_runs(d, n: int = _ESS_N, cap: int = _ESS_DF_CAP):
+    """Maximal cross-document verbatim runs of >= ``n`` tokens over a
+    (doc_id, text) frame — the plan documented on dedup_exact_substring."""
+    from pyspark.sql import Window
+
+    # one md5 per (doc, position); CASE-guarded for the same
+    # explode-inferred-filter hazard as _SP_SHINGLES (sequence turns
+    # descending on short docs and slice throws under ANSI)
+    win_hashes = F.when(
+        F.size("tok") >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size("tok") - n + 1),
+            lambda p: F.md5(F.concat_ws(" ", F.slice("tok", p, n))),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    grams = (
+        d.select("doc_id", F.split("text", " ").alias("tok"))
+        .where(F.size("tok") >= n)
+        .select("doc_id", F.posexplode(win_hashes).alias("__i", "gram"))
+        .select("doc_id", (F.col("__i") + 1).cast("long").alias("pos"), "gram")
+    )
+    # ONE shuffle: posting list per window hash; df-cap on DISTINCT docs,
+    # then expand cross-document position pairs in-place (a second join
+    # leg would shuffle the gram frame again for nothing)
+    pl = grams.groupBy("gram").agg(
+        F.collect_list(F.struct("doc_id", "pos")).alias("pl")
+    )
+    pairs = F.filter(
+        F.flatten(
+            F.transform(
+                F.col("pl"),
+                lambda a: F.transform(
+                    F.col("pl"),
+                    lambda b: F.struct(
+                        a["doc_id"].alias("doc_a"),
+                        b["doc_id"].alias("doc_b"),
+                        a["pos"].alias("pos_a"),
+                        b["pos"].alias("pos_b"),
+                    ),
+                ),
+            )
+        ),
+        lambda x: x["doc_a"] < x["doc_b"],
+    )
+    m = (
+        pl.where(
+            F.size(
+                F.array_distinct(F.transform(F.col("pl"), lambda x: x["doc_id"]))
+            )
+            <= cap
+        )
+        .select(F.explode(pairs).alias("m"))
+        .select("m.doc_a", "m.doc_b", "m.pos_a", "m.pos_b")
+        .withColumn("diag", F.col("pos_a") - F.col("pos_b"))
+    )
+    # gaps-and-islands on the alignment diagonal: consecutive pos_a
+    # values = consecutive window matches = one maximal verbatim run
+    w = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pos_a")
+    return (
+        m.withColumn("__grp", F.col("pos_a") - F.row_number().over(w))
+        .groupBy("doc_a", "doc_b", "diag", "__grp")
+        .agg(
+            F.min("pos_a").alias("a_start"),
+            F.min("pos_b").alias("b_start"),
+            (F.count(F.lit(1)) + F.lit(n - 1)).alias("match_tokens"),
+        )
+        .select("doc_a", "doc_b", "a_start", "b_start", "match_tokens")
+    )

@@ -69,7 +69,16 @@ def _lsh_planes(n_planes: int, dim: int) -> list[list[float]]:
     "on a 128-bit key — the cheapest dedup tier before MinHash/SimHash.",
 )
 def dedup_exact_hash(spark, sf_dir):
-    d = t(spark, sf_dir, "documents")
+    # load_table directly, NOT t(): the documents spread() exists for
+    # per-row-HEAVY compute, and md5+hash-agg is not it — the round-robin
+    # exchange it inserts ships the full text bytes through a shuffle
+    # before the hash collapses them to 16 B/row (measured 0.28 -> 0.61 s
+    # at sf0.1 when round 5 routed this query through t(); at 100 TB it
+    # would be a full-corpus shuffle for nothing).  The map-side partial
+    # agg already parallelizes the only real work.
+    from crypto_datalake_spark.io import load_table
+
+    d = load_table(spark, sf_dir, "documents")
     return d.groupBy(F.md5(F.col("text").cast("binary")).alias("text_hash")).agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.min("doc_id").alias("canonical_doc_id"),

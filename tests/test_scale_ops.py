@@ -180,3 +180,55 @@ def test_sketch_profile_bounds_and_mergeability(spark, sf_dir):
         .collect()
     }
     assert merged == {et: r["approx_users"] for et, r in got.items()}
+
+
+# --- exact-substring dedup (Lee et al. 2022 tier) --------------------------
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_substring_witness_and_maximality(spark):
+    """A known K-token verbatim overlap must surface as ONE maximal run
+    of exactly K tokens at the right positions — not a pile of window
+    fragments — and sub-N overlaps must not surface at all."""
+    from crypto_datalake_spark.queries.dedup import exact_substring_runs
+
+    shared = " ".join(f"s{i}" for i in range(12))  # 12-token verbatim run
+    d = _docs(spark, [
+        (1, "a1 a2 a3 " + shared + " z1 z2"),
+        (2, "b1 " + shared + " y1 y2 y3"),
+        (3, "c1 c2 " + " ".join(f"s{i}" for i in range(7)) + " c3"),  # 7 < N
+    ])
+    got = {tuple(r) for r in exact_substring_runs(d, n=8).collect()}
+    # doc1 tokens: a1 a2 a3 (pos 1-3), s0..s11 (pos 4-15); doc2: b1, s0.. (pos 2-13)
+    assert got == {(1, 2, 4, 2, 12)}
+
+
+def test_exact_substring_df_cap_drops_boilerplate(spark):
+    """A window shared by more than ``cap`` documents is boilerplate and
+    must not expand into pairs (the Σ|posting|² guard)."""
+    from crypto_datalake_spark.queries.dedup import exact_substring_runs
+
+    boiler = " ".join(f"w{i}" for i in range(8))
+    d = _docs(
+        spark,
+        [(i, f"u{i} " + boiler) for i in range(1, 5)],  # 4 docs share it
+    )
+    assert exact_substring_runs(d, n=8, cap=3).count() == 0
+    got = exact_substring_runs(d, n=8, cap=4)
+    assert got.count() == 6  # all C(4,2) pairs, one run each
+
+
+def test_exact_substring_repeated_run_within_doc(spark):
+    """A run repeated at two alignments lands on two diagonals — two
+    separate maximal runs, neither merged nor double-counted."""
+    from crypto_datalake_spark.queries.dedup import exact_substring_runs
+
+    run = " ".join(f"r{i}" for i in range(8))
+    d = _docs(spark, [
+        (1, run),                       # pos 1-8
+        (2, run + " mid " + run),       # pos 1-8 and pos 10-17
+    ])
+    got = {tuple(r) for r in exact_substring_runs(d, n=8).collect()}
+    assert got == {(1, 2, 1, 1, 8), (1, 2, 1, 10, 8)}
