@@ -612,6 +612,10 @@ def connected_components(docs, pairs, max_rounds: int = 25):
 
 _ESS_N = 8       # minimum verbatim run (tokens); production ~50 BPE tokens
 _ESS_DF_CAP = 16  # windows seen in more docs are boilerplate: skip pairing
+# windows with more total OCCURRENCES are degenerate repetition (spam,
+# separator runs): one doc repeating a window T times inside a df-passing
+# posting list would otherwise expand T² structs in a single array value
+_ESS_POS_CAP = 256
 
 
 @register(
@@ -630,6 +634,7 @@ _ESS_DF_CAP = 16  # windows seen in more docs are boilerplate: skip pairing
     keep AS (
       SELECT gram FROM grams
       GROUP BY gram HAVING count(DISTINCT doc_id) <= {_ESS_DF_CAP}
+                       AND count(*) <= {_ESS_POS_CAP}
     ),
     m AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -665,9 +670,12 @@ _ESS_DF_CAP = 16  # windows seen in more docs are boilerplate: skip pairing
     "stitch per (pair, alignment diagonal) merges consecutive window "
     "matches into maximal runs: match_tokens = N + islands_size - 1. "
     f"Windows appearing in > {_ESS_DF_CAP} documents are boilerplate "
-    "(licenses, headers) and are df-capped out BEFORE pair expansion — "
-    "the Σ|posting|² term is bounded by the cap, the documented "
-    "stop-gram policy at 100 TB (mirrored exactly by the oracle). The "
+    "(licenses, headers) and windows with > "
+    f"{_ESS_POS_CAP} total occurrences are degenerate repetition (spam, "
+    "separator runs) — both capped out BEFORE pair expansion, so the "
+    f"in-place expansion builds at most {_ESS_POS_CAP}^2 structs per "
+    "gram: the documented stop-gram policy at 100 TB (both caps "
+    "mirrored exactly by the oracle). The "
     "stitch windows partition by (doc_a, doc_b, diag): millions of "
     "tiny partitions, fully parallel, never a per-corpus serial window.",
 )
@@ -675,9 +683,14 @@ def dedup_exact_substring(spark, sf_dir):
     return exact_substring_runs(t(spark, sf_dir, "documents"))
 
 
-def exact_substring_runs(d, n: int = _ESS_N, cap: int = _ESS_DF_CAP):
+def exact_substring_runs(
+    d, n: int = _ESS_N, cap: int = _ESS_DF_CAP, pos_cap: int = _ESS_POS_CAP
+):
     """Maximal cross-document verbatim runs of >= ``n`` tokens over a
-    (doc_id, text) frame — the plan documented on dedup_exact_substring."""
+    (doc_id, text) frame — the plan documented on dedup_exact_substring.
+    ``cap`` bounds a window's document frequency (boilerplate guard),
+    ``pos_cap`` its total occurrences (degenerate-repetition guard: the
+    in-place pair expansion builds at most pos_cap² structs per gram)."""
     from pyspark.sql import Window
 
     # one md5 per (doc, position); CASE-guarded for the same
@@ -721,10 +734,15 @@ def exact_substring_runs(d, n: int = _ESS_N, cap: int = _ESS_DF_CAP):
     )
     m = (
         pl.where(
-            F.size(
-                F.array_distinct(F.transform(F.col("pl"), lambda x: x["doc_id"]))
+            (
+                F.size(
+                    F.array_distinct(
+                        F.transform(F.col("pl"), lambda x: x["doc_id"])
+                    )
+                )
+                <= cap
             )
-            <= cap
+            & (F.size("pl") <= pos_cap)
         )
         .select(F.explode(pairs).alias("m"))
         .select("m.doc_a", "m.doc_b", "m.pos_a", "m.pos_b")

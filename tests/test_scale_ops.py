@@ -232,3 +232,17 @@ def test_exact_substring_repeated_run_within_doc(spark):
     ])
     got = {tuple(r) for r in exact_substring_runs(d, n=8).collect()}
     assert got == {(1, 2, 1, 1, 8), (1, 2, 1, 10, 8)}
+
+
+def test_exact_substring_pos_cap_drops_degenerate_repetition(spark):
+    """A window whose TOTAL occurrences exceed pos_cap must be dropped
+    before pair expansion even when its document frequency passes the df
+    cap — one spammy doc repeating a window T times would otherwise
+    build T^2 structs inside a single array value."""
+    from crypto_datalake_spark.queries.dedup import exact_substring_runs
+
+    run = " ".join(f"p{i}" for i in range(8))
+    spam = " x ".join([run] * 6)  # the run at 6 alignments in one doc
+    d = _docs(spark, [(1, spam), (2, run)])
+    assert exact_substring_runs(d, n=8, pos_cap=4).count() == 0
+    assert exact_substring_runs(d, n=8, pos_cap=256).count() > 0
