@@ -64,6 +64,7 @@ BENCH_QUERIES = [
     "d1_derived_fields",
     "dedup_exact_hash",
     "dedup_exact_substring",
+    "scrub_exact_substrings",
     "dedup_minhash_lsh",
     "sample_domain_mixture",
     "dedup_ngram_jaccard",

@@ -618,10 +618,12 @@ _ESS_DF_CAP = 16  # windows seen in more docs are boilerplate: skip pairing
 _ESS_POS_CAP = 256
 
 
-@register(
-    "dedup_exact_substring",
-    sql=f"""
-    WITH tok AS (
+def ess_runs_ctes() -> str:
+    """The exact-substring run-finding plan as DuckDB CTEs ending in
+    ``runs(doc_a, doc_b, a_start, b_start, match_tokens)`` — ONE
+    definition shared by the dedup_exact_substring oracle and the
+    scrub_exact_substrings policy oracle so they cannot drift."""
+    return f"""tok AS (
       SELECT doc_id, string_split(text, ' ') AS tok FROM documents
     ),
     grams AS (
@@ -647,13 +649,22 @@ _ESS_POS_CAP = 256
              pos_a - row_number() OVER (
                PARTITION BY doc_a, doc_b, diag ORDER BY pos_a) AS grp
       FROM m
-    )
-    SELECT doc_a, doc_b,
-           min(pos_a) AS a_start,
-           min(pos_b) AS b_start,
-           count(*) + {_ESS_N} - 1 AS match_tokens
-    FROM isl
-    GROUP BY doc_a, doc_b, diag, grp
+    ),
+    runs AS (
+      SELECT doc_a, doc_b,
+             min(pos_a) AS a_start,
+             min(pos_b) AS b_start,
+             count(*) + {_ESS_N} - 1 AS match_tokens
+      FROM isl
+      GROUP BY doc_a, doc_b, diag, grp
+    )"""
+
+
+@register(
+    "dedup_exact_substring",
+    sql=f"""
+    WITH {ess_runs_ctes()}
+    SELECT doc_a, doc_b, a_start, b_start, match_tokens FROM runs
     """,
     doc=f"Exact-substring deduplication (Lee et al. 2022, 'Deduplicating "
     "Training Data Makes Language Models Better'): find every MAXIMAL "

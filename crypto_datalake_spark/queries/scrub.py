@@ -33,6 +33,7 @@ from crypto_datalake_spark.queries.common import t
 from crypto_datalake_spark.queries.dedup import (
     _DK_LSH_BASE,
     _JACCARD_MIN,
+    ess_runs_ctes,
     lsh_signatures,
 )
 from crypto_datalake_spark.queries.registry import register
@@ -252,4 +253,125 @@ def dedup_incremental_lsh(spark, sf_dir):
             F.coalesce("n_dup", F.lit(0)).cast("long").alias("n_dup_existing"),
             (F.coalesce("n_dup", F.lit(0)) == 0).alias("is_novel"),
         )
+    )
+
+
+# --------------------------------------- exact-substring span removal
+
+
+@register(
+    "scrub_exact_substrings",
+    sql="""
+    WITH {CTES},
+    cuts AS (
+      SELECT doc_b AS doc_id, b_start AS s, b_start + match_tokens AS e
+      FROM runs
+    ),
+    marked AS (
+      SELECT doc_id, s, e,
+             CASE WHEN max(e) OVER w IS NULL OR s > max(e) OVER w
+                  THEN 1 ELSE 0 END AS brk
+      FROM cuts
+      WINDOW w AS (PARTITION BY doc_id ORDER BY s, e
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    ),
+    merged AS (
+      SELECT doc_id, min(s) AS s, max(e) AS e
+      FROM (SELECT *, sum(brk) OVER (PARTITION BY doc_id ORDER BY s, e
+                                     ROWS UNBOUNDED PRECEDING) AS g
+            FROM marked)
+      GROUP BY doc_id, g
+    ),
+    keepers AS (
+      SELECT t.doc_id, u.pos, t.tok[u.pos] AS tk
+      FROM tok t, unnest(generate_series(1, len(t.tok))) AS u(pos)
+      WHERE t.doc_id IN (SELECT doc_id FROM merged)
+        AND NOT EXISTS (SELECT 1 FROM merged m
+                        WHERE m.doc_id = t.doc_id
+                          AND u.pos >= m.s AND u.pos < m.e)
+    ),
+    rebuilt AS (
+      SELECT c.doc_id, coalesce(string_agg(k.tk, ' ' ORDER BY k.pos), '') AS text
+      FROM (SELECT DISTINCT doc_id FROM merged) c
+      LEFT JOIN keepers k USING (doc_id)
+      GROUP BY c.doc_id
+    )
+    SELECT d.doc_id,
+           coalesce(r.text, d.text) AS text,
+           coalesce(rm.n_removed, 0) AS n_tokens_removed
+    FROM documents d
+    LEFT JOIN rebuilt r USING (doc_id)
+    LEFT JOIN (SELECT doc_id, sum(e - s) AS n_removed
+               FROM merged GROUP BY doc_id) rm USING (doc_id)
+    """.replace("{CTES}", ess_runs_ctes()),
+    doc="Exact-substring span REMOVAL (the Lee et al. 2022 policy step "
+    "on dedup_exact_substring's runs): for every maximal cross-document "
+    "verbatim run, the higher-doc_id document loses its copy — cut "
+    "intervals are merged per document (overlaps from different "
+    "partners collapse via a cumulative-max interval merge, the "
+    "standard gaps-and-islands variant) and the text is rebuilt from "
+    "the surviving token positions; untouched documents pass through "
+    "byte-identical, fully-cut documents come out empty, and "
+    "n_tokens_removed accounts for every dropped token. All per-doc "
+    "windows partition by doc_id (tiny, parallel); the rebuild is a "
+    "filter+join over token positions of CUT documents only — documents "
+    "without a duplicated span never enter the rebuild, so the policy "
+    "pass costs O(runs + cut-doc tokens) on top of the run finder.",
+)
+def scrub_exact_substrings(spark, sf_dir):
+    return remove_duplicate_spans(
+        t(spark, sf_dir, "documents").select("doc_id", "text")
+    )
+
+
+def remove_duplicate_spans(d, n=None, cap=None):
+    """The Lee et al. span-removal policy over a (doc_id, text) frame —
+    the plan documented on scrub_exact_substrings."""
+    from pyspark.sql import Window
+
+    from crypto_datalake_spark.queries.dedup import exact_substring_runs
+
+    kw = {k: v for k, v in (("n", n), ("cap", cap)) if v is not None}
+    runs = exact_substring_runs(d, **kw)
+    cuts = runs.select(
+        F.col("doc_b").alias("doc_id"),
+        F.col("b_start").alias("s"),
+        (F.col("b_start") + F.col("match_tokens")).alias("e"),
+    )
+    # merge overlapping cut intervals per doc: an interval starts a new
+    # island iff it begins past the running max end of everything before
+    w = Window.partitionBy("doc_id").orderBy("s", "e")
+    prev_max_e = F.max("e").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    merged = (
+        cuts.withColumn(
+            "brk",
+            (prev_max_e.isNull() | (F.col("s") > prev_max_e)).cast("int"),
+        )
+        .withColumn(
+            "g", F.sum("brk").over(w.rowsBetween(Window.unboundedPreceding, 0))
+        )
+        .groupBy("doc_id", "g")
+        .agg(F.min("s").alias("s"), F.max("e").alias("e"))
+    )
+    iv = merged.groupBy("doc_id").agg(
+        F.collect_list(F.struct("s", "e")).alias("iv"),
+        F.sum(F.col("e") - F.col("s")).alias("n_removed"),
+    )
+    # rebuild = keep tokens whose 1-based position falls in no interval;
+    # only CUT documents pay for the tokenize+filter (left join, null iv
+    # passes the original text through untouched and byte-identical)
+    kept = F.array_join(
+        F.filter(
+            F.split("text", " "),
+            lambda tk, i: ~F.exists(
+                F.col("iv"),
+                lambda v: ((i + 1) >= v["s"]) & ((i + 1) < v["e"]),
+            ),
+        ),
+        " ",
+    )
+    return d.join(iv, "doc_id", "left").select(
+        "doc_id",
+        F.when(F.col("iv").isNull(), F.col("text")).otherwise(kept).alias("text"),
+        F.coalesce("n_removed", F.lit(0)).alias("n_tokens_removed"),
     )

@@ -246,3 +246,42 @@ def test_exact_substring_pos_cap_drops_degenerate_repetition(spark):
     d = _docs(spark, [(1, spam), (2, run)])
     assert exact_substring_runs(d, n=8, pos_cap=4).count() == 0
     assert exact_substring_runs(d, n=8, pos_cap=256).count() > 0
+
+
+def test_remove_duplicate_spans_policy(spark):
+    """Span removal: the higher-doc_id doc loses its copy, overlapping
+    cuts from different partners merge, untouched docs round-trip
+    byte-identical, and a fully-duplicated doc comes out empty."""
+    from crypto_datalake_spark.queries.scrub import remove_duplicate_spans
+
+    run = " ".join(f"s{i}" for i in range(10))
+    d = _docs(spark, [
+        (1, "a1 " + run + " a2"),   # keeper (lowest doc_id)
+        (2, "b1 b2 " + run),        # loses the 10-token span
+        (3, run),                   # fully duplicated -> empty
+        (4, "lone wolf text here untouched by anything at all ok"),
+    ])
+    got = {r["doc_id"]: (r["text"], r["n_tokens_removed"])
+           for r in remove_duplicate_spans(d, n=8).collect()}
+    assert got[1] == ("a1 " + run + " a2", 0)   # keeper untouched
+    assert got[2] == ("b1 b2", 10)
+    assert got[3] == ("", 10)
+    assert got[4][1] == 0 and got[4][0].startswith("lone wolf")
+
+
+def test_remove_duplicate_spans_merges_overlaps(spark):
+    """Two runs hitting overlapping regions of the same victim doc must
+    merge into one cut, not double-count removed tokens."""
+    from crypto_datalake_spark.queries.scrub import remove_duplicate_spans
+
+    t12 = " ".join(f"s{i}" for i in range(12))     # tokens s0..s11
+    left8 = " ".join(f"s{i}" for i in range(8))    # s0..s7
+    right8 = " ".join(f"s{i}" for i in range(4, 12))  # s4..s11
+    d = _docs(spark, [
+        (1, "x1 " + left8),        # matches victim's s0..s7
+        (2, "y1 y2 " + right8),    # matches victim's s4..s11 (overlap s4-s7)
+        (3, t12 + " tail1 tail2"), # victim: loses s0..s11 as ONE merged cut
+    ])
+    got = {r["doc_id"]: (r["text"], r["n_tokens_removed"])
+           for r in remove_duplicate_spans(d, n=8).collect()}
+    assert got[3] == ("tail1 tail2", 12)  # merged, not 8+8
