@@ -264,7 +264,12 @@ def dedup_incremental_lsh(spark, sf_dir):
     sql="""
     WITH {CTES},
     cuts AS (
-      SELECT doc_b AS doc_id, b_start AS s, b_start + match_tokens AS e
+      -- DISTINCT: two partners can cut the identical (s, e) interval,
+      -- and tied rows may sort differently between the brk window and
+      -- the sum(brk) window — deduping makes (s, e) a total order so
+      -- the island assignment is deterministic
+      SELECT DISTINCT doc_b AS doc_id, b_start AS s,
+             b_start + match_tokens AS e
       FROM runs
     ),
     marked AS (
@@ -324,20 +329,29 @@ def scrub_exact_substrings(spark, sf_dir):
     )
 
 
-def remove_duplicate_spans(d, n=None, cap=None):
+def remove_duplicate_spans(d, n=None, cap=None, pos_cap=None):
     """The Lee et al. span-removal policy over a (doc_id, text) frame —
     the plan documented on scrub_exact_substrings."""
     from pyspark.sql import Window
 
     from crypto_datalake_spark.queries.dedup import exact_substring_runs
 
-    kw = {k: v for k, v in (("n", n), ("cap", cap)) if v is not None}
+    kw = {
+        k: v
+        for k, v in (("n", n), ("cap", cap), ("pos_cap", pos_cap))
+        if v is not None
+    }
     runs = exact_substring_runs(d, **kw)
+    # dropDuplicates mirrors the oracle's DISTINCT: identical (s, e)
+    # cuts from different partners would otherwise be tie-ordered
+    # independently by the brk window and the sum(brk) window — today
+    # Catalyst elides the second sort so both see one order, but that is
+    # an optimizer detail, not a semantic guarantee
     cuts = runs.select(
         F.col("doc_b").alias("doc_id"),
         F.col("b_start").alias("s"),
         (F.col("b_start") + F.col("match_tokens")).alias("e"),
-    )
+    ).dropDuplicates()
     # merge overlapping cut intervals per doc: an interval starts a new
     # island iff it begins past the running max end of everything before
     w = Window.partitionBy("doc_id").orderBy("s", "e")

@@ -285,3 +285,22 @@ def test_remove_duplicate_spans_merges_overlaps(spark):
     got = {r["doc_id"]: (r["text"], r["n_tokens_removed"])
            for r in remove_duplicate_spans(d, n=8).collect()}
     assert got[3] == ("tail1 tail2", 12)  # merged, not 8+8
+
+
+def test_remove_duplicate_spans_identical_cut_ties(spark):
+    """Two partners cutting the IDENTICAL interval on one victim must
+    not perturb the interval merge (tied (s, e) rows were the one
+    nondeterministic sort in the oracle — review r6)."""
+    from crypto_datalake_spark.queries.scrub import remove_duplicate_spans
+
+    span_a = " ".join(f"a{i}" for i in range(8))
+    span_b = " ".join(f"b{i}" for i in range(8))
+    d = _docs(spark, [
+        (1, "x " + span_b),
+        (2, "y z " + span_b),          # 1 and 2 cut the SAME (s, e) on 9
+        (3, "q " + span_a),
+        (9, span_a + " g1 g2 g3 g4 g5 " + span_b),
+    ])
+    got = {r["doc_id"]: (r["text"], r["n_tokens_removed"])
+           for r in remove_duplicate_spans(d, n=8).collect()}
+    assert got[9] == ("g1 g2 g3 g4 g5", 16)  # gap survives, no double count
