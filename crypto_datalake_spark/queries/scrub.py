@@ -389,3 +389,64 @@ def remove_duplicate_spans(d, n=None, cap=None, pos_cap=None):
         F.when(F.col("iv").isNull(), F.col("text")).otherwise(kept).alias("text"),
         F.coalesce("n_removed", F.lit(0)).alias("n_tokens_removed"),
     )
+
+
+# ---------------------------------------------------- document chunking
+
+_CHUNK_TOKENS = 32   # chunk size (tokens); production: model context budget
+_CHUNK_OVERLAP = 8   # tokens shared between consecutive chunks
+_CHUNK_STRIDE = _CHUNK_TOKENS - _CHUNK_OVERLAP
+
+
+@register(
+    "chunk_documents",
+    sql=f"""
+    SELECT doc_id,
+           CAST((s - 1) // {_CHUNK_STRIDE} AS BIGINT) AS chunk_id,
+           CAST(s AS BIGINT) AS begin_pos,
+           CAST(len(tok[s:least(s + {_CHUNK_TOKENS - 1}, len(tok))]) AS BIGINT)
+             AS n_tokens,
+           array_to_string(tok[s:least(s + {_CHUNK_TOKENS - 1}, len(tok))], ' ')
+             AS text
+    FROM (SELECT doc_id, tok,
+                 unnest(generate_series(1, len(tok), {_CHUNK_STRIDE})) AS s
+          FROM (SELECT doc_id, string_split(text, ' ') AS tok
+                FROM documents))
+    """,
+    doc=f"Sliding-window document chunking for training-sequence / RAG "
+    f"prep: {_CHUNK_TOKENS}-token chunks with {_CHUNK_OVERLAP}-token "
+    f"overlap (stride {_CHUNK_STRIDE}), the complement of sequence "
+    "packing (ops/prefix.py packs SHORT docs into fixed budgets; this "
+    "splits LONG docs).  Chunk starts are the arithmetic sequence 1, "
+    f"1+{_CHUNK_STRIDE}, ... <= n_tokens, so chunk_id/begin_pos are "
+    "derivable and deterministic; the final chunk may be short. Scale: "
+    "a pure row-expanding map pass (sequence + slice + posexplode) — "
+    "no shuffle, no Python, whole-stage-codegen'd except the array "
+    "lambdas; output rows ~= tokens/stride per doc, each carrying only "
+    "its own slice, so the expansion is bandwidth-proportional at any "
+    "corpus size.",
+)
+def chunk_documents(spark, sf_dir):
+    return chunk_frame(t(spark, sf_dir, "documents"))
+
+
+def chunk_frame(d, size: int = _CHUNK_TOKENS, stride: int = _CHUNK_STRIDE):
+    """Sliding-window chunks over a (doc_id, text) frame — the plan
+    documented on chunk_documents."""
+    dd = d.select("doc_id", F.split("text", " ").alias("tok"))
+    chunks = F.transform(
+        F.sequence(F.lit(1), F.size("tok"), F.lit(stride)),
+        lambda s: F.struct(
+            s.cast("long").alias("begin_pos"),
+            F.slice("tok", s, size).alias("ck"),
+        ),
+    )
+    return dd.select(
+        "doc_id", F.posexplode(chunks).alias("chunk_id", "c")
+    ).select(
+        "doc_id",
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        F.col("c.begin_pos").alias("begin_pos"),
+        F.size("c.ck").cast("long").alias("n_tokens"),
+        F.array_join("c.ck", " ").alias("text"),
+    )

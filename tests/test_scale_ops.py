@@ -304,3 +304,29 @@ def test_remove_duplicate_spans_identical_cut_ties(spark):
     got = {r["doc_id"]: (r["text"], r["n_tokens_removed"])
            for r in remove_duplicate_spans(d, n=8).collect()}
     assert got[9] == ("g1 g2 g3 g4 g5", 16)  # gap survives, no double count
+
+
+def test_chunk_documents_overlap_and_reconstruction(spark):
+    """Consecutive chunks overlap by exactly _CHUNK_OVERLAP tokens, and
+    stitching each chunk's novel suffix onto the first reconstructs the
+    document."""
+    from crypto_datalake_spark.queries.scrub import _CHUNK_OVERLAP, chunk_frame
+
+    toks = [f"t{i}" for i in range(75)]  # 75 tokens -> 4 chunks at stride 24
+    d = _docs(spark, [(1, " ".join(toks))])
+    out = sorted(
+        (r["chunk_id"], r["begin_pos"], r["n_tokens"], r["text"])
+        for r in chunk_frame(d).collect()
+    )
+    assert [c[1] for c in out] == [1, 25, 49, 73]
+    assert [c[2] for c in out] == [32, 32, 27, 3]
+    # overlap: each chunk's head re-states the previous chunk's tokens
+    for (ci, bp, n, tx), (pi, pb, pn, ptx) in zip(out[1:], out):
+        assert tx.split(" ")[:_CHUNK_OVERLAP] == ptx.split(" ")[
+            bp - pb : bp - pb + _CHUNK_OVERLAP
+        ]
+    # reconstruction: first chunk + each later chunk's novel suffix
+    rebuilt = out[0][3].split(" ")
+    for ci, bp, n, tx in out[1:]:
+        rebuilt += tx.split(" ")[len(rebuilt) - (bp - 1):]
+    assert rebuilt == toks
