@@ -404,12 +404,12 @@ _CHUNK_STRIDE = _CHUNK_TOKENS - _CHUNK_OVERLAP
     SELECT doc_id,
            CAST((s - 1) // {_CHUNK_STRIDE} AS BIGINT) AS chunk_id,
            CAST(s AS BIGINT) AS begin_pos,
-           CAST(len(tok[s:least(s + {_CHUNK_TOKENS - 1}, len(tok))]) AS BIGINT)
-             AS n_tokens,
-           array_to_string(tok[s:least(s + {_CHUNK_TOKENS - 1}, len(tok))], ' ')
-             AS text
+           CAST(len(tok[s:s + {_CHUNK_TOKENS - 1}]) AS BIGINT) AS n_tokens,
+           array_to_string(tok[s:s + {_CHUNK_TOKENS - 1}], ' ') AS text
     FROM (SELECT doc_id, tok,
-                 unnest(generate_series(1, len(tok), {_CHUNK_STRIDE})) AS s
+                 unnest(generate_series(
+                   1, greatest(1, len(tok) - {_CHUNK_OVERLAP}),
+                   {_CHUNK_STRIDE})) AS s
           FROM (SELECT doc_id, string_split(text, ' ') AS tok
                 FROM documents))
     """,
@@ -424,7 +424,9 @@ _CHUNK_STRIDE = _CHUNK_TOKENS - _CHUNK_OVERLAP
     "no shuffle, no Python, whole-stage-codegen'd except the array "
     "lambdas; output rows ~= tokens/stride per doc, each carrying only "
     "its own slice, so the expansion is bandwidth-proportional at any "
-    "corpus size.",
+    "corpus size.  Chunk starts stop at n_tokens - overlap: a start past "
+    "that point would emit a chunk fully contained in its predecessor — "
+    "pure duplication for a training/RAG consumer.",
 )
 def chunk_documents(spark, sf_dir):
     return chunk_frame(t(spark, sf_dir, "documents"))
@@ -434,8 +436,11 @@ def chunk_frame(d, size: int = _CHUNK_TOKENS, stride: int = _CHUNK_STRIDE):
     """Sliding-window chunks over a (doc_id, text) frame — the plan
     documented on chunk_documents."""
     dd = d.select("doc_id", F.split("text", " ").alias("tok"))
+    # starts capped at n - overlap: a later start adds zero novel tokens
+    # (its chunk is fully contained in the previous one)
+    last_start = F.greatest(F.lit(1), F.size("tok") - F.lit(size - stride))
     chunks = F.transform(
-        F.sequence(F.lit(1), F.size("tok"), F.lit(stride)),
+        F.sequence(F.lit(1), last_start, F.lit(stride)),
         lambda s: F.struct(
             s.cast("long").alias("begin_pos"),
             F.slice("tok", s, size).alias("ck"),

@@ -312,14 +312,19 @@ def test_chunk_documents_overlap_and_reconstruction(spark):
     document."""
     from crypto_datalake_spark.queries.scrub import _CHUNK_OVERLAP, chunk_frame
 
-    toks = [f"t{i}" for i in range(75)]  # 75 tokens -> 4 chunks at stride 24
+    toks = [f"t{i}" for i in range(75)]  # 75 tokens -> 3 chunks at stride 24
     d = _docs(spark, [(1, " ".join(toks))])
     out = sorted(
         (r["chunk_id"], r["begin_pos"], r["n_tokens"], r["text"])
         for r in chunk_frame(d).collect()
     )
-    assert [c[1] for c in out] == [1, 25, 49, 73]
-    assert [c[2] for c in out] == [32, 32, 27, 3]
+    # no start past n - overlap: a 4th chunk at 73 would be fully
+    # contained in the chunk at 49 (pure duplication)
+    assert [c[1] for c in out] == [1, 25, 49]
+    assert [c[2] for c in out] == [32, 32, 27]
+    # a doc that fits one chunk emits exactly one chunk
+    one = chunk_frame(_docs(spark, [(9, " ".join(toks[:30]))])).collect()
+    assert len(one) == 1 and one[0]["n_tokens"] == 30
     # overlap: each chunk's head re-states the previous chunk's tokens
     for (ci, bp, n, tx), (pi, pb, pn, ptx) in zip(out[1:], out):
         assert tx.split(" ")[:_CHUNK_OVERLAP] == ptx.split(" ")[

@@ -192,3 +192,14 @@ def test_semantic_dedup_join_is_cluster_keyed(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert plan.count("Scan ExistingRDD") == 3  # checkpoint reused 3x
+
+
+def test_chunk_documents_is_shuffle_free_map_pass(spark, sf_dir):
+    """chunk_documents claims a pure row-expanding map pass: no Exchange
+    beyond the under-parallel-scan spread, no Python evaluation."""
+    p = plan_text(REGISTRY["chunk_documents"].fn(spark, sf_dir))
+    # the only allowed exchange is spread()'s round-robin repartition of
+    # the tiny single-row-group test file; no hash/range exchange ever
+    assert "Exchange hashpartitioning" not in p
+    assert "Exchange rangepartitioning" not in p
+    assert "Python" not in p and "ArrowEval" not in p
