@@ -1,0 +1,74 @@
+"""Driver-contract canary: the exact shape the external driver consumes.
+
+The driver imports __spark_entry__, smoke-runs entry(), and compares
+every queries()[name] against oracle_sql()[name] at sf0.01.  The parity
+suite covers the semantics; THIS file pins the contract plumbing that
+sits in front of it — registration order (the curated 50-query window),
+oracle-map invariants, and the surrogate-oracle resolution that round 6
+added (callable sql entries resolving to artifact-path-embedding SQL,
+degrading to rows-only when sources are absent instead of crashing the
+whole map).
+"""
+
+from __future__ import annotations
+
+import os
+
+from crypto_datalake_spark.queries import REGISTRY, _WINDOW
+from crypto_datalake_spark.queries.registry import DRIVER_SF_DIR, oracle_sql
+
+
+def test_window_is_the_first_fifty():
+    assert list(REGISTRY)[:50] == _WINDOW
+
+
+def test_every_oracle_key_is_a_registered_query():
+    o = oracle_sql()
+    assert set(o) <= set(REGISTRY)
+    assert all(isinstance(s, str) and s.strip() for s in o.values())
+
+
+def test_surrogate_oracles_resolve_with_artifact_paths():
+    """The four trained-model queries must resolve to SQL embedding the
+    warehouse path for the driver's correctness SF."""
+    from crypto_datalake_spark.queries.llm import model_artifact_paths
+
+    paths = model_artifact_paths(DRIVER_SF_DIR)
+    for name in (
+        "ann_ivf_kmeans",
+        "dedup_semantic_clusters",
+        "ann_ivf_pq",
+        "quality_score_classifier",
+    ):
+        sql = REGISTRY[name].resolved_sql(DRIVER_SF_DIR)
+        assert sql is not None and "read_parquet" in sql
+        assert any(p in sql for p in paths), name
+
+
+def test_surrogate_resolution_degrades_without_sources():
+    """A missing sf_dir must degrade the surrogate to rows-only (None),
+    never raise — and never take the static oracles down."""
+    q = REGISTRY["ann_ivf_pq"]
+    assert q.resolved_sql("/nonexistent/sf-dir") is None
+    assert REGISTRY["s1_scan_project_filter"].resolved_sql(
+        "/nonexistent/sf-dir"
+    ) is not None
+
+
+def test_benched_queries_are_registered_and_verified():
+    """Every bench.py query exists in the registry and carries either an
+    oracle (static or resolvable surrogate) or a known invariant-tested
+    exemption — a benchmark on an unverifiable query proves nothing."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "bench", os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "bench.py")
+    )
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+    for name in bench.BENCH_QUERIES:
+        assert name in REGISTRY, name
+        # every benched query resolves an oracle at the driver SF (the
+        # ML-fit surrogates included); no silent sql=None bench entries
+        assert REGISTRY[name].resolved_sql(DRIVER_SF_DIR) is not None, name
