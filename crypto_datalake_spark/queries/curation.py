@@ -441,3 +441,124 @@ def ann_recall_eval(spark, sf_dir):
             (n_hit_mp.cast("double") / F.lit(float(_K))).alias(f"recall_mp_at_{_K}"),
         )
     )
+
+
+# ------------------------------------------------------- TF-IDF keywords
+
+_TFIDF_K = 5
+
+
+def tfidf_topk(d, k: int = _TFIDF_K):
+    """Top-``k`` terms per document by smoothed TF-IDF over a
+    (doc_id, text) frame — the plan documented on text_tfidf_topk.
+
+    Determinism discipline: idf is round(ln(...), 7) on BOTH engines
+    (ln is correctly-rounded to ~1 ulp but not bit-identical across
+    libm implementations — the w1/w2 precedent), tf = cnt/len is an
+    exactly-rounded IEEE division, their product is an exactly-rounded
+    IEEE multiply of identical inputs (so it is NOT re-rounded — see
+    the inline note), and the rank orders by that bitwise-identical
+    score with the term string as a total tie-break.
+    """
+    toks = d.select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).alias("n_tok"),
+        F.explode(F.split(F.col("text"), " ")).alias("term"),
+    )
+    # checkpointed: tf feeds BOTH the scored output and the document-
+    # frequency agg — without it Catalyst re-runs the corpus scan and the
+    # (doc, term) shuffle once per consumer (two full corpus passes at
+    # 100 TB for one logical agg); the minhash-signature precedent
+    tf = toks.groupBy("doc_id", "n_tok", "term").agg(
+        F.count(F.lit(1)).alias("term_count")
+    ).localCheckpoint()
+    # document frequency: tf is already one row per (doc, term); N also
+    # comes off the checkpointed tf (split() yields >= 1 token for every
+    # row, so every doc_id appears) — a re-count of d would re-scan the
+    # corpus AND route through spread()'s round-robin exchange for a
+    # plain agg, the exact anti-pattern dedup_exact_hash documents
+    dfc = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_docs"))
+    n_docs = tf.agg(F.countDistinct("doc_id").alias("n_docs"))
+    idf = F.round(
+        F.log(
+            (F.col("n_docs").cast("double") + F.lit(1.0))
+            / (F.col("df_docs").cast("double") + F.lit(1.0))
+        )
+        + F.lit(1.0),
+        7,
+    )
+    scored = (
+        tf.join(dfc, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn("idf", idf)
+        # deliberately NOT rounded: tf is an exactly-rounded IEEE division
+        # of exact integers and idf is the same rounded double on both
+        # engines, so the product is bitwise identical — whereas rounding
+        # a product of "nice" decimals lands on .5e-7 half-way cases that
+        # Spark (decimal-string HALF_UP) and DuckDB (binary round) break
+        # differently (observed at sf0.01: 0.15792035 -> .1579204/.1579203)
+        .withColumn(
+            "tfidf",
+            (
+                F.col("term_count").cast("double")
+                / F.col("n_tok").cast("double")
+            )
+            * F.col("idf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select("doc_id", "term", "term_count", "idf", "tfidf", "rank")
+    )
+
+
+@register(
+    "text_tfidf_topk",
+    sql=f"""
+    WITH tk AS (
+      SELECT doc_id, string_split(text, ' ') AS tok FROM documents
+    ),
+    ex AS (
+      SELECT doc_id, len(tok) AS n_tok, unnest(tok) AS term FROM tk
+    ),
+    tf AS (
+      SELECT doc_id, n_tok, term, CAST(count(*) AS BIGINT) AS term_count
+      FROM ex GROUP BY 1, 2, 3
+    ),
+    dfc AS (
+      SELECT term, CAST(count(*) AS BIGINT) AS df_docs FROM tf GROUP BY 1
+    ),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT doc_id, term, term_count,
+             round(ln((n_docs + 1.0) / (df_docs + 1.0)) + 1.0, 7) AS idf,
+             (CAST(term_count AS DOUBLE) / CAST(n_tok AS DOUBLE))
+               * round(ln((n_docs + 1.0) / (df_docs + 1.0)) + 1.0, 7) AS tfidf
+      FROM tf JOIN dfc USING (term), n
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (
+               PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rank
+      FROM scored
+    )
+    SELECT doc_id, term, term_count, idf, tfidf, CAST(rank AS BIGINT) AS rank
+    FROM ranked WHERE rank <= {_TFIDF_K}
+    """,
+    doc=f"Per-document top-{_TFIDF_K} keywords by smoothed TF-IDF "
+    "(sklearn-style idf = ln((N+1)/(df+1)) + 1): the topic-tagging / "
+    "keyword-extraction primitive a corpus pipeline uses for domain "
+    "labeling and stopword mining. Plan: one explode + (doc, term) "
+    "hash-agg (the only corpus-size shuffle), document frequency is a "
+    "second agg OVER THE ALREADY-COLLAPSED tf frame (vocab-size, not "
+    "corpus-size), N broadcasts as a scalar, and the per-doc top-k "
+    "window partitions by doc_id — millions of tiny partitions, fully "
+    "parallel. At 100 TB the tf->dfc join shuffles on term with AQE "
+    "handling stopword skew; the df-cap escape hatch documented on "
+    "dedup_ngram_jaccard applies unchanged.",
+)
+def text_tfidf_topk(spark, sf_dir):
+    return tfidf_topk(t(spark, sf_dir, "documents"))

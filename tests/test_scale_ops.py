@@ -335,3 +335,37 @@ def test_chunk_documents_overlap_and_reconstruction(spark):
     for ci, bp, n, tx in out[1:]:
         rebuilt += tx.split(" ")[len(rebuilt) - (bp - 1):]
     assert rebuilt == toks
+
+
+# --- TF-IDF keyword extraction ---------------------------------------------
+
+def test_tfidf_topk_witness(spark):
+    """A term concentrated in one doc must outrank corpus-wide terms
+    there; ranks are dense from 1; ties break by term string."""
+    from crypto_datalake_spark.queries.curation import tfidf_topk
+
+    d = _docs(spark, [
+        (1, "apple apple apple common common"),
+        (2, "banana banana banana common common"),
+        (3, "common common common common common"),
+    ])
+    got = {
+        (r["doc_id"], r["rank"]): (r["term"], r["term_count"])
+        for r in tfidf_topk(d, k=2).collect()
+    }
+    # 'apple' df=1 idf high; 'common' df=3 idf = ln(4/4)+1 = 1.0
+    assert got[(1, 1)] == ("apple", 3)
+    assert got[(2, 1)] == ("banana", 3)
+    assert got[(3, 1)] == ("common", 5)
+    assert got[(1, 2)] == ("common", 2)
+
+
+def test_tfidf_topk_tie_breaks_by_term(spark):
+    """Equal tf and equal df => identical scores; rank must order by the
+    term string so both engines agree."""
+    from crypto_datalake_spark.queries.curation import tfidf_topk
+
+    d = _docs(spark, [(1, "zeta alpha"), (2, "zeta alpha")])
+    rows = {(r["doc_id"], r["rank"]): r["term"] for r in tfidf_topk(d, k=2).collect()}
+    assert rows == {(1, 1): "alpha", (1, 2): "zeta",
+                    (2, 1): "alpha", (2, 2): "zeta"}
