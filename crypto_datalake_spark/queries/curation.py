@@ -452,18 +452,23 @@ def tfidf_topk(d, k: int = _TFIDF_K):
     """Top-``k`` terms per document by smoothed TF-IDF over a
     (doc_id, text) frame — the plan documented on text_tfidf_topk.
 
-    Determinism discipline: idf is round(ln(...), 7) on BOTH engines
-    (ln is correctly-rounded to ~1 ulp but not bit-identical across
+    Determinism discipline: idf is round(ln(...) + 1.0, 7) on BOTH
+    engines — the +1 INSIDE the round, a different double from
+    round(ln(...), 7) + 1 for some inputs — (ln is correctly-rounded to
+    ~1 ulp but not bit-identical across
     libm implementations — the w1/w2 precedent), tf = cnt/len is an
     exactly-rounded IEEE division, their product is an exactly-rounded
     IEEE multiply of identical inputs (so it is NOT re-rounded — see
     the inline note), and the rank orders by that bitwise-identical
     score with the term string as a total tie-break.
     """
-    toks = d.select(
+    # tokenize ONCE: size() and explode() as separate split() calls are
+    # separate operators (Project vs Generate) that codegen CSE does not
+    # share — 2x the tokenization cost of the only corpus-size pass
+    toks = d.select("doc_id", F.split(F.col("text"), " ").alias("tok")).select(
         "doc_id",
-        F.size(F.split(F.col("text"), " ")).alias("n_tok"),
-        F.explode(F.split(F.col("text"), " ")).alias("term"),
+        F.size("tok").alias("n_tok"),
+        F.explode("tok").alias("term"),
     )
     # checkpointed: tf feeds BOTH the scored output and the document-
     # frequency agg — without it Catalyst re-runs the corpus scan and the
@@ -473,10 +478,12 @@ def tfidf_topk(d, k: int = _TFIDF_K):
         F.count(F.lit(1)).alias("term_count")
     ).localCheckpoint()
     # document frequency: tf is already one row per (doc, term); N also
-    # comes off the checkpointed tf (split() yields >= 1 token for every
-    # row, so every doc_id appears) — a re-count of d would re-scan the
-    # corpus AND route through spread()'s round-robin exchange for a
-    # plain agg, the exact anti-pattern dedup_exact_hash documents
+    # comes off the checkpointed tf, and the oracle counts the SAME
+    # frame (distinct doc_id of the exploded tokens) so the two engines
+    # cannot disagree on N for a NULL-text doc (explode drops it) or a
+    # duplicated doc_id — a re-count of d would also re-scan the corpus
+    # AND route through spread()'s round-robin exchange for a plain agg,
+    # the exact anti-pattern dedup_exact_hash documents
     dfc = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_docs"))
     n_docs = tf.agg(F.countDistinct("doc_id").alias("n_docs"))
     idf = F.round(
@@ -532,12 +539,12 @@ def tfidf_topk(d, k: int = _TFIDF_K):
     dfc AS (
       SELECT term, CAST(count(*) AS BIGINT) AS df_docs FROM tf GROUP BY 1
     ),
-    n AS (SELECT count(*) AS n_docs FROM documents),
+    n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM ex),
     scored AS (
       SELECT doc_id, term, term_count,
              round(ln((n_docs + 1.0) / (df_docs + 1.0)) + 1.0, 7) AS idf,
              (CAST(term_count AS DOUBLE) / CAST(n_tok AS DOUBLE))
-               * round(ln((n_docs + 1.0) / (df_docs + 1.0)) + 1.0, 7) AS tfidf
+               * idf AS tfidf
       FROM tf JOIN dfc USING (term), n
     ),
     ranked AS (
