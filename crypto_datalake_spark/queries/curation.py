@@ -569,3 +569,174 @@ def tfidf_topk(d, k: int = _TFIDF_K):
 )
 def text_tfidf_topk(spark, sf_dir):
     return tfidf_topk(t(spark, sf_dir, "documents"))
+
+
+# -------------------------------------------- LM-perplexity quality tiers
+
+_PPL_ALPHA = 0.5  # add-alpha smoothing mass per bigram context
+
+
+def lm_perplexity_buckets(d):
+    """CCNet-style perplexity tiers over a (doc_id, text) frame — the
+    plan documented on quality_lm_perplexity.
+
+    Determinism discipline: each per-bigram cost is round(-ln P, 7) on
+    both engines (the w1/w2 ln precedent), summed exactly as
+    DECIMAL(28,7) (order-free), and log_ppl = double(sum)/n is left
+    UNROUNDED — the decimal sum is bit-identical, so the IEEE division
+    is too, and re-rounding would only reintroduce the .5-boundary
+    hazard text_tfidf_topk documents. Tercile cutoffs are the values at
+    nearest-rank ceil(n/3) / ceil(2n/3) of the scored docs, ranked by
+    the scale-safe two-phase global_row_number (a bare
+    row_number() OVER (ORDER BY ..) would serialize the corpus into one
+    task); cutoff values depend only on the sorted multiset, so tie
+    order cannot shift them.
+    """
+    from crypto_datalake_spark.ops.rank import global_row_number
+
+    base = d.select("doc_id", F.split(F.col("text"), " ").alias("tok"))
+    # ONE generate emits every token occurrence as w1 (so the vocab and
+    # the doc-end token are covered) with its successor as w2 (NULL at
+    # the last position). Checkpointed: four consumers (bigram scoring,
+    # context counts, bigram counts, vocab) would otherwise each re-run
+    # the corpus scan + explode; a production pipeline persists the c1 /
+    # c12 count tables like the IVF centroids and skips the refit.
+    ex = (
+        base.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(tok) - 1), "
+                    "i -> struct(tok[i] AS w1, "
+                    "CASE WHEN i < size(tok) - 1 THEN tok[i + 1] END AS w2))"
+                )
+            ).alias("p"),
+        )
+        .select("doc_id", "p.w1", "p.w2")
+        .localCheckpoint()
+    )
+    bg = ex.where(F.col("w2").isNotNull())
+    c1 = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    c12 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    vocab = ex.agg(F.countDistinct("w1").alias("vocab"))
+    p = (F.col("c12") + F.lit(_PPL_ALPHA)) / (
+        F.col("c1") + F.lit(_PPL_ALPHA) * F.col("vocab")
+    )
+    cost = F.round(-F.log(p), 7).cast("decimal(28,7)")
+    ds = (
+        bg.join(c12, ["w1", "w2"])
+        .join(c1, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select("doc_id", cost.alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            (F.sum("c").cast("double") / F.count(F.lit(1)).cast("double")).alias(
+                "log_ppl"
+            ),
+            F.count(F.lit(1)).alias("n_bigrams"),
+        )
+        .localCheckpoint()  # three consumers: rank, count, final join
+    )
+    ranked = global_row_number(
+        ds.select("log_ppl", "doc_id"),
+        [F.col("log_ppl").asc(), F.col("doc_id").asc()],
+        out_col="rk",
+    )
+    n = ds.agg(F.count(F.lit(1)).alias("n"))
+    cuts = (
+        ranked.crossJoin(F.broadcast(n))
+        .agg(
+            F.max(
+                F.when(
+                    F.col("rk") == F.ceil(F.col("n") / F.lit(3.0)),
+                    F.col("log_ppl"),
+                )
+            ).alias("c1v"),
+            F.max(
+                F.when(
+                    F.col("rk") == F.ceil((F.lit(2) * F.col("n")) / F.lit(3.0)),
+                    F.col("log_ppl"),
+                )
+            ).alias("c2v"),
+        )
+    )
+    return (
+        d.select("doc_id")
+        .join(ds, "doc_id", "left")
+        .crossJoin(F.broadcast(cuts))
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_bigrams"), F.lit(0)).cast("long").alias("n_bigrams"),
+            "log_ppl",
+            F.when(F.col("log_ppl").isNull(), F.lit("short"))
+            .when(F.col("log_ppl") <= F.col("c1v"), F.lit("head"))
+            .when(F.col("log_ppl") <= F.col("c2v"), F.lit("middle"))
+            .otherwise(F.lit("tail"))
+            .alias("ppl_bucket"),
+        )
+    )
+
+
+@register(
+    "quality_lm_perplexity",
+    sql=f"""
+    WITH tk AS (
+      SELECT doc_id, string_split(text, ' ') AS tok FROM documents
+    ),
+    ex AS (
+      SELECT doc_id, tok[i] AS w1,
+             CASE WHEN i < len(tok) THEN tok[i + 1] END AS w2
+      FROM (SELECT doc_id, tok, unnest(generate_series(1, len(tok))) AS i
+            FROM tk)
+    ),
+    bg AS (SELECT doc_id, w1, w2 FROM ex WHERE w2 IS NOT NULL),
+    c1t AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY 1),
+    c12t AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY 1, 2),
+    v AS (SELECT count(DISTINCT w1) AS vocab FROM ex),
+    ds AS (
+      SELECT doc_id,
+             CAST(sum(CAST(round(-ln((c12 + {_PPL_ALPHA})
+                                     / (c1 + {_PPL_ALPHA} * vocab)), 7)
+                           AS DECIMAL(28,7))) AS DOUBLE)
+               / count(*) AS log_ppl,
+             CAST(count(*) AS BIGINT) AS n_bigrams
+      FROM bg JOIN c12t USING (w1, w2) JOIN c1t USING (w1), v
+      GROUP BY doc_id
+    ),
+    rk AS (
+      SELECT log_ppl, row_number() OVER (ORDER BY log_ppl, doc_id) AS rk,
+             count(*) OVER () AS n
+      FROM ds
+    ),
+    cuts AS (
+      SELECT max(CASE WHEN rk = CAST(ceil(n / 3.0) AS BIGINT)
+                 THEN log_ppl END) AS c1v,
+             max(CASE WHEN rk = CAST(ceil((2 * n) / 3.0) AS BIGINT)
+                 THEN log_ppl END) AS c2v
+      FROM rk
+    )
+    SELECT d.doc_id, coalesce(ds.n_bigrams, 0) AS n_bigrams, ds.log_ppl,
+           CASE WHEN ds.log_ppl IS NULL THEN 'short'
+                WHEN ds.log_ppl <= c1v THEN 'head'
+                WHEN ds.log_ppl <= c2v THEN 'middle'
+                ELSE 'tail' END AS ppl_bucket
+    FROM documents d LEFT JOIN ds USING (doc_id), cuts
+    """,
+    doc="CCNet-style language-model quality tiers (Wenzek et al. 2020): "
+    "fit an add-0.5-smoothed bigram LM on the corpus, score every "
+    "document by mean negative log-probability (log-perplexity), and "
+    "bucket into head/middle/tail terciles — the standard LM-based "
+    "quality filter for web-scale training data (CCNet uses a "
+    "Wikipedia-trained KenLM; the self-trained bigram twin flags the "
+    "same repetitive-boilerplate head and gibberish tail). Plan: ONE "
+    "corpus explode (checkpointed) feeds bigram counts, context counts "
+    "and vocab; scoring joins the exploded bigrams back to the two "
+    "count tables (the corpus-size shuffles — at 100 TB the counts are "
+    "persisted tables like the IVF centroids, the join skew on "
+    "stop-bigrams is AQE territory, and a df-capped UNK vocab bounds "
+    "the count-table size); tercile cutoffs come from the two-phase "
+    "range-partitioned global rank, never a single-task window; docs "
+    "with < 2 tokens carry a NULL score in a 'short' bucket.",
+)
+def quality_lm_perplexity(spark, sf_dir):
+    return lm_perplexity_buckets(t(spark, sf_dir, "documents"))

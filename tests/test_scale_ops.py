@@ -369,3 +369,43 @@ def test_tfidf_topk_tie_breaks_by_term(spark):
     rows = {(r["doc_id"], r["rank"]): r["term"] for r in tfidf_topk(d, k=2).collect()}
     assert rows == {(1, 1): "alpha", (1, 2): "zeta",
                     (2, 1): "alpha", (2, 2): "zeta"}
+
+
+# --- LM-perplexity quality tiers -------------------------------------------
+
+def test_lm_perplexity_buckets_witness(spark):
+    """A doc made of the corpus's dominant bigram must score lowest
+    (head); a doc of one-off bigrams scores highest (tail); a 1-token
+    doc lands in 'short' with NULL score and 0 bigrams."""
+    from crypto_datalake_spark.queries.curation import lm_perplexity_buckets
+
+    common = "x y " * 20
+    d = _docs(spark, [
+        (1, common.strip()),              # dominant bigrams -> lowest nll
+        (2, "a b c d e f g h i j"),       # one-off bigrams
+        # rare continuations of the FREQUENT context 'x' — strictly worse
+        # than doc 2's one-off-context bigrams (doc 2 and a structurally
+        # symmetric twin would tie exactly and share a bucket, which is
+        # correct tercile-with-ties behavior, so the witness avoids it)
+        (3, "x a x b x c x d x e"),
+        (4, "solo"),                      # no bigram -> short
+    ])
+    rows = {r["doc_id"]: r for r in lm_perplexity_buckets(d).collect()}
+    assert rows[4]["ppl_bucket"] == "short"
+    assert rows[4]["log_ppl"] is None and rows[4]["n_bigrams"] == 0
+    assert rows[1]["ppl_bucket"] == "head"
+    assert rows[1]["log_ppl"] < rows[2]["log_ppl"]
+    # 3 scored docs: terciles put exactly one doc per bucket
+    assert sorted(rows[i]["ppl_bucket"] for i in (1, 2, 3)) == [
+        "head", "middle", "tail"]
+    assert rows[1]["n_bigrams"] == 39
+
+
+def test_lm_perplexity_all_short_corpus(spark):
+    """Every doc under 2 tokens: no scored docs, cutoffs are NULL, and
+    every row still comes back bucketed 'short' (no crash, no drops)."""
+    from crypto_datalake_spark.queries.curation import lm_perplexity_buckets
+
+    d = _docs(spark, [(1, "a"), (2, "b")])
+    rows = {r["doc_id"]: r["ppl_bucket"] for r in lm_perplexity_buckets(d).collect()}
+    assert rows == {1: "short", 2: "short"}
