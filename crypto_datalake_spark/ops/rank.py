@@ -72,7 +72,12 @@ def global_row_number(
 
     return (
         local.join(F.broadcast(offsets), _PID)
-        .withColumn(out_col, (F.col(_OFF) + F.col(_LRK)).cast("int"))
+        # LONG, not int: the whole point of this helper is corpora too
+        # big for a single-task window, i.e. exactly the sizes where a
+        # global row number can exceed 2^31 — an int cast would wrap
+        # silently (non-ANSI) and any rank-equality downstream (e.g. the
+        # quality_lm_perplexity tercile cutoffs) would match nothing
+        .withColumn(out_col, (F.col(_OFF) + F.col(_LRK)).cast("long"))
         .drop(_PID, _LRK, _OFF)
     )
 
