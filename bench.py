@@ -35,7 +35,10 @@ from crypto_datalake_spark.session import get_spark  # noqa: E402
 # non-SQL-expressible, and quality_score_classifier /
 # dedup_semantic_clusters, whose MLlib fits likewise are) are
 # pytest-verified instead: oracle-parity sweep plus recall/monotonicity/
-# determinism/witness bounds in tests/test_ann.py. The TPC-H shapes
+# determinism/witness bounds in tests/test_ann.py. text_tfidf_topk and
+# quality_lm_perplexity (round-6 additions, window already full) carry
+# full DuckDB oracles swept bit-exact by the same parity suite plus
+# witness tests in tests/test_scale_ops.py. The TPC-H shapes
 # benched in r01 (q1/q17/q19/q21/...) rotated out with the window
 # curation; they remain registered and pytest-oracle-checked, runnable
 # via REGISTRY[name].
@@ -70,6 +73,8 @@ BENCH_QUERIES = [
     "dedup_ngram_jaccard",
     "doc_fingerprints",
     "text_profile",
+    "text_tfidf_topk",
+    "quality_lm_perplexity",
     "quality_score_classifier",
     "dedup_embedding_cosine",
     "dedup_semantic_clusters",
