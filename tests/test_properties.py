@@ -11,6 +11,7 @@ exact-boundary ages).
 
 from __future__ import annotations
 
+import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 from pyspark.sql import functions as F
@@ -485,3 +486,125 @@ def test_pq_full_depth_rescore_is_bruteforce(spark, vecs, q):
     assert [(r["cosine"], r["vec_id"]) for r in got] == [
         (c, i) for c, i in brute
     ]
+
+
+# --- TF-IDF / LM-perplexity vs naive reimplementations ---------------------
+
+_doc_text = st.lists(
+    st.sampled_from(["a", "b", "c", "d"]), min_size=1, max_size=8
+).map(" ".join)
+_corpus = st.lists(_doc_text, min_size=1, max_size=6)
+
+
+def _docs_df(spark, texts):
+    return spark.createDataFrame(
+        [(i + 1, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+
+@given(texts=_corpus, k=st.integers(min_value=1, max_value=4))
+@settings(**_SETTINGS)
+def test_tfidf_topk_matches_naive(spark, texts, k):
+    """Scores match a naive Python TF-IDF; ranks are dense, score-sorted
+    with term tie-break; the selected set matches naive top-k whenever
+    the naive boundary is strict (exact ties at the boundary are
+    order-policy, checked separately by the witness test)."""
+    import math
+
+    from crypto_datalake_spark.queries.curation import tfidf_topk
+
+    rows = tfidf_topk(_docs_df(spark, texts), k=k).collect()
+    n_docs = len(texts)
+    df_count: dict[str, int] = {}
+    per_doc: dict[int, dict[str, int]] = {}
+    for i, t in enumerate(texts):
+        toks = t.split(" ")
+        cnt: dict[str, int] = {}
+        for w in toks:
+            cnt[w] = cnt.get(w, 0) + 1
+        per_doc[i + 1] = cnt
+        for w in cnt:
+            df_count[w] = df_count.get(w, 0) + 1
+    naive: dict[int, list[tuple[float, str]]] = {}
+    for did, cnt in per_doc.items():
+        n_tok = sum(cnt.values())
+        scored = []
+        for w, c in cnt.items():
+            idf = round(math.log((n_docs + 1.0) / (df_count[w] + 1.0)) + 1.0, 7)
+            scored.append(((c / n_tok) * idf, w))
+        scored.sort(key=lambda s: (-s[0], s[1]))
+        naive[did] = scored
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert set(by_doc) == set(per_doc)
+    for did, rs in by_doc.items():
+        rs.sort(key=lambda r: r["rank"])
+        want = naive[did][: k]
+        assert [r["rank"] for r in rs] == list(range(1, len(want) + 1))
+        # scores: per-rank match against naive (both sides sorted by
+        # (-score, term), so position i compares like with like)
+        for r, (ws, wt) in zip(rs, want):
+            assert r["tfidf"] == pytest.approx(ws, rel=1e-9, abs=1e-12)
+        # selected set: only assert when the naive boundary is strict
+        if len(naive[did]) > k and abs(naive[did][k - 1][0] - naive[did][k][0]) > 1e-9:
+            assert {r["term"] for r in rs} == {w for _, w in want}
+        # ordering policy on the returned rows themselves
+        for a, b in zip(rs, rs[1:]):
+            assert a["tfidf"] > b["tfidf"] or (
+                a["tfidf"] == b["tfidf"] and a["term"] < b["term"]
+            )
+
+
+@given(texts=_corpus)
+@settings(**_SETTINGS)
+def test_lm_perplexity_matches_naive(spark, texts):
+    """log_ppl matches a naive bigram-LM reimplementation and the
+    bucketing is exactly the nearest-rank tercile policy applied to the
+    RETURNED scores (policy checked independently of ln ulp drift)."""
+    import math
+
+    from crypto_datalake_spark.queries.curation import lm_perplexity_buckets
+
+    rows = {r["doc_id"]: r for r in lm_perplexity_buckets(_docs_df(spark, texts)).collect()}
+    assert set(rows) == set(range(1, len(texts) + 1))
+    # naive LM
+    c1: dict[str, int] = {}
+    c12: dict[tuple[str, str], int] = {}
+    vocab: set[str] = set()
+    toks = {i + 1: t.split(" ") for i, t in enumerate(texts)}
+    for tk in toks.values():
+        vocab.update(tk)
+        for a, b in zip(tk, tk[1:]):
+            c1[a] = c1.get(a, 0) + 1
+            c12[(a, b)] = c12.get((a, b), 0) + 1
+    v = len(vocab)
+    for did, tk in toks.items():
+        r = rows[did]
+        if len(tk) < 2:
+            assert r["log_ppl"] is None and r["ppl_bucket"] == "short"
+            assert r["n_bigrams"] == 0
+            continue
+        costs = [
+            round(-math.log((c12[(a, b)] + 0.5) / (c1[a] + 0.5 * v)), 7)
+            for a, b in zip(tk, tk[1:])
+        ]
+        assert r["n_bigrams"] == len(costs)
+        assert r["log_ppl"] == pytest.approx(sum(costs) / len(costs), rel=1e-9)
+    # bucket policy from the returned scores themselves (exact)
+    scored = sorted(
+        (r["log_ppl"], did) for did, r in rows.items() if r["log_ppl"] is not None
+    )
+    n = len(scored)
+    if n:
+        c1v = scored[math.ceil(n / 3.0) - 1][0]
+        c2v = scored[math.ceil(2 * n / 3.0) - 1][0]
+        for did, r in rows.items():
+            if r["log_ppl"] is None:
+                continue
+            want = (
+                "head" if r["log_ppl"] <= c1v
+                else "middle" if r["log_ppl"] <= c2v
+                else "tail"
+            )
+            assert r["ppl_bucket"] == want, (did, r, c1v, c2v)
