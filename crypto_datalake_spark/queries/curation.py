@@ -740,3 +740,82 @@ def lm_perplexity_buckets(d):
 )
 def quality_lm_perplexity(spark, sf_dir):
     return lm_perplexity_buckets(t(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------- global shuffle → shards
+
+_SHARD_SIZE = 50       # docs per training shard
+_SHUFFLE_SEED = "shuf-42"  # salt for the permutation hash
+
+
+def shuffle_shard_assign(d, shard_size: int = _SHARD_SIZE, seed: str = _SHUFFLE_SEED):
+    """Deterministic global shuffle + shard assignment over a
+    (doc_id, ...) frame — the plan documented on shuffle_export_shards.
+
+    The permutation key is the 60-bit md5 of (seed, doc_id) — the same
+    cross-engine hash bridge as the dedup tiers — with doc_id as the
+    total tie-break; the global position comes from the two-phase
+    range-partitioned rank, so no single-task sort ever sees the corpus.
+    """
+    from crypto_datalake_spark.ops.rank import global_row_number
+
+    keyed = d.select(
+        "doc_id",
+        F.expr(_SP_H.format(x=f"concat('{seed}:', CAST(doc_id AS STRING))")).alias(
+            "shuffle_key"
+        ),
+    )
+    ranked = global_row_number(
+        keyed,
+        [F.col("shuffle_key").asc(), F.col("doc_id").asc()],
+        out_col="rk",
+    )
+    pos0 = F.col("rk") - F.lit(1)
+    return ranked.select(
+        "doc_id",
+        "shuffle_key",
+        F.floor(pos0 / F.lit(shard_size)).cast("long").alias("shard_id"),
+        (pos0 % F.lit(shard_size)).cast("long").alias("shard_pos"),
+    )
+
+
+@register(
+    "shuffle_export_shards",
+    sql=f"""
+    WITH keyed AS (
+      SELECT doc_id,
+             {_DK_H.format(x=f"'{_SHUFFLE_SEED}:' || CAST(doc_id AS VARCHAR)")} AS shuffle_key
+      FROM documents
+    ),
+    ranked AS (
+      SELECT doc_id, shuffle_key,
+             row_number() OVER (ORDER BY shuffle_key, doc_id) AS rk
+      FROM keyed
+    )
+    SELECT doc_id, shuffle_key,
+           CAST(floor((rk - 1) / {_SHARD_SIZE}) AS BIGINT) AS shard_id,
+           CAST((rk - 1) % {_SHARD_SIZE} AS BIGINT) AS shard_pos
+    FROM ranked
+    """,
+    doc=f"Deterministic global shuffle + training-shard assignment: every "
+    "document gets a pseudo-random position (seeded 60-bit md5 of its "
+    f"id, doc_id tie-break) and a ({_SHARD_SIZE}-doc shard_id, "
+    "shard_pos) slot — the export step a training pipeline runs last, "
+    "where a biased or irreproducible shuffle silently changes the "
+    "model. The naive form is ORDER BY rand(): non-reproducible AND a "
+    "single-task global sort at 100 TB. This plan is a seeded-hash "
+    "permutation (re-runnable byte-identically, seed bump = fresh "
+    "epoch permutation) positioned by the two-phase range-partitioned "
+    "global rank — partition-parallel everywhere, the only serial "
+    "structure the #partitions-row offset prefix; a writer then groups "
+    "by shard_id so each shard lands as one output file "
+    "(sinks.write_time_partitioned's partitionBy shape, keyed on "
+    "shard_id).",
+)
+def shuffle_export_shards(spark, sf_dir):
+    from crypto_datalake_spark.io import load_table
+
+    # load_table, not t(): hash + rank of (doc_id) only — no per-row-heavy
+    # text work, so spread()'s round-robin exchange would ship the full
+    # text bytes for nothing (the dedup_exact_hash precedent)
+    return shuffle_shard_assign(load_table(spark, sf_dir, "documents"))

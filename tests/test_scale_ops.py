@@ -409,3 +409,34 @@ def test_lm_perplexity_all_short_corpus(spark):
     d = _docs(spark, [(1, "a"), (2, "b")])
     rows = {r["doc_id"]: r["ppl_bucket"] for r in lm_perplexity_buckets(d).collect()}
     assert rows == {1: "short", 2: "short"}
+
+
+# --- global shuffle → training shards --------------------------------------
+
+def test_shuffle_shard_assign_partitions_exactly(spark):
+    """Every shard except the last holds exactly shard_size docs with
+    dense positions 0..S-1; the assignment is a permutation (each doc
+    exactly once); re-running is byte-identical; a different seed gives
+    a different permutation of the same shard structure."""
+    from crypto_datalake_spark.queries.curation import shuffle_shard_assign
+
+    d = _docs(spark, [(i, f"t{i}") for i in range(1, 24)])  # 23 docs
+    a = sorted(
+        (r["shard_id"], r["shard_pos"], r["doc_id"])
+        for r in shuffle_shard_assign(d, shard_size=5).collect()
+    )
+    assert len(a) == 23
+    assert len({r[2] for r in a}) == 23                      # permutation
+    slots = [(s, p) for s, p, _ in a]
+    assert slots == [(s, p) for s in range(5) for p in range(5)][:23]  # dense
+    b = sorted(
+        (r["shard_id"], r["shard_pos"], r["doc_id"])
+        for r in shuffle_shard_assign(d, shard_size=5).collect()
+    )
+    assert a == b                                            # deterministic
+    c = {
+        r["doc_id"]: (r["shard_id"], r["shard_pos"])
+        for r in shuffle_shard_assign(d, shard_size=5, seed="other").collect()
+    }
+    assert {d_ for _, _, d_ in a} == set(c)
+    assert any((s, p) != c[d_] for s, p, d_ in a)            # seed reshuffles
