@@ -758,13 +758,9 @@ def shuffle_shard_assign(d, shard_size: int = _SHARD_SIZE, seed: str = _SHUFFLE_
     range-partitioned rank, so no single-task sort ever sees the corpus.
     """
     from crypto_datalake_spark.ops.rank import global_row_number
+    from crypto_datalake_spark.queries.llm import _seeded_hash_col
 
-    keyed = d.select(
-        "doc_id",
-        F.expr(_SP_H.format(x=f"concat('{seed}:', CAST(doc_id AS STRING))")).alias(
-            "shuffle_key"
-        ),
-    )
+    keyed = d.select("doc_id", _seeded_hash_col(seed).alias("shuffle_key"))
     ranked = global_row_number(
         keyed,
         [F.col("shuffle_key").asc(), F.col("doc_id").asc()],
@@ -779,12 +775,17 @@ def shuffle_shard_assign(d, shard_size: int = _SHARD_SIZE, seed: str = _SHUFFLE_
     )
 
 
+def _shuffle_key_sql() -> str:
+    from crypto_datalake_spark.queries.llm import _seeded_hash_sql
+
+    return _seeded_hash_sql(_SHUFFLE_SEED)
+
+
 @register(
     "shuffle_export_shards",
     sql=f"""
     WITH keyed AS (
-      SELECT doc_id,
-             {_DK_H.format(x=f"'{_SHUFFLE_SEED}:' || CAST(doc_id AS VARCHAR)")} AS shuffle_key
+      SELECT doc_id, {_shuffle_key_sql()} AS shuffle_key
       FROM documents
     ),
     ranked AS (

@@ -1442,16 +1442,30 @@ def ann_ivf_pq(spark, sf_dir):
 # built inside a query (F.expr needs a live SparkContext).
 
 
+def _check_seed(seed: str) -> str:
+    """Seeds are interpolated into SQL string literals on both engines;
+    restrict them so a quote can neither break the parse nor smuggle a
+    different expression (public kwargs like shuffle_shard_assign's
+    accept arbitrary strings)."""
+    import re
+
+    if not re.fullmatch(r"[A-Za-z0-9._:-]+", seed):
+        raise ValueError(f"seed must match [A-Za-z0-9._:-]+, got {seed!r}")
+    return seed
+
+
 def _seeded_hash_sql(seed: str) -> str:
     from crypto_datalake_spark.queries.dedup import _DK_H
 
-    return _DK_H.format(x=f"'{seed}:' || CAST(doc_id AS VARCHAR)")
+    return _DK_H.format(x=f"'{_check_seed(seed)}:' || CAST(doc_id AS VARCHAR)")
 
 
 def _seeded_hash_col(seed: str):
     from crypto_datalake_spark.queries.dedup import _SP_H
 
-    return F.expr(_SP_H.format(x=f"concat('{seed}:', CAST(doc_id AS STRING))"))
+    return F.expr(
+        _SP_H.format(x=f"concat('{_check_seed(seed)}:', CAST(doc_id AS STRING))")
+    )
 
 
 _STRAT_HV_SQL = _seeded_hash_sql("s1")
