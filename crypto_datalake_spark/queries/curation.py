@@ -820,3 +820,128 @@ def shuffle_export_shards(spark, sf_dir):
     # text work, so spread()'s round-robin exchange would ship the full
     # text bytes for nothing (the dedup_exact_hash precedent)
     return shuffle_shard_assign(load_table(spark, sf_dir, "documents"))
+
+
+# ------------------------------------------- dedup-tier quality evaluation
+
+_DEDUP_EVAL_MOD = 2      # deterministic 1/2 doc sample for the exact arm
+# (pair survival = 1/MOD^2: duplicate partners are unrelated ids, so a
+# sparser sample keeps almost no true pairs to grade — at 100 TB MOD
+# grows and the eval reads its confidence from n_true itself)
+_DEDUP_EVAL_TAU = 0.5    # must equal dedup._JACCARD_MIN (asserted below)
+
+
+def dedup_recall_eval_frame(docs):
+    """Band-stage precision/recall of the MinHash-LSH tier against exact
+    all-pairs Jaccard over a (doc_id, text) frame — the plan documented
+    on dedup_recall_eval. The verified production output has precision 1
+    by construction (candidates are Jaccard-checked); what this grades
+    is the CANDIDATE stage: how much of the true-duplicate set the band
+    collisions recover (recall) and how much verification work they
+    waste (precision)."""
+    from crypto_datalake_spark.queries.dedup import _JACCARD_MIN, lsh_signatures
+
+    assert _DEDUP_EVAL_TAU == _JACCARD_MIN  # oracle embeds the constant
+    sig, bands = lsh_signatures(docs.where(F.col("doc_id") % _DEDUP_EVAL_MOD == 0))
+    a = sig.select(
+        F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a")
+    )
+    b = sig.select(
+        F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b")
+    )
+    jacc = F.size(F.array_intersect("sh_a", "sh_b")).cast("double") / F.size(
+        F.array_union("sh_a", "sh_b")
+    ).cast("double")
+    truth = (
+        F.broadcast(a)
+        .join(b, F.col("doc_a") < F.col("doc_b"))
+        .where(jacc >= F.lit(_DEDUP_EVAL_TAU))
+        .select("doc_a", "doc_b")
+    )
+    cand = (
+        bands.alias("x")
+        .join(
+            bands.alias("y"),
+            (F.col("x.band_id") == F.col("y.band_id"))
+            & (F.col("x.band_key") == F.col("y.band_key"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(
+            F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    hit = truth.join(cand, ["doc_a", "doc_b"])
+    n_true = truth.agg(F.count(F.lit(1)).alias("n_true"))
+    n_cand = cand.agg(F.count(F.lit(1)).alias("n_cand"))
+    n_hit = hit.agg(F.count(F.lit(1)).alias("n_hit"))
+    return (
+        n_true.crossJoin(F.broadcast(n_cand))
+        .crossJoin(F.broadcast(n_hit))
+        .select(
+            "n_true",
+            "n_cand",
+            "n_hit",
+            F.when(
+                F.col("n_cand") > 0,
+                F.col("n_hit").cast("double") / F.col("n_cand").cast("double"),
+            ).alias("precision"),
+            F.when(
+                F.col("n_true") > 0,
+                F.col("n_hit").cast("double") / F.col("n_true").cast("double"),
+            ).alias("recall"),
+        )
+    )
+
+
+def _dedup_eval_sql() -> str:
+    from crypto_datalake_spark.queries.dedup import _DK_LSH_BASE
+
+    return f"""
+    WITH {_DK_LSH_BASE.rstrip()},
+    samp AS (SELECT * FROM sig WHERE doc_id % {_DEDUP_EVAL_MOD} = 0),
+    sbands AS (SELECT * FROM bands WHERE doc_id % {_DEDUP_EVAL_MOD} = 0),
+    truth AS (
+      SELECT x.doc_id AS doc_a, y.doc_id AS doc_b
+      FROM samp x JOIN samp y ON x.doc_id < y.doc_id
+      WHERE CAST(len(list_intersect(x.shingles, y.shingles)) AS DOUBLE)
+              / CAST(len(list_distinct(x.shingles || y.shingles)) AS DOUBLE)
+            >= {_DEDUP_EVAL_TAU}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM sbands a JOIN sbands b
+        ON a.band_id = b.band_id AND a.band_key = b.band_key
+           AND a.doc_id < b.doc_id
+    ),
+    hit AS (SELECT * FROM truth JOIN cand USING (doc_a, doc_b)),
+    nt AS (SELECT CAST(count(*) AS BIGINT) AS n_true FROM truth),
+    nc AS (SELECT CAST(count(*) AS BIGINT) AS n_cand FROM cand),
+    nh AS (SELECT CAST(count(*) AS BIGINT) AS n_hit FROM hit)
+    SELECT n_true, n_cand, n_hit,
+           CASE WHEN n_cand > 0
+                THEN CAST(n_hit AS DOUBLE) / CAST(n_cand AS DOUBLE) END AS precision,
+           CASE WHEN n_true > 0
+                THEN CAST(n_hit AS DOUBLE) / CAST(n_true AS DOUBLE) END AS recall
+    FROM nt, nc, nh
+    """
+
+
+@register(
+    "dedup_recall_eval",
+    sql=_dedup_eval_sql(),
+    doc=f"Dedup-tier quality evaluation (the MinHash twin of "
+    "ann_recall_eval): on a deterministic 1/"
+    f"{_DEDUP_EVAL_MOD} document sample, compare the LSH band-collision "
+    "candidate set against exact all-pairs shingle Jaccard >= "
+    f"{_DEDUP_EVAL_TAU} ground truth and report candidate-stage "
+    "precision (verification work wasted) and recall (true duplicates "
+    "the banding can never recover — the quantity a band/size sweep "
+    "tunes). The exact arm costs |sample|^2 comparisons, which is why "
+    "it runs on the sample (same posture as ann_recall_eval's "
+    "brute-force gold standard); the LSH arm reuses lsh_signatures / "
+    "the shared band CTEs verbatim, so the eval grades the production "
+    "code path, not a reimplementation.",
+)
+def dedup_recall_eval(spark, sf_dir):
+    return dedup_recall_eval_frame(t(spark, sf_dir, "documents"))

@@ -440,3 +440,36 @@ def test_shuffle_shard_assign_partitions_exactly(spark):
     }
     assert {d_ for _, _, d_ in a} == set(c)
     assert any((s, p) != c[d_] for s, p, d_ in a)            # seed reshuffles
+
+
+# --- dedup-tier precision/recall evaluation --------------------------------
+
+def test_dedup_recall_eval_witness(spark):
+    """A verbatim duplicate pair inside the sample must be found by both
+    arms (hit); unrelated docs produce no truth; counts and ratios are
+    consistent. doc_ids are even so the mod-2 sample keeps every doc."""
+    from crypto_datalake_spark.queries.curation import dedup_recall_eval_frame
+
+    dup = " ".join(f"d{i}" for i in range(12))
+    d = _docs(spark, [
+        (2, dup),
+        (4, dup + " tail1"),            # near-verbatim partner
+        (6, " ".join(f"u{i}" for i in range(12))),
+        (8, " ".join(f"v{i}" for i in range(12))),
+    ])
+    r = dedup_recall_eval_frame(d).collect()[0]
+    assert r["n_true"] == 1 and r["n_hit"] == 1
+    assert r["n_cand"] >= 1
+    assert r["recall"] == 1.0
+    assert r["precision"] == 1.0 / r["n_cand"]
+
+
+def test_dedup_recall_eval_empty_sample(spark):
+    """Odd doc_ids only: the mod-2 sample is empty, every count is 0 and
+    the ratios are NULL — no crash, no division error."""
+    from crypto_datalake_spark.queries.curation import dedup_recall_eval_frame
+
+    d = _docs(spark, [(1, "a b c d"), (3, "e f g h")])
+    r = dedup_recall_eval_frame(d).collect()[0]
+    assert (r["n_true"], r["n_cand"], r["n_hit"]) == (0, 0, 0)
+    assert r["precision"] is None and r["recall"] is None
