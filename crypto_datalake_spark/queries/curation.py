@@ -29,7 +29,12 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from crypto_datalake_spark.queries.common import t
-from crypto_datalake_spark.queries.dedup import _DK_H, _SP_H
+from crypto_datalake_spark.queries.dedup import (
+    _DK_H,
+    _JACCARD_MIN,
+    _SP_H,
+    dk_band_cand_sql,
+)
 from crypto_datalake_spark.queries.llm import (
     _cosine,
     _dk_bucket,
@@ -826,12 +831,12 @@ def shuffle_export_shards(spark, sf_dir):
 
 _DEDUP_EVAL_MOD = 2      # deterministic 1/2 doc sample for the exact arm
 # (pair survival = 1/MOD^2: duplicate partners are unrelated ids, so a
-# sparser sample keeps almost no true pairs to grade — at 100 TB MOD
-# grows and the eval reads its confidence from n_true itself)
-_DEDUP_EVAL_TAU = 0.5    # must equal dedup._JACCARD_MIN (asserted below)
+# sparser sample keeps almost no true pairs to grade — production tunes
+# mod so the sampled shingle arrays fit the broadcast ceiling, see
+# dedup_recall_eval_frame, and reads the eval's confidence off n_true)
 
 
-def dedup_recall_eval_frame(docs):
+def dedup_recall_eval_frame(docs, mod: int = _DEDUP_EVAL_MOD):
     """Band-stage precision/recall of the MinHash-LSH tier against exact
     all-pairs Jaccard over a (doc_id, text) frame — the plan documented
     on dedup_recall_eval. The verified production output has precision 1
@@ -839,10 +844,12 @@ def dedup_recall_eval_frame(docs):
     is the CANDIDATE stage: how much of the true-duplicate set the band
     collisions recover (recall) and how much verification work they
     waste (precision)."""
-    from crypto_datalake_spark.queries.dedup import _JACCARD_MIN, lsh_signatures
+    from crypto_datalake_spark.queries.dedup import (
+        band_candidate_pairs,
+        lsh_signatures,
+    )
 
-    assert _DEDUP_EVAL_TAU == _JACCARD_MIN  # oracle embeds the constant
-    sig, bands = lsh_signatures(docs.where(F.col("doc_id") % _DEDUP_EVAL_MOD == 0))
+    sig, bands = lsh_signatures(docs.where(F.col("doc_id") % mod == 0))
     a = sig.select(
         F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a")
     )
@@ -852,25 +859,19 @@ def dedup_recall_eval_frame(docs):
     jacc = F.size(F.array_intersect("sh_a", "sh_b")).cast("double") / F.size(
         F.array_union("sh_a", "sh_b")
     ).cast("double")
+    # The exact arm is a BroadcastNestedLoopJoin whose build side is the
+    # SAMPLED docs' shingle arrays (projected to the two needed columns)
+    # — it must fit Spark's 8 GB broadcast ceiling, which is exactly why
+    # the arm runs on a sample: at larger corpora, grow ``mod`` until it
+    # does (ann_recall_eval's 1/101 gold-standard posture).
     truth = (
         F.broadcast(a)
         .join(b, F.col("doc_a") < F.col("doc_b"))
-        .where(jacc >= F.lit(_DEDUP_EVAL_TAU))
+        .where(jacc >= F.lit(_JACCARD_MIN))
         .select("doc_a", "doc_b")
     )
-    cand = (
-        bands.alias("x")
-        .join(
-            bands.alias("y"),
-            (F.col("x.band_id") == F.col("y.band_id"))
-            & (F.col("x.band_key") == F.col("y.band_key"))
-            & (F.col("x.doc_id") < F.col("y.doc_id")),
-        )
-        .select(
-            F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
-        )
-        .distinct()
-    )
+    # the production candidate join, not a reimplementation
+    cand = band_candidate_pairs(bands)
     hit = truth.join(cand, ["doc_a", "doc_b"])
     n_true = truth.agg(F.count(F.lit(1)).alias("n_true"))
     n_cand = cand.agg(F.count(F.lit(1)).alias("n_cand"))
@@ -906,13 +907,10 @@ def _dedup_eval_sql() -> str:
       FROM samp x JOIN samp y ON x.doc_id < y.doc_id
       WHERE CAST(len(list_intersect(x.shingles, y.shingles)) AS DOUBLE)
               / CAST(len(list_distinct(x.shingles || y.shingles)) AS DOUBLE)
-            >= {_DEDUP_EVAL_TAU}
+            >= {_JACCARD_MIN}
     ),
     cand AS (
-      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-      FROM sbands a JOIN sbands b
-        ON a.band_id = b.band_id AND a.band_key = b.band_key
-           AND a.doc_id < b.doc_id
+      {dk_band_cand_sql("sbands")}
     ),
     hit AS (SELECT * FROM truth JOIN cand USING (doc_a, doc_b)),
     nt AS (SELECT CAST(count(*) AS BIGINT) AS n_true FROM truth),
@@ -934,10 +932,10 @@ def _dedup_eval_sql() -> str:
     "ann_recall_eval): on a deterministic 1/"
     f"{_DEDUP_EVAL_MOD} document sample, compare the LSH band-collision "
     "candidate set against exact all-pairs shingle Jaccard >= "
-    f"{_DEDUP_EVAL_TAU} ground truth and report candidate-stage "
+    f"{_JACCARD_MIN} ground truth and report candidate-stage "
     "precision (verification work wasted) and recall (true duplicates "
-    "the banding can never recover — the quantity a band/size sweep "
-    "tunes). The exact arm costs |sample|^2 comparisons, which is why "
+    f"the banding can never recover — the quantity a band/size sweep "
+    f"tunes; truth threshold = the production _JACCARD_MIN = {_JACCARD_MIN}). The exact arm costs |sample|^2 comparisons, which is why "
     "it runs on the sample (same posture as ann_recall_eval's "
     "brute-force gold standard); the LSH arm reuses lsh_signatures / "
     "the shared band CTEs verbatim, so the eval grades the production "

@@ -106,14 +106,25 @@ _DK_LSH_BASE = f"""
     )
 """
 
+def dk_band_cand_sql(src: str = "bands") -> str:
+    """The candidate stage as DuckDB SQL over a band CTE — ONE definition
+    shared by the pair/cluster/incremental oracles and the
+    dedup_recall_eval oracle, so the eval always grades the production
+    join (mirror of ``band_candidate_pairs``)."""
+    return (
+        f"SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b\n"
+        f"      FROM {src} a JOIN {src} b\n"
+        f"        ON a.band_id = b.band_id AND a.band_key = b.band_key "
+        f"AND a.doc_id < b.doc_id"
+    )
+
+
 # base + within-corpus candidate pairs (doc_a < doc_b)
 _DK_LSH_CTES = (
     _DK_LSH_BASE.rstrip()
-    + """,
+    + f""",
     cand AS (
-      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-      FROM bands a JOIN bands b
-        ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+      {dk_band_cand_sql()}
     )
 """
 )
@@ -186,13 +197,14 @@ def lsh_signatures(docs):
     return sig, bands
 
 
-def minhash_lsh_pairs(spark, sf_dir):
-    """Verified near-dup pairs (doc_a, doc_b, jaccard) — the LSH pipeline
-    shared by the pair query and connected-component clustering."""
-    sig, bands = lsh_signatures(t(spark, sf_dir, "documents"))
+def band_candidate_pairs(bands):
+    """Distinct cross-document band-bucket collisions (doc_a < doc_b) —
+    THE candidate stage of the MinHash tier, shared by the pair query
+    and dedup_recall_eval so the eval always grades the production join
+    (mirror of ``dk_band_cand_sql``)."""
     a = bands.alias("a")
     b = bands.alias("b")
-    cand = (
+    return (
         a.join(
             b,
             (F.col("a.band_id") == F.col("b.band_id"))
@@ -202,6 +214,13 @@ def minhash_lsh_pairs(spark, sf_dir):
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
+
+
+def minhash_lsh_pairs(spark, sf_dir):
+    """Verified near-dup pairs (doc_a, doc_b, jaccard) — the LSH pipeline
+    shared by the pair query and connected-component clustering."""
+    sig, bands = lsh_signatures(t(spark, sf_dir, "documents"))
+    cand = band_candidate_pairs(bands)
     x = sig.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sa"))
     y = sig.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sb"))
     jac = (
