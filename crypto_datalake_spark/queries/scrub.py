@@ -219,31 +219,15 @@ _INC_MOD, _INC_REM = 5, 4
 def dedup_incremental_lsh(spark, sf_dir):
     docs = t(spark, sf_dir, "documents")
     incoming_pred = F.col("doc_id") % _INC_MOD == _INC_REM
+    # ONE signature pass, split by predicate — the registered demo shape;
+    # the streaming pipeline (pipelines/corpus_ingest.py) builds the two
+    # sides separately and shares the SAME join/verify/aggregate below
     sig, bands = lsh_signatures(docs)
-    in_b = bands.where(incoming_pred)
-    ex_b = bands.where(~incoming_pred)
-    cand = (
-        in_b.alias("a")
-        .join(
-            ex_b.alias("b"),
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.band_key") == F.col("b.band_key")),
-        )
-        .select(F.col("a.doc_id").alias("in_id"), F.col("b.doc_id").alias("ex_id"))
-        .distinct()
-    )
-    x = sig.select(F.col("doc_id").alias("in_id"), F.col("shingles").alias("sa"))
-    y = sig.select(F.col("doc_id").alias("ex_id"), F.col("shingles").alias("sb"))
-    jac = (
-        F.size(F.array_intersect("sa", "sb")).cast("double")
-        / F.size(F.array_union("sa", "sb")).cast("double")
-    )
-    ver = (
-        cand.join(x, "in_id")
-        .join(y, "ex_id")
-        .where(jac >= _JACCARD_MIN)
-        .groupBy("in_id")
-        .agg(F.countDistinct("ex_id").alias("n_dup"))
+    ver = batch_novelty_counts(
+        sig.where(incoming_pred),
+        bands.where(incoming_pred),
+        sig.where(~incoming_pred),
+        bands.where(~incoming_pred),
     )
     return (
         docs.where(incoming_pred)
@@ -253,6 +237,39 @@ def dedup_incremental_lsh(spark, sf_dir):
             F.coalesce("n_dup", F.lit(0)).cast("long").alias("n_dup_existing"),
             (F.coalesce("n_dup", F.lit(0)) == 0).alias("is_novel"),
         )
+    )
+
+
+def batch_novelty_counts(in_sig, in_bands, ex_sig, ex_bands):
+    """(in_id, n_dup) for every incoming doc with at least one verified
+    near-dup among the existing docs: band-collision candidates between
+    the two band indexes, exact-Jaccard verification, count distinct
+    partners. THE incremental-dedup core, shared by the registered
+    dedup_incremental_lsh demo and the streaming corpus-ingest pipeline
+    so the stream runs the production join, not a twin. Incoming docs
+    with no row have zero duplicates (left-join + coalesce at callers)."""
+    cand = (
+        in_bands.alias("a")
+        .join(
+            ex_bands.alias("b"),
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key")),
+        )
+        .select(F.col("a.doc_id").alias("in_id"), F.col("b.doc_id").alias("ex_id"))
+        .distinct()
+    )
+    x = in_sig.select(F.col("doc_id").alias("in_id"), F.col("shingles").alias("sa"))
+    y = ex_sig.select(F.col("doc_id").alias("ex_id"), F.col("shingles").alias("sb"))
+    jac = (
+        F.size(F.array_intersect("sa", "sb")).cast("double")
+        / F.size(F.array_union("sa", "sb")).cast("double")
+    )
+    return (
+        cand.join(x, "in_id")
+        .join(y, "ex_id")
+        .where(jac >= _JACCARD_MIN)
+        .groupBy("in_id")
+        .agg(F.countDistinct("ex_id").alias("n_dup"))
     )
 
 

@@ -825,3 +825,53 @@ def test_warehouse_cache_no_success_marker_and_stale_tmp_prune(spark, tmp_path):
     finally:
         for d in glob.glob(os.path.join(wh, f"{name}__*")):
             shutil.rmtree(d, ignore_errors=True)
+
+
+# --- streaming corpus ingestion --------------------------------------------
+
+def test_corpus_ingest_stream_end_to_end(spark, tmp_path):
+    """Two micro-batches through the real stream: a near-dup of the SEED
+    corpus is rejected in batch 1; a near-dup of a doc ACCEPTED in batch
+    1 is rejected in batch 2 (the corpus grew); a repetitive doc fails
+    the quality gate; novel clean docs are accepted; the audit table
+    records one verdict per incoming doc with its batch."""
+    import time
+
+    from crypto_datalake_spark.pipelines.corpus_ingest import corpus_ingest_stream
+
+    seed = " ".join(f"s{i}" for i in range(20))
+    novel_b = " ".join(f"b{i}" for i in range(20))
+    novel_c = " ".join(f"c{i}" for i in range(20))
+    corpus = str(tmp_path / "corpus")
+    incoming = tmp_path / "incoming"
+    incoming.mkdir()
+    audit = str(tmp_path / "audit")
+    ck = str(tmp_path / "ck")
+
+    spark.createDataFrame([(1, seed)], "doc_id long, text string").write.parquet(corpus)
+    # batch 1: near-dup of seed + novel B
+    spark.createDataFrame(
+        [(10, seed + " tail"), (11, novel_b)], "doc_id long, text string"
+    ).coalesce(1).write.parquet(str(incoming / "f1"))
+    time.sleep(1.05)  # file source orders batches by mod time
+    # batch 2: near-dup of B (accepted in batch 1) + repetitive + novel C
+    spark.createDataFrame(
+        [(20, novel_b + " x"), (21, "spam spam spam spam spam spam"), (22, novel_c)],
+        "doc_id long, text string",
+    ).coalesce(1).write.parquet(str(incoming / "f2"))
+
+    q = corpus_ingest_stream(spark, str(incoming) + "/*", corpus, audit, ck)
+    q.awaitTermination(120)
+
+    got = {
+        r["doc_id"]: (r["accepted"], r["reject_reason"], r["n_dup_existing"])
+        for r in spark.read.parquet(audit).collect()
+    }
+    assert set(got) == {10, 11, 20, 21, 22}
+    assert got[10] == (False, "near_duplicate", 1)
+    assert got[11][0] is True and got[11][1] is None
+    assert got[20] == (False, "near_duplicate", 1)   # corpus grew mid-stream
+    assert got[21] == (False, "repetitive", 0)
+    assert got[22][0] is True
+    final = {r["doc_id"] for r in spark.read.parquet(corpus).collect()}
+    assert final == {1, 11, 22}
