@@ -25,10 +25,15 @@ Scale notes:
   batch_novelty_counts marks the seam where the persisted index drops
   in.
 - Appends are plain parquet appends (one file per batch side); the
-  checkpoint gives at-least-once, and the audit table carries batch_id
-  so replays are identifiable. An exactly-once variant would route the
-  accept append through txn.atomic_upsert_partitioned keyed on doc_id
-  (streaming/silver.py's atomic foreachBatch precedent).
+  checkpoint gives at-least-once. Replays are SAFE: corpus rows whose
+  doc_id is in the current batch are excluded from the novelty
+  reference (a replayed doc never collides with its own earlier copy,
+  so it re-audits with the same verdict), and accepted docs already
+  present in the corpus by doc_id are not appended twice — replay
+  converges to the same corpus and an audit whose duplicate rows agree.
+  An exactly-once variant would route the accept append through
+  txn.atomic_upsert_partitioned keyed on doc_id (streaming/silver.py's
+  atomic foreachBatch precedent).
 """
 
 from __future__ import annotations
@@ -42,35 +47,74 @@ _MAX_TOKENS = 10_000
 
 
 def _quality_verdict(batch: DataFrame) -> DataFrame:
-    """(doc_id, quality_ok, quality_reason) via the registered
-    repetition-signal operator plus token-length bounds."""
+    """(doc_id, quality_ok, quality_reason), TOTAL over the batch:
+    repetition_signals drops NULL-text docs (split(NULL) explodes to
+    nothing), so verdicts left-join back onto the batch ids and a
+    missing signal row means empty/NULL text — rejected, never silently
+    lost from the audit."""
     from crypto_datalake_spark.queries.curation import repetition_signals
 
     sig = repetition_signals(batch)
-    return sig.select(
-        "doc_id",
-        F.when(F.col("n_tokens") < _MIN_TOKENS, F.lit("too_short"))
-        .when(F.col("n_tokens") > _MAX_TOKENS, F.lit("too_long"))
-        .when(F.col("repetitive"), F.lit("repetitive"))
-        .alias("quality_reason"),
-    ).withColumn("quality_ok", F.col("quality_reason").isNull())
+    return (
+        batch.select("doc_id")
+        .join(sig, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("n_tokens").isNull(), F.lit("empty_text"))
+            .when(F.col("n_tokens") < _MIN_TOKENS, F.lit("too_short"))
+            .when(F.col("n_tokens") > _MAX_TOKENS, F.lit("too_long"))
+            .when(F.col("repetitive"), F.lit("repetitive"))
+            .alias("quality_reason"),
+        )
+        .withColumn("quality_ok", F.col("quality_reason").isNull())
+    )
 
 
 def _novelty_verdict(batch: DataFrame, corpus: DataFrame) -> DataFrame:
-    """(doc_id, n_dup_existing, is_novel) for the batch vs the corpus —
-    the production incremental-dedup core, two-sided signatures."""
-    from crypto_datalake_spark.queries.dedup import lsh_signatures
-    from crypto_datalake_spark.queries.scrub import batch_novelty_counts
+    """(doc_id, n_dup_existing, is_novel) for the batch vs the corpus
+    PLUS intra-batch dedup — the production incremental core two-sided,
+    and a keep-lowest-doc_id pass within the batch (one crawl file
+    carrying mirrored pages must not seed the corpus with both copies)."""
+    from crypto_datalake_spark.queries.dedup import _JACCARD_MIN, lsh_signatures
+    from crypto_datalake_spark.queries.scrub import (
+        batch_novelty_counts,
+        novelty_verdict,
+    )
 
     in_sig, in_bands = lsh_signatures(batch)
     ex_sig, ex_bands = lsh_signatures(corpus)
-    ver = batch_novelty_counts(in_sig, in_bands, ex_sig, ex_bands)
-    return batch.select("doc_id").join(
-        ver, batch.doc_id == ver.in_id, "left"
-    ).select(
-        "doc_id",
-        F.coalesce("n_dup", F.lit(0)).cast("long").alias("n_dup_existing"),
-        (F.coalesce("n_dup", F.lit(0)) == 0).alias("is_novel"),
+    vs_corpus = novelty_verdict(
+        batch.select("doc_id"),
+        batch_novelty_counts(in_sig, in_bands, ex_sig, ex_bands),
+    )
+    # intra-batch: a doc is a duplicate if it verifies against a
+    # LOWER-doc_id batch partner (the canonical-keeper policy of
+    # dedup_exact_hash) — the production candidate join again, in its
+    # directional (doc_a < doc_b) form
+    from crypto_datalake_spark.queries.dedup import band_candidate_pairs
+
+    pairs = band_candidate_pairs(in_bands)  # doc_a < doc_b collisions
+    x = in_sig.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sa"))
+    y = in_sig.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sb"))
+    jac = (
+        F.size(F.array_intersect("sa", "sb")).cast("double")
+        / F.size(F.array_union("sa", "sb")).cast("double")
+    )
+    intra_dup_ids = (
+        pairs.join(x, "doc_a")
+        .join(y, "doc_b")
+        .where(jac >= _JACCARD_MIN)
+        .select(F.col("doc_b").alias("doc_id"))  # higher id loses
+        .distinct()
+        .withColumn("intra_dup", F.lit(True))
+    )
+    return (
+        vs_corpus.join(intra_dup_ids, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_dup_existing",
+            (F.col("is_novel") & F.col("intra_dup").isNull()).alias("is_novel"),
+        )
     )
 
 
@@ -80,12 +124,22 @@ def ingest_batch(
 ) -> None:
     """Score ONE micro-batch and append: every doc to the audit table
     with its verdict, accepted docs to the corpus store."""
-    batch = batch.select("doc_id", "text").localCheckpoint()
     if batch.isEmpty():
         return
-    corpus = spark.read.parquet(corpus_path).select("doc_id", "text")
+    batch = batch.select("doc_id", "text").localCheckpoint()
+    try:
+        corpus = spark.read.parquet(corpus_path).select("doc_id", "text")
+    except Exception:
+        # bootstrap: no seed corpus yet — first batch dedups only
+        # against itself
+        corpus = spark.createDataFrame([], "doc_id long, text string")
+    # replay safety: a replayed batch must not collide with its own
+    # earlier copies in the corpus — same-id corpus rows are not a
+    # novelty reference (see module docstring)
+    corpus_ids = corpus.select("doc_id")
+    novelty_ref = corpus.join(batch.select("doc_id"), "doc_id", "left_anti")
     q = _quality_verdict(batch)
-    n = _novelty_verdict(batch, corpus)
+    n = _novelty_verdict(batch, novelty_ref)
     verdicts = (
         batch.join(q, "doc_id")
         .join(n, "doc_id")
@@ -105,7 +159,12 @@ def ingest_batch(
         .localCheckpoint()
     )
     verdicts.write.mode("append").parquet(audit_path)
-    accepted = verdicts.where("accepted").select("doc_id", "text")
+    accepted = (
+        verdicts.where("accepted")
+        .select("doc_id", "text")
+        # replay safety: never append a doc_id the corpus already holds
+        .join(corpus_ids, "doc_id", "left_anti")
+    )
     if not accepted.isEmpty():
         accepted.write.mode("append").parquet(corpus_path)
 

@@ -229,14 +229,19 @@ def dedup_incremental_lsh(spark, sf_dir):
         sig.where(~incoming_pred),
         bands.where(~incoming_pred),
     )
-    return (
-        docs.where(incoming_pred)
-        .join(ver, docs.doc_id == ver.in_id, "left")
-        .select(
-            "doc_id",
-            F.coalesce("n_dup", F.lit(0)).cast("long").alias("n_dup_existing"),
-            (F.coalesce("n_dup", F.lit(0)) == 0).alias("is_novel"),
-        )
+    return novelty_verdict(docs.where(incoming_pred).select("doc_id"), ver)
+
+
+def novelty_verdict(ids_df, ver):
+    """Materialize batch_novelty_counts into the per-incoming verdict
+    frame (doc_id, n_dup_existing, is_novel) — total over ``ids_df``
+    (docs with no verified partner, including sub-3-token docs that
+    produced no signature, come back n_dup_existing=0, is_novel=true).
+    Shared by the registered query and the corpus-ingest pipeline."""
+    return ids_df.join(ver, ids_df.doc_id == ver.in_id, "left").select(
+        "doc_id",
+        F.coalesce("n_dup", F.lit(0)).cast("long").alias("n_dup_existing"),
+        (F.coalesce("n_dup", F.lit(0)) == 0).alias("is_novel"),
     )
 
 

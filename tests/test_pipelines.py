@@ -855,23 +855,58 @@ def test_corpus_ingest_stream_end_to_end(spark, tmp_path):
     ).coalesce(1).write.parquet(str(incoming / "f1"))
     time.sleep(1.05)  # file source orders batches by mod time
     # batch 2: near-dup of B (accepted in batch 1) + repetitive + novel C
+    # + NULL text + an intra-batch near-dup pair (24 keeps, 25 loses)
+    novel_d = " ".join(f"d{i}" for i in range(20))
     spark.createDataFrame(
-        [(20, novel_b + " x"), (21, "spam spam spam spam spam spam"), (22, novel_c)],
+        [(20, novel_b + " x"), (21, "spam spam spam spam spam spam"),
+         (22, novel_c), (23, None), (24, novel_d), (25, novel_d + " y")],
         "doc_id long, text string",
     ).coalesce(1).write.parquet(str(incoming / "f2"))
 
     q = corpus_ingest_stream(spark, str(incoming) + "/*", corpus, audit, ck)
-    q.awaitTermination(120)
+    assert q.awaitTermination(120)
 
     got = {
         r["doc_id"]: (r["accepted"], r["reject_reason"], r["n_dup_existing"])
         for r in spark.read.parquet(audit).collect()
     }
-    assert set(got) == {10, 11, 20, 21, 22}
+    assert set(got) == {10, 11, 20, 21, 22, 23, 24, 25}
     assert got[10] == (False, "near_duplicate", 1)
     assert got[11][0] is True and got[11][1] is None
     assert got[20] == (False, "near_duplicate", 1)   # corpus grew mid-stream
     assert got[21] == (False, "repetitive", 0)
     assert got[22][0] is True
+    assert got[23] == (False, "empty_text", 0)       # NULL text still audited
+    assert got[24][0] is True                        # intra-batch keeper
+    assert got[25] == (False, "near_duplicate", 0)   # intra-batch loser
     final = {r["doc_id"] for r in spark.read.parquet(corpus).collect()}
-    assert final == {1, 11, 22}
+    assert final == {1, 11, 22, 24}
+
+
+def test_corpus_ingest_bootstrap_and_replay(spark, tmp_path):
+    """No seed corpus: the first batch bootstraps it (dedup only against
+    itself). Replaying the same batch (at-least-once crash semantics)
+    re-audits with IDENTICAL verdicts and appends nothing twice."""
+    from crypto_datalake_spark.pipelines.corpus_ingest import ingest_batch
+
+    corpus = str(tmp_path / "corpus")   # does not exist yet
+    audit = str(tmp_path / "audit")
+    batch = spark.createDataFrame(
+        [(1, " ".join(f"a{i}" for i in range(12))),
+         (2, " ".join(f"b{i}" for i in range(12)))],
+        "doc_id long, text string",
+    )
+    ingest_batch(spark, batch, corpus, audit, batch_id=0)
+    first = {r["doc_id"] for r in spark.read.parquet(corpus).collect()}
+    assert first == {1, 2}
+
+    ingest_batch(spark, batch, corpus, audit, batch_id=0)  # replay
+    rows = spark.read.parquet(corpus).collect()
+    assert {r["doc_id"] for r in rows} == {1, 2} and len(rows) == 2  # no dup appends
+    verdicts = {
+        (r["doc_id"], r["accepted"], r["reject_reason"])
+        for r in spark.read.parquet(audit).collect()
+    }
+    # both audit passes agree: the replay wrote duplicate-but-identical rows
+    assert verdicts == {(1, True, None), (2, True, None)}
+    assert spark.read.parquet(audit).count() == 4
