@@ -5,11 +5,33 @@ The production shape for continuously ingesting training-data crawls
 (the LLM-pipeline twin of streaming/silver.py's market-data flow):
 documents arrive as parquet files, each micro-batch is scored by the
 SAME batch operators the catalog registers — repetition signals
-(queries/curation.py) and the incremental-LSH novelty core
-(queries/scrub.batch_novelty_counts) — and every document is appended
-to the audit table with its verdict; accepted docs ALSO append to the
-corpus store, so a near-dup of a doc accepted three batches ago is
-rejected even though it never appeared in the seed corpus.
+(queries/curation.py), the incremental-LSH novelty core
+(queries/scrub.batch_novelty_counts), the shared candidate/verify
+stages (queries/dedup.band_candidate_pairs / verified_pairs) and the
+cluster-canonical keep policy (queries/dedup.connected_components) —
+and every document is appended to the audit table with its verdict;
+accepted docs ALSO append to the corpus store, so a near-dup of a doc
+accepted three batches ago is rejected even though it never appeared in
+the seed corpus.
+
+Policies (each an explicit decision, not an accident of join shape):
+- Quality gate first: empty/NULL text, token-length bounds, Gopher
+  repetition flags. Totality invariant: EVERY incoming doc gets exactly
+  one audit row per processing — NULL-text docs are audited
+  'empty_text', never silently dropped by a join.
+- Cross-batch dedup: batch vs the corpus store (minus this batch's own
+  replayed copies, see below).
+- Intra-batch dedup: mirrored pages arriving in ONE crawl file dedup
+  against each other with the repo's canonical policy — connected
+  components over verified pairs, keep the minimum doc_id per cluster
+  (dedup_cluster_canonical's transitive-closure semantics; the greedy
+  keep-against-retained-only alternative is order-dependent across
+  batch splits). Only docs that passed quality AND corpus novelty
+  compete — a quality-rejected or corpus-duplicate doc never drags its
+  batch partner down.
+- Id conflicts: a batch doc whose doc_id exists in the corpus with
+  DIFFERENT text is rejected 'id_conflict' — accepting it would either
+  silently drop the append (audit/corpus divergence) or double the id.
 
 Scale notes:
 - foreachBatch, not a stateful operator: dedup-vs-corpus is a join
@@ -20,24 +42,22 @@ Scale notes:
   side is a parquet scan. At 100 TB the corpus band index is a
   persisted bucketed table (the signature pass is paid once at accept
   time, the per-batch join prunes by band_key); recomputing corpus
-  signatures per batch, as this sandbox-sized twin does for
-  simplicity, would be the one non-incremental cost — the docstring of
-  batch_novelty_counts marks the seam where the persisted index drops
-  in.
-- Appends are plain parquet appends (one file per batch side); the
-  checkpoint gives at-least-once. Replays are SAFE: corpus rows whose
-  doc_id is in the current batch are excluded from the novelty
-  reference (a replayed doc never collides with its own earlier copy,
-  so it re-audits with the same verdict), and accepted docs already
-  present in the corpus by doc_id are not appended twice — replay
-  converges to the same corpus and an audit whose duplicate rows agree.
-  An exactly-once variant would route the accept append through
-  txn.atomic_upsert_partitioned keyed on doc_id (streaming/silver.py's
-  atomic foreachBatch precedent).
+  signatures per batch, as this sandbox-sized twin does for simplicity,
+  is the one non-incremental cost — batch_novelty_counts marks the seam
+  where the persisted index drops in.
+- Appends are plain parquet appends; the checkpoint gives
+  at-least-once. Replays are SAFE and converge: corpus rows that are
+  byte-copies of this batch's docs (same doc_id AND same md5(text)) are
+  excluded from the novelty reference, so a replayed doc re-audits with
+  the same verdict, and the append path never writes a doc_id the
+  corpus already holds. An exactly-once variant would route the accept
+  append through txn.atomic_upsert_partitioned keyed on doc_id
+  (streaming/silver.py's atomic foreachBatch precedent).
 """
 
 from __future__ import annotations
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -70,52 +90,55 @@ def _quality_verdict(batch: DataFrame) -> DataFrame:
     )
 
 
-def _novelty_verdict(batch: DataFrame, corpus: DataFrame) -> DataFrame:
+def _corpus_novelty(batch: DataFrame, novelty_ref: DataFrame) -> DataFrame:
     """(doc_id, n_dup_existing, is_novel) for the batch vs the corpus
-    PLUS intra-batch dedup — the production incremental core two-sided,
-    and a keep-lowest-doc_id pass within the batch (one crawl file
-    carrying mirrored pages must not seed the corpus with both copies)."""
-    from crypto_datalake_spark.queries.dedup import _JACCARD_MIN, lsh_signatures
+    reference — the production incremental core, two-sided."""
+    from crypto_datalake_spark.queries.dedup import lsh_signatures
     from crypto_datalake_spark.queries.scrub import (
         batch_novelty_counts,
         novelty_verdict,
     )
 
     in_sig, in_bands = lsh_signatures(batch)
-    ex_sig, ex_bands = lsh_signatures(corpus)
-    vs_corpus = novelty_verdict(
+    ex_sig, ex_bands = lsh_signatures(novelty_ref)
+    return novelty_verdict(
         batch.select("doc_id"),
         batch_novelty_counts(in_sig, in_bands, ex_sig, ex_bands),
     )
-    # intra-batch: a doc is a duplicate if it verifies against a
-    # LOWER-doc_id batch partner (the canonical-keeper policy of
-    # dedup_exact_hash) — the production candidate join again, in its
-    # directional (doc_a < doc_b) form
-    from crypto_datalake_spark.queries.dedup import band_candidate_pairs
 
-    pairs = band_candidate_pairs(in_bands)  # doc_a < doc_b collisions
-    x = in_sig.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sa"))
-    y = in_sig.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sb"))
-    jac = (
-        F.size(F.array_intersect("sa", "sb")).cast("double")
-        / F.size(F.array_union("sa", "sb")).cast("double")
+
+def _intra_batch_losers(eligible: DataFrame) -> DataFrame:
+    """(doc_id) of every eligible doc that is NOT its near-dup cluster's
+    canonical (minimum doc_id) member — the production candidate/verify
+    stages plus connected components, so one crawl file carrying three
+    mirrored pages keeps exactly one."""
+    from crypto_datalake_spark.queries.dedup import (
+        band_candidate_pairs,
+        connected_components,
+        lsh_signatures,
+        verified_pairs,
     )
-    intra_dup_ids = (
-        pairs.join(x, "doc_a")
-        .join(y, "doc_b")
-        .where(jac >= _JACCARD_MIN)
-        .select(F.col("doc_b").alias("doc_id"))  # higher id loses
-        .distinct()
-        .withColumn("intra_dup", F.lit(True))
+
+    sig, bands = lsh_signatures(eligible)
+    pairs = verified_pairs(sig, band_candidate_pairs(bands)).select(
+        "doc_a", "doc_b"
     )
-    return (
-        vs_corpus.join(intra_dup_ids, "doc_id", "left")
-        .select(
-            "doc_id",
-            "n_dup_existing",
-            (F.col("is_novel") & F.col("intra_dup").isNull()).alias("is_novel"),
-        )
-    )
+    labels = connected_components(eligible.select("doc_id"), pairs)
+    return labels.where(F.col("label") != F.col("doc_id")).select("doc_id")
+
+
+def _read_corpus(spark: SparkSession, corpus_path: str) -> DataFrame:
+    """Corpus store, or an empty frame ONLY when the store does not
+    exist yet (bootstrap). Any other read failure — transient storage
+    errors, corrupt footers — must fail the batch so the checkpoint
+    retries it; swallowing those would dedup against an empty corpus
+    and permanently accept duplicates."""
+    try:
+        return spark.read.parquet(corpus_path).select("doc_id", "text")
+    except AnalysisException as e:
+        if "PATH_NOT_FOUND" in str(e) or "UNABLE_TO_INFER_SCHEMA" in str(e):
+            return spark.createDataFrame([], "doc_id long, text string")
+        raise
 
 
 def ingest_batch(
@@ -126,31 +149,64 @@ def ingest_batch(
     with its verdict, accepted docs to the corpus store."""
     if batch.isEmpty():
         return
-    batch = batch.select("doc_id", "text").localCheckpoint()
-    try:
-        corpus = spark.read.parquet(corpus_path).select("doc_id", "text")
-    except Exception:
-        # bootstrap: no seed corpus yet — first batch dedups only
-        # against itself
-        corpus = spark.createDataFrame([], "doc_id long, text string")
-    # replay safety: a replayed batch must not collide with its own
-    # earlier copies in the corpus — same-id corpus rows are not a
-    # novelty reference (see module docstring)
-    corpus_ids = corpus.select("doc_id")
-    novelty_ref = corpus.join(batch.select("doc_id"), "doc_id", "left_anti")
+    # one row per doc_id, deterministically (min text): a crawl file
+    # repeating an id would otherwise multiply rows through every
+    # doc_id join below and double-append to the corpus
+    batch = (
+        batch.groupBy("doc_id")
+        .agg(F.min("text").alias("text"))
+        .localCheckpoint()
+    )
+    corpus = _read_corpus(spark, corpus_path)
+    # replay detection is by CONTENT, not id: same doc_id + same
+    # md5(text) = a copy this batch already appended before a crash
+    h = F.md5(F.col("text").cast("binary"))
+    b_keyed = batch.select("doc_id", h.alias("text_hash"))
+    c_keyed = corpus.select("doc_id", h.alias("text_hash"))
+    replay_ids = b_keyed.join(c_keyed, ["doc_id", "text_hash"]).select("doc_id")
+    conflict_ids = (
+        b_keyed.join(c_keyed.select("doc_id"), "doc_id")
+        .join(replay_ids, "doc_id", "left_anti")
+        .select("doc_id")
+        .withColumn("id_conflict", F.lit(True))
+    )
+    novelty_ref = corpus.join(replay_ids, "doc_id", "left_anti")
+
     q = _quality_verdict(batch)
-    n = _novelty_verdict(batch, novelty_ref)
-    verdicts = (
+    n = _corpus_novelty(batch, novelty_ref)
+    pre = (
         batch.join(q, "doc_id")
         .join(n, "doc_id")
+        .join(conflict_ids, "doc_id", "left")
+        .withColumn("id_conflict", F.coalesce("id_conflict", F.lit(False)))
+        .localCheckpoint()  # feeds eligibility AND the final verdict join
+    )
+    eligible = pre.where(
+        F.col("quality_ok") & F.col("is_novel") & ~F.col("id_conflict")
+    ).select("doc_id", "text")
+    losers = _intra_batch_losers(eligible).withColumn(
+        "intra_dup", F.lit(True)
+    )
+    verdicts = (
+        pre.join(losers, "doc_id", "left")
+        .withColumn("intra_dup", F.coalesce("intra_dup", F.lit(False)))
         .select(
             "doc_id",
             "text",
             "n_dup_existing",
-            (F.col("quality_ok") & F.col("is_novel")).alias("accepted"),
+            (
+                F.col("quality_ok")
+                & F.col("is_novel")
+                & ~F.col("id_conflict")
+                & ~F.col("intra_dup")
+            ).alias("accepted"),
             F.coalesce(
                 F.col("quality_reason"),
-                F.when(~F.col("is_novel"), F.lit("near_duplicate")),
+                F.when(F.col("id_conflict"), F.lit("id_conflict")),
+                F.when(
+                    ~F.col("is_novel") | F.col("intra_dup"),
+                    F.lit("near_duplicate"),
+                ),
             ).alias("reject_reason"),
             F.lit(batch_id).cast("long").alias("batch_id"),
         )
@@ -163,7 +219,7 @@ def ingest_batch(
         verdicts.where("accepted")
         .select("doc_id", "text")
         # replay safety: never append a doc_id the corpus already holds
-        .join(corpus_ids, "doc_id", "left_anti")
+        .join(corpus.select("doc_id"), "doc_id", "left_anti")
     )
     if not accepted.isEmpty():
         accepted.write.mode("append").parquet(corpus_path)

@@ -216,11 +216,11 @@ def band_candidate_pairs(bands):
     )
 
 
-def minhash_lsh_pairs(spark, sf_dir):
-    """Verified near-dup pairs (doc_a, doc_b, jaccard) — the LSH pipeline
-    shared by the pair query and connected-component clustering."""
-    sig, bands = lsh_signatures(t(spark, sf_dir, "documents"))
-    cand = band_candidate_pairs(bands)
+def verified_pairs(sig, cand, threshold: float = _JACCARD_MIN):
+    """Exact-Jaccard verification of candidate (doc_a, doc_b) pairs
+    against the signature frame's distinct-shingle arrays — the verify
+    stage of the MinHash tier as ONE definition, shared by the pair
+    query and the corpus-ingest pipeline's intra-batch pass."""
     x = sig.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sa"))
     y = sig.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sb"))
     jac = (
@@ -231,8 +231,15 @@ def minhash_lsh_pairs(spark, sf_dir):
         cand.join(x, "doc_a")
         .join(y, "doc_b")
         .select("doc_a", "doc_b", jac.alias("jaccard"))
-        .where(F.col("jaccard") >= _JACCARD_MIN)
+        .where(F.col("jaccard") >= threshold)
     )
+
+
+def minhash_lsh_pairs(spark, sf_dir):
+    """Verified near-dup pairs (doc_a, doc_b, jaccard) — the LSH pipeline
+    shared by the pair query and connected-component clustering."""
+    sig, bands = lsh_signatures(t(spark, sf_dir, "documents"))
+    return verified_pairs(sig, band_candidate_pairs(bands))
 
 
 _SP_GRAMH = _SP_H.format(x="concat(tok[i], ' ', tok[i+1])")

@@ -910,3 +910,45 @@ def test_corpus_ingest_bootstrap_and_replay(spark, tmp_path):
     # both audit passes agree: the replay wrote duplicate-but-identical rows
     assert verdicts == {(1, True, None), (2, True, None)}
     assert spark.read.parquet(audit).count() == 4
+
+
+def test_corpus_ingest_conflicts_and_clusters(spark, tmp_path):
+    """Id conflicts (same id, different text) are rejected explicitly;
+    a 3-way mirrored cluster in ONE batch keeps only the canonical
+    (minimum doc_id) copy; a quality-rejected doc does not drag its
+    batch partner down."""
+    from crypto_datalake_spark.pipelines.corpus_ingest import ingest_batch
+
+    corpus = str(tmp_path / "corpus")
+    audit = str(tmp_path / "audit")
+    seed = " ".join(f"s{i}" for i in range(12))
+    spark.createDataFrame([(1, seed)], "doc_id long, text string").write.parquet(corpus)
+
+    mirror = " ".join(f"m{i}" for i in range(20))
+    spammy = "zz " * 40 + mirror          # repetitive -> quality reject
+    partner = mirror                      # exact mirror -> certain band hit
+    batch = spark.createDataFrame(
+        [
+            # quality-passing but different text: the explicit id_conflict
+            # (quality reasons take precedence, so it must clear the gate)
+            (1, " ".join(f"q{i}" for i in range(12))),
+            (10, mirror), (11, mirror + " x"), (12, mirror + " x y"),  # cluster
+            (20, spammy),                        # quality reject
+            (21, partner),                       # near-dup of 10's cluster
+        ],
+        "doc_id long, text string",
+    )
+    ingest_batch(spark, batch, corpus, audit, batch_id=0)
+    got = {
+        r["doc_id"]: (r["accepted"], r["reject_reason"])
+        for r in spark.read.parquet(audit).collect()
+    }
+    assert got[1] == (False, "id_conflict")
+    assert got[10] == (True, None)               # cluster canonical
+    assert got[11] == (False, "near_duplicate")
+    assert got[12] == (False, "near_duplicate")
+    assert got[20] == (False, "repetitive")
+    # 21 clusters with 10-12 (same mirror text) -> canonical stays 10
+    assert got[21] == (False, "near_duplicate")
+    final = {r["doc_id"] for r in spark.read.parquet(corpus).collect()}
+    assert final == {1, 10}
