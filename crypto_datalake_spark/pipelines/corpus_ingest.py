@@ -107,11 +107,17 @@ def _corpus_novelty(batch: DataFrame, novelty_ref: DataFrame) -> DataFrame:
     )
 
 
-def _intra_batch_losers(eligible: DataFrame) -> DataFrame:
+def _intra_batch_losers(eligible: DataFrame, replay_ids: DataFrame) -> DataFrame:
     """(doc_id) of every eligible doc that is NOT its near-dup cluster's
-    canonical (minimum doc_id) member — the production candidate/verify
-    stages plus connected components, so one crawl file carrying three
-    mirrored pages keeps exactly one."""
+    keeper — the production candidate/verify stages plus connected
+    components, so one crawl file carrying three mirrored pages keeps
+    exactly one. The keeper is replay-first, then minimum doc_id: a
+    replay doc's text is ALREADY in the corpus (its copy was excluded
+    from the novelty reference), so electing a lower-id batch partner
+    instead would append a near-dup of persisted content and mark the
+    persisted doc 'rejected' while the corpus keeps it — for true crash
+    replays the two rules agree, since the persisted doc won min-id on
+    the first run."""
     from crypto_datalake_spark.queries.dedup import (
         band_candidate_pairs,
         connected_components,
@@ -124,7 +130,23 @@ def _intra_batch_losers(eligible: DataFrame) -> DataFrame:
         "doc_a", "doc_b"
     )
     labels = connected_components(eligible.select("doc_id"), pairs)
-    return labels.where(F.col("label") != F.col("doc_id")).select("doc_id")
+    ranked = labels.join(
+        replay_ids.withColumn("is_replay", F.lit(True)), "doc_id", "left"
+    ).withColumn(
+        "__ord",
+        F.struct(
+            F.col("is_replay").isNull().cast("int"),  # replays first
+            F.col("doc_id"),
+        ),
+    )
+    keepers = ranked.groupBy("label").agg(
+        F.min_by("doc_id", F.col("__ord")).alias("keep_id")
+    )
+    return (
+        ranked.join(keepers, "label")
+        .where(F.col("doc_id") != F.col("keep_id"))
+        .select("doc_id")
+    )
 
 
 def _read_corpus(spark: SparkSession, corpus_path: str) -> DataFrame:
@@ -136,7 +158,8 @@ def _read_corpus(spark: SparkSession, corpus_path: str) -> DataFrame:
     try:
         return spark.read.parquet(corpus_path).select("doc_id", "text")
     except AnalysisException as e:
-        if "PATH_NOT_FOUND" in str(e) or "UNABLE_TO_INFER_SCHEMA" in str(e):
+        cond = e.getCondition() if hasattr(e, "getCondition") else None
+        if cond in ("PATH_NOT_FOUND", "UNABLE_TO_INFER_SCHEMA"):
             return spark.createDataFrame([], "doc_id long, text string")
         raise
 
@@ -159,11 +182,20 @@ def ingest_batch(
     )
     corpus = _read_corpus(spark, corpus_path)
     # replay detection is by CONTENT, not id: same doc_id + same
-    # md5(text) = a copy this batch already appended before a crash
+    # md5(text) = a copy this batch already appended before a crash.
+    # Hash only the corpus rows whose id the batch mentions (semi-join
+    # first): hashing the whole corpus would be an unbounded per-batch
+    # full-text pass, and both detections require an id match anyway.
     h = F.md5(F.col("text").cast("binary"))
     b_keyed = batch.select("doc_id", h.alias("text_hash"))
-    c_keyed = corpus.select("doc_id", h.alias("text_hash"))
-    replay_ids = b_keyed.join(c_keyed, ["doc_id", "text_hash"]).select("doc_id")
+    c_keyed = corpus.join(batch.select("doc_id"), "doc_id", "left_semi").select(
+        "doc_id", h.alias("text_hash")
+    )
+    replay_ids = (
+        b_keyed.join(c_keyed, ["doc_id", "text_hash"])
+        .select("doc_id")
+        .localCheckpoint()  # three consumers: conflicts, novelty ref, keeper rank
+    )
     conflict_ids = (
         b_keyed.join(c_keyed.select("doc_id"), "doc_id")
         .join(replay_ids, "doc_id", "left_anti")
@@ -184,7 +216,7 @@ def ingest_batch(
     eligible = pre.where(
         F.col("quality_ok") & F.col("is_novel") & ~F.col("id_conflict")
     ).select("doc_id", "text")
-    losers = _intra_batch_losers(eligible).withColumn(
+    losers = _intra_batch_losers(eligible, replay_ids).withColumn(
         "intra_dup", F.lit(True)
     )
     verdicts = (

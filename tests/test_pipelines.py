@@ -952,3 +952,29 @@ def test_corpus_ingest_conflicts_and_clusters(spark, tmp_path):
     assert got[21] == (False, "near_duplicate")
     final = {r["doc_id"] for r in spark.read.parquet(corpus).collect()}
     assert final == {1, 10}
+
+
+def test_corpus_ingest_recrawl_byte_copy_keeps_persisted_doc(spark, tmp_path):
+    """A fresh batch carrying a byte-copy of a persisted doc plus a
+    LOWER-id near-dup must keep the persisted doc as its cluster's
+    canonical: the near-dup is rejected and the corpus is unchanged
+    (review repro: min-id canonical used to admit the near-dup and mark
+    the persisted doc rejected)."""
+    from crypto_datalake_spark.pipelines.corpus_ingest import ingest_batch
+
+    corpus = str(tmp_path / "corpus")
+    audit = str(tmp_path / "audit")
+    text_a = " ".join(f"a{i}" for i in range(20))
+    spark.createDataFrame([(5, text_a)], "doc_id long, text string").write.parquet(corpus)
+    batch = spark.createDataFrame(
+        [(5, text_a), (3, text_a + " x")], "doc_id long, text string"
+    )
+    ingest_batch(spark, batch, corpus, audit, batch_id=7)
+    got = {
+        r["doc_id"]: (r["accepted"], r["reject_reason"])
+        for r in spark.read.parquet(audit).collect()
+    }
+    assert got[5] == (True, None)                 # replay doc re-audits accepted
+    assert got[3] == (False, "near_duplicate")    # lower id does NOT win
+    rows = spark.read.parquet(corpus).collect()
+    assert {r["doc_id"] for r in rows} == {5} and len(rows) == 1
