@@ -23,12 +23,13 @@ Policies (each an explicit decision, not an accident of join shape):
   replayed copies, see below).
 - Intra-batch dedup: mirrored pages arriving in ONE crawl file dedup
   against each other with the repo's canonical policy — connected
-  components over verified pairs, keep the minimum doc_id per cluster
+  components over verified pairs, one keeper per cluster: replay docs
+  first (their text is already persisted), then minimum doc_id
   (dedup_cluster_canonical's transitive-closure semantics; the greedy
   keep-against-retained-only alternative is order-dependent across
-  batch splits). Only docs that passed quality AND corpus novelty
-  compete — a quality-rejected or corpus-duplicate doc never drags its
-  batch partner down.
+  batch splits). Replay docs are never losers at all. Only docs that
+  passed quality AND corpus novelty compete — a quality-rejected or
+  corpus-duplicate doc never drags its batch partner down.
 - Id conflicts: a batch doc whose doc_id exists in the corpus with
   DIFFERENT text is rejected 'id_conflict' — accepting it would either
   silently drop the append (audit/corpus divergence) or double the id.
@@ -145,6 +146,11 @@ def _intra_batch_losers(eligible: DataFrame, replay_ids: DataFrame) -> DataFrame
     return (
         ranked.join(keepers, "label")
         .where(F.col("doc_id") != F.col("keep_id"))
+        # a replay doc is NEVER a loser, even when its cluster holds a
+        # second replay that won the election (a corpus seeded with
+        # near-dups): its text is persisted regardless, so auditing it
+        # 'rejected' would contradict the corpus
+        .where(F.col("is_replay").isNull())
         .select("doc_id")
     )
 
@@ -155,11 +161,12 @@ def _read_corpus(spark: SparkSession, corpus_path: str) -> DataFrame:
     errors, corrupt footers — must fail the batch so the checkpoint
     retries it; swallowing those would dedup against an empty corpus
     and permanently accept duplicates."""
+    from crypto_datalake_spark.sinks import is_missing_target_error
+
     try:
         return spark.read.parquet(corpus_path).select("doc_id", "text")
     except AnalysisException as e:
-        cond = e.getCondition() if hasattr(e, "getCondition") else None
-        if cond in ("PATH_NOT_FOUND", "UNABLE_TO_INFER_SCHEMA"):
+        if is_missing_target_error(e):
             return spark.createDataFrame([], "doc_id long, text string")
         raise
 

@@ -29,6 +29,27 @@ from pyspark.sql import functions as F
 from crypto_datalake_spark.ops.dedup import keep_last
 
 
+def is_missing_target_error(e: AnalysisException) -> bool:
+    """True iff ``e`` means "this table does not exist yet" — the ONE
+    classifier for bootstrap-vs-fatal read failures, shared by the sink
+    upserts and the corpus-ingest pipeline. Structured error class
+    first (getCondition on Spark 4, getErrorClass on 3.x), message
+    fallback for versions that predate both; substring match because
+    conditions can carry dotted sub-condition suffixes. A directory
+    left by a crashed first write (no committed parquet files) surfaces
+    as UNABLE_TO_INFER_SCHEMA — still "does not exist yet"; without it,
+    retries are bricked forever."""
+    klass = ""
+    get_cls = getattr(e, "getCondition", None) or getattr(e, "getErrorClass", None)
+    if callable(get_cls):
+        klass = get_cls() or ""
+    return (
+        "PATH_NOT_FOUND" in klass
+        or "UNABLE_TO_INFER_SCHEMA" in klass
+        or "Path does not exist" in str(e)
+    )
+
+
 def _read_existing(spark: SparkSession, path: str, cols: Sequence[str]) -> DataFrame | None:
     """Read the current target table, returning None iff ``path`` does not
     exist yet (first write).
@@ -41,16 +62,7 @@ def _read_existing(spark: SparkSession, path: str, cols: Sequence[str]) -> DataF
     try:
         df = spark.read.parquet(path)
     except AnalysisException as e:
-        klass = ""
-        get_cls = getattr(e, "getCondition", None) or getattr(e, "getErrorClass", None)
-        if callable(get_cls):
-            klass = get_cls() or ""
-        if "PATH_NOT_FOUND" in klass or "Path does not exist" in str(e):
-            return None
-        # a directory created by a crashed first write (no committed
-        # parquet files yet) surfaces as UNABLE_TO_INFER_SCHEMA — that is
-        # still "first write"; without this, retries are bricked forever
-        if "UNABLE_TO_INFER_SCHEMA" in klass:
+        if is_missing_target_error(e):
             return None
         raise
     # outside the try: a schema/column mismatch must propagate, not be

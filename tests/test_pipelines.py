@@ -978,3 +978,28 @@ def test_corpus_ingest_recrawl_byte_copy_keeps_persisted_doc(spark, tmp_path):
     assert got[3] == (False, "near_duplicate")    # lower id does NOT win
     rows = spark.read.parquet(corpus).collect()
     assert {r["doc_id"] for r in rows} == {5} and len(rows) == 1
+
+
+def test_corpus_ingest_two_replay_neardups_both_reaccepted(spark, tmp_path):
+    """A corpus externally seeded with two near-dup docs, re-crawled as
+    byte-copies: BOTH re-audit accepted (their text is persisted either
+    way) and the corpus is unchanged — a replay doc is never a loser."""
+    from crypto_datalake_spark.pipelines.corpus_ingest import ingest_batch
+
+    corpus = str(tmp_path / "corpus")
+    audit = str(tmp_path / "audit")
+    text_a = " ".join(f"a{i}" for i in range(20))
+    spark.createDataFrame(
+        [(5, text_a), (9, text_a + " x")], "doc_id long, text string"
+    ).write.parquet(corpus)
+    batch = spark.createDataFrame(
+        [(5, text_a), (9, text_a + " x")], "doc_id long, text string"
+    )
+    ingest_batch(spark, batch, corpus, audit, batch_id=3)
+    got = {
+        r["doc_id"]: (r["accepted"], r["reject_reason"])
+        for r in spark.read.parquet(audit).collect()
+    }
+    assert got == {5: (True, None), 9: (True, None)}
+    rows = spark.read.parquet(corpus).collect()
+    assert {r["doc_id"] for r in rows} == {5, 9} and len(rows) == 2
