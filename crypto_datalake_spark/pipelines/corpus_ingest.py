@@ -47,11 +47,13 @@ Scale notes:
   is the one non-incremental cost — batch_novelty_counts marks the seam
   where the persisted index drops in.
 - Appends are plain parquet appends; the checkpoint gives
-  at-least-once. Replays are SAFE and converge: corpus rows that are
-  byte-copies of this batch's docs (same doc_id AND same md5(text)) are
-  excluded from the novelty reference, so a replayed doc re-audits with
-  the same verdict, and the append path never writes a doc_id the
-  corpus already holds. An exactly-once variant would route the accept
+  at-least-once. Replays are SAFE and converge: a batch doc that is a
+  byte-copy of a corpus row (same doc_id AND same md5(text)) is always
+  audited ACCEPTED — the verdict-level invariant, since its text is
+  persisted no matter which gate it would fail today (its copy is also
+  excluded from the novelty reference so it cannot reject its own
+  batch partners' anchor role) — and the append path never writes a
+  doc_id the corpus already holds. An exactly-once variant would route the accept
   append through txn.atomic_upsert_partitioned keyed on doc_id
   (streaming/silver.py's atomic foreachBatch precedent).
 """
@@ -217,7 +219,11 @@ def ingest_batch(
         batch.join(q, "doc_id")
         .join(n, "doc_id")
         .join(conflict_ids, "doc_id", "left")
+        .join(
+            replay_ids.withColumn("is_replay", F.lit(True)), "doc_id", "left"
+        )
         .withColumn("id_conflict", F.coalesce("id_conflict", F.lit(False)))
+        .withColumn("is_replay", F.coalesce("is_replay", F.lit(False)))
         .localCheckpoint()  # feeds eligibility AND the final verdict join
     )
     eligible = pre.where(
@@ -233,18 +239,32 @@ def ingest_batch(
             "doc_id",
             "text",
             "n_dup_existing",
+            # the replay invariant lives HERE, at the verdict: a replay
+            # doc's exact text is in the corpus, so the only consistent
+            # audit is 'accepted' no matter which gate it would fail —
+            # a seeded near-dup pair re-crawled across two separate
+            # batches knocks each copy out via corpus novelty (its
+            # partner stays in the reference), and a persisted doc can
+            # fail today's quality thresholds; auditing either as
+            # rejected would contradict the corpus state
             (
-                F.col("quality_ok")
-                & F.col("is_novel")
-                & ~F.col("id_conflict")
-                & ~F.col("intra_dup")
+                F.col("is_replay")
+                | (
+                    F.col("quality_ok")
+                    & F.col("is_novel")
+                    & ~F.col("id_conflict")
+                    & ~F.col("intra_dup")
+                )
             ).alias("accepted"),
-            F.coalesce(
-                F.col("quality_reason"),
-                F.when(F.col("id_conflict"), F.lit("id_conflict")),
-                F.when(
-                    ~F.col("is_novel") | F.col("intra_dup"),
-                    F.lit("near_duplicate"),
+            F.when(
+                ~F.col("is_replay"),
+                F.coalesce(
+                    F.col("quality_reason"),
+                    F.when(F.col("id_conflict"), F.lit("id_conflict")),
+                    F.when(
+                        ~F.col("is_novel") | F.col("intra_dup"),
+                        F.lit("near_duplicate"),
+                    ),
                 ),
             ).alias("reject_reason"),
             F.lit(batch_id).cast("long").alias("batch_id"),

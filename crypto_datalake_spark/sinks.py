@@ -257,7 +257,11 @@ def _next_commit_seq(spark: SparkSession, ledger_path: str) -> int:
     try:
         led = spark.read.parquet(ledger_path)
     except AnalysisException as e:  # first commit: path does not exist yet
-        if "PATH_NOT_FOUND" in str(e) or "Path does not exist" in str(e):
+        # (incl. a directory left by a crashed first append with no
+        # committed files — UNABLE_TO_INFER_SCHEMA — which the shared
+        # classifier maps to "does not exist"; a bespoke check here once
+        # missed it and bricked ledger retries)
+        if is_missing_target_error(e):
             return wall
         raise
     if "commit_seq" not in led.columns:

@@ -1003,3 +1003,42 @@ def test_corpus_ingest_two_replay_neardups_both_reaccepted(spark, tmp_path):
     assert got == {5: (True, None), 9: (True, None)}
     rows = spark.read.parquet(corpus).collect()
     assert {r["doc_id"] for r in rows} == {5, 9} and len(rows) == 2
+
+
+def test_corpus_ingest_replays_in_separate_batches_stay_accepted(spark, tmp_path):
+    """Seeded near-dup pair re-crawled one doc per micro-batch: each
+    replay's partner remains in the novelty reference, but the verdict-
+    level replay invariant still audits BOTH accepted (review repro: the
+    novelty gate used to mark each one near_duplicate)."""
+    from crypto_datalake_spark.pipelines.corpus_ingest import ingest_batch
+
+    corpus = str(tmp_path / "corpus")
+    audit = str(tmp_path / "audit")
+    text_a = " ".join(f"a{i}" for i in range(20))
+    spark.createDataFrame(
+        [(5, text_a), (9, text_a + " x")], "doc_id long, text string"
+    ).write.parquet(corpus)
+    for bid, (did, tx) in enumerate([(5, text_a), (9, text_a + " x")]):
+        ingest_batch(
+            spark,
+            spark.createDataFrame([(did, tx)], "doc_id long, text string"),
+            corpus, audit, batch_id=bid,
+        )
+    got = {
+        r["doc_id"]: (r["accepted"], r["reject_reason"])
+        for r in spark.read.parquet(audit).collect()
+    }
+    assert got == {5: (True, None), 9: (True, None)}
+    rows = spark.read.parquet(corpus).collect()
+    assert {r["doc_id"] for r in rows} == {5, 9} and len(rows) == 2
+
+
+def test_ledger_crashed_first_append_retries(spark, tmp_path):
+    """An empty ledger directory (crashed first append, no committed
+    files) must read as 'first commit', not brick every retry with
+    UNABLE_TO_INFER_SCHEMA."""
+    from crypto_datalake_spark.sinks import _next_commit_seq
+
+    led = tmp_path / "ledger"
+    led.mkdir()  # exists but holds no parquet
+    assert _next_commit_seq(spark, str(led)) > 0
