@@ -27,9 +27,11 @@ Policies (each an explicit decision, not an accident of join shape):
   first (their text is already persisted), then minimum doc_id
   (dedup_cluster_canonical's transitive-closure semantics; the greedy
   keep-against-retained-only alternative is order-dependent across
-  batch splits). Replay docs are never losers at all. Only docs that
-  passed quality AND corpus novelty compete — a quality-rejected or
-  corpus-duplicate doc never drags its batch partner down.
+  batch splits). Fresh docs compete only if they passed quality AND
+  corpus novelty — a gate-rejected fresh doc never drags its batch
+  partner down; replay docs compete UNCONDITIONALLY so persisted text
+  always anchors its cluster, and the verdict (not the election)
+  guarantees a replay is still audited accepted.
 - Id conflicts: a batch doc whose doc_id exists in the corpus with
   DIFFERENT text is rejected 'id_conflict' — accepting it would either
   silently drop the append (audit/corpus divergence) or double the id.
@@ -110,17 +112,19 @@ def _corpus_novelty(batch: DataFrame, novelty_ref: DataFrame) -> DataFrame:
     )
 
 
-def _intra_batch_losers(eligible: DataFrame, replay_ids: DataFrame) -> DataFrame:
+def _intra_batch_losers(eligible: DataFrame) -> DataFrame:
     """(doc_id) of every eligible doc that is NOT its near-dup cluster's
     keeper — the production candidate/verify stages plus connected
     components, so one crawl file carrying three mirrored pages keeps
-    exactly one. The keeper is replay-first, then minimum doc_id: a
-    replay doc's text is ALREADY in the corpus (its copy was excluded
-    from the novelty reference), so electing a lower-id batch partner
-    instead would append a near-dup of persisted content and mark the
-    persisted doc 'rejected' while the corpus keeps it — for true crash
-    replays the two rules agree, since the persisted doc won min-id on
-    the first run."""
+    exactly one. ``eligible`` carries an ``is_replay`` flag and the
+    keeper is replay-first, then minimum doc_id: a replay doc's text is
+    ALREADY in the corpus (its copy was excluded from the novelty
+    reference), so electing a lower-id batch partner instead would
+    append a near-dup of persisted content — for true crash replays the
+    two rules agree, since the persisted doc won min-id on the first
+    run. Replay docs may appear in the returned loser set (two seeded
+    near-dup replays in one cluster); the VERDICT enforces that a
+    replay is still audited accepted — one invariant, one layer."""
     from crypto_datalake_spark.queries.dedup import (
         band_candidate_pairs,
         connected_components,
@@ -134,11 +138,11 @@ def _intra_batch_losers(eligible: DataFrame, replay_ids: DataFrame) -> DataFrame
     )
     labels = connected_components(eligible.select("doc_id"), pairs)
     ranked = labels.join(
-        replay_ids.withColumn("is_replay", F.lit(True)), "doc_id", "left"
+        eligible.select("doc_id", "is_replay"), "doc_id"
     ).withColumn(
         "__ord",
         F.struct(
-            F.col("is_replay").isNull().cast("int"),  # replays first
+            (~F.col("is_replay")).cast("int"),  # replays first
             F.col("doc_id"),
         ),
     )
@@ -148,11 +152,6 @@ def _intra_batch_losers(eligible: DataFrame, replay_ids: DataFrame) -> DataFrame
     return (
         ranked.join(keepers, "label")
         .where(F.col("doc_id") != F.col("keep_id"))
-        # a replay doc is NEVER a loser, even when its cluster holds a
-        # second replay that won the election (a corpus seeded with
-        # near-dups): its text is persisted regardless, so auditing it
-        # 'rejected' would contradict the corpus
-        .where(F.col("is_replay").isNull())
         .select("doc_id")
     )
 
@@ -195,7 +194,11 @@ def ingest_batch(
     # Hash only the corpus rows whose id the batch mentions (semi-join
     # first): hashing the whole corpus would be an unbounded per-batch
     # full-text pass, and both detections require an id match anyway.
-    h = F.md5(F.col("text").cast("binary"))
+    # NULL-safe hash: a corpus row with NULL text re-crawled as NULL is
+    # still a byte-copy (a plain equi-join on md5(NULL)=NULL would drop
+    # it into id_conflict, auditing a replayed copy as rejected); the
+    # sentinel cannot collide with any md5 hex digest
+    h = F.coalesce(F.md5(F.col("text").cast("binary")), F.lit("__NULL__"))
     b_keyed = batch.select("doc_id", h.alias("text_hash"))
     c_keyed = corpus.join(batch.select("doc_id"), "doc_id", "left_semi").select(
         "doc_id", h.alias("text_hash")
@@ -203,7 +206,7 @@ def ingest_batch(
     replay_ids = (
         b_keyed.join(c_keyed, ["doc_id", "text_hash"])
         .select("doc_id")
-        .localCheckpoint()  # three consumers: conflicts, novelty ref, keeper rank
+        .localCheckpoint()  # three consumers: conflicts, novelty ref, verdicts
     )
     conflict_ids = (
         b_keyed.join(c_keyed.select("doc_id"), "doc_id")
@@ -226,10 +229,15 @@ def ingest_batch(
         .withColumn("is_replay", F.coalesce("is_replay", F.lit(False)))
         .localCheckpoint()  # feeds eligibility AND the final verdict join
     )
+    # replay docs are eligible UNCONDITIONALLY: a persisted doc that
+    # fails today's gates (re-tuned quality thresholds, a cross-batch
+    # novelty hit) must still ANCHOR its cluster, or a fresh near-dup
+    # of its persisted text would sail in as the cluster's only member
     eligible = pre.where(
-        F.col("quality_ok") & F.col("is_novel") & ~F.col("id_conflict")
-    ).select("doc_id", "text")
-    losers = _intra_batch_losers(eligible, replay_ids).withColumn(
+        F.col("is_replay")
+        | (F.col("quality_ok") & F.col("is_novel") & ~F.col("id_conflict"))
+    ).select("doc_id", "text", "is_replay")
+    losers = _intra_batch_losers(eligible).withColumn(
         "intra_dup", F.lit(True)
     )
     verdicts = (

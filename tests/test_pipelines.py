@@ -1042,3 +1042,49 @@ def test_ledger_crashed_first_append_retries(spark, tmp_path):
     led = tmp_path / "ledger"
     led.mkdir()  # exists but holds no parquet
     assert _next_commit_seq(spark, str(led)) > 0
+
+
+def test_corpus_ingest_gate_failing_replay_still_anchors(spark, tmp_path):
+    """A replayed corpus doc that fails TODAY'S quality gate must still
+    anchor its cluster: the fresh near-dup of its persisted text is
+    rejected, and the replay itself re-audits accepted."""
+    from crypto_datalake_spark.pipelines.corpus_ingest import ingest_batch
+
+    corpus = str(tmp_path / "corpus")
+    audit = str(tmp_path / "audit")
+    # persisted under yesterday's thresholds; 10,020 tokens now trips
+    # the too_long gate. The partner is its 9,000-token tail: passes
+    # quality, shingle-Jaccard 0.898, and (pinned by the fixed md5
+    # hashes) band-collides — a near-dup construction that does NOT
+    # inherit the gate failure, unlike a repetition-flagged pair.
+    legacy = " ".join(f"v{i}" for i in range(10020))
+    partner = " ".join(f"v{i}" for i in range(1020, 10020))
+    spark.createDataFrame([(5, legacy)], "doc_id long, text string").write.parquet(corpus)
+    batch = spark.createDataFrame(
+        [(5, legacy), (3, partner)], "doc_id long, text string"
+    )
+    ingest_batch(spark, batch, corpus, audit, batch_id=0)
+    got = {
+        r["doc_id"]: (r["accepted"], r["reject_reason"])
+        for r in spark.read.parquet(audit).collect()
+    }
+    assert got[5] == (True, None)                 # replay invariant holds
+    assert got[3] == (False, "near_duplicate")    # anchored despite the gate
+    assert {r["doc_id"] for r in spark.read.parquet(corpus).collect()} == {5}
+
+
+def test_corpus_ingest_null_text_replay_not_conflict(spark, tmp_path):
+    """A corpus row with NULL text re-crawled as NULL is a byte-copy,
+    not an id conflict: the null-safe hash keeps the replay invariant."""
+    from crypto_datalake_spark.pipelines.corpus_ingest import ingest_batch
+
+    corpus = str(tmp_path / "corpus")
+    audit = str(tmp_path / "audit")
+    spark.createDataFrame([(7, None)], "doc_id long, text string").write.parquet(corpus)
+    ingest_batch(
+        spark,
+        spark.createDataFrame([(7, None)], "doc_id long, text string"),
+        corpus, audit, batch_id=0,
+    )
+    r = spark.read.parquet(audit).collect()[0]
+    assert (r["doc_id"], r["accepted"], r["reject_reason"]) == (7, True, None)
