@@ -983,7 +983,8 @@ def test_corpus_ingest_recrawl_byte_copy_keeps_persisted_doc(spark, tmp_path):
 def test_corpus_ingest_two_replay_neardups_both_reaccepted(spark, tmp_path):
     """A corpus externally seeded with two near-dup docs, re-crawled as
     byte-copies: BOTH re-audit accepted (their text is persisted either
-    way) and the corpus is unchanged — a replay doc is never a loser."""
+    way) and the corpus is unchanged — the VERDICT keeps replays
+    accepted even when the cluster election marks one a loser."""
     from crypto_datalake_spark.pipelines.corpus_ingest import ingest_batch
 
     corpus = str(tmp_path / "corpus")
