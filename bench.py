@@ -75,6 +75,7 @@ BENCH_QUERIES = [
     "text_profile",
     "text_tfidf_topk",
     "quality_lm_perplexity",
+    "shuffle_export_shards",
     "quality_score_classifier",
     "dedup_embedding_cosine",
     "dedup_semantic_clusters",
