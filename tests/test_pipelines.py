@@ -1089,3 +1089,60 @@ def test_corpus_ingest_null_text_replay_not_conflict(spark, tmp_path):
     )
     r = spark.read.parquet(audit).collect()[0]
     assert (r["doc_id"], r["accepted"], r["reject_reason"]) == (7, True, None)
+
+
+def test_corpus_ingest_batch_invariants_random(spark, tmp_path):
+    """Seeded-random batches through ingest_batch, checking the
+    pipeline's structural invariants rather than specific verdicts:
+    audit totality (one row per batch doc per run), corpus monotonicity
+    (accepted new ids exactly), corpus id-uniqueness, and replay
+    idempotency (re-running any batch changes nothing and re-audits
+    byte-copies as accepted)."""
+    import random
+
+    from crypto_datalake_spark.pipelines.corpus_ingest import ingest_batch
+
+    rng = random.Random(20260814)
+    vocab = [f"t{i}" for i in range(12)]
+    corpus = str(tmp_path / "corpus")
+    audit = str(tmp_path / "audit")
+
+    def rand_text():
+        r = rng.random()
+        if r < 0.1:
+            return None
+        if r < 0.25:  # repetitive
+            return " ".join([rng.choice(vocab[:2])] * rng.randint(6, 10))
+        return " ".join(rng.choice(vocab) for _ in range(rng.randint(2, 12)))
+
+    next_id = 0
+    corpus_ids: set[int] = set()
+    for bid in range(3):
+        rows = []
+        for _ in range(rng.randint(2, 5)):
+            next_id += 1
+            rows.append((next_id, rand_text()))
+        batch = spark.createDataFrame(rows, "doc_id long, text string")
+        ingest_batch(spark, batch, corpus, audit, batch_id=bid)
+
+        audit_df = [r for r in spark.read.parquet(audit).collect() if r["batch_id"] == bid]
+        assert sorted(r["doc_id"] for r in audit_df) == sorted(r[0] for r in rows)
+        accepted = {r["doc_id"] for r in audit_df if r["accepted"]}
+        new_corpus = spark.read.parquet(corpus).collect() if accepted or corpus_ids else []
+        new_ids = {r["doc_id"] for r in new_corpus}
+        assert new_ids == corpus_ids | accepted          # monotone, exact
+        assert len(new_corpus) == len(new_ids)           # no duplicate ids
+        corpus_ids = new_ids
+
+        # replay the SAME batch: corpus unchanged, byte-copies accepted
+        ingest_batch(spark, batch, corpus, audit, batch_id=bid)
+        replay_corpus = spark.read.parquet(corpus).collect()
+        assert {r["doc_id"] for r in replay_corpus} == corpus_ids
+        assert len(replay_corpus) == len(corpus_ids)
+        latest = {
+            r["doc_id"]: r["accepted"]
+            for r in spark.read.parquet(audit).collect()
+            if r["batch_id"] == bid
+        }
+        for did in accepted:
+            assert latest[did] is True                   # replays stay accepted
