@@ -943,3 +943,42 @@ def _dedup_eval_sql() -> str:
 )
 def dedup_recall_eval(spark, sf_dir):
     return dedup_recall_eval_frame(t(spark, sf_dir, "documents"))
+
+
+# --------------------------------------------------- text normalization
+
+def normalize_text_frame(d):
+    """(doc_id, norm_text, changed) — the canonicalization pass that runs
+    BEFORE hashing/dedup in C4/CCNet-style pipelines, so that
+    whitespace and case variants of the same page hash identically:
+    lowercase, collapse whitespace runs to one space, trim. Pure
+    row-local JVM expressions — whole-stage-codegen'd, no shuffle, the
+    cheapest pass in the pipeline."""
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    return d.select(
+        "doc_id",
+        norm.alias("norm_text"),
+        (~norm.eqNullSafe(F.col("text"))).alias("changed"),
+    )
+
+
+@register(
+    "text_normalize",
+    sql=r"""
+    SELECT doc_id,
+           trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm_text,
+           NOT (trim(regexp_replace(lower(text), '\s+', ' ', 'g'))
+                IS NOT DISTINCT FROM text) AS changed
+    FROM documents
+    """,
+    doc="Text normalization (the C4/CCNet canonicalization pass before "
+    "any hash tier): lowercase, collapse whitespace runs, trim — case "
+    "and spacing variants of the same content then collide in "
+    "dedup_exact_hash / MinHash instead of slipping through as "
+    "'different' documents. The regex subset used (\\s+) parses "
+    "identically under Java regex and RE2, so the oracle is exact; "
+    "NULL text normalizes to NULL with changed=false (null-safe "
+    "comparison on both engines). Row-local, codegen'd, shuffle-free.",
+)
+def text_normalize(spark, sf_dir):
+    return normalize_text_frame(t(spark, sf_dir, "documents"))
