@@ -947,14 +947,23 @@ def dedup_recall_eval(spark, sf_dir):
 
 # --------------------------------------------------- text normalization
 
+# Explicit whitespace class instead of \s: Java regex counts vertical
+# tab (\x0B) in \s but RE2 does not, so the dialect-neutral class is
+# spelled out and shared verbatim by both engines.
+_WS_RUN = "[ \t\n\r\f\x0b]+"
+
+
 def normalize_text_frame(d):
     """(doc_id, norm_text, changed) — the canonicalization pass that runs
     BEFORE hashing/dedup in C4/CCNet-style pipelines, so that
     whitespace and case variants of the same page hash identically:
     lowercase, collapse whitespace runs to one space, trim. Pure
     row-local JVM expressions — whole-stage-codegen'd, no shuffle, the
-    cheapest pass in the pipeline."""
-    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    cheapest pass in the pipeline. Cross-engine exact for ASCII (the
+    corpus); full-Unicode case mapping is engine-specific (JVM
+    toLowerCase maps U+0130 to "i"+combining-dot, DuckDB to "i") and
+    out of the oracle contract."""
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), _WS_RUN, " "))
     return d.select(
         "doc_id",
         norm.alias("norm_text"),
@@ -964,19 +973,21 @@ def normalize_text_frame(d):
 
 @register(
     "text_normalize",
-    sql=r"""
+    sql=f"""
     SELECT doc_id,
-           trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm_text,
-           NOT (trim(regexp_replace(lower(text), '\s+', ' ', 'g'))
-                IS NOT DISTINCT FROM text) AS changed
+           trim(regexp_replace(lower(text), '{_WS_RUN}', ' ', 'g')) AS norm_text,
+           trim(regexp_replace(lower(text), '{_WS_RUN}', ' ', 'g'))
+             IS DISTINCT FROM text AS changed
     FROM documents
     """,
     doc="Text normalization (the C4/CCNet canonicalization pass before "
     "any hash tier): lowercase, collapse whitespace runs, trim — case "
     "and spacing variants of the same content then collide in "
     "dedup_exact_hash / MinHash instead of slipping through as "
-    "'different' documents. The regex subset used (\\s+) parses "
-    "identically under Java regex and RE2, so the oracle is exact; "
+    "'different' documents. The whitespace class is spelled out "
+    "explicitly (Java's \\s includes \\x0B, RE2's does not) so one "
+    "pattern string serves both engines; exactness is scoped to ASCII "
+    "text — full-Unicode case mapping is engine-specific; "
     "NULL text normalizes to NULL with changed=false (null-safe "
     "comparison on both engines). Row-local, codegen'd, shuffle-free.",
 )

@@ -1128,7 +1128,11 @@ def test_corpus_ingest_batch_invariants_random(spark, tmp_path):
         audit_df = [r for r in spark.read.parquet(audit).collect() if r["batch_id"] == bid]
         assert sorted(r["doc_id"] for r in audit_df) == sorted(r[0] for r in rows)
         accepted = {r["doc_id"] for r in audit_df if r["accepted"]}
-        new_corpus = spark.read.parquet(corpus).collect() if accepted or corpus_ids else []
+        new_corpus = (
+            spark.read.parquet(corpus).collect()
+            if accepted or corpus_ids
+            else []
+        )
         new_ids = {r["doc_id"] for r in new_corpus}
         assert new_ids == corpus_ids | accepted          # monotone, exact
         assert len(new_corpus) == len(new_ids)           # no duplicate ids
@@ -1136,13 +1140,14 @@ def test_corpus_ingest_batch_invariants_random(spark, tmp_path):
 
         # replay the SAME batch: corpus unchanged, byte-copies accepted
         ingest_batch(spark, batch, corpus, audit, batch_id=bid)
-        replay_corpus = spark.read.parquet(corpus).collect()
+        replay_corpus = (
+            spark.read.parquet(corpus).collect() if corpus_ids else []
+        )
         assert {r["doc_id"] for r in replay_corpus} == corpus_ids
         assert len(replay_corpus) == len(corpus_ids)
-        latest = {
-            r["doc_id"]: r["accepted"]
-            for r in spark.read.parquet(audit).collect()
-            if r["batch_id"] == bid
-        }
-        for did in accepted:
-            assert latest[did] is True                   # replays stay accepted
+        # EVERY audit row for an accepted doc must be accepted — a
+        # last-wins dict over unordered parquet rows would let the
+        # first run's row mask a regressed replay verdict
+        for r in spark.read.parquet(audit).collect():
+            if r["batch_id"] == bid and r["doc_id"] in accepted:
+                assert r["accepted"] is True

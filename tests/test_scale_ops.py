@@ -473,3 +473,42 @@ def test_dedup_recall_eval_empty_sample(spark):
     r = dedup_recall_eval_frame(d).collect()[0]
     assert (r["n_true"], r["n_cand"], r["n_hit"]) == (0, 0, 0)
     assert r["precision"] is None and r["recall"] is None
+
+
+# --- text normalization ----------------------------------------------------
+
+def test_text_normalize_cross_engine_witness(spark):
+    """The sf corpora are already normalized (the registered oracle is
+    an identity map there), so the real logic — case folding, run
+    collapsing incl. \\x0B and CRLF, trim, NULL passthrough, the
+    changed flag — is pinned on crafted rows compared across BOTH
+    engines (the oracle SQL runs on a DuckDB view of the same rows)."""
+    import duckdb
+
+    from crypto_datalake_spark.queries import REGISTRY
+    from crypto_datalake_spark.queries.curation import normalize_text_frame
+    from tests.oracle import compare
+
+    rows = [(1, "  Hello\t WORLD  "), (2, None), (3, "already clean"),
+            (4, "a\x0bb"), (5, "A\nB\r\nC")]
+    sp = normalize_text_frame(
+        spark.createDataFrame(rows, "doc_id long, text string")
+    )
+    got = {r["doc_id"]: (r["norm_text"], r["changed"]) for r in sp.collect()}
+    assert got == {
+        1: ("hello world", True),
+        2: (None, False),
+        3: ("already clean", False),
+        4: ("a b", True),          # \x0B: Java \s would eat it, RE2 not —
+        5: ("a b c", True),        # the explicit class makes both agree
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM (VALUES "
+        "(1, '  Hello' || chr(9) || ' WORLD  '), (2, NULL), "
+        "(3, 'already clean'), (4, 'a' || chr(11) || 'b'), "
+        "(5, 'A' || chr(10) || 'B' || chr(13) || chr(10) || 'C')"
+        ") t(doc_id, text)"
+    )
+    ok, msg = compare(sp, con, REGISTRY["text_normalize"].resolved_sql())
+    assert ok, msg
