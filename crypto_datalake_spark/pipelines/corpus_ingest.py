@@ -95,24 +95,25 @@ def _quality_verdict(batch: DataFrame) -> DataFrame:
     )
 
 
-def _corpus_novelty(batch: DataFrame, novelty_ref: DataFrame) -> DataFrame:
+def _corpus_novelty(batch_ids, in_sig, in_bands, novelty_ref: DataFrame) -> DataFrame:
     """(doc_id, n_dup_existing, is_novel) for the batch vs the corpus
-    reference — the production incremental core, two-sided."""
+    reference — the production incremental core, two-sided. Takes the
+    batch's (sig, bands) so the signature pass is computed ONCE per
+    micro-batch and shared with the intra-batch stage."""
     from crypto_datalake_spark.queries.dedup import lsh_signatures
     from crypto_datalake_spark.queries.scrub import (
         batch_novelty_counts,
         novelty_verdict,
     )
 
-    in_sig, in_bands = lsh_signatures(batch)
     ex_sig, ex_bands = lsh_signatures(novelty_ref)
     return novelty_verdict(
-        batch.select("doc_id"),
+        batch_ids,
         batch_novelty_counts(in_sig, in_bands, ex_sig, ex_bands),
     )
 
 
-def _intra_batch_losers(eligible: DataFrame) -> DataFrame:
+def _intra_batch_losers(eligible: DataFrame, in_sig, in_bands) -> DataFrame:
     """(doc_id) of every eligible doc that is NOT its near-dup cluster's
     keeper — the production candidate/verify stages plus connected
     components, so one crawl file carrying three mirrored pages keeps
@@ -128,15 +129,18 @@ def _intra_batch_losers(eligible: DataFrame) -> DataFrame:
     from crypto_datalake_spark.queries.dedup import (
         band_candidate_pairs,
         connected_components,
-        lsh_signatures,
         verified_pairs,
     )
 
-    sig, bands = lsh_signatures(eligible)
+    # the batch-wide signatures, filtered to the eligible docs — no
+    # second shingle/minhash pass over the same texts
+    ids = eligible.select("doc_id")
+    sig = in_sig.join(ids, "doc_id", "left_semi")
+    bands = in_bands.join(ids, "doc_id", "left_semi")
     pairs = verified_pairs(sig, band_candidate_pairs(bands)).select(
         "doc_a", "doc_b"
     )
-    labels = connected_components(eligible.select("doc_id"), pairs)
+    labels = connected_components(ids, pairs)
     ranked = labels.join(
         eligible.select("doc_id", "is_replay"), "doc_id"
     ).withColumn(
@@ -216,8 +220,11 @@ def ingest_batch(
     )
     novelty_ref = corpus.join(replay_ids, "doc_id", "left_anti")
 
+    from crypto_datalake_spark.queries.dedup import lsh_signatures
+
+    in_sig, in_bands = lsh_signatures(batch)
     q = _quality_verdict(batch)
-    n = _corpus_novelty(batch, novelty_ref)
+    n = _corpus_novelty(batch.select("doc_id"), in_sig, in_bands, novelty_ref)
     pre = (
         batch.join(q, "doc_id")
         .join(n, "doc_id")
@@ -237,7 +244,7 @@ def ingest_batch(
         F.col("is_replay")
         | (F.col("quality_ok") & F.col("is_novel") & ~F.col("id_conflict"))
     ).select("doc_id", "text", "is_replay")
-    losers = _intra_batch_losers(eligible).withColumn(
+    losers = _intra_batch_losers(eligible, in_sig, in_bands).withColumn(
         "intra_dup", F.lit(True)
     )
     verdicts = (

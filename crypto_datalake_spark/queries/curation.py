@@ -37,6 +37,7 @@ from crypto_datalake_spark.queries.dedup import (
 )
 from crypto_datalake_spark.queries.llm import (
     _cosine,
+    _seeded_hash_sql,
     _dk_bucket,
     _dk_plane_dot,
     _DK_COS,
@@ -780,17 +781,11 @@ def shuffle_shard_assign(d, shard_size: int = _SHARD_SIZE, seed: str = _SHUFFLE_
     )
 
 
-def _shuffle_key_sql() -> str:
-    from crypto_datalake_spark.queries.llm import _seeded_hash_sql
-
-    return _seeded_hash_sql(_SHUFFLE_SEED)
-
-
 @register(
     "shuffle_export_shards",
     sql=f"""
     WITH keyed AS (
-      SELECT doc_id, {_shuffle_key_sql()} AS shuffle_key
+      SELECT doc_id, {_seeded_hash_sql(_SHUFFLE_SEED)} AS shuffle_key
       FROM documents
     ),
     ranked AS (
@@ -847,6 +842,7 @@ def dedup_recall_eval_frame(docs, mod: int = _DEDUP_EVAL_MOD):
     from crypto_datalake_spark.queries.dedup import (
         band_candidate_pairs,
         lsh_signatures,
+        shingle_jaccard,
     )
 
     sig, bands = lsh_signatures(docs.where(F.col("doc_id") % mod == 0))
@@ -856,9 +852,7 @@ def dedup_recall_eval_frame(docs, mod: int = _DEDUP_EVAL_MOD):
     b = sig.select(
         F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b")
     )
-    jacc = F.size(F.array_intersect("sh_a", "sh_b")).cast("double") / F.size(
-        F.array_union("sh_a", "sh_b")
-    ).cast("double")
+    jacc = shingle_jaccard("sh_a", "sh_b")
     # The exact arm is a BroadcastNestedLoopJoin whose build side is the
     # SAMPLED docs' shingle arrays (projected to the two needed columns)
     # — it must fit Spark's 8 GB broadcast ceiling, which is exactly why
@@ -896,7 +890,7 @@ def dedup_recall_eval_frame(docs, mod: int = _DEDUP_EVAL_MOD):
 
 
 def _dedup_eval_sql() -> str:
-    from crypto_datalake_spark.queries.dedup import _DK_LSH_BASE
+    from crypto_datalake_spark.queries.dedup import _DK_LSH_BASE, dk_jaccard_sql
 
     return f"""
     WITH {_DK_LSH_BASE.rstrip()},
@@ -905,9 +899,7 @@ def _dedup_eval_sql() -> str:
     truth AS (
       SELECT x.doc_id AS doc_a, y.doc_id AS doc_b
       FROM samp x JOIN samp y ON x.doc_id < y.doc_id
-      WHERE CAST(len(list_intersect(x.shingles, y.shingles)) AS DOUBLE)
-              / CAST(len(list_distinct(x.shingles || y.shingles)) AS DOUBLE)
-            >= {_JACCARD_MIN}
+      WHERE {dk_jaccard_sql("x.shingles", "y.shingles")} >= {_JACCARD_MIN}
     ),
     cand AS (
       {dk_band_cand_sql("sbands")}

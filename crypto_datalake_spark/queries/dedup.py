@@ -216,6 +216,26 @@ def band_candidate_pairs(bands):
     )
 
 
+def shingle_jaccard(left: str, right: str):
+    """Exact Jaccard of two distinct-shingle array columns — ONE Spark
+    definition for the verify stage, the recall-eval truth arm, and the
+    incremental-dedup core (mirror of ``dk_jaccard_sql``)."""
+    return (
+        F.size(F.array_intersect(left, right)).cast("double")
+        / F.size(F.array_union(left, right)).cast("double")
+    )
+
+
+def dk_jaccard_sql(x: str, y: str) -> str:
+    """The same exact-Jaccard as DuckDB SQL text over two shingle-list
+    expressions (mirror of ``shingle_jaccard``). ``list_distinct(x||y)``
+    is the union — both inputs are already distinct lists."""
+    return (
+        f"CAST(len(list_intersect({x}, {y})) AS DOUBLE)"
+        f" / CAST(len(list_distinct({x} || {y})) AS DOUBLE)"
+    )
+
+
 def verified_pairs(sig, cand, threshold: float = _JACCARD_MIN):
     """Exact-Jaccard verification of candidate (doc_a, doc_b) pairs
     against the signature frame's distinct-shingle arrays — the verify
@@ -223,14 +243,10 @@ def verified_pairs(sig, cand, threshold: float = _JACCARD_MIN):
     query and the corpus-ingest pipeline's intra-batch pass."""
     x = sig.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sa"))
     y = sig.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sb"))
-    jac = (
-        F.size(F.array_intersect("sa", "sb")).cast("double")
-        / F.size(F.array_union("sa", "sb")).cast("double")
-    )
     return (
         cand.join(x, "doc_a")
         .join(y, "doc_b")
-        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .select("doc_a", "doc_b", shingle_jaccard("sa", "sb").alias("jaccard"))
         .where(F.col("jaccard") >= threshold)
     )
 

@@ -265,14 +265,12 @@ def batch_novelty_counts(in_sig, in_bands, ex_sig, ex_bands):
     )
     x = in_sig.select(F.col("doc_id").alias("in_id"), F.col("shingles").alias("sa"))
     y = ex_sig.select(F.col("doc_id").alias("ex_id"), F.col("shingles").alias("sb"))
-    jac = (
-        F.size(F.array_intersect("sa", "sb")).cast("double")
-        / F.size(F.array_union("sa", "sb")).cast("double")
-    )
+    from crypto_datalake_spark.queries.dedup import shingle_jaccard
+
     return (
         cand.join(x, "in_id")
         .join(y, "ex_id")
-        .where(jac >= _JACCARD_MIN)
+        .where(shingle_jaccard("sa", "sb") >= _JACCARD_MIN)
         .groupBy("in_id")
         .agg(F.countDistinct("ex_id").alias("n_dup"))
     )
