@@ -598,16 +598,24 @@ def lm_perplexity_buckets(d):
     task); cutoff values depend only on the sorted multiset, so tie
     order cannot shift them.
     """
-    from crypto_datalake_spark.ops.rank import global_row_number
+    ex = _lm_exploded(d)
+    bg = ex.where(F.col("w2").isNotNull())
+    c1 = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    c12 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    vocab = ex.agg(F.countDistinct("w1").alias("vocab"))
+    ds = _lm_doc_scores(bg, c12, c1, vocab)
+    cuts = _lm_tercile_cuts(ds)
+    return _lm_classify(d, ds, cuts)
 
+
+def _lm_exploded(d):
+    """ONE generate emits every token occurrence as w1 (so the vocab and
+    the doc-end token are covered) with its successor as w2 (NULL at
+    the last position). Checkpointed: four consumers (bigram scoring,
+    context counts, bigram counts, vocab) would otherwise each re-run
+    the corpus scan + explode."""
     base = d.select("doc_id", F.split(F.col("text"), " ").alias("tok"))
-    # ONE generate emits every token occurrence as w1 (so the vocab and
-    # the doc-end token are covered) with its successor as w2 (NULL at
-    # the last position). Checkpointed: four consumers (bigram scoring,
-    # context counts, bigram counts, vocab) would otherwise each re-run
-    # the corpus scan + explode; a production pipeline persists the c1 /
-    # c12 count tables like the IVF centroids and skips the refit.
-    ex = (
+    return (
         base.select(
             "doc_id",
             F.explode(
@@ -621,17 +629,22 @@ def lm_perplexity_buckets(d):
         .select("doc_id", "p.w1", "p.w2")
         .localCheckpoint()
     )
-    bg = ex.where(F.col("w2").isNotNull())
-    c1 = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
-    c12 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
-    vocab = ex.agg(F.countDistinct("w1").alias("vocab"))
-    p = (F.col("c12") + F.lit(_PPL_ALPHA)) / (
-        F.col("c1") + F.lit(_PPL_ALPHA) * F.col("vocab")
-    )
+
+
+def _lm_doc_scores(bg, c12, c1, vocab, left: bool = False):
+    """Per-doc (log_ppl, n_bigrams) from the count tables. ``left=True``
+    is the SERVING form: unseen bigrams/contexts coalesce to 0 before
+    smoothing (P = alpha / (alpha * V) at worst), which is exactly what
+    add-alpha exists for — the self-trained in-query form uses inner
+    joins because every bigram is by construction in its own counts."""
+    how = "left" if left else "inner"
+    c12v = F.coalesce(F.col("c12"), F.lit(0)) if left else F.col("c12")
+    c1v = F.coalesce(F.col("c1"), F.lit(0)) if left else F.col("c1")
+    p = (c12v + F.lit(_PPL_ALPHA)) / (c1v + F.lit(_PPL_ALPHA) * F.col("vocab"))
     cost = F.round(-F.log(p), 7).cast("decimal(28,7)")
-    ds = (
-        bg.join(c12, ["w1", "w2"])
-        .join(c1, "w1")
+    return (
+        bg.join(c12, ["w1", "w2"], how)
+        .join(c1, "w1", how)
         .crossJoin(F.broadcast(vocab))
         .select("doc_id", cost.alias("c"))
         .groupBy("doc_id")
@@ -643,13 +656,20 @@ def lm_perplexity_buckets(d):
         )
         .localCheckpoint()  # three consumers: rank, count, final join
     )
+
+
+def _lm_tercile_cuts(ds):
+    """1-row (c1v, c2v) nearest-rank tercile cutoffs over the scored
+    docs, ranked by the scale-safe two-phase global rank."""
+    from crypto_datalake_spark.ops.rank import global_row_number
+
     ranked = global_row_number(
         ds.select("log_ppl", "doc_id"),
         [F.col("log_ppl").asc(), F.col("doc_id").asc()],
         out_col="rk",
     )
     n = ds.agg(F.count(F.lit(1)).alias("n"))
-    cuts = (
+    return (
         ranked.crossJoin(F.broadcast(n))
         .agg(
             F.max(
@@ -666,6 +686,10 @@ def lm_perplexity_buckets(d):
             ).alias("c2v"),
         )
     )
+
+
+def _lm_classify(d, ds, cuts):
+    """Join scores + cutoffs back onto every doc and bucket."""
     return (
         d.select("doc_id")
         .join(ds, "doc_id", "left")
@@ -985,3 +1009,124 @@ def normalize_text_frame(d):
 )
 def text_normalize(spark, sf_dir):
     return normalize_text_frame(t(spark, sf_dir, "documents"))
+
+
+# ---------------------------------- LM perplexity: persisted-model serving
+
+_LM_SUFFIX = f"a{_PPL_ALPHA}"  # smoothing param in the cache key
+
+
+def lm_model_tables(spark, sf_dir):
+    """The persisted LM fit as three warehouse tables — bigram counts,
+    context counts, and a 1-row meta (vocab + tercile cutoffs frozen
+    from the training distribution) — trained exactly once per source
+    fingerprint via the shared served-model split (the IVF-centroid
+    precedent). This is the production seam quality_lm_perplexity's
+    docstring promises: the fit is paid once, serving only joins."""
+    from crypto_datalake_spark.queries.llm import _served_model_table
+
+    def mk(prefix, build):
+        return _served_model_table(
+            spark, sf_dir, prefix, _LM_SUFFIX, build, source="documents.parquet"
+        )
+
+    def frames():
+        d = t(spark, sf_dir, "documents")
+        ex = _lm_exploded(d)
+        return ex, ex.where(F.col("w2").isNotNull())
+
+    def build_bigram():
+        _, bg = frames()
+        return bg.groupBy("w1", "w2").agg(
+            F.count(F.lit(1)).alias("c12")
+        ).coalesce(1)
+
+    def build_ctx():
+        _, bg = frames()
+        return bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c1")).coalesce(1)
+
+    def build_meta():
+        ex, bg = frames()
+        c1 = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+        c12 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+        vocab = ex.agg(F.countDistinct("w1").alias("vocab"))
+        ds = _lm_doc_scores(bg, c12, c1, vocab)
+        return vocab.crossJoin(_lm_tercile_cuts(ds)).coalesce(1)
+
+    return (
+        mk("lm_bigram", build_bigram),
+        mk("lm_ctx", build_ctx),
+        mk("lm_meta", build_meta),
+    )
+
+
+def _lm_served_sql(sf_dir: str) -> str:
+    """Surrogate oracle for the served LM: DuckDB recomputes the serving
+    policy CONDITIONAL on the persisted fit (the ann_ivf_kmeans
+    surrogate precedent) — coalesced OOV smoothing, decimal-exact doc
+    scores, the FROZEN persisted cutoffs."""
+    from crypto_datalake_spark.queries.llm import _served_model_path
+
+    bp, cp, mp = (
+        _served_model_path(sf_dir, pre, _LM_SUFFIX, source="documents.parquet")
+        for pre in ("lm_bigram", "lm_ctx", "lm_meta")
+    )
+    return f"""
+    WITH tk AS (
+      SELECT doc_id, string_split(text, ' ') AS tok FROM documents
+    ),
+    ex AS (
+      SELECT doc_id, tok[i] AS w1,
+             CASE WHEN i < len(tok) THEN tok[i + 1] END AS w2
+      FROM (SELECT doc_id, tok, unnest(generate_series(1, len(tok))) AS i
+            FROM tk)
+    ),
+    bg AS (SELECT doc_id, w1, w2 FROM ex WHERE w2 IS NOT NULL),
+    b AS (SELECT w1, w2, c12 FROM read_parquet('{bp}/*.parquet')),
+    cx AS (SELECT w1, c1 FROM read_parquet('{cp}/*.parquet')),
+    m AS (SELECT vocab, c1v, c2v FROM read_parquet('{mp}/*.parquet')),
+    ds AS (
+      SELECT doc_id,
+             CAST(sum(CAST(round(-ln((coalesce(c12, 0) + {_PPL_ALPHA})
+                                     / (coalesce(c1, 0)
+                                        + {_PPL_ALPHA} * vocab)), 7)
+                           AS DECIMAL(28,7))) AS DOUBLE)
+               / count(*) AS log_ppl,
+             CAST(count(*) AS BIGINT) AS n_bigrams
+      FROM bg LEFT JOIN b USING (w1, w2) LEFT JOIN cx USING (w1), m
+      GROUP BY doc_id
+    )
+    SELECT d.doc_id, coalesce(ds.n_bigrams, 0) AS n_bigrams, ds.log_ppl,
+           CASE WHEN ds.log_ppl IS NULL THEN 'short'
+                WHEN ds.log_ppl <= c1v THEN 'head'
+                WHEN ds.log_ppl <= c2v THEN 'middle'
+                ELSE 'tail' END AS ppl_bucket
+    FROM documents d LEFT JOIN ds USING (doc_id), m
+    """
+
+
+@register(
+    "quality_lm_perplexity_served",
+    sql=_lm_served_sql,
+    doc="The persisted-model serving path of quality_lm_perplexity: the "
+    "LM fit (bigram counts, context counts, vocab + FROZEN tercile "
+    "cutoffs from the training distribution) is trained once per "
+    "source fingerprint and persisted as warehouse tables; serving is "
+    "two count-table joins, a decimal-summed map-side agg, and a "
+    "broadcast cutoff classification — no refit, no global rank. OOV "
+    "handling is real: unseen bigrams/contexts coalesce to 0 before "
+    "add-alpha smoothing, so NEW documents (the production case — "
+    "CCNet scores crawls against a Wikipedia-trained LM) score with "
+    "exactly the persisted distribution's cutoffs. On the training "
+    "corpus itself the output equals the in-query op; the surrogate "
+    "DuckDB oracle recomputes the serving policy conditional on the "
+    "persisted tables (the trained-IVF precedent).",
+)
+def quality_lm_perplexity_served(spark, sf_dir):
+    bigram, ctx, meta = lm_model_tables(spark, sf_dir)
+    d = t(spark, sf_dir, "documents")
+    bg = _lm_exploded(d).where(F.col("w2").isNotNull())
+    ds = _lm_doc_scores(
+        bg, bigram, ctx, meta.select("vocab"), left=True
+    )
+    return _lm_classify(d, ds, meta.select("c1v", "c2v"))

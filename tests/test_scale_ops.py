@@ -512,3 +512,30 @@ def test_text_normalize_cross_engine_witness(spark):
     )
     ok, msg = compare(sp, con, REGISTRY["text_normalize"].resolved_sql())
     assert ok, msg
+
+
+def test_lm_served_scores_oov_documents(spark):
+    """The serving form must score documents whose bigrams/contexts the
+    persisted fit never saw: unseen counts coalesce to 0 and add-alpha
+    gives P = a/(aV) for a fully-unseen bigram — the production case of
+    scoring a new crawl against a frozen LM."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from crypto_datalake_spark.queries.curation import _lm_doc_scores
+
+    # fit: contexts/bigrams from a tiny 'training corpus', vocab V=4
+    c12 = spark.createDataFrame([("a", "b", 3)], "w1 string, w2 string, c12 long")
+    c1 = spark.createDataFrame([("a", 3)], "w1 string, c1 long")
+    vocab = spark.createDataFrame([(4,)], "vocab long")
+    # serve: doc 1 has the SEEN bigram, doc 2 a fully-unseen one
+    bg = spark.createDataFrame(
+        [(1, "a", "b"), (2, "q", "z")], "doc_id long, w1 string, w2 string"
+    )
+    got = {
+        r["doc_id"]: r["log_ppl"]
+        for r in _lm_doc_scores(bg, c12, c1, vocab, left=True).collect()
+    }
+    assert got[1] == round(-math.log((3 + 0.5) / (3 + 0.5 * 4)), 7)
+    assert got[2] == round(-math.log(0.5 / (0.5 * 4)), 7)  # = ln(4)
