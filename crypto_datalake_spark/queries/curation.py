@@ -608,14 +608,16 @@ def lm_perplexity_buckets(d):
     return _lm_classify(d, ds, cuts)
 
 
-def _lm_exploded(d):
+def _lm_exploded(d, checkpoint: bool = True):
     """ONE generate emits every token occurrence as w1 (so the vocab and
     the doc-end token are covered) with its successor as w2 (NULL at
-    the last position). Checkpointed: four consumers (bigram scoring,
-    context counts, bigram counts, vocab) would otherwise each re-run
-    the corpus scan + explode."""
+    the last position). Checkpointed when the caller has MULTIPLE
+    consumers (the in-query op feeds bigram scoring, context counts,
+    bigram counts, and vocab from it); the served path has exactly one
+    consumer and passes checkpoint=False to skip the corpus-size
+    materialization."""
     base = d.select("doc_id", F.split(F.col("text"), " ").alias("tok"))
-    return (
+    ex = (
         base.select(
             "doc_id",
             F.explode(
@@ -627,22 +629,24 @@ def _lm_exploded(d):
             ).alias("p"),
         )
         .select("doc_id", "p.w1", "p.w2")
-        .localCheckpoint()
     )
+    return ex.localCheckpoint() if checkpoint else ex
 
 
-def _lm_doc_scores(bg, c12, c1, vocab, left: bool = False):
+def _lm_doc_scores(bg, c12, c1, vocab, left: bool = False, checkpoint: bool = True):
     """Per-doc (log_ppl, n_bigrams) from the count tables. ``left=True``
     is the SERVING form: unseen bigrams/contexts coalesce to 0 before
     smoothing (P = alpha / (alpha * V) at worst), which is exactly what
     add-alpha exists for — the self-trained in-query form uses inner
-    joins because every bigram is by construction in its own counts."""
+    joins because every bigram is by construction in its own counts.
+    ``checkpoint=False`` skips the materialization when the caller has a
+    single consumer (the served path)."""
     how = "left" if left else "inner"
     c12v = F.coalesce(F.col("c12"), F.lit(0)) if left else F.col("c12")
     c1v = F.coalesce(F.col("c1"), F.lit(0)) if left else F.col("c1")
     p = (c12v + F.lit(_PPL_ALPHA)) / (c1v + F.lit(_PPL_ALPHA) * F.col("vocab"))
     cost = F.round(-F.log(p), 7).cast("decimal(28,7)")
-    return (
+    ds = (
         bg.join(c12, ["w1", "w2"], how)
         .join(c1, "w1", how)
         .crossJoin(F.broadcast(vocab))
@@ -654,8 +658,9 @@ def _lm_doc_scores(bg, c12, c1, vocab, left: bool = False):
             ),
             F.count(F.lit(1)).alias("n_bigrams"),
         )
-        .localCheckpoint()  # three consumers: rank, count, final join
     )
+    # in-query: three consumers (rank, count, final join); served: one
+    return ds.localCheckpoint() if checkpoint else ds
 
 
 def _lm_tercile_cuts(ds):
@@ -707,10 +712,12 @@ def _lm_classify(d, ds, cuts):
     )
 
 
-@register(
-    "quality_lm_perplexity",
-    sql=f"""
-    WITH tk AS (
+def _lm_tok_ctes() -> str:
+    """tk/ex/bg tokenization CTEs — ONE definition consumed by BOTH the
+    in-query LM oracle and the served-LM surrogate (the
+    _ivf_probe_ctes_sql precedent), so a tokenization fix cannot land
+    in one and miss the other."""
+    return """tk AS (
       SELECT doc_id, string_split(text, ' ') AS tok FROM documents
     ),
     ex AS (
@@ -719,7 +726,13 @@ def _lm_classify(d, ds, cuts):
       FROM (SELECT doc_id, tok, unnest(generate_series(1, len(tok))) AS i
             FROM tk)
     ),
-    bg AS (SELECT doc_id, w1, w2 FROM ex WHERE w2 IS NOT NULL),
+    bg AS (SELECT doc_id, w1, w2 FROM ex WHERE w2 IS NOT NULL)"""
+
+
+@register(
+    "quality_lm_perplexity",
+    sql=f"""
+    WITH {_lm_tok_ctes()},
     c1t AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY 1),
     c12t AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY 1, 2),
     v AS (SELECT count(DISTINCT w1) AS vocab FROM ex),
@@ -1030,34 +1043,46 @@ def lm_model_tables(spark, sf_dir):
             spark, sf_dir, prefix, _LM_SUFFIX, build, source="documents.parquet"
         )
 
-    def frames():
+    # ORDERED fit: bigram and context counts persist first from ONE
+    # checkpointed explode; the meta build then consumes those tiny
+    # persisted tables (plus one fresh explode for vocab + scoring),
+    # instead of re-running the corpus aggs a second time
+    def corpus_ex():
         d = t(spark, sf_dir, "documents")
-        ex = _lm_exploded(d)
-        return ex, ex.where(F.col("w2").isNotNull())
+        return _lm_exploded(d)
 
     def build_bigram():
-        _, bg = frames()
+        bg = corpus_ex().where(F.col("w2").isNotNull())
         return bg.groupBy("w1", "w2").agg(
             F.count(F.lit(1)).alias("c12")
         ).coalesce(1)
 
     def build_ctx():
-        _, bg = frames()
+        bg = corpus_ex().where(F.col("w2").isNotNull())
         return bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c1")).coalesce(1)
 
+    bigram = mk("lm_bigram", build_bigram)
+    ctx = mk("lm_ctx", build_ctx)
+
     def build_meta():
-        ex, bg = frames()
-        c1 = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
-        c12 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+        ex = corpus_ex()
+        bg = ex.where(F.col("w2").isNotNull())
         vocab = ex.agg(F.countDistinct("w1").alias("vocab"))
-        ds = _lm_doc_scores(bg, c12, c1, vocab)
+        ds = _lm_doc_scores(bg, bigram, ctx, vocab)
         return vocab.crossJoin(_lm_tercile_cuts(ds)).coalesce(1)
 
-    return (
-        mk("lm_bigram", build_bigram),
-        mk("lm_ctx", build_ctx),
-        mk("lm_meta", build_meta),
-    )
+    return bigram, ctx, mk("lm_meta", build_meta)
+
+
+def lm_model_paths(sf_dir: str) -> list[str]:
+    """Where :func:`lm_model_tables` persists its three fits — feeds the
+    driver's oracle-first pre-build guard (llm.model_artifact_paths)."""
+    from crypto_datalake_spark.queries.llm import _served_model_path
+
+    return [
+        _served_model_path(sf_dir, pre, _LM_SUFFIX, source="documents.parquet")
+        for pre in ("lm_bigram", "lm_ctx", "lm_meta")
+    ]
 
 
 def _lm_served_sql(sf_dir: str) -> str:
@@ -1072,16 +1097,7 @@ def _lm_served_sql(sf_dir: str) -> str:
         for pre in ("lm_bigram", "lm_ctx", "lm_meta")
     )
     return f"""
-    WITH tk AS (
-      SELECT doc_id, string_split(text, ' ') AS tok FROM documents
-    ),
-    ex AS (
-      SELECT doc_id, tok[i] AS w1,
-             CASE WHEN i < len(tok) THEN tok[i + 1] END AS w2
-      FROM (SELECT doc_id, tok, unnest(generate_series(1, len(tok))) AS i
-            FROM tk)
-    ),
-    bg AS (SELECT doc_id, w1, w2 FROM ex WHERE w2 IS NOT NULL),
+    WITH {_lm_tok_ctes()},
     b AS (SELECT w1, w2, c12 FROM read_parquet('{bp}/*.parquet')),
     cx AS (SELECT w1, c1 FROM read_parquet('{cp}/*.parquet')),
     m AS (SELECT vocab, c1v, c2v FROM read_parquet('{mp}/*.parquet')),

@@ -1867,11 +1867,17 @@ def quality_score_classifier(spark, sf_dir):
 
 
 def model_artifact_paths(sf_dir: str) -> list[str]:
-    """Every persisted fitted artifact the surrogate oracles read."""
+    """Every persisted fitted artifact the surrogate oracles read.
+    MUST grow with every new served-model oracle: the driver's
+    oracle-first pre-build guard (__spark_entry__.oracle_sql) decides
+    from this list whether any artifact is missing."""
+    from crypto_datalake_spark.queries.curation import lm_model_paths
+
     return [
         ivf_centroid_path(sf_dir),
         pq_codebook_path(sf_dir),
         quality_model_path(sf_dir),
+        *lm_model_paths(sf_dir),
     ]
 
 
@@ -1880,6 +1886,9 @@ def ensure_model_tables(spark, sf_dir: str) -> None:
     — called before handing surrogate oracle SQL to a consumer that may
     execute it ahead of the Spark queries (the artifacts are otherwise
     built lazily on each query's first run)."""
+    from crypto_datalake_spark.queries.curation import lm_model_tables
+
     ivf_centroid_table(spark, sf_dir)
     pq_codebook_table(spark, sf_dir)
     quality_model_table(spark, sf_dir)
+    lm_model_tables(spark, sf_dir)
