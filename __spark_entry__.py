@@ -41,7 +41,7 @@ def oracle_sql() -> dict[str, str]:
     # fitted artifacts from spark-warehouse/; if the driver executes an
     # oracle before the corresponding Spark query has built its
     # artifact, read_parquet would fail — so pre-build any missing
-    # artifact here.  No-op (three os.path.exists checks) when the
+    # artifact here.  No-op (one os.path.exists check per artifact) when the
     # artifacts are already on disk.
     import os
 

@@ -1043,13 +1043,15 @@ def lm_model_tables(spark, sf_dir):
             spark, sf_dir, prefix, _LM_SUFFIX, build, source="documents.parquet"
         )
 
-    # ORDERED fit: bigram and context counts persist first from ONE
-    # checkpointed explode; the meta build then consumes those tiny
-    # persisted tables (plus one fresh explode for vocab + scoring),
-    # instead of re-running the corpus aggs a second time
-    def corpus_ex():
+    # ORDERED fit: bigram and context counts persist first (each from
+    # its own un-checkpointed single-consumer explode); the meta build
+    # then consumes those tiny persisted tables plus one checkpointed
+    # explode (vocab + scoring), instead of re-running the corpus aggs
+    # single-consumer builds skip the checkpoint (the _lm_exploded
+    # doctrine); only build_meta has two consumers of one explode
+    def corpus_ex(checkpoint: bool = False):
         d = t(spark, sf_dir, "documents")
-        return _lm_exploded(d)
+        return _lm_exploded(d, checkpoint=checkpoint)
 
     def build_bigram():
         bg = corpus_ex().where(F.col("w2").isNotNull())
@@ -1065,7 +1067,7 @@ def lm_model_tables(spark, sf_dir):
     ctx = mk("lm_ctx", build_ctx)
 
     def build_meta():
-        ex = corpus_ex()
+        ex = corpus_ex(checkpoint=True)  # two consumers: vocab + scoring
         bg = ex.where(F.col("w2").isNotNull())
         vocab = ex.agg(F.countDistinct("w1").alias("vocab"))
         ds = _lm_doc_scores(bg, bigram, ctx, vocab)
@@ -1090,12 +1092,7 @@ def _lm_served_sql(sf_dir: str) -> str:
     policy CONDITIONAL on the persisted fit (the ann_ivf_kmeans
     surrogate precedent) — coalesced OOV smoothing, decimal-exact doc
     scores, the FROZEN persisted cutoffs."""
-    from crypto_datalake_spark.queries.llm import _served_model_path
-
-    bp, cp, mp = (
-        _served_model_path(sf_dir, pre, _LM_SUFFIX, source="documents.parquet")
-        for pre in ("lm_bigram", "lm_ctx", "lm_meta")
-    )
+    bp, cp, mp = lm_model_paths(sf_dir)
     return f"""
     WITH {_lm_tok_ctes()},
     b AS (SELECT w1, w2, c12 FROM read_parquet('{bp}/*.parquet')),
@@ -1141,8 +1138,9 @@ def _lm_served_sql(sf_dir: str) -> str:
 def quality_lm_perplexity_served(spark, sf_dir):
     bigram, ctx, meta = lm_model_tables(spark, sf_dir)
     d = t(spark, sf_dir, "documents")
-    bg = _lm_exploded(d).where(F.col("w2").isNotNull())
+    # single-consumer chain: no corpus-size checkpoints on the hot path
+    bg = _lm_exploded(d, checkpoint=False).where(F.col("w2").isNotNull())
     ds = _lm_doc_scores(
-        bg, bigram, ctx, meta.select("vocab"), left=True
+        bg, bigram, ctx, meta.select("vocab"), left=True, checkpoint=False
     )
     return _lm_classify(d, ds, meta.select("c1v", "c2v"))

@@ -29,8 +29,9 @@ def test_every_oracle_key_is_a_registered_query():
 
 
 def test_surrogate_oracles_resolve_with_artifact_paths():
-    """The four trained-model queries must resolve to SQL embedding the
-    warehouse path for the driver's correctness SF."""
+    """Every served-model query must resolve to SQL embedding a
+    warehouse path the pre-build guard knows about — pinning the
+    guard-vs-oracle pairing, not just resolution."""
     from crypto_datalake_spark.queries.llm import model_artifact_paths
 
     paths = model_artifact_paths(DRIVER_SF_DIR)
@@ -39,6 +40,7 @@ def test_surrogate_oracles_resolve_with_artifact_paths():
         "dedup_semantic_clusters",
         "ann_ivf_pq",
         "quality_score_classifier",
+        "quality_lm_perplexity_served",
     ):
         sql = REGISTRY[name].resolved_sql(DRIVER_SF_DIR)
         assert sql is not None and "read_parquet" in sql
