@@ -75,6 +75,7 @@ BENCH_QUERIES = [
     "text_profile",
     "text_tfidf_topk",
     "quality_lm_perplexity",
+    "quality_lm_perplexity_served",  # persisted-fit serve: 2.7 -> 0.7 s
     "shuffle_export_shards",
     "quality_score_classifier",
     "dedup_embedding_cosine",
