@@ -41,27 +41,30 @@ def oracle_sql() -> dict[str, str]:
     # fitted artifacts from spark-warehouse/; if the driver executes an
     # oracle before the corresponding Spark query has built its
     # artifact, read_parquet would fail — so pre-build any missing
-    # artifact here.  No-op (one os.path.exists check per artifact) when the
-    # artifacts are already on disk.
-    import os
+    # artifact here.  No-op (one os.path.exists check per artifact) when
+    # the artifacts are already on disk.  Buildability is decided PER
+    # artifact (an artifact whose sources are absent is skipped — its
+    # surrogate oracle degrades to rows-only in resolved_sql — without
+    # vetoing the pre-build of artifacts whose sources ARE present), and
+    # a failed pre-build must never take the STATIC oracles down: the
+    # affected surrogate oracles just fail per-query at the driver's
+    # read_parquet instead.
+    import sys as _sys
 
-    from crypto_datalake_spark.queries.llm import (
-        ensure_model_tables,
-        model_artifact_paths,
-    )
+    from crypto_datalake_spark.queries.llm import missing_model_builds
     from crypto_datalake_spark.queries.registry import DRIVER_SF_DIR
-    from crypto_datalake_spark.session import get_spark
 
     try:
-        prebuild = not all(
-            os.path.exists(p) for p in model_artifact_paths(DRIVER_SF_DIR)
-        )
-    except OSError:
-        # sf0.01 sources absent on this host: the surrogate oracles
-        # degrade to rows-only in resolved_sql(); nothing to pre-build
-        prebuild = False
-    if prebuild:
-        # reuses the driver's active session when one exists; otherwise
-        # builds a local one (subsequent driver getOrCreate reuses it)
-        ensure_model_tables(get_spark("cds-oracle-prebuild"), DRIVER_SF_DIR)
+        builds = missing_model_builds(DRIVER_SF_DIR)
+        if builds:
+            # reuses the driver's active session when one exists;
+            # otherwise builds a local one (driver getOrCreate reuses it)
+            from crypto_datalake_spark.session import get_spark
+
+            spark = get_spark("cds-oracle-prebuild")
+            for build in builds:
+                build(spark)
+    except Exception as e:  # noqa: BLE001 — oracle map must survive
+        print(f"[oracle_sql] artifact pre-build failed: {e!r}",
+              file=_sys.stderr)
     return _catalog.oracle_sql()

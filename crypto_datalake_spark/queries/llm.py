@@ -1866,29 +1866,66 @@ def quality_score_classifier(spark, sf_dir):
     )
 
 
-def model_artifact_paths(sf_dir: str) -> list[str]:
-    """Every persisted fitted artifact the surrogate oracles read.
+def _model_artifact_specs(sf_dir: str):
+    """One ``(paths_fn, build_fn)`` pair per persisted fitted artifact.
     MUST grow with every new served-model oracle: the driver's
     oracle-first pre-build guard (__spark_entry__.oracle_sql) decides
-    from this list whether any artifact is missing."""
-    from crypto_datalake_spark.queries.curation import lm_model_paths
+    from this list whether any artifact is missing.
+
+    ``paths_fn`` raises OSError when that artifact's SOURCE files are
+    absent (fingerprinting stats them) — callers treat that as
+    "unbuildable here, skip just this one", matching the per-query
+    degradation in registry.resolved_sql, instead of letting one absent
+    source veto the pre-build of every OTHER artifact."""
+    from crypto_datalake_spark.queries import curation
 
     return [
-        ivf_centroid_path(sf_dir),
-        pq_codebook_path(sf_dir),
-        quality_model_path(sf_dir),
-        *lm_model_paths(sf_dir),
+        (lambda: [ivf_centroid_path(sf_dir)],
+         lambda spark: ivf_centroid_table(spark, sf_dir)),
+        (lambda: [pq_codebook_path(sf_dir)],
+         lambda spark: pq_codebook_table(spark, sf_dir)),
+        (lambda: [quality_model_path(sf_dir)],
+         lambda spark: quality_model_table(spark, sf_dir)),
+        # three paths, one ordered build (bigram/ctx feed meta)
+        (lambda: curation.lm_model_paths(sf_dir),
+         lambda spark: curation.lm_model_tables(spark, sf_dir)),
     ]
 
 
-def ensure_model_tables(spark, sf_dir: str) -> None:
-    """Build (if missing) every persisted fitted artifact for ``sf_dir``
-    — called before handing surrogate oracle SQL to a consumer that may
-    execute it ahead of the Spark queries (the artifacts are otherwise
-    built lazily on each query's first run)."""
-    from crypto_datalake_spark.queries.curation import lm_model_tables
+def model_artifact_paths(sf_dir: str) -> list[str]:
+    """Every persisted fitted artifact the surrogate oracles read.
+    Raises OSError if ANY artifact's sources are absent — use
+    :func:`missing_model_builds` for per-artifact tolerance."""
+    return [p for paths_fn, _ in _model_artifact_specs(sf_dir)
+            for p in paths_fn()]
 
-    ivf_centroid_table(spark, sf_dir)
-    pq_codebook_table(spark, sf_dir)
-    quality_model_table(spark, sf_dir)
-    lm_model_tables(spark, sf_dir)
+
+def missing_model_builds(sf_dir: str) -> list:
+    """Build thunks (``spark -> None``) for every artifact that is
+    BUILDABLE (sources present) but absent on disk.  Per-artifact: an
+    artifact whose sources are missing is skipped — its surrogate
+    oracle degrades to the rows-only check in registry.resolved_sql —
+    while artifacts whose sources ARE present still pre-build (the
+    partially-present-sf_dir case the all-or-nothing guard got wrong)."""
+    import os
+
+    out = []
+    for paths_fn, build_fn in _model_artifact_specs(sf_dir):
+        try:
+            paths = paths_fn()
+        except OSError:
+            continue  # sources absent: unbuildable, oracle degrades
+        if not all(os.path.exists(p) for p in paths):
+            out.append(build_fn)
+    return out
+
+
+def ensure_model_tables(spark, sf_dir: str) -> None:
+    """Build every missing-but-buildable persisted fitted artifact for
+    ``sf_dir`` — called before handing surrogate oracle SQL to a
+    consumer that may execute it ahead of the Spark queries (the
+    artifacts are otherwise built lazily on each query's first run).
+    Artifacts whose sources are absent are skipped (see
+    :func:`missing_model_builds`)."""
+    for build in missing_model_builds(sf_dir):
+        build(spark)

@@ -323,10 +323,12 @@ def batch_novelty_counts(in_sig, in_bands, ex_sig, ex_bands):
     )
     SELECT d.doc_id,
            coalesce(r.text, d.text) AS text,
-           coalesce(rm.n_removed, 0) AS n_tokens_removed
+           CAST(coalesce(rm.n_removed, 0) AS BIGINT) AS n_tokens_removed
     FROM documents d
     LEFT JOIN rebuilt r USING (doc_id)
-    LEFT JOIN (SELECT doc_id, sum(e - s) AS n_removed
+    -- sum() over integers is HUGEINT in DuckDB; CAST to match the Spark
+    -- side's LONG (the BIGINT discipline every other oracle follows)
+    LEFT JOIN (SELECT doc_id, CAST(sum(e - s) AS BIGINT) AS n_removed
                FROM merged GROUP BY doc_id) rm USING (doc_id)
     """.replace("{CTES}", ess_runs_ctes()),
     doc="Exact-substring span REMOVAL (the Lee et al. 2022 policy step "

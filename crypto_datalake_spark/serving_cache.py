@@ -67,13 +67,18 @@ class _KeyLock:
             self.pending += 1
             self.leased_at = self._clock()
 
-    def acquire(self, blocking: bool = True, timeout: float = -1) -> bool:
-        got = self._inner.acquire(blocking, timeout)
-        if got:
-            with self._meta:
-                if self.pending > 0:
-                    self.pending -= 1  # hand-out consumed; locked() guards
-        return got
+    def acquire(self) -> bool:
+        # Deliberately no blocking/timeout parameters: a FAILED try-
+        # acquire would return without consuming the lease, leaving the
+        # lock unreapable for LEASE_GRACE_S per failed attempt (and
+        # repeated try-acquirers would accumulate pending counts only
+        # the grace timestamp clears).  Single-flight semantics want
+        # every hand-out to block until it holds the lock anyway.
+        self._inner.acquire()
+        with self._meta:
+            if self.pending > 0:
+                self.pending -= 1  # hand-out consumed; locked() guards
+        return True
 
     def release(self) -> None:
         with self._meta:

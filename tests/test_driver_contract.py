@@ -47,6 +47,65 @@ def test_surrogate_oracles_resolve_with_artifact_paths():
         assert any(p in sql for p in paths), name
 
 
+def test_missing_model_builds_is_per_artifact(tmp_path):
+    """A partially-present sf_dir (embeddings there, documents absent)
+    must still pre-build the embeddings-sourced artifacts — the
+    all-or-nothing guard regression ADVICE r6 flagged: one absent source
+    set prebuild=False for ALL artifacts while the embeddings-sourced
+    surrogate oracles still resolved, handing the driver read_parquet
+    paths that were never built."""
+    import shutil
+
+    from crypto_datalake_spark.queries.llm import (
+        _model_artifact_specs,
+        missing_model_builds,
+    )
+
+    shutil.copy(
+        "/root/testdata/sf0.001/embeddings.parquet",
+        tmp_path / "embeddings.parquet",
+    )
+    builds = missing_model_builds(str(tmp_path))
+    # ivf_centroids + pq_codebooks are embeddings-sourced and absent from
+    # the warehouse for this fresh fingerprint; quality_logreg + LM are
+    # documents-sourced and must be skipped, not raise
+    assert len(builds) == 2
+    # and the spec list confirms which two: the first two (embeddings-
+    # sourced) path fns resolve, the rest (documents-sourced) raise
+    specs = _model_artifact_specs(str(tmp_path))
+    specs[0][0](), specs[1][0]()
+    for paths_fn, _ in specs[2:]:
+        import pytest
+
+        with pytest.raises(OSError):
+            paths_fn()
+
+
+def test_oracle_sql_survives_failed_prebuild(monkeypatch):
+    """A pre-build crash must not take the static oracles down: the
+    driver still gets the full static oracle map (surrogates fail
+    per-query at read_parquet instead)."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "spark_entry_canary", os.path.join(os.path.dirname(
+            os.path.dirname(os.path.abspath(__file__))),
+            "__spark_entry__.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    import crypto_datalake_spark.queries.llm as llm
+
+    def boom(sf_dir):
+        raise RuntimeError("simulated artifact build failure")
+
+    monkeypatch.setattr(llm, "missing_model_builds", boom)
+    o = mod.oracle_sql()
+    assert "s1_scan_project_filter" in o
+    assert "a4_htf_bucket_agg" in o
+
+
 def test_surrogate_resolution_degrades_without_sources():
     """A missing sf_dir must degrade the surrogate to rows-only (None),
     never raise — and never take the static oracles down."""

@@ -383,6 +383,28 @@ def test_cache_leased_lock_survives_reap_before_acquire():
     c.put(("T", 99), 0.0, [(0.0, "r")])
 
 
+def test_cache_lock_acquire_always_consumes_lease():
+    """acquire() takes no blocking/timeout parameters (ADVICE r6): a
+    failed try-acquire would return without consuming its lease, leaving
+    the lock unreapable for LEASE_GRACE_S per attempt.  Every acquire
+    blocks, succeeds, and decrements pending — lease accounting cannot
+    be bypassed through the public signature."""
+    import inspect
+
+    from crypto_datalake_spark.serving_cache import _KeyLock
+
+    sig = inspect.signature(_KeyLock.acquire)
+    assert list(sig.parameters) == ["self"]
+
+    lk = _KeyLock(clock=lambda: 0.0)
+    lk.lease()
+    assert lk.pending == 1
+    assert lk.acquire() is True
+    assert lk.pending == 0
+    lk.release()
+    assert lk.reapable(0.0)
+
+
 def test_cache_release_refreshes_lease_age():
     """A waiter blocked behind a fetch slower than the grace age must
     not look abandoned in the hand-over window: release() restarts the
