@@ -715,7 +715,11 @@ def ess_runs_ctes() -> str:
     "by Jaccard, but a 60-token verbatim quote inside two otherwise "
     "unrelated documents does not move their global similarity). "
     "Suffix arrays are the single-machine tool; the Spark shape is: "
-    f"every {_ESS_N}-token window hashed per position (any run of "
+    f"every {_ESS_N}-token window fingerprinted by a Karp-Rabin ROLLING "
+    "hash — O(1) amortized per position via a vectorized-numpy prefix "
+    "evaluation over JVM-computed per-token xxhash64 (the designed "
+    "pandas-UDF recurrence tier, functions/rollinghash.py; a pure-JVM "
+    "O(n)-per-position slice tier is one flag away) — (any run of "
     f"length L >= {_ESS_N} is exactly L-{_ESS_N}+1 consecutive window "
     "matches), ONE groupBy-gram shuffle builds posting lists whose "
     "cross-document pairs are expanded in-place (cost = co-occurrences, "
@@ -737,35 +741,69 @@ def dedup_exact_substring(spark, sf_dir):
 
 
 def exact_substring_runs(
-    d, n: int = _ESS_N, cap: int = _ESS_DF_CAP, pos_cap: int = _ESS_POS_CAP
+    d, n: int = _ESS_N, cap: int = _ESS_DF_CAP, pos_cap: int = _ESS_POS_CAP,
+    grams: str = "rolling",
 ):
     """Maximal cross-document verbatim runs of >= ``n`` tokens over a
     (doc_id, text) frame — the plan documented on dedup_exact_substring.
     ``cap`` bounds a window's document frequency (boilerplate guard),
     ``pos_cap`` its total occurrences (degenerate-repetition guard: the
-    in-place pair expansion builds at most pos_cap² structs per gram)."""
+    in-place pair expansion builds at most pos_cap² structs per gram).
+
+    ``grams`` picks the window-fingerprint tier; both emit identical
+    equivalence classes (equal token windows → equal gram), so the runs
+    output is the same either way, and everything downstream of the
+    gram frame is shared:
+
+    - ``"rolling"`` (default): Karp-Rabin O(1)-amortized recurrence —
+      per-token xxhash64 JVM-side, then a fully-vectorized numpy prefix
+      evaluation per Arrow batch (functions/rollinghash.py).  Cost per
+      position is constant regardless of ``n`` — the tier that matters
+      at production window sizes (~50 BPE tokens, Lee et al. 2022).
+    - ``"slice"``: pure-JVM xxhash64 over each n-token slice — O(n) per
+      position but zero Python in the plan; the right tier when a
+      deployment forbids Python workers.
+    """
     from pyspark.sql import Window
 
-    # one md5 per (doc, position); CASE-guarded for the same
-    # explode-inferred-filter hazard as _SP_SHINGLES (sequence turns
-    # descending on short docs and slice throws under ANSI)
-    win_hashes = F.when(
-        F.size("tok") >= n,
-        F.transform(
-            F.sequence(F.lit(1), F.size("tok") - n + 1),
-            lambda p: F.md5(F.concat_ws(" ", F.slice("tok", p, n))),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    grams = (
+    toks = (
         d.select("doc_id", F.split("text", " ").alias("tok"))
         .where(F.size("tok") >= n)
-        .select("doc_id", F.posexplode(win_hashes).alias("__i", "gram"))
-        .select("doc_id", (F.col("__i") + 1).cast("long").alias("pos"), "gram")
     )
+    if grams == "rolling":
+        from crypto_datalake_spark.functions.rollinghash import (
+            rolling_window_grams,
+        )
+
+        th = toks.select(
+            "doc_id",
+            F.transform("tok", lambda tk: F.xxhash64(tk)).alias("th"),
+        )
+        grams_df = rolling_window_grams(th, n)
+    elif grams == "slice":
+        # one xxhash64 per (doc, position) over the raw token slice (no
+        # concat/md5: 64-bit long grams shrink the posting-list shuffle
+        # ~5x vs 32-char md5 strings); CASE-guarded for the same
+        # explode-inferred-filter hazard as _SP_SHINGLES (sequence turns
+        # descending on short docs and slice throws under ANSI)
+        win_hashes = F.when(
+            F.size("tok") >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size("tok") - n + 1),
+                lambda p: F.xxhash64(F.slice("tok", p, n)),
+            ),
+        ).otherwise(F.array().cast("array<long>"))
+        grams_df = toks.select(
+            "doc_id", F.posexplode(win_hashes).alias("__i", "gram")
+        ).select(
+            "doc_id", (F.col("__i") + 1).cast("long").alias("pos"), "gram"
+        )
+    else:
+        raise ValueError(f"grams must be 'rolling' or 'slice': {grams!r}")
     # ONE shuffle: posting list per window hash; df-cap on DISTINCT docs,
     # then expand cross-document position pairs in-place (a second join
     # leg would shuffle the gram frame again for nothing)
-    pl = grams.groupBy("gram").agg(
+    pl = grams_df.groupBy("gram").agg(
         F.collect_list(F.struct("doc_id", "pos")).alias("pl")
     )
     pairs = F.filter(

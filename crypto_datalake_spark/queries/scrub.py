@@ -351,16 +351,20 @@ def scrub_exact_substrings(spark, sf_dir):
     )
 
 
-def remove_duplicate_spans(d, n=None, cap=None, pos_cap=None):
+def remove_duplicate_spans(d, n=None, cap=None, pos_cap=None, grams=None):
     """The Lee et al. span-removal policy over a (doc_id, text) frame —
-    the plan documented on scrub_exact_substrings."""
+    the plan documented on scrub_exact_substrings.  ``grams`` forwards
+    the run finder's fingerprint tier (rolling Karp-Rabin vs pure-JVM
+    slice hashing, queries/dedup.py)."""
     from pyspark.sql import Window
 
     from crypto_datalake_spark.queries.dedup import exact_substring_runs
 
     kw = {
         k: v
-        for k, v in (("n", n), ("cap", cap), ("pos_cap", pos_cap))
+        for k, v in (
+            ("n", n), ("cap", cap), ("pos_cap", pos_cap), ("grams", grams)
+        )
         if v is not None
     }
     runs = exact_substring_runs(d, **kw)

@@ -248,6 +248,95 @@ def test_exact_substring_pos_cap_drops_degenerate_repetition(spark):
     assert exact_substring_runs(d, n=8, pos_cap=256).count() > 0
 
 
+def test_exact_substring_gram_tiers_agree(spark):
+    """The rolling Karp-Rabin tier and the pure-JVM slice tier must
+    produce IDENTICAL runs — same equivalence classes, same downstream
+    plan — on a corpus mixing maximal runs, repeated alignments, and
+    sub-N overlaps (every shape the witness tests pin individually)."""
+    from crypto_datalake_spark.queries.dedup import exact_substring_runs
+
+    shared = " ".join(f"s{i}" for i in range(12))
+    run = " ".join(f"r{i}" for i in range(8))
+    d = _docs(spark, [
+        (1, "a1 a2 a3 " + shared + " z1 z2"),
+        (2, "b1 " + shared + " y1 y2 y3"),
+        (3, run),
+        (4, run + " mid " + run),
+        (5, "c1 c2 " + " ".join(f"s{i}" for i in range(7)) + " c3"),
+        (6, "too short"),
+    ])
+    rolling = {tuple(r) for r in
+               exact_substring_runs(d, n=8, grams="rolling").collect()}
+    sliced = {tuple(r) for r in
+              exact_substring_runs(d, n=8, grams="slice").collect()}
+    assert rolling == sliced and len(rolling) == 3
+
+
+def test_rollinghash_matches_direct_recompute():
+    """The vectorized prefix evaluation must equal the textbook
+    per-window Horner recompute in both modular fields, stay equal for
+    identical windows at DIFFERENT offsets/documents (the offset terms
+    must cancel), and survive un-reduced cumsum wraparound on a
+    million-token document."""
+    import numpy as np
+
+    from crypto_datalake_spark.functions.rollinghash import (
+        B1, B2, M1, M2, window_grams_flat,
+    )
+
+    def direct(ws):
+        h1 = h2 = 0
+        for t in ws:
+            h1 = (h1 * B1 + int(t) % M1) % M1
+            h2 = (h2 * B2 + int(t) % M2) % M2
+        return (h1 << 31) | h2
+
+    rng = np.random.default_rng(7)
+    n = 8
+    lens = [12, n, 20]
+    th = rng.integers(0, 2**63, size=sum(lens), dtype=np.int64).view(
+        np.uint64
+    )
+    th[20 : 20 + n] = th[:n]  # doc2 head == doc0 head, different offset
+    offsets = np.concatenate(([0], np.cumsum(lens))).astype(np.int64)
+    doc_idx, pos, gram = window_grams_flat(th, offsets, n)
+    assert len(gram) == sum(L - n + 1 for L in lens)
+    for k in range(len(gram)):
+        s = offsets[doc_idx[k]] + pos[k] - 1
+        assert direct(th[s : s + n]) == gram[k]
+    # offset cancellation: doc0 window 1 == doc2 window 1
+    g = {(int(d), int(p)): int(v) for d, p, v in zip(doc_idx, pos, gram)}
+    assert g[(0, 1)] == g[(2, 1)]
+    assert g[(0, 2)] != g[(2, 2)]
+
+    big = rng.integers(0, 2**63, size=1_000_000, dtype=np.int64).view(
+        np.uint64
+    )
+    _, _, g3 = window_grams_flat(
+        big, np.array([0, len(big)], dtype=np.int64), n
+    )
+    assert g3.dtype == np.int64  # no float promotion anywhere
+    for k in (0, 123_457, len(g3) - 1):
+        assert direct(big[k : k + n]) == g3[k]
+
+
+def test_exact_substring_tier_plans(spark):
+    """Plan pins: the slice tier keeps the whole gram stage JVM-side (no
+    Python evaluation anywhere); the rolling tier's ONLY Python is the
+    one designed mapInPandas fingerprint stage — and both keep the
+    single posting-list shuffle (no extra exchange for the recurrence)."""
+    from test_scale_plans import plan_text
+
+    from crypto_datalake_spark.queries.dedup import exact_substring_runs
+
+    d = _docs(spark, [(1, " ".join(f"t{i}" for i in range(20)))])
+    ps = plan_text(exact_substring_runs(d, n=8, grams="slice"), "simple")
+    assert "Python" not in ps and "ArrowEval" not in ps
+    pr = plan_text(exact_substring_runs(d, n=8, grams="rolling"), "simple")
+    assert pr.count("MapInPandas") == 1
+    assert "BatchEvalPython" not in pr
+
+
 def test_remove_duplicate_spans_policy(spark):
     """Span removal: the higher-doc_id doc loses its copy, overlapping
     cuts from different partners merge, untouched docs round-trip
