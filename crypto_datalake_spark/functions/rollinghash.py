@@ -22,30 +22,43 @@ evaluated in closed form over prefix sums,
 so a whole Arrow batch is one cumsum + a few vectorized multiplies.
 Everything stays in uint64: hashes and powers are reduced below 2³¹, so
 every product fits in 62 bits, and the un-reduced cumsum wraps mod 2⁶⁴
-safely for any document under 2³³ tokens (differences of a wrapped
-cumsum recover the true window sum exactly while the true sum < 2⁶⁴).
-Powers B^i / B^{-i} come from baby-step/giant-step tables (two 2¹⁶-entry
-lookups + one multiply per position, covering i < 2³²), built once at
-import from Python-int modpow.
+safely (differences of a wrapped cumsum recover the true window sum
+exactly while the true sum < 2⁶⁴ — i.e. for windows under 2³³ tokens;
+real windows are ~50).  Powers B^i / B^{-i} come from baby-step/
+giant-step tables (two 2¹⁶-entry lookups + one multiply per position),
+built once at import from Python-int modpow.  The tables cover exponent
+indices i < 2³², so ``rolling_window_grams`` chunks each Arrow batch to
+keep the FLAT concatenated length under 2³¹ tokens per evaluation —
+document boundaries cancel out of the window hash, so chunking at doc
+granularity changes nothing.  A single document can never exceed the
+range on its own: Spark caps a string cell at 2 GiB ≪ 2³¹ tokens.
 
-Two independent moduli are combined into one 62-bit fingerprint, so a
-false pair needs a simultaneous collision in both fields: P ≈ W²/2⁶²
-across W windows — ~10⁻⁵ at sf1, and at lake scale the df/posting caps
-in the consumer bound the damage of any single colliding gram.
+FOUR independent 31-bit modular fields are packed into two 62-bit longs
+(a 124-bit composite fingerprint), so a false pair needs a simultaneous
+collision in all four fields: P ≈ W²/2¹²⁴ across W windows — ~10⁻¹¹
+even at 10¹³ windows (the 100 TB design point).  This matters because a
+gram collision here is not just wasted compute: a false "verbatim run"
+would make the scrub policy delete real text, so the fingerprint must
+keep md5-class collision odds, not merely good-enough-for-dedup odds.
 """
 
 from __future__ import annotations
 
 import numpy as np
 
-# the two largest primes below 2^31: keeps every product of two reduced
-# values below 2^62 (uint64-safe) and the combined fingerprint below 2^62
+# the four largest primes below 2^31: keeps every product of two reduced
+# values below 2^62 (uint64-safe) and each packed field pair below 2^62
 M1 = 2_147_483_647
 M2 = 2_147_483_629
+M3 = 2_147_483_587
+M4 = 2_147_483_579
 B1 = 1_000_003
 B2 = 1_000_033
+B3 = 1_000_037
+B4 = 1_000_039
 
 _CHUNK = 1 << 16  # baby-step table size; giant table covers i < 2^32
+_FLAT_CAP = 1 << 31  # max flat tokens per evaluation (pow-table range/2)
 
 
 def _pow_tables(b: int, m: int) -> tuple[np.ndarray, np.ndarray]:
@@ -60,10 +73,10 @@ def _pow_tables(b: int, m: int) -> tuple[np.ndarray, np.ndarray]:
     return (np.array(baby, dtype=np.uint64), np.array(giant, dtype=np.uint64))
 
 
-_P1 = _pow_tables(B1, M1)
-_P2 = _pow_tables(B2, M2)
-_I1 = _pow_tables(pow(B1, -1, M1), M1)
-_I2 = _pow_tables(pow(B2, -1, M2), M2)
+_FIELDS = [
+    (M, _pow_tables(B, M), _pow_tables(pow(B, -1, M), M))
+    for B, M in ((B1, M1), (B2, M2), (B3, M3), (B4, M4))
+]
 _LOW = np.uint64(_CHUNK - 1)
 _SHIFT = np.uint64(16)
 
@@ -90,16 +103,23 @@ def _field_grams(
 
 def window_grams_flat(
     th: np.ndarray, offsets: np.ndarray, n: int
-) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
     """Every n-token window fingerprint for a batch of documents.
 
-    ``th``: flat uint64 per-token hashes, documents concatenated;
+    ``th``: flat uint64 per-token hashes, documents concatenated
+    (< 2³² tokens total — the pow-table range; the mapInPandas wrapper
+    chunks batches to half that);
     ``offsets``: int64 document boundaries, len = ndocs+1, offsets[0]=0.
-    Returns (doc_idx, pos, gram): window's document index, 1-based
-    position within its document, and the combined 62-bit fingerprint
-    (int64) — identical for equal token windows regardless of which
-    document or offset they sit at.
+    Returns (doc_idx, pos, h1, h2): window's document index, 1-based
+    position within its document, and the 124-bit composite fingerprint
+    packed into two int64 columns — identical for equal token windows
+    regardless of which document or offset they sit at.
     """
+    if len(th) >= _CHUNK * _CHUNK:
+        raise ValueError(
+            f"flat batch of {len(th)} tokens exceeds the pow-table range "
+            f"(2^32); chunk the batch (see rolling_window_grams)"
+        )
     lens = np.diff(offsets)
     counts = np.maximum(lens - n + 1, 0)
     doc_idx = np.repeat(np.arange(len(lens), dtype=np.int64), counts)
@@ -108,19 +128,25 @@ def window_grams_flat(
     p = offsets[:-1][doc_idx] + pos0  # global 0-based window starts
     if len(p) == 0:
         z = np.empty(0, dtype=np.int64)
-        return z, z, z
-    h1 = _field_grams(th, p, n, M1, _P1, _I1)
-    h2 = _field_grams(th, p, n, M2, _P2, _I2)
-    gram = (h1.astype(np.int64) << np.int64(31)) | h2.astype(np.int64)
-    return doc_idx, pos0 + 1, gram
+        return z, z, z, z
+    f = [
+        _field_grams(th, p, n, m, pows, invs).astype(np.int64)
+        for m, pows, invs in _FIELDS
+    ]
+    h1 = (f[0] << np.int64(31)) | f[1]
+    h2 = (f[2] << np.int64(31)) | f[3]
+    return doc_idx, pos0 + 1, h1, h2
 
 
-def rolling_window_grams(d_th, n: int):
+def rolling_window_grams(d_th, n: int, flat_cap: int = _FLAT_CAP):
     """(doc_id, th array<long>) frame → exploded (doc_id, pos, gram)
-    via Arrow-batched mapInPandas; docs shorter than ``n`` tokens must be
+    with ``gram`` a struct<h1,h2> 124-bit composite fingerprint, via
+    Arrow-batched mapInPandas; docs shorter than ``n`` tokens must be
     filtered out upstream.  Per-token hashes are computed JVM-side
     (xxhash64) so Python never touches a string — each batch is numpy
-    flatten + cumsum + table lookups."""
+    flatten + cumsum + table lookups, chunked at document granularity
+    so a flat evaluation never exceeds the pow-table range."""
+    import pyspark.sql.functions as F
 
     def gen(batches):
         import pandas as pd
@@ -129,16 +155,30 @@ def rolling_window_grams(d_th, n: int):
             if len(pdf) == 0:
                 continue
             cells = [np.asarray(c, dtype=np.int64) for c in pdf["th"]]
-            offsets = np.zeros(len(cells) + 1, dtype=np.int64)
-            np.cumsum([len(c) for c in cells], out=offsets[1:])
-            flat = np.concatenate(cells).view(np.uint64)
-            doc_idx, pos, gram = window_grams_flat(flat, offsets, n)
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"].to_numpy()[doc_idx],
-                    "pos": pos,
-                    "gram": gram,
-                }
-            )
+            ids = pdf["doc_id"].to_numpy()
+            start = 0
+            while start < len(cells):
+                end, flat_len = start, 0
+                while end < len(cells) and (
+                    end == start or flat_len + len(cells[end]) <= flat_cap
+                ):
+                    flat_len += len(cells[end])
+                    end += 1
+                chunk = cells[start:end]
+                offsets = np.zeros(len(chunk) + 1, dtype=np.int64)
+                np.cumsum([len(c) for c in chunk], out=offsets[1:])
+                flat = np.concatenate(chunk).view(np.uint64)
+                doc_idx, pos, h1, h2 = window_grams_flat(flat, offsets, n)
+                yield pd.DataFrame(
+                    {
+                        "doc_id": ids[start:end][doc_idx],
+                        "pos": pos,
+                        "h1": h1,
+                        "h2": h2,
+                    }
+                )
+                start = end
 
-    return d_th.mapInPandas(gen, "doc_id long, pos long, gram long")
+    return d_th.mapInPandas(
+        gen, "doc_id long, pos long, h1 long, h2 long"
+    ).select("doc_id", "pos", F.struct("h1", "h2").alias("gram"))

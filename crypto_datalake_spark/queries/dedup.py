@@ -781,18 +781,29 @@ def exact_substring_runs(
         )
         grams_df = rolling_window_grams(th, n)
     elif grams == "slice":
-        # one xxhash64 per (doc, position) over the raw token slice (no
-        # concat/md5: 64-bit long grams shrink the posting-list shuffle
-        # ~5x vs 32-char md5 strings); CASE-guarded for the same
+        # two salt-seeded xxhash64 per (doc, position) over the raw token
+        # slice — a 128-bit composite (matching the rolling tier's width:
+        # a gram collision manufactures a false verbatim run that the
+        # scrub policy would DELETE, so 64 bits is not enough at 10^13
+        # windows) that still shuffles as a 16-byte struct vs the r6
+        # 32-char md5 string; CASE-guarded for the same
         # explode-inferred-filter hazard as _SP_SHINGLES (sequence turns
         # descending on short docs and slice throws under ANSI)
+        def _slice_gram(p):
+            w = F.slice("tok", p, n)
+            return F.struct(
+                F.xxhash64(F.lit(1), w).alias("h1"),
+                F.xxhash64(F.lit(2), w).alias("h2"),
+            )
+
         win_hashes = F.when(
             F.size("tok") >= n,
             F.transform(
-                F.sequence(F.lit(1), F.size("tok") - n + 1),
-                lambda p: F.xxhash64(F.slice("tok", p, n)),
+                F.sequence(F.lit(1), F.size("tok") - n + 1), _slice_gram
             ),
-        ).otherwise(F.array().cast("array<long>"))
+        ).otherwise(
+            F.array().cast("array<struct<h1:bigint,h2:bigint>>")
+        )
         grams_df = toks.select(
             "doc_id", F.posexplode(win_hashes).alias("__i", "gram")
         ).select(

@@ -274,22 +274,23 @@ def test_exact_substring_gram_tiers_agree(spark):
 
 def test_rollinghash_matches_direct_recompute():
     """The vectorized prefix evaluation must equal the textbook
-    per-window Horner recompute in both modular fields, stay equal for
-    identical windows at DIFFERENT offsets/documents (the offset terms
-    must cancel), and survive un-reduced cumsum wraparound on a
-    million-token document."""
+    per-window Horner recompute in all four modular fields, and stay
+    equal for identical windows at DIFFERENT offsets/documents (the
+    offset terms must cancel)."""
     import numpy as np
 
     from crypto_datalake_spark.functions.rollinghash import (
-        B1, B2, M1, M2, window_grams_flat,
+        B1, B2, B3, B4, M1, M2, M3, M4, window_grams_flat,
     )
 
     def direct(ws):
-        h1 = h2 = 0
+        h = [0, 0, 0, 0]
         for t in ws:
-            h1 = (h1 * B1 + int(t) % M1) % M1
-            h2 = (h2 * B2 + int(t) % M2) % M2
-        return (h1 << 31) | h2
+            for j, (b, m) in enumerate(
+                ((B1, M1), (B2, M2), (B3, M3), (B4, M4))
+            ):
+                h[j] = (h[j] * b + int(t) % m) % m
+        return ((h[0] << 31) | h[1], (h[2] << 31) | h[3])
 
     rng = np.random.default_rng(7)
     n = 8
@@ -299,25 +300,82 @@ def test_rollinghash_matches_direct_recompute():
     )
     th[20 : 20 + n] = th[:n]  # doc2 head == doc0 head, different offset
     offsets = np.concatenate(([0], np.cumsum(lens))).astype(np.int64)
-    doc_idx, pos, gram = window_grams_flat(th, offsets, n)
-    assert len(gram) == sum(L - n + 1 for L in lens)
-    for k in range(len(gram)):
+    doc_idx, pos, h1, h2 = window_grams_flat(th, offsets, n)
+    assert len(h1) == sum(L - n + 1 for L in lens)
+    assert h1.dtype == np.int64 and h2.dtype == np.int64  # no float promo
+    for k in range(len(h1)):
         s = offsets[doc_idx[k]] + pos[k] - 1
-        assert direct(th[s : s + n]) == gram[k]
+        assert direct(th[s : s + n]) == (h1[k], h2[k])
     # offset cancellation: doc0 window 1 == doc2 window 1
-    g = {(int(d), int(p)): int(v) for d, p, v in zip(doc_idx, pos, gram)}
+    g = {(int(d), int(p)): (int(a), int(b))
+         for d, p, a, b in zip(doc_idx, pos, h1, h2)}
     assert g[(0, 1)] == g[(2, 1)]
     assert g[(0, 2)] != g[(2, 2)]
 
+    # a million-token document stays exact (indices into the giant-step
+    # power table well past the baby table)
     big = rng.integers(0, 2**63, size=1_000_000, dtype=np.int64).view(
         np.uint64
     )
-    _, _, g3 = window_grams_flat(
+    _, _, g1, g2 = window_grams_flat(
         big, np.array([0, len(big)], dtype=np.int64), n
     )
-    assert g3.dtype == np.int64  # no float promotion anywhere
-    for k in (0, 123_457, len(g3) - 1):
-        assert direct(big[k : k + n]) == g3[k]
+    for k in (0, 123_457, len(g1) - 1):
+        assert direct(big[k : k + n]) == (g1[k], g2[k])
+
+
+def test_rollinghash_wrap_recovery_and_range_guard():
+    """The wrap-safety property the prefix evaluation leans on — a
+    uint64 difference of a WRAPPED cumsum recovers the true window sum
+    while the true sum < 2^64 — asserted directly (a real wrap needs
+    ~2^33 tokens, unreachable in a test), plus the explicit range guard
+    for flat inputs past the power-table coverage."""
+    import numpy as np
+    import pytest
+
+    from crypto_datalake_spark.functions.rollinghash import (
+        window_grams_flat,
+    )
+
+    # cumsum prefix a sits just below 2^64; adding delta wraps; the
+    # uint64 difference must still be exactly delta (int64 would raise
+    # or give negative garbage here — this pins the dtype discipline)
+    a = np.array([2**64 - 5], dtype=np.uint64)
+    delta = np.array([123_456], dtype=np.uint64)
+    wrapped = a + delta  # wraps mod 2^64 (numpy arrays wrap silently)
+    assert wrapped[0] < a[0]
+    assert (wrapped - a)[0] == delta[0]
+
+    # flat inputs >= 2^32 tokens exceed the pow tables: explicit error,
+    # not a silent IndexError mid-task (zero-stride view: no 32 GiB alloc)
+    fake = np.broadcast_to(np.uint64(1), (2**32,))
+    with pytest.raises(ValueError, match="pow-table range"):
+        window_grams_flat(
+            fake, np.array([0, 2**32], dtype=np.int64), 8
+        )
+
+
+def test_rollinghash_chunked_batches_agree(spark):
+    """Chunking an Arrow batch at document granularity (the pow-table
+    range guard) must not change a single fingerprint: doc-boundary
+    terms cancel, so a tiny forced flat_cap gives byte-identical output
+    to the unchunked evaluation."""
+    from crypto_datalake_spark.functions.rollinghash import (
+        rolling_window_grams,
+    )
+
+    d = _docs(spark, [
+        (i, " ".join(f"t{i}_{j}" for j in range(12))) for i in range(6)
+    ] + [(99, " ".join(f"t0_{j}" for j in range(12)))])  # dup of doc 0
+    th = d.select(
+        "doc_id",
+        F.transform(F.split("text", " "), lambda t: F.xxhash64(t)).alias("th"),
+    )
+    base = {tuple(r) for r in rolling_window_grams(th, 8).collect()}
+    chunked = {
+        tuple(r) for r in rolling_window_grams(th, 8, flat_cap=13).collect()
+    }
+    assert base == chunked and len(base) == 7 * 5
 
 
 def test_exact_substring_tier_plans(spark):
@@ -325,8 +383,6 @@ def test_exact_substring_tier_plans(spark):
     Python evaluation anywhere); the rolling tier's ONLY Python is the
     one designed mapInPandas fingerprint stage — and both keep the
     single posting-list shuffle (no extra exchange for the recurrence)."""
-    from test_scale_plans import plan_text
-
     from crypto_datalake_spark.queries.dedup import exact_substring_runs
 
     d = _docs(spark, [(1, " ".join(f"t{i}" for i in range(20)))])
