@@ -76,6 +76,7 @@ BENCH_QUERIES = [
     "text_tfidf_topk",
     "quality_lm_perplexity",
     "quality_lm_perplexity_served",  # persisted-fit serve: 2.7 -> 0.7 s
+    "quality_lm_perplexity_unk",     # bounded-vocab fit (full oracle)
     "shuffle_export_shards",
     "quality_score_classifier",
     "dedup_embedding_cosine",

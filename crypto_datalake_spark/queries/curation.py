@@ -785,6 +785,145 @@ def quality_lm_perplexity(spark, sf_dir):
     return lm_perplexity_buckets(t(spark, sf_dir, "documents"))
 
 
+# ------------------------------------------ UNK-capped LM vocabulary
+
+_LM_UNK_K = 24        # top-k tokens kept; the rest map to <unk>
+_LM_UNK = "<unk>"     # OOV sentinel (a real "<unk>" token would merge
+                      # with OOV mass — the standard, documented blur)
+
+
+def lm_unk_model(d, k: int = _LM_UNK_K):
+    """Top-``k``-vocabulary bigram LM over a (doc_id, text) frame with
+    every out-of-vocabulary token mapped to ``<unk>`` BEFORE counting —
+    the production seam quality_lm_perplexity's docstring promises: on
+    an open-vocabulary corpus the raw bigram/context tables grow with
+    the corpus (typos, URLs, hashes), while the UNK-capped tables are
+    bounded at (k+1)² / (k+1) rows no matter how many tokens stream in,
+    so the persisted serving artifacts stay broadcast-sized forever.
+
+    Vocabulary selection is deterministic: the k highest-count tokens,
+    ties broken by token (binary asc), ranked by the scale-safe
+    two-phase global rank over the VOCAB-size count table (never the
+    corpus). The kept set (≤ k rows) broadcasts into the two mapping
+    joins, so UNK-mapping adds zero shuffle to the corpus stream.
+    Returns (bg, c12, c1, vocab): the mapped bigram stream
+    (checkpointed — three consumers), both bounded count tables, and
+    the 1-row vocab frame (|kept| + 1, counting <unk> itself).
+    """
+    from crypto_datalake_spark.ops.rank import global_row_number
+
+    ex = _lm_exploded(d)
+    cnt = ex.groupBy("w1").agg(F.count(F.lit(1)).alias("c"))
+    ranked = global_row_number(
+        cnt, [F.col("c").desc(), F.col("w1").asc()], out_col="rk"
+    )
+    kept = ranked.where(F.col("rk") <= k).select(F.col("w1").alias("tokk"))
+    k1 = kept.withColumnRenamed("tokk", "__k1")
+    k2 = kept.withColumnRenamed("tokk", "__k2")
+    mapped = (
+        ex.join(F.broadcast(k1), F.col("w1") == F.col("__k1"), "left")
+        .join(F.broadcast(k2), F.col("w2") == F.col("__k2"), "left")
+        .select(
+            "doc_id",
+            F.when(F.col("__k1").isNull(), F.lit(_LM_UNK))
+            .otherwise(F.col("w1"))
+            .alias("w1"),
+            F.when(F.col("w2").isNull(), F.lit(None).cast("string"))
+            .when(F.col("__k2").isNull(), F.lit(_LM_UNK))
+            .otherwise(F.col("w2"))
+            .alias("w2"),
+        )
+    )
+    bg = mapped.where(F.col("w2").isNotNull()).localCheckpoint()
+    c1 = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    c12 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    vocab = kept.agg((F.count(F.lit(1)) + F.lit(1)).alias("vocab"))
+    return bg, c12, c1, vocab
+
+
+def lm_perplexity_buckets_unk(d, k: int = _LM_UNK_K):
+    """quality_lm_perplexity with the UNK-capped vocabulary — same
+    decimal-sum scoring and two-phase tercile discipline, bounded count
+    tables (see :func:`lm_unk_model`)."""
+    bg, c12, c1, vocab = lm_unk_model(d, k)
+    ds = _lm_doc_scores(bg, c12, c1, vocab)
+    cuts = _lm_tercile_cuts(ds)
+    return _lm_classify(d, ds, cuts)
+
+
+@register(
+    "quality_lm_perplexity_unk",
+    sql=f"""
+    WITH {_lm_tok_ctes()},
+    cnt AS (SELECT w1 AS tokk, count(*) AS c FROM ex GROUP BY 1),
+    kept AS (
+      SELECT tokk FROM (
+        SELECT tokk, row_number() OVER (ORDER BY c DESC, tokk) AS rk
+        FROM cnt)
+      WHERE rk <= {_LM_UNK_K}
+    ),
+    mx AS (
+      SELECT doc_id,
+             CASE WHEN ka.tokk IS NULL THEN '{_LM_UNK}' ELSE ex.w1 END AS w1,
+             CASE WHEN ex.w2 IS NULL THEN NULL
+                  WHEN kb.tokk IS NULL THEN '{_LM_UNK}' ELSE ex.w2 END AS w2
+      FROM ex LEFT JOIN kept ka ON ex.w1 = ka.tokk
+              LEFT JOIN kept kb ON ex.w2 = kb.tokk
+    ),
+    bgm AS (SELECT doc_id, w1, w2 FROM mx WHERE w2 IS NOT NULL),
+    c1t AS (SELECT w1, count(*) AS c1 FROM bgm GROUP BY 1),
+    c12t AS (SELECT w1, w2, count(*) AS c12 FROM bgm GROUP BY 1, 2),
+    v AS (SELECT count(*) + 1 AS vocab FROM kept),
+    ds AS (
+      SELECT doc_id,
+             CAST(sum(CAST(round(-ln((c12 + {_PPL_ALPHA})
+                                     / (c1 + {_PPL_ALPHA} * vocab)), 7)
+                           AS DECIMAL(28,7))) AS DOUBLE)
+               / count(*) AS log_ppl,
+             CAST(count(*) AS BIGINT) AS n_bigrams
+      FROM bgm JOIN c12t USING (w1, w2) JOIN c1t USING (w1), v
+      GROUP BY doc_id
+    ),
+    rk AS (
+      SELECT log_ppl, row_number() OVER (ORDER BY log_ppl, doc_id) AS rk,
+             count(*) OVER () AS n
+      FROM ds
+    ),
+    cuts AS (
+      SELECT max(CASE WHEN rk = CAST(ceil(n / 3.0) AS BIGINT)
+                 THEN log_ppl END) AS c1v,
+             max(CASE WHEN rk = CAST(ceil((2 * n) / 3.0) AS BIGINT)
+                 THEN log_ppl END) AS c2v
+      FROM rk
+    )
+    SELECT d.doc_id, coalesce(ds.n_bigrams, 0) AS n_bigrams, ds.log_ppl,
+           CASE WHEN ds.log_ppl IS NULL THEN 'short'
+                WHEN ds.log_ppl <= c1v THEN 'head'
+                WHEN ds.log_ppl <= c2v THEN 'middle'
+                ELSE 'tail' END AS ppl_bucket
+    FROM documents d LEFT JOIN ds USING (doc_id), cuts
+    """,
+    doc=f"quality_lm_perplexity with a top-{_LM_UNK_K} UNK-capped "
+    "vocabulary (the df-capped production form its docstring promises): "
+    "every token outside the k most frequent maps to '<unk>' BEFORE "
+    "bigram counting, so the bigram/context count tables are bounded at "
+    "(k+1)²/(k+1) rows regardless of corpus size — on an open-vocabulary "
+    "web corpus the raw tables grow with the data (typos, URLs, hex "
+    "ids), while the capped tables stay broadcast-sized forever, which "
+    "is what makes the persisted-model serving seam "
+    "(quality_lm_perplexity_served) viable at 100 TB. Kept-token bigram "
+    "counts are IDENTICAL to the uncapped fit (the mapping only merges "
+    "OOV mass), so the cap changes tail-token scores only — pinned in "
+    "tests. Vocabulary selection is exact top-k by count with binary "
+    "token tie-break via the two-phase global rank over the vocab-size "
+    "count frame; the kept set broadcasts into the mapping joins (zero "
+    "added corpus shuffle). Same decimal-sum NLL and two-phase tercile "
+    "discipline as the uncapped query; FULL static oracle.",
+)
+def quality_lm_perplexity_unk(spark, sf_dir):
+    return lm_perplexity_buckets_unk(t(spark, sf_dir, "documents"))
+
+
 # ---------------------------------------------- global shuffle → shards
 
 _SHARD_SIZE = 50       # docs per training shard

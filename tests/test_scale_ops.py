@@ -546,6 +546,59 @@ def test_lm_perplexity_buckets_witness(spark):
     assert rows[1]["n_bigrams"] == 39
 
 
+def test_lm_unk_collapses_tail_tokens_only(spark):
+    """The UNK cap must (a) collapse out-of-vocabulary docs onto shared
+    <unk> statistics — two rare-token docs whose UNCAPPED models score
+    them differently become IDENTICAL under the cap — and (b) leave
+    kept-token bigram counts untouched (the mapping only merges OOV
+    mass), so common-token docs keep their uncapped counts."""
+    from crypto_datalake_spark.queries.curation import (
+        lm_perplexity_buckets,
+        lm_perplexity_buckets_unk,
+        lm_unk_model,
+    )
+
+    common = ("x y " * 10).strip()
+    d = _docs(spark, [
+        (1, common),
+        (2, common),
+        (3, "r1 r2"),   # singleton tokens: c1(r1)=1
+        (4, "r3 r3 r4"),  # repeated rare: c1(r3)=2 — differs uncapped
+        (5, "r5 r6"),
+    ])
+    raw = {r["doc_id"]: r for r in lm_perplexity_buckets(d).collect()}
+    # uncapped: doc 4's first bigram sits in a c1=2 context, doc 3's in
+    # c1=1 — different scores
+    assert raw[3]["log_ppl"] != raw[4]["log_ppl"]
+
+    capped = {
+        r["doc_id"]: r
+        for r in lm_perplexity_buckets_unk(d, k=2).collect()  # keep x,y
+    }
+    # (a) every rare doc is now pure <unk>-<unk>: identical scores
+    assert capped[3]["log_ppl"] == capped[5]["log_ppl"]
+    # (b) kept-token bigram counts unchanged by the mapping
+    bg, c12, c1, vocab = lm_unk_model(d, k=2)
+    cm = {(r["w1"], r["w2"]): r["c12"] for r in c12.collect()}
+    assert cm[("x", "y")] == 20  # 10 per doc × 2 docs, exactly uncapped
+    assert ("<unk>", "<unk>") in cm
+    assert vocab.collect()[0]["vocab"] == 3  # x, y, <unk>
+
+
+def test_lm_unk_count_tables_bounded(spark):
+    """The whole point of the cap: with k=3 and 40 distinct rare
+    tokens, the bigram table must stay within (k+1)² rows and the
+    context table within k+1 — the persisted-serving bound."""
+    from crypto_datalake_spark.queries.curation import lm_unk_model
+
+    rows = [(i, f"a b r{i} r{i + 100} c") for i in range(40)]
+    d = _docs(spark, rows)
+    bg, c12, c1, vocab = lm_unk_model(d, k=3)
+    assert c12.count() <= 16
+    assert c1.count() <= 4
+    assert vocab.collect()[0]["vocab"] == 4
+
+
 def test_lm_perplexity_all_short_corpus(spark):
     """Every doc under 2 tokens: no scored docs, cutoffs are NULL, and
     every row still comes back bucketed 'short' (no crash, no drops)."""
