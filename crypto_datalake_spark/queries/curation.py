@@ -729,24 +729,32 @@ def _lm_tok_ctes() -> str:
     bg AS (SELECT doc_id, w1, w2 FROM ex WHERE w2 IS NOT NULL)"""
 
 
-@register(
-    "quality_lm_perplexity",
-    sql=f"""
-    WITH {_lm_tok_ctes()},
-    c1t AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY 1),
-    c12t AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY 1, 2),
-    v AS (SELECT count(DISTINCT w1) AS vocab FROM ex),
-    ds AS (
+def _lm_ds_sql(
+    bg_src: str, c12_src: str, c1_src: str, v_src: str, left: bool = False
+) -> str:
+    """The per-doc decimal-summed NLL scoring block as a ``ds`` CTE body
+    — ONE definition consumed by all three LM oracles (in-query, UNK-
+    capped, served), so a fix to the scoring discipline cannot land in
+    one and miss the others (the _lm_tok_ctes precedent).  ``left``
+    is the serving form: unseen bigrams/contexts coalesce to 0 before
+    smoothing (mirrors _lm_doc_scores)."""
+    j = "LEFT JOIN" if left else "JOIN"
+    c12 = "coalesce(c12, 0)" if left else "c12"
+    c1 = "coalesce(c1, 0)" if left else "c1"
+    return f"""
       SELECT doc_id,
-             CAST(sum(CAST(round(-ln((c12 + {_PPL_ALPHA})
-                                     / (c1 + {_PPL_ALPHA} * vocab)), 7)
+             CAST(sum(CAST(round(-ln(({c12} + {_PPL_ALPHA})
+                                     / ({c1} + {_PPL_ALPHA} * vocab)), 7)
                            AS DECIMAL(28,7))) AS DOUBLE)
                / count(*) AS log_ppl,
              CAST(count(*) AS BIGINT) AS n_bigrams
-      FROM bg JOIN c12t USING (w1, w2) JOIN c1t USING (w1), v
-      GROUP BY doc_id
-    ),
-    rk AS (
+      FROM {bg_src} {j} {c12_src} USING (w1, w2) {j} {c1_src} USING (w1), {v_src}
+      GROUP BY doc_id"""
+
+
+# nearest-rank tercile cutoffs over ds (in-query + UNK-capped oracles;
+# the served oracle reads FROZEN cutoffs from its persisted meta instead)
+_LM_CUTS_SQL = """rk AS (
       SELECT log_ppl, row_number() OVER (ORDER BY log_ppl, doc_id) AS rk,
              count(*) OVER () AS n
       FROM ds
@@ -757,13 +765,33 @@ def _lm_tok_ctes() -> str:
              max(CASE WHEN rk = CAST(ceil((2 * n) / 3.0) AS BIGINT)
                  THEN log_ppl END) AS c2v
       FROM rk
-    )
+    )"""
+
+
+def _lm_bucket_select_sql(cuts_src: str) -> str:
+    """Final head/middle/tail classification SELECT — shared by all
+    three LM oracles; ``cuts_src`` supplies c1v/c2v (the cuts CTE for
+    self-trained fits, the persisted meta table for the served form)."""
+    return f"""
     SELECT d.doc_id, coalesce(ds.n_bigrams, 0) AS n_bigrams, ds.log_ppl,
            CASE WHEN ds.log_ppl IS NULL THEN 'short'
                 WHEN ds.log_ppl <= c1v THEN 'head'
                 WHEN ds.log_ppl <= c2v THEN 'middle'
                 ELSE 'tail' END AS ppl_bucket
-    FROM documents d LEFT JOIN ds USING (doc_id), cuts
+    FROM documents d LEFT JOIN ds USING (doc_id), {cuts_src}"""
+
+
+@register(
+    "quality_lm_perplexity",
+    sql=f"""
+    WITH {_lm_tok_ctes()},
+    c1t AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY 1),
+    c12t AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY 1, 2),
+    v AS (SELECT count(DISTINCT w1) AS vocab FROM ex),
+    ds AS ({_lm_ds_sql("bg", "c12t", "c1t", "v")}
+    ),
+    {_LM_CUTS_SQL}
+    {_lm_bucket_select_sql("cuts")}
     """,
     doc="CCNet-style language-model quality tiers (Wenzek et al. 2020): "
     "fit an add-0.5-smoothed bigram LM on the corpus, score every "
@@ -777,7 +805,8 @@ def _lm_tok_ctes() -> str:
     "count tables (the corpus-size shuffles — at 100 TB the counts are "
     "persisted tables like the IVF centroids, the join skew on "
     "stop-bigrams is AQE territory, and a df-capped UNK vocab bounds "
-    "the count-table size); tercile cutoffs come from the two-phase "
+    "the count-table size — delivered as quality_lm_perplexity_unk); "
+    "tercile cutoffs come from the two-phase "
     "range-partitioned global rank, never a single-task window; docs "
     "with < 2 tokens carry a NULL score in a 'short' bucket.",
 )
@@ -801,23 +830,28 @@ def lm_unk_model(d, k: int = _LM_UNK_K):
     bounded at (k+1)² / (k+1) rows no matter how many tokens stream in,
     so the persisted serving artifacts stay broadcast-sized forever.
 
-    Vocabulary selection is deterministic: the k highest-count tokens,
-    ties broken by token (binary asc), ranked by the scale-safe
-    two-phase global rank over the VOCAB-size count table (never the
-    corpus). The kept set (≤ k rows) broadcasts into the two mapping
-    joins, so UNK-mapping adds zero shuffle to the corpus stream.
+    Vocabulary selection is deterministic: the k highest-DOCUMENT-
+    FREQUENCY tokens (df ranking resists boilerplate spam — one page
+    repeating a token 10,000 times buys it df=1, where an occurrence
+    count would promote it), ties broken by token (binary asc), via
+    ``ranked_topk`` — per-partition prune to k, then a final window
+    over ≤ k·P survivors, so the open vocabulary is never globally
+    ranked or memory-pinned just to pick k rows. The kept set (≤ k
+    rows, checkpointed once) broadcasts into the two mapping joins, so
+    UNK-mapping adds zero shuffle to the corpus stream.
     Returns (bg, c12, c1, vocab): the mapped bigram stream
     (checkpointed — three consumers), both bounded count tables, and
     the 1-row vocab frame (|kept| + 1, counting <unk> itself).
     """
-    from crypto_datalake_spark.ops.rank import global_row_number
+    from crypto_datalake_spark.ops.rank import ranked_topk
 
     ex = _lm_exploded(d)
-    cnt = ex.groupBy("w1").agg(F.count(F.lit(1)).alias("c"))
-    ranked = global_row_number(
-        cnt, [F.col("c").desc(), F.col("w1").asc()], out_col="rk"
+    cnt = ex.groupBy("w1").agg(F.countDistinct("doc_id").alias("c"))
+    kept = (
+        ranked_topk(cnt, [F.col("c").desc(), F.col("w1").asc()], k)
+        .select(F.col("w1").alias("tokk"))
+        .localCheckpoint()  # ≤ k rows; three consumers (k1, k2, vocab)
     )
-    kept = ranked.where(F.col("rk") <= k).select(F.col("w1").alias("tokk"))
     k1 = kept.withColumnRenamed("tokk", "__k1")
     k2 = kept.withColumnRenamed("tokk", "__k2")
     mapped = (
@@ -855,7 +889,8 @@ def lm_perplexity_buckets_unk(d, k: int = _LM_UNK_K):
     "quality_lm_perplexity_unk",
     sql=f"""
     WITH {_lm_tok_ctes()},
-    cnt AS (SELECT w1 AS tokk, count(*) AS c FROM ex GROUP BY 1),
+    cnt AS (SELECT w1 AS tokk, count(DISTINCT doc_id) AS c
+            FROM ex GROUP BY 1),
     kept AS (
       SELECT tokk FROM (
         SELECT tokk, row_number() OVER (ORDER BY c DESC, tokk) AS rk
@@ -874,51 +909,32 @@ def lm_perplexity_buckets_unk(d, k: int = _LM_UNK_K):
     c1t AS (SELECT w1, count(*) AS c1 FROM bgm GROUP BY 1),
     c12t AS (SELECT w1, w2, count(*) AS c12 FROM bgm GROUP BY 1, 2),
     v AS (SELECT count(*) + 1 AS vocab FROM kept),
-    ds AS (
-      SELECT doc_id,
-             CAST(sum(CAST(round(-ln((c12 + {_PPL_ALPHA})
-                                     / (c1 + {_PPL_ALPHA} * vocab)), 7)
-                           AS DECIMAL(28,7))) AS DOUBLE)
-               / count(*) AS log_ppl,
-             CAST(count(*) AS BIGINT) AS n_bigrams
-      FROM bgm JOIN c12t USING (w1, w2) JOIN c1t USING (w1), v
-      GROUP BY doc_id
+    ds AS ({_lm_ds_sql("bgm", "c12t", "c1t", "v")}
     ),
-    rk AS (
-      SELECT log_ppl, row_number() OVER (ORDER BY log_ppl, doc_id) AS rk,
-             count(*) OVER () AS n
-      FROM ds
-    ),
-    cuts AS (
-      SELECT max(CASE WHEN rk = CAST(ceil(n / 3.0) AS BIGINT)
-                 THEN log_ppl END) AS c1v,
-             max(CASE WHEN rk = CAST(ceil((2 * n) / 3.0) AS BIGINT)
-                 THEN log_ppl END) AS c2v
-      FROM rk
-    )
-    SELECT d.doc_id, coalesce(ds.n_bigrams, 0) AS n_bigrams, ds.log_ppl,
-           CASE WHEN ds.log_ppl IS NULL THEN 'short'
-                WHEN ds.log_ppl <= c1v THEN 'head'
-                WHEN ds.log_ppl <= c2v THEN 'middle'
-                ELSE 'tail' END AS ppl_bucket
-    FROM documents d LEFT JOIN ds USING (doc_id), cuts
+    {_LM_CUTS_SQL}
+    {_lm_bucket_select_sql("cuts")}
     """,
-    doc=f"quality_lm_perplexity with a top-{_LM_UNK_K} UNK-capped "
-    "vocabulary (the df-capped production form its docstring promises): "
-    "every token outside the k most frequent maps to '<unk>' BEFORE "
-    "bigram counting, so the bigram/context count tables are bounded at "
-    "(k+1)²/(k+1) rows regardless of corpus size — on an open-vocabulary "
-    "web corpus the raw tables grow with the data (typos, URLs, hex "
-    "ids), while the capped tables stay broadcast-sized forever, which "
-    "is what makes the persisted-model serving seam "
-    "(quality_lm_perplexity_served) viable at 100 TB. Kept-token bigram "
-    "counts are IDENTICAL to the uncapped fit (the mapping only merges "
-    "OOV mass), so the cap changes tail-token scores only — pinned in "
-    "tests. Vocabulary selection is exact top-k by count with binary "
-    "token tie-break via the two-phase global rank over the vocab-size "
-    "count frame; the kept set broadcasts into the mapping joins (zero "
-    "added corpus shuffle). Same decimal-sum NLL and two-phase tercile "
-    "discipline as the uncapped query; FULL static oracle.",
+    doc=f"quality_lm_perplexity with a top-{_LM_UNK_K} df-capped UNK "
+    "vocabulary (the production form its docstring promises): every "
+    "token outside the k highest-DOCUMENT-FREQUENCY tokens maps to "
+    "'<unk>' BEFORE bigram counting, so the bigram/context count tables "
+    "are bounded at (k+1)²/(k+1) rows regardless of corpus size — on an "
+    "open-vocabulary web corpus the raw tables grow with the data "
+    "(typos, URLs, hex ids), while the capped tables stay "
+    "broadcast-sized forever, which is what makes the persisted-model "
+    "serving seam (quality_lm_perplexity_served) viable at 100 TB. "
+    "df ranking (not occurrence count) resists boilerplate spam: a page "
+    "repeating a token 10,000 times buys it df=1. Kept-token bigram and "
+    "context COUNTS are identical to the uncapped fit (the mapping only "
+    "merges OOV mass; pinned in tests) — per-bigram probabilities still "
+    "shift everywhere because the smoothing denominator's vocab term "
+    "becomes k+1, so capped and uncapped scores are comparable only "
+    "within the same fit. Vocabulary selection is exact top-k via "
+    "ranked_topk (per-partition prune, then a window over <= k·P "
+    "survivors — the open vocabulary is never globally ranked); the "
+    "kept set broadcasts into the mapping joins (zero added corpus "
+    "shuffle). Same decimal-sum NLL and two-phase tercile discipline "
+    "as the uncapped query; FULL static oracle.",
 )
 def quality_lm_perplexity_unk(spark, sf_dir):
     return lm_perplexity_buckets_unk(t(spark, sf_dir, "documents"))
@@ -1237,23 +1253,9 @@ def _lm_served_sql(sf_dir: str) -> str:
     b AS (SELECT w1, w2, c12 FROM read_parquet('{bp}/*.parquet')),
     cx AS (SELECT w1, c1 FROM read_parquet('{cp}/*.parquet')),
     m AS (SELECT vocab, c1v, c2v FROM read_parquet('{mp}/*.parquet')),
-    ds AS (
-      SELECT doc_id,
-             CAST(sum(CAST(round(-ln((coalesce(c12, 0) + {_PPL_ALPHA})
-                                     / (coalesce(c1, 0)
-                                        + {_PPL_ALPHA} * vocab)), 7)
-                           AS DECIMAL(28,7))) AS DOUBLE)
-               / count(*) AS log_ppl,
-             CAST(count(*) AS BIGINT) AS n_bigrams
-      FROM bg LEFT JOIN b USING (w1, w2) LEFT JOIN cx USING (w1), m
-      GROUP BY doc_id
+    ds AS ({_lm_ds_sql("bg", "b", "cx", "m", left=True)}
     )
-    SELECT d.doc_id, coalesce(ds.n_bigrams, 0) AS n_bigrams, ds.log_ppl,
-           CASE WHEN ds.log_ppl IS NULL THEN 'short'
-                WHEN ds.log_ppl <= c1v THEN 'head'
-                WHEN ds.log_ppl <= c2v THEN 'middle'
-                ELSE 'tail' END AS ppl_bucket
-    FROM documents d LEFT JOIN ds USING (doc_id), m
+    {_lm_bucket_select_sql("m")}
     """
 
 
