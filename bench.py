@@ -74,6 +74,7 @@ BENCH_QUERIES = [
     "doc_fingerprints",
     "text_profile",
     "text_tfidf_topk",
+    "text_tfidf_topk_served",        # persisted-vocab serve
     "quality_lm_perplexity",
     "quality_lm_perplexity_served",  # persisted-fit serve: 2.7 -> 0.7 s
     "quality_lm_perplexity_unk",     # bounded-vocab fit (full oracle)

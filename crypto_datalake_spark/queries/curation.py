@@ -1285,3 +1285,176 @@ def quality_lm_perplexity_served(spark, sf_dir):
         bg, bigram, ctx, meta.select("vocab"), left=True, checkpoint=False
     )
     return _lm_classify(d, ds, meta.select("c1v", "c2v"))
+
+
+# --------------------------------- TF-IDF: persisted-vocabulary serving
+
+_TFIDF_MAXF = 65_536  # fitted-vocabulary cap (sklearn max_features)
+
+
+def tfidf_model_tables(spark, sf_dir, max_features: int = _TFIDF_MAXF):
+    """The persisted TF-IDF fit as two warehouse tables — the vocabulary
+    (term, df_docs, idf: the idf precomputed IN SPARK at fit time, so
+    serving never calls ln) capped at the ``max_features`` highest-df
+    terms via ranked_topk (df desc, term asc — deterministic refit, and
+    the cap is what keeps the table broadcast-sized on an open
+    vocabulary), and a 1-row meta (n_docs, oov_idf) — trained exactly
+    once per source fingerprint via the shared served-model split (the
+    IVF-centroid / LM precedent).  This is the production seam
+    text_tfidf_topk's docstring points at: a fitted TfidfVectorizer's
+    ``idf_`` table, Spark-shaped."""
+    from crypto_datalake_spark.ops.rank import ranked_topk
+    from crypto_datalake_spark.queries.llm import _served_model_table
+
+    sfx = f"v{max_features}"
+
+    def mk(prefix, build):
+        return _served_model_table(
+            spark, sf_dir, prefix, sfx, build, source="documents.parquet"
+        )
+
+    def tf_frame():
+        d = t(spark, sf_dir, "documents")
+        return (
+            d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+            .groupBy("doc_id", "term")
+            .agg(F.count(F.lit(1)).alias("term_count"))
+        )
+
+    def build_vocab():
+        tf = tf_frame().localCheckpoint()  # two consumers: dfc + n_docs
+        dfc = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_docs"))
+        n_docs = tf.agg(F.countDistinct("doc_id").alias("n_docs"))
+        idf = F.round(
+            F.log(
+                (F.col("n_docs").cast("double") + F.lit(1.0))
+                / (F.col("df_docs").cast("double") + F.lit(1.0))
+            )
+            + F.lit(1.0),
+            7,
+        )
+        return (
+            ranked_topk(
+                dfc.crossJoin(F.broadcast(n_docs)),
+                [F.col("df_docs").desc(), F.col("term").asc()],
+                max_features,
+            )
+            .select("term", "df_docs", idf.alias("idf"))
+            .coalesce(1)
+        )
+
+    def build_meta():
+        tf = tf_frame()
+        oov_idf = F.round(
+            F.log(F.col("n_docs").cast("double") + F.lit(1.0)) + F.lit(1.0),
+            7,
+        )
+        return (
+            tf.agg(F.countDistinct("doc_id").alias("n_docs"))
+            .select("n_docs", oov_idf.alias("oov_idf"))
+            .coalesce(1)
+        )
+
+    return mk("tfidf_vocab", build_vocab), mk("tfidf_meta", build_meta)
+
+
+def tfidf_model_paths(sf_dir: str, max_features: int = _TFIDF_MAXF) -> list[str]:
+    """Where :func:`tfidf_model_tables` persists its two fits — feeds
+    the driver's oracle-first pre-build guard (llm.model_artifact_paths)."""
+    from crypto_datalake_spark.queries.llm import _served_model_path
+
+    return [
+        _served_model_path(
+            sf_dir, pre, f"v{max_features}", source="documents.parquet"
+        )
+        for pre in ("tfidf_vocab", "tfidf_meta")
+    ]
+
+
+def tfidf_topk_serve(d, vocab, k: int = _TFIDF_K):
+    """Score a (doc_id, text) frame against a persisted (term, df_docs,
+    idf) vocabulary: tokenize + per-doc term counts (the only
+    corpus-size shuffle), one broadcast vocab join, multiply, per-doc
+    top-k window.  Terms OUTSIDE the fitted vocabulary are DROPPED
+    (sklearn transform semantics: an unfitted term has no idf column),
+    so serving works on NEW documents; n_tok stays the FULL document
+    length so tf is comparable across docs regardless of OOV content."""
+    toks = d.select("doc_id", F.split(F.col("text"), " ").alias("tok")).select(
+        "doc_id",
+        F.size("tok").alias("n_tok"),
+        F.explode("tok").alias("term"),
+    )
+    tf = toks.groupBy("doc_id", "n_tok", "term").agg(
+        F.count(F.lit(1)).alias("term_count")
+    )
+    scored = tf.join(F.broadcast(vocab), "term").withColumn(
+        "tfidf",
+        (F.col("term_count").cast("double") / F.col("n_tok").cast("double"))
+        * F.col("idf"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select("doc_id", "term", "term_count", "idf", "tfidf", "rank")
+    )
+
+
+def _tfidf_served_sql(sf_dir: str) -> str:
+    """Surrogate oracle for the served TF-IDF: DuckDB recomputes the
+    serving policy CONDITIONAL on the persisted vocabulary — the idf
+    values are READ, never re-derived, so no cross-engine ln in play;
+    the inner vocab join mirrors the OOV-drop semantics."""
+    vp, _ = tfidf_model_paths(sf_dir)
+    return f"""
+    WITH tk AS (
+      SELECT doc_id, string_split(text, ' ') AS tok FROM documents
+    ),
+    ex AS (
+      SELECT doc_id, len(tok) AS n_tok, unnest(tok) AS term FROM tk
+    ),
+    tf AS (
+      SELECT doc_id, n_tok, term, CAST(count(*) AS BIGINT) AS term_count
+      FROM ex GROUP BY 1, 2, 3
+    ),
+    voc AS (SELECT term, idf FROM read_parquet('{vp}/*.parquet')),
+    scored AS (
+      SELECT doc_id, term, term_count, idf,
+             (CAST(term_count AS DOUBLE) / CAST(n_tok AS DOUBLE)) * idf
+               AS tfidf
+      FROM tf JOIN voc USING (term)
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (
+               PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rank
+      FROM scored
+    )
+    SELECT doc_id, term, term_count, idf, tfidf, CAST(rank AS BIGINT) AS rank
+    FROM ranked WHERE rank <= {_TFIDF_K}
+    """
+
+
+@register(
+    "text_tfidf_topk_served",
+    sql=_tfidf_served_sql,
+    doc="The persisted-vocabulary serving path of text_tfidf_topk: the "
+    "df/idf vocabulary (capped at max_features highest-df terms, idf "
+    "precomputed at fit) and a 1-row meta are trained once per source "
+    "fingerprint and persisted as warehouse tables; serving is one "
+    "tokenize + (doc, term) count shuffle, ONE broadcast vocab join and "
+    "a multiply — zero ln calls, no document-frequency recount, no "
+    "second corpus pass (the incremental-corpus production shape: new "
+    "batches score against the frozen vocabulary, refits are explicit). "
+    "Terms outside the fitted vocabulary are dropped (sklearn transform "
+    "semantics), so new documents serve correctly. On the training "
+    "corpus the output equals text_tfidf_topk (no OOV, same idf "
+    "formula, same tie-break — pinned in tests). SURROGATE oracle: "
+    "DuckDB recomputes the serving policy conditional on the persisted "
+    "vocabulary through the oracle-first pre-build guard (the "
+    "quality_lm_perplexity_served precedent).",
+)
+def text_tfidf_topk_served(spark, sf_dir):
+    vocab, _meta = tfidf_model_tables(spark, sf_dir)
+    return tfidf_topk_serve(t(spark, sf_dir, "documents"), vocab)

@@ -1889,6 +1889,8 @@ def _model_artifact_specs(sf_dir: str):
         # three paths, one ordered build (bigram/ctx feed meta)
         (lambda: curation.lm_model_paths(sf_dir),
          lambda spark: curation.lm_model_tables(spark, sf_dir)),
+        (lambda: curation.tfidf_model_paths(sf_dir),
+         lambda spark: curation.tfidf_model_tables(spark, sf_dir)),
     ]
 
 

@@ -546,6 +546,53 @@ def test_lm_perplexity_buckets_witness(spark):
     assert rows[1]["n_bigrams"] == 39
 
 
+def test_tfidf_served_matches_inquery_on_training_corpus(spark, sf_dir):
+    """On the corpus it was fitted on (no OOV), the persisted-vocabulary
+    serving path must reproduce text_tfidf_topk bit-for-bit — same idf
+    formula at fit, same tie-break at serve."""
+    from crypto_datalake_spark.queries import REGISTRY
+
+    base = {
+        tuple(r)
+        for r in REGISTRY["text_tfidf_topk"].fn(spark, sf_dir).collect()
+    }
+    served = {
+        tuple(r)
+        for r in REGISTRY["text_tfidf_topk_served"].fn(spark, sf_dir).collect()
+    }
+    assert base == served and len(base) > 0
+
+
+def test_tfidf_serve_drops_oov_terms(spark, sf_dir):
+    """Serving NEW documents against the frozen vocabulary: terms the
+    fit never saw must be dropped (sklearn transform semantics), while
+    in-vocab terms score with the PERSISTED idf — and n_tok counts the
+    full document including the dropped terms."""
+    from crypto_datalake_spark.queries.curation import (
+        tfidf_model_tables,
+        tfidf_topk_serve,
+    )
+    from crypto_datalake_spark.io import load_table
+
+    vocab, _ = tfidf_model_tables(spark, sf_dir)
+    known = [
+        r["term"]
+        for r in vocab.orderBy(F.col("df_docs").desc(), "term").limit(2).collect()
+    ]
+    idf = {r["term"]: r["idf"] for r in vocab.collect()}
+    new_docs = spark.createDataFrame(
+        [(9001, f"{known[0]} NEVERSEEN1 {known[1]} NEVERSEEN2")],
+        "doc_id long, text string",
+    )
+    out = tfidf_topk_serve(new_docs, vocab).collect()
+    terms = {r["term"] for r in out}
+    assert terms == set(known)  # OOV dropped, nothing invented
+    for r in out:
+        assert r["idf"] == idf[r["term"]]  # persisted idf, not refit
+        # tf divides by the FULL 4-token length, OOV included
+        assert r["tfidf"] == (1 / 4) * idf[r["term"]]
+
+
 def test_lm_unk_collapses_tail_tokens_only(spark):
     """The UNK cap must (a) collapse out-of-vocabulary docs onto shared
     <unk> statistics — two rare-token docs whose UNCAPPED models score
