@@ -468,21 +468,13 @@ def tfidf_topk(d, k: int = _TFIDF_K):
     the inline note), and the rank orders by that bitwise-identical
     score with the term string as a total tie-break.
     """
-    # tokenize ONCE: size() and explode() as separate split() calls are
-    # separate operators (Project vs Generate) that codegen CSE does not
-    # share — 2x the tokenization cost of the only corpus-size pass
-    toks = d.select("doc_id", F.split(F.col("text"), " ").alias("tok")).select(
-        "doc_id",
-        F.size("tok").alias("n_tok"),
-        F.explode("tok").alias("term"),
-    )
-    # checkpointed: tf feeds BOTH the scored output and the document-
-    # frequency agg — without it Catalyst re-runs the corpus scan and the
-    # (doc, term) shuffle once per consumer (two full corpus passes at
-    # 100 TB for one logical agg); the minhash-signature precedent
-    tf = toks.groupBy("doc_id", "n_tok", "term").agg(
-        F.count(F.lit(1)).alias("term_count")
-    ).localCheckpoint()
+    # one shared tokenize+count definition across fit/serve/in-query
+    # (_tfidf_tf_frame); checkpointed here because tf feeds BOTH the
+    # scored output and the document-frequency agg — without it Catalyst
+    # re-runs the corpus scan and the (doc, term) shuffle once per
+    # consumer (two full corpus passes at 100 TB for one logical agg);
+    # the minhash-signature precedent
+    tf = _tfidf_tf_frame(d).localCheckpoint()
     # document frequency: tf is already one row per (doc, term); N also
     # comes off the checkpointed tf, and the oracle counts the SAME
     # frame (distinct doc_id of the exploded tokens) so the two engines
@@ -1292,37 +1284,43 @@ def quality_lm_perplexity_served(spark, sf_dir):
 _TFIDF_MAXF = 65_536  # fitted-vocabulary cap (sklearn max_features)
 
 
+def _tfidf_tf_frame(d):
+    """(doc_id, n_tok, term, term_count) — the tokenize + per-doc term
+    count pass, ONE definition shared by the in-query op, the fit, and
+    the serve path so the fit-time vocabulary and the serve-time term
+    stream can never tokenize differently (the _lm_tok_ctes doctrine)."""
+    return (
+        d.select("doc_id", F.split(F.col("text"), " ").alias("tok"))
+        .select(
+            "doc_id",
+            F.size("tok").alias("n_tok"),
+            F.explode("tok").alias("term"),
+        )
+        .groupBy("doc_id", "n_tok", "term")
+        .agg(F.count(F.lit(1)).alias("term_count"))
+    )
+
+
 def tfidf_model_tables(spark, sf_dir, max_features: int = _TFIDF_MAXF):
-    """The persisted TF-IDF fit as two warehouse tables — the vocabulary
-    (term, df_docs, idf: the idf precomputed IN SPARK at fit time, so
-    serving never calls ln) capped at the ``max_features`` highest-df
-    terms via ranked_topk (df desc, term asc — deterministic refit, and
-    the cap is what keeps the table broadcast-sized on an open
-    vocabulary), and a 1-row meta (n_docs, oov_idf) — trained exactly
-    once per source fingerprint via the shared served-model split (the
-    IVF-centroid / LM precedent).  This is the production seam
-    text_tfidf_topk's docstring points at: a fitted TfidfVectorizer's
-    ``idf_`` table, Spark-shaped."""
-    from crypto_datalake_spark.ops.rank import ranked_topk
+    """The persisted TF-IDF fit: one vocabulary table (term, df_docs,
+    idf — the idf precomputed IN SPARK at fit time, so serving never
+    calls ln) capped at the ``max_features`` highest-df terms (df desc,
+    term asc — deterministic refit; the cap is what keeps the table
+    broadcast-sized on an open vocabulary), trained exactly once per
+    source fingerprint via the shared served-model split (the
+    IVF-centroid / LM precedent).  The cap cut uses the two-phase
+    global rank, NOT ranked_topk: with k = 65,536 the ranked_topk final
+    window would funnel k·P rows into one task — the large-k regime
+    belongs to the range-partitioned rank (the small-k UNK vocabulary
+    correctly uses ranked_topk; this is the documented crossover).
+    This is the production seam text_tfidf_topk's docstring points at:
+    a fitted TfidfVectorizer's ``idf_`` table, Spark-shaped."""
+    from crypto_datalake_spark.ops.rank import global_row_number
     from crypto_datalake_spark.queries.llm import _served_model_table
 
-    sfx = f"v{max_features}"
-
-    def mk(prefix, build):
-        return _served_model_table(
-            spark, sf_dir, prefix, sfx, build, source="documents.parquet"
-        )
-
-    def tf_frame():
-        d = t(spark, sf_dir, "documents")
-        return (
-            d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
-            .groupBy("doc_id", "term")
-            .agg(F.count(F.lit(1)).alias("term_count"))
-        )
-
     def build_vocab():
-        tf = tf_frame().localCheckpoint()  # two consumers: dfc + n_docs
+        # one corpus pass: the checkpointed tf feeds df counts AND n_docs
+        tf = _tfidf_tf_frame(t(spark, sf_dir, "documents")).localCheckpoint()
         dfc = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_docs"))
         n_docs = tf.agg(F.countDistinct("doc_id").alias("n_docs"))
         idf = F.round(
@@ -1333,41 +1331,33 @@ def tfidf_model_tables(spark, sf_dir, max_features: int = _TFIDF_MAXF):
             + F.lit(1.0),
             7,
         )
+        ranked = global_row_number(
+            dfc.crossJoin(F.broadcast(n_docs)),
+            [F.col("df_docs").desc(), F.col("term").asc()],
+            out_col="__rk",
+        )
         return (
-            ranked_topk(
-                dfc.crossJoin(F.broadcast(n_docs)),
-                [F.col("df_docs").desc(), F.col("term").asc()],
-                max_features,
-            )
+            ranked.where(F.col("__rk") <= max_features)
             .select("term", "df_docs", idf.alias("idf"))
             .coalesce(1)
         )
 
-    def build_meta():
-        tf = tf_frame()
-        oov_idf = F.round(
-            F.log(F.col("n_docs").cast("double") + F.lit(1.0)) + F.lit(1.0),
-            7,
-        )
-        return (
-            tf.agg(F.countDistinct("doc_id").alias("n_docs"))
-            .select("n_docs", oov_idf.alias("oov_idf"))
-            .coalesce(1)
-        )
-
-    return mk("tfidf_vocab", build_vocab), mk("tfidf_meta", build_meta)
+    return _served_model_table(
+        spark, sf_dir, "tfidf_vocab", f"v{max_features}", build_vocab,
+        source="documents.parquet",
+    )
 
 
 def tfidf_model_paths(sf_dir: str, max_features: int = _TFIDF_MAXF) -> list[str]:
-    """Where :func:`tfidf_model_tables` persists its two fits — feeds
-    the driver's oracle-first pre-build guard (llm.model_artifact_paths)."""
+    """Where :func:`tfidf_model_tables` persists its fit — feeds the
+    driver's oracle-first pre-build guard (llm.model_artifact_paths)."""
     from crypto_datalake_spark.queries.llm import _served_model_path
 
     return [
         _served_model_path(
-            sf_dir, pre, f"v{max_features}", source="documents.parquet"
+            sf_dir, "tfidf_vocab", f"v{max_features}",
+            source="documents.parquet",
         )
-        for pre in ("tfidf_vocab", "tfidf_meta")
     ]
 
 
@@ -1379,14 +1369,7 @@ def tfidf_topk_serve(d, vocab, k: int = _TFIDF_K):
     (sklearn transform semantics: an unfitted term has no idf column),
     so serving works on NEW documents; n_tok stays the FULL document
     length so tf is comparable across docs regardless of OOV content."""
-    toks = d.select("doc_id", F.split(F.col("text"), " ").alias("tok")).select(
-        "doc_id",
-        F.size("tok").alias("n_tok"),
-        F.explode("tok").alias("term"),
-    )
-    tf = toks.groupBy("doc_id", "n_tok", "term").agg(
-        F.count(F.lit(1)).alias("term_count")
-    )
+    tf = _tfidf_tf_frame(d)
     scored = tf.join(F.broadcast(vocab), "term").withColumn(
         "tfidf",
         (F.col("term_count").cast("double") / F.col("n_tok").cast("double"))
@@ -1407,7 +1390,7 @@ def _tfidf_served_sql(sf_dir: str) -> str:
     serving policy CONDITIONAL on the persisted vocabulary — the idf
     values are READ, never re-derived, so no cross-engine ln in play;
     the inner vocab join mirrors the OOV-drop semantics."""
-    vp, _ = tfidf_model_paths(sf_dir)
+    [vp] = tfidf_model_paths(sf_dir)
     return f"""
     WITH tk AS (
       SELECT doc_id, string_split(text, ' ') AS tok FROM documents
@@ -1448,13 +1431,17 @@ def _tfidf_served_sql(sf_dir: str) -> str:
     "second corpus pass (the incremental-corpus production shape: new "
     "batches score against the frozen vocabulary, refits are explicit). "
     "Terms outside the fitted vocabulary are dropped (sklearn transform "
-    "semantics), so new documents serve correctly. On the training "
-    "corpus the output equals text_tfidf_topk (no OOV, same idf "
-    "formula, same tie-break — pinned in tests). SURROGATE oracle: "
+    "semantics), so new documents serve correctly. On a training "
+    "corpus whose vocabulary fits max_features the output equals "
+    "text_tfidf_topk (no OOV, same idf formula, same tie-break — "
+    "pinned in tests); past the cap the low-df (high-idf) tail is "
+    "deliberately excluded from keywording, a real divergence from the "
+    "uncapped op (also pinned in tests). SURROGATE oracle: "
     "DuckDB recomputes the serving policy conditional on the persisted "
     "vocabulary through the oracle-first pre-build guard (the "
     "quality_lm_perplexity_served precedent).",
 )
 def text_tfidf_topk_served(spark, sf_dir):
-    vocab, _meta = tfidf_model_tables(spark, sf_dir)
-    return tfidf_topk_serve(t(spark, sf_dir, "documents"), vocab)
+    return tfidf_topk_serve(
+        t(spark, sf_dir, "documents"), tfidf_model_tables(spark, sf_dir)
+    )

@@ -572,9 +572,8 @@ def test_tfidf_serve_drops_oov_terms(spark, sf_dir):
         tfidf_model_tables,
         tfidf_topk_serve,
     )
-    from crypto_datalake_spark.io import load_table
 
-    vocab, _ = tfidf_model_tables(spark, sf_dir)
+    vocab = tfidf_model_tables(spark, sf_dir)
     known = [
         r["term"]
         for r in vocab.orderBy(F.col("df_docs").desc(), "term").limit(2).collect()
@@ -591,6 +590,53 @@ def test_tfidf_serve_drops_oov_terms(spark, sf_dir):
         assert r["idf"] == idf[r["term"]]  # persisted idf, not refit
         # tf divides by the FULL 4-token length, OOV included
         assert r["tfidf"] == (1 / 4) * idf[r["term"]]
+
+
+def test_tfidf_vocab_cap_drops_low_df_tail(spark):
+    """The max_features branch (uncovered by the sf corpora, whose 31
+    terms never hit the 65,536 default): the fitted vocabulary keeps
+    exactly the k highest-df terms (ties by term asc), and serving then
+    DIVERGES from the uncapped op by excluding the low-df high-idf tail
+    — the documented, deliberate cap semantics."""
+    from crypto_datalake_spark.queries.curation import (
+        tfidf_topk,
+        tfidf_topk_serve,
+    )
+
+    d = _docs(spark, [
+        (i, f"common1 common2 rare{i}") for i in range(6)
+    ])
+    # fit inline (the warehouse split needs an sf_dir; the cap logic is
+    # what's under test) — mirror build_vocab with max_features=2
+    from crypto_datalake_spark.ops.rank import global_row_number
+
+    from crypto_datalake_spark.queries.curation import _tfidf_tf_frame
+
+    tf = _tfidf_tf_frame(d)
+    dfc = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_docs"))
+    n_docs = tf.agg(F.countDistinct("doc_id").alias("n_docs"))
+    idf = F.round(
+        F.log((F.col("n_docs").cast("double") + F.lit(1.0))
+              / (F.col("df_docs").cast("double") + F.lit(1.0))) + F.lit(1.0),
+        7,
+    )
+    vocab = (
+        global_row_number(
+            dfc.crossJoin(F.broadcast(n_docs)),
+            [F.col("df_docs").desc(), F.col("term").asc()], out_col="__rk")
+        .where(F.col("__rk") <= 2)
+        .select("term", "df_docs", idf.alias("idf"))
+    )
+    assert {r["term"] for r in vocab.collect()} == {"common1", "common2"}
+    served = tfidf_topk_serve(d, vocab).collect()
+    assert {r["term"] for r in served} == {"common1", "common2"}
+    # the uncapped op ranks each doc's rare term FIRST (highest idf):
+    # the cap genuinely changes top-k output past max_features
+    base_top1 = {
+        r["doc_id"]: r["term"]
+        for r in tfidf_topk(d).collect() if r["rank"] == 1
+    }
+    assert all(v.startswith("rare") for v in base_top1.values())
 
 
 def test_lm_unk_collapses_tail_tokens_only(spark):
