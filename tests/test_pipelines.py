@@ -883,6 +883,85 @@ def test_corpus_ingest_stream_end_to_end(spark, tmp_path):
     assert final == {1, 11, 22, 24}
 
 
+def test_corpus_ingest_crash_restart_checkpoint(spark, tmp_path):
+    """Kill the stream AFTER batch 0's appends land but BEFORE the
+    checkpoint commits (the at-least-once crash window), then restart
+    from the same checkpoint: Spark replays batch 0, the replay path
+    re-audits it with identical verdicts WITHOUT double-appending to the
+    corpus, and batch 1 still dedups against batch 0's accepts — the
+    within-run replay invariant proven ACROSS restarts."""
+    import time
+
+    from pyspark.errors import StreamingQueryException
+
+    from crypto_datalake_spark.pipelines.corpus_ingest import (
+        corpus_ingest_stream,
+        ingest_batch,
+    )
+
+    novel_a = " ".join(f"a{i}" for i in range(20))
+    novel_b = " ".join(f"b{i}" for i in range(20))
+    corpus = str(tmp_path / "corpus")
+    audit = str(tmp_path / "audit")
+    ck = str(tmp_path / "ck")
+    incoming = tmp_path / "incoming"
+    incoming.mkdir()
+    spark.createDataFrame(
+        [(10, novel_a), (11, novel_b)], "doc_id long, text string"
+    ).coalesce(1).write.parquet(str(incoming / "f1"))
+    time.sleep(1.05)  # file source orders batches by mod time
+    spark.createDataFrame(
+        [(20, novel_b + " x"), (21, " ".join(f"c{i}" for i in range(20)))],
+        "doc_id long, text string",
+    ).coalesce(1).write.parquet(str(incoming / "f2"))
+
+    def crashing(df, bid):
+        # the real batch runs to completion — audit AND corpus appended —
+        # then the "process dies" before foreachBatch returns, so the
+        # checkpoint never records batch 0 as committed
+        ingest_batch(spark, df, corpus, audit, bid)
+        raise RuntimeError("injected crash after append, before commit")
+
+    q = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(incoming) + "/*")
+        .writeStream.foreachBatch(crashing)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(120)
+        raise AssertionError("injected crash did not surface")
+    except StreamingQueryException:
+        pass
+    # the crash window left batch 0's data on disk but uncommitted
+    assert {r["doc_id"] for r in spark.read.parquet(corpus).collect()} == {10, 11}
+
+    # restart from the same checkpoint with the REAL sink
+    q2 = corpus_ingest_stream(spark, str(incoming) + "/*", corpus, audit, ck)
+    assert q2.awaitTermination(120)
+
+    # corpus: no double-append, no lost accept; batch 1's near-dup of an
+    # ACCEPTED batch-0 doc stayed out even though batch 0 was replayed
+    rows = spark.read.parquet(corpus).collect()
+    assert {r["doc_id"] for r in rows} == {10, 11, 21}
+    assert len(rows) == 3
+    verdicts = spark.read.parquet(audit).collect()
+    by_doc = {}
+    for r in verdicts:
+        by_doc.setdefault(r["doc_id"], set()).add(
+            (r["accepted"], r["reject_reason"])
+        )
+    # replayed batch-0 docs audited twice with IDENTICAL verdicts
+    assert [r["doc_id"] for r in verdicts].count(10) == 2
+    assert [r["doc_id"] for r in verdicts].count(11) == 2
+    assert by_doc[10] == {(True, None)} and by_doc[11] == {(True, None)}
+    assert by_doc[20] == {(False, "near_duplicate")}
+    assert by_doc[21] == {(True, None)}
+
+
 def test_corpus_ingest_bootstrap_and_replay(spark, tmp_path):
     """No seed corpus: the first batch bootstraps it (dedup only against
     itself). Replaying the same batch (at-least-once crash semantics)
