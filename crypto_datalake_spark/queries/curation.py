@@ -1008,6 +1008,9 @@ def shuffle_export_shards(spark, sf_dir):
 
 # ------------------------------------------- dedup-tier quality evaluation
 
+_WILSON_Z = 1.96         # 95% two-sided normal quantile
+_WILSON_Z2 = 3.8416      # z² written out so both engines use one literal
+
 _DEDUP_EVAL_MOD = 2      # deterministic 1/2 doc sample for the exact arm
 # (pair survival = 1/MOD^2: duplicate partners are unrelated ids, so a
 # sparser sample keeps almost no true pairs to grade — production tunes
@@ -1054,7 +1057,7 @@ def dedup_recall_eval_frame(docs, mod: int = _DEDUP_EVAL_MOD):
     n_true = truth.agg(F.count(F.lit(1)).alias("n_true"))
     n_cand = cand.agg(F.count(F.lit(1)).alias("n_cand"))
     n_hit = hit.agg(F.count(F.lit(1)).alias("n_hit"))
-    return (
+    base = (
         n_true.crossJoin(F.broadcast(n_cand))
         .crossJoin(F.broadcast(n_hit))
         .select(
@@ -1070,6 +1073,30 @@ def dedup_recall_eval_frame(docs, mod: int = _DEDUP_EVAL_MOD):
                 F.col("n_hit").cast("double") / F.col("n_true").cast("double"),
             ).alias("recall"),
         )
+    )
+    # Wilson 95% interval on recall: the sampled exact arm makes recall
+    # a point estimate over n_true Bernoulli trials, and n_true SHRINKS
+    # as mod² — the caller tuning the mod knob needs to SEE the
+    # confidence they traded away.  sqrt is IEEE correctly-rounded on
+    # both engines (unlike ln), so the mirrored formula is bit-exact;
+    # the constants are written out (1.96, z²=3.8416) so neither engine
+    # re-derives them.
+    nt = F.col("n_true").cast("double")
+    ph = F.col("recall")
+    denom = F.lit(1.0) + F.lit(_WILSON_Z2) / nt
+    center = (ph + F.lit(_WILSON_Z2) / (F.lit(2.0) * nt)) / denom
+    half = (
+        F.lit(_WILSON_Z)
+        * F.sqrt(
+            ph * (F.lit(1.0) - ph) / nt
+            + F.lit(_WILSON_Z2) / (F.lit(4.0) * nt * nt)
+        )
+    ) / denom
+    has = F.col("n_true") > 0
+    return base.select(
+        "*",
+        F.when(has, center - half).alias("recall_lo"),
+        F.when(has, center + half).alias("recall_hi"),
     )
 
 
@@ -1091,13 +1118,34 @@ def _dedup_eval_sql() -> str:
     hit AS (SELECT * FROM truth JOIN cand USING (doc_a, doc_b)),
     nt AS (SELECT CAST(count(*) AS BIGINT) AS n_true FROM truth),
     nc AS (SELECT CAST(count(*) AS BIGINT) AS n_cand FROM cand),
-    nh AS (SELECT CAST(count(*) AS BIGINT) AS n_hit FROM hit)
-    SELECT n_true, n_cand, n_hit,
-           CASE WHEN n_cand > 0
-                THEN CAST(n_hit AS DOUBLE) / CAST(n_cand AS DOUBLE) END AS precision,
-           CASE WHEN n_true > 0
-                THEN CAST(n_hit AS DOUBLE) / CAST(n_true AS DOUBLE) END AS recall
-    FROM nt, nc, nh
+    nh AS (SELECT CAST(count(*) AS BIGINT) AS n_hit FROM hit),
+    base AS (
+      SELECT n_true, n_cand, n_hit,
+             CASE WHEN n_cand > 0
+                  THEN CAST(n_hit AS DOUBLE) / CAST(n_cand AS DOUBLE)
+             END AS precision,
+             CASE WHEN n_true > 0
+                  THEN CAST(n_hit AS DOUBLE) / CAST(n_true AS DOUBLE)
+             END AS recall,
+             CAST(n_true AS DOUBLE) AS ntd
+      FROM nt, nc, nh
+    )
+    -- Wilson 95% interval mirrored op-for-op from the Spark expression
+    -- (sqrt is IEEE correctly-rounded on both engines, so bit-exact)
+    SELECT n_true, n_cand, n_hit, precision, recall,
+           CASE WHEN n_true > 0 THEN
+             (recall + {_WILSON_Z2} / (2.0 * ntd)) / (1.0 + {_WILSON_Z2} / ntd)
+             - ({_WILSON_Z} * sqrt(recall * (1.0 - recall) / ntd
+                                   + {_WILSON_Z2} / (4.0 * ntd * ntd)))
+               / (1.0 + {_WILSON_Z2} / ntd)
+           END AS recall_lo,
+           CASE WHEN n_true > 0 THEN
+             (recall + {_WILSON_Z2} / (2.0 * ntd)) / (1.0 + {_WILSON_Z2} / ntd)
+             + ({_WILSON_Z} * sqrt(recall * (1.0 - recall) / ntd
+                                   + {_WILSON_Z2} / (4.0 * ntd * ntd)))
+               / (1.0 + {_WILSON_Z2} / ntd)
+           END AS recall_hi
+    FROM base
     """
 
 
@@ -1115,7 +1163,10 @@ def _dedup_eval_sql() -> str:
     "it runs on the sample (same posture as ann_recall_eval's "
     "brute-force gold standard); the LSH arm reuses lsh_signatures / "
     "the shared band CTEs verbatim, so the eval grades the production "
-    "code path, not a reimplementation.",
+    "code path, not a reimplementation. recall_lo/recall_hi carry the "
+    "Wilson 95% interval over the n_true sampled trials, making the "
+    "mod knob's sample-size-vs-confidence tradeoff visible to the "
+    "caller (n_true shrinks as mod², so the CI widens — tested).",
 )
 def dedup_recall_eval(spark, sf_dir):
     return dedup_recall_eval_frame(t(spark, sf_dir, "documents"))

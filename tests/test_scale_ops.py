@@ -764,6 +764,35 @@ def test_dedup_recall_eval_empty_sample(spark):
     r = dedup_recall_eval_frame(d).collect()[0]
     assert (r["n_true"], r["n_cand"], r["n_hit"]) == (0, 0, 0)
     assert r["precision"] is None and r["recall"] is None
+    assert r["recall_lo"] is None and r["recall_hi"] is None
+
+
+def test_dedup_recall_eval_ci_widens_with_mod(spark):
+    """The Wilson interval makes the mod knob's confidence tradeoff
+    visible: a sparser sample (larger mod) keeps fewer true pairs, so
+    the CI around the same point recall must WIDEN — and it always
+    brackets the point estimate within [0, 1]."""
+    from crypto_datalake_spark.queries.curation import dedup_recall_eval_frame
+
+    def dup_pair(i, base):
+        txt = " ".join(f"{base}{j}" for j in range(12))
+        return [(i, txt), (i + 60, txt + " tail")]
+
+    # four pairs with both ids ≡ 0 (mod 4) — survive mod=2 AND mod=4;
+    # four more with ids ≡ 2 (mod 4) — survive only mod=2
+    rows = []
+    for k in range(4):
+        rows += dup_pair(8 * k + 4, f"p{k}_")
+        rows += dup_pair(8 * k + 6, f"q{k}_")
+    d = _docs(spark, rows)
+    r2 = dedup_recall_eval_frame(d, mod=2).collect()[0]
+    r4 = dedup_recall_eval_frame(d, mod=4).collect()[0]
+    assert r2["n_true"] > r4["n_true"] > 0
+    for r in (r2, r4):
+        assert 0.0 <= r["recall_lo"] <= r["recall"] <= r["recall_hi"] <= 1.0
+    width2 = r2["recall_hi"] - r2["recall_lo"]
+    width4 = r4["recall_hi"] - r4["recall_lo"]
+    assert width4 > width2
 
 
 # --- text normalization ----------------------------------------------------
