@@ -36,17 +36,23 @@ from crypto_datalake_spark.queries.registry import (  # noqa: F401
 # The driver's 50-query correctness window, one entry per SURVEY.md §2 /
 # LLM-pipeline operator row (see COVERAGE.md for the op -> query map).
 #
-# Round-6 membership decision: the window is kept as curated in round 4.
-# Swapping a slot to a round-5 addition (e.g. ann_lsh_multiprobe ->
-# sample_domain_mixture) was considered and declined: every candidate
-# swap demotes exactly one §2/LLM operator row from driver-green to
-# pytest-only to promote another, a net-zero trade — and the six benched
-# queries outside the window either carry full DuckDB oracles swept
-# bit-exact by tests/test_oracle_parity.py (sample_domain_mixture,
-# ann_lsh_bucketed) or are iterative ML fits whose persisted artifacts
-# are surrogate-oracled plus invariant-tested in tests/test_ann.py
-# (ann_ivf_kmeans, ann_ivf_pq, dedup_semantic_clusters,
-# quality_score_classifier), so no coverage is gained by rotation.
+# Round-7 membership decision: ONE swap from the round-4 curation —
+# ann_lsh_multiprobe out, quality_lm_perplexity in.  The round-6
+# net-zero analysis (every swap demotes one driver-green row to
+# pytest-only) predated perplexity's FULL static oracle; with it, the
+# swap promotes the heaviest LLM-pipeline operator (CCNet quality
+# tiers: corpus-trained bigram LM, decimal-summed NLL, two-phase
+# tercile rank) into the driver's own sweep while ann_lsh_multiprobe —
+# whose full oracle is unchanged — stays bit-swept by
+# tests/test_oracle_parity.py and benched (its machinery also supersets
+# ann_lsh_bucketed's, and the ANN family keeps two driver rows via
+# ann_cosine_topk / ann_ivf_probe).  All other round-5/6/7 additions
+# remain outside: full-oracle ones are pytest-swept (sample_domain_
+# mixture, text_tfidf_topk[_served], quality_lm_perplexity_unk/_served,
+# exact-substring pair, shards, recall evals, text_normalize), and the
+# iterative ML fits are surrogate-oracled plus invariant-tested in
+# tests/test_ann.py (ann_ivf_kmeans, ann_ivf_pq, dedup_semantic_
+# clusters, quality_score_classifier).
 _WINDOW = [
     # §2.1 scans / §2.2 projections-predicates
     "s1_scan_project_filter",   # S1 + P1/P2 (pushdown-proven)
@@ -101,7 +107,7 @@ _WINDOW = [
     "doc_fingerprints",         # SimHash + rolling hash, one scan
     "dedup_embedding_cosine",
     "ann_cosine_topk",
-    "ann_lsh_multiprobe",       # supersets ann_lsh_bucketed's machinery
+    "quality_lm_perplexity",    # CCNet LM tiers (full static oracle)
     "ann_ivf_probe",
     "text_profile",             # lang-ID + token stats + quality, one scan
     "multimodal_feature_extract",
