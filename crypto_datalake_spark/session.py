@@ -35,6 +35,19 @@ def get_spark(
       cheap while undersizing causes spills at 100 TB.
     """
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    # Python workers (mapInPandas: rolling-hash grams, EMA, multimodal)
+    # inherit the JVM's environment, NOT the driver's sys.path — a driver
+    # launched from any other cwd could import this package while its
+    # workers raise ModuleNotFoundError mid-query (observed from /tmp).
+    # Exporting the package root on PYTHONPATH before the JVM starts
+    # makes worker imports cwd-independent; the driver-side equivalent
+    # (spark.submit.pyFiles) ships a zip per app, overkill for local.
+    _pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    _pp = os.environ.get("PYTHONPATH", "")
+    if _pkg_root not in _pp.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            f"{_pkg_root}{os.pathsep}{_pp}" if _pp else _pkg_root
+        )
     builder = (
         SparkSession.builder.appName(app_name)
         .config("spark.sql.session.timeZone", "UTC")
