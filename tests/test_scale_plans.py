@@ -203,3 +203,16 @@ def test_chunk_documents_is_shuffle_free_map_pass(spark, sf_dir):
     assert "Exchange hashpartitioning" not in p
     assert "Exchange rangepartitioning" not in p
     assert "Python" not in p and "ArrowEval" not in p
+
+
+def test_tfidf_served_broadcasts_vocab_no_second_pass(spark, sf_dir):
+    # the serve path's whole point: the frozen vocabulary BROADCASTS into
+    # the term join (never a shuffle join against the corpus stream) and
+    # there is no document-frequency recount — the only corpus-size
+    # exchanges are the (doc, term) count agg and the per-doc top-k
+    # window; no ln() anywhere (idf is read from the persisted fit)
+    p = plan_text(REGISTRY["text_tfidf_topk_served"].fn(spark, sf_dir), "simple")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p and "CartesianProduct" not in p
+    assert p.count("Exchange hashpartitioning") <= 2
+    assert "LOG(" not in p.upper().replace("CATALOG", "")
