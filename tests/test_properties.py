@@ -608,3 +608,47 @@ def test_lm_perplexity_matches_naive(spark, texts):
                 else "tail"
             )
             assert r["ppl_bucket"] == want, (did, r, c1v, c2v)
+
+
+# ---- Karp-Rabin rolling window fingerprints (pure numpy, no Spark) ----
+
+@settings(max_examples=60, deadline=None,
+          suppress_health_check=list(HealthCheck))
+@given(
+    lens=st.lists(st.integers(min_value=0, max_value=40), min_size=1,
+                  max_size=8),
+    n=st.integers(min_value=1, max_value=12),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_rollinghash_equals_horner_recompute(lens, n, seed):
+    """For ANY batch of documents and window size, the vectorized prefix
+    evaluation equals the textbook per-window Horner recompute in every
+    field, windows are emitted exactly for positions 1..L-n+1 of docs
+    with L >= n, and equal token windows hash equal across documents
+    (offset cancellation) — the invariant the exact-substring tier's
+    correctness rests on."""
+    import numpy as np
+
+    from crypto_datalake_spark.functions.rollinghash import (
+        _FIELDS, window_grams_flat,
+    )
+
+    rng = np.random.default_rng(seed)
+    th = rng.integers(0, 2**63, size=sum(lens), dtype=np.int64).view(
+        np.uint64
+    )
+    offsets = np.concatenate(([0], np.cumsum(lens))).astype(np.int64)
+    doc_idx, pos, h1, h2 = window_grams_flat(th, offsets, n)
+    assert len(h1) == sum(max(L - n + 1, 0) for L in lens)
+
+    def direct(ws):
+        h = [0] * len(_FIELDS)
+        for t in ws:
+            for j, (m, (pb, _pg), _inv) in enumerate(_FIELDS):
+                b = int(pb[1])  # base = b^1 from the power table
+                h[j] = (h[j] * b + int(t) % m) % m
+        return ((h[0] << 31) | h[1], (h[2] << 31) | h[3])
+
+    for k in range(len(h1)):
+        s = offsets[doc_idx[k]] + pos[k] - 1
+        assert direct(th[s : s + n]) == (int(h1[k]), int(h2[k]))
