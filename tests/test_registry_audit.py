@@ -1,0 +1,63 @@
+"""Registry-wide plan audit, enforced.
+
+SCALE.md's "Registry plan audit" section was a manually-swept claim;
+this test makes it a gate: EVERY registered query's physical plan is
+built at the driver SF and checked for the two anti-patterns that
+silently kill a 100-TB run — Python evaluation outside the designed
+pandas-UDF tier, and Cartesian products.  A new query that reaches for
+a row-at-a-time UDF or an accidental cross join fails here by name.
+"""
+
+from __future__ import annotations
+
+from crypto_datalake_spark.queries import REGISTRY
+
+# The designed Python tier: sequential recurrences and opaque binary
+# decode, each justified in SCALE.md and implemented as Arrow-batched
+# mapInPandas (never row-at-a-time).  Growing this list is a deliberate
+# design decision, not a fix for a red test.
+DESIGNED_PYTHON = {
+    "u1_ema",                    # EMA recurrence (functions/ema.py)
+    "multimodal_feature_extract",  # binary decode (functions/multimodal.py)
+    "dedup_exact_substring",     # Karp-Rabin grams (functions/rollinghash.py)
+    "scrub_exact_substrings",    # same run finder under the scrub policy
+}
+
+_PY_NODES = (
+    "BatchEvalPython",
+    "ArrowEvalPython",
+    "MapInPandas",
+    "FlatMapGroupsInPandas",
+    "PythonMapInArrow",
+)
+
+
+def test_registry_plans_python_and_cartesian(spark, sf_dir):
+    offenders, cartesian, failures = {}, [], []
+    for name, q in REGISTRY.items():
+        try:
+            df = q.fn(spark, sf_dir)
+            p = df._jdf.queryExecution().explainString(
+                spark._jvm.org.apache.spark.sql.execution.ExplainMode
+                .fromString("simple")
+            )
+        except Exception as e:  # noqa: BLE001 — collect, report by name
+            failures.append((name, repr(e)[:120]))
+            continue
+        hits = [n for n in _PY_NODES if n in p]
+        if hits and name not in DESIGNED_PYTHON:
+            offenders[name] = hits
+        if "CartesianProduct" in p:
+            cartesian.append(name)
+    assert not failures, failures
+    assert not offenders, f"undesigned Python in plans: {offenders}"
+    assert not cartesian, f"CartesianProduct in plans: {cartesian}"
+    # the designed tier actually IS Python-backed (a silent rewrite to a
+    # broken JVM path would otherwise pass the checks above)
+    for name in DESIGNED_PYTHON:
+        p = REGISTRY[name].fn(spark, sf_dir)._jdf.queryExecution(
+        ).explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode
+            .fromString("simple")
+        )
+        assert any(n in p for n in _PY_NODES), name
