@@ -78,6 +78,7 @@ BENCH_QUERIES = [
     "quality_lm_perplexity",
     "quality_lm_perplexity_served",  # persisted-fit serve: 2.7 -> 0.7 s
     "quality_lm_perplexity_unk",     # bounded-vocab fit (full oracle)
+    "quality_lm_perplexity_unk_served",  # bounded persisted-fit serve
     "shuffle_export_shards",
     "quality_score_classifier",
     "dedup_embedding_cosine",

@@ -844,9 +844,21 @@ def lm_unk_model(d, k: int = _LM_UNK_K):
         .select(F.col("w1").alias("tokk"))
         .localCheckpoint()  # ≤ k rows; three consumers (k1, k2, vocab)
     )
+    bg = _unk_map(ex, kept).where(F.col("w2").isNotNull()).localCheckpoint()
+    c1 = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    c12 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    vocab = kept.agg((F.count(F.lit(1)) + F.lit(1)).alias("vocab"))
+    return bg, c12, c1, vocab
+
+
+def _unk_map(ex, kept):
+    """UNK-map an exploded (doc_id, w1, w2) stream against a kept-token
+    set: both joins BROADCAST (kept is ≤ k rows), so the mapping adds
+    zero shuffle — ONE definition shared by the in-query fit and the
+    persisted-model serve path."""
     k1 = kept.withColumnRenamed("tokk", "__k1")
     k2 = kept.withColumnRenamed("tokk", "__k2")
-    mapped = (
+    return (
         ex.join(F.broadcast(k1), F.col("w1") == F.col("__k1"), "left")
         .join(F.broadcast(k2), F.col("w2") == F.col("__k2"), "left")
         .select(
@@ -860,11 +872,23 @@ def lm_unk_model(d, k: int = _LM_UNK_K):
             .alias("w2"),
         )
     )
-    bg = mapped.where(F.col("w2").isNotNull()).localCheckpoint()
-    c1 = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
-    c12 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
-    vocab = kept.agg((F.count(F.lit(1)) + F.lit(1)).alias("vocab"))
-    return bg, c12, c1, vocab
+
+
+def _lm_unk_map_sql(ex_src: str, kept_src: str) -> str:
+    """The UNK-mapping + bigram CTEs (mx, bgm) — ONE definition shared
+    by the in-query UNK oracle and the served surrogate, mirroring
+    :func:`_unk_map` (the _lm_tok_ctes doctrine)."""
+    return f"""mx AS (
+      SELECT doc_id,
+             CASE WHEN ka.tokk IS NULL THEN '{_LM_UNK}'
+                  ELSE {ex_src}.w1 END AS w1,
+             CASE WHEN {ex_src}.w2 IS NULL THEN NULL
+                  WHEN kb.tokk IS NULL THEN '{_LM_UNK}'
+                  ELSE {ex_src}.w2 END AS w2
+      FROM {ex_src} LEFT JOIN {kept_src} ka ON {ex_src}.w1 = ka.tokk
+              LEFT JOIN {kept_src} kb ON {ex_src}.w2 = kb.tokk
+    ),
+    bgm AS (SELECT doc_id, w1, w2 FROM mx WHERE w2 IS NOT NULL)"""
 
 
 def lm_perplexity_buckets_unk(d, k: int = _LM_UNK_K):
@@ -889,15 +913,7 @@ def lm_perplexity_buckets_unk(d, k: int = _LM_UNK_K):
         FROM cnt)
       WHERE rk <= {_LM_UNK_K}
     ),
-    mx AS (
-      SELECT doc_id,
-             CASE WHEN ka.tokk IS NULL THEN '{_LM_UNK}' ELSE ex.w1 END AS w1,
-             CASE WHEN ex.w2 IS NULL THEN NULL
-                  WHEN kb.tokk IS NULL THEN '{_LM_UNK}' ELSE ex.w2 END AS w2
-      FROM ex LEFT JOIN kept ka ON ex.w1 = ka.tokk
-              LEFT JOIN kept kb ON ex.w2 = kb.tokk
-    ),
-    bgm AS (SELECT doc_id, w1, w2 FROM mx WHERE w2 IS NOT NULL),
+    {_lm_unk_map_sql("ex", "kept")},
     c1t AS (SELECT w1, count(*) AS c1 FROM bgm GROUP BY 1),
     c12t AS (SELECT w1, w2, count(*) AS c12 FROM bgm GROUP BY 1, 2),
     v AS (SELECT count(*) + 1 AS vocab FROM kept),
@@ -1324,6 +1340,140 @@ def quality_lm_perplexity_served(spark, sf_dir):
     d = t(spark, sf_dir, "documents")
     # single-consumer chain: no corpus-size checkpoints on the hot path
     bg = _lm_exploded(d, checkpoint=False).where(F.col("w2").isNotNull())
+    ds = _lm_doc_scores(
+        bg, bigram, ctx, meta.select("vocab"), left=True, checkpoint=False
+    )
+    return _lm_classify(d, ds, meta.select("c1v", "c2v"))
+
+
+# ------------------------ LM perplexity: UNK-capped persisted serving
+
+_LM_UNK_SUFFIX = f"a{_PPL_ALPHA}_k{_LM_UNK_K}"
+
+
+def lm_unk_model_tables(spark, sf_dir, k: int = _LM_UNK_K):
+    """The persisted UNK-capped LM fit as four warehouse tables — the
+    kept vocabulary (≤ k rows), UNK-mapped bigram/context counts
+    (BOUNDED at (k+1)²/(k+1) rows — the whole point: these stay
+    broadcast-sized no matter how open the corpus vocabulary is), and a
+    1-row meta (vocab = |kept|+1, frozen tercile cutoffs) — trained
+    once per source fingerprint via the shared served-model split.
+    This is the production composition quality_lm_perplexity_unk's
+    docstring motivates: the cap exists precisely so THIS serving
+    path's artifacts stay small forever."""
+    from crypto_datalake_spark.ops.rank import ranked_topk
+    from crypto_datalake_spark.queries.llm import _served_model_table
+
+    def mk(prefix, build):
+        return _served_model_table(
+            spark, sf_dir, prefix, _LM_UNK_SUFFIX, build,
+            source="documents.parquet",
+        )
+
+    def corpus_ex():
+        return _lm_exploded(
+            t(spark, sf_dir, "documents"), checkpoint=False
+        )
+
+    def build_kept():
+        cnt = corpus_ex().groupBy("w1").agg(
+            F.countDistinct("doc_id").alias("c")
+        )
+        return (
+            ranked_topk(cnt, [F.col("c").desc(), F.col("w1").asc()], k)
+            .select(F.col("w1").alias("tokk"))
+            .coalesce(1)
+        )
+
+    # ORDERED fit (the lm_model_tables precedent): kept persists first;
+    # every later build maps through the PERSISTED kept table, so the
+    # vocabulary cannot drift between artifacts of one fit
+    kept = mk("lm_unk_kept", build_kept)
+
+    def mapped_bg():
+        return _unk_map(corpus_ex(), kept).where(F.col("w2").isNotNull())
+
+    bigram = mk(
+        "lm_unk_bigram",
+        lambda: mapped_bg()
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c12"))
+        .coalesce(1),
+    )
+    ctx = mk(
+        "lm_unk_ctx",
+        lambda: mapped_bg()
+        .groupBy("w1")
+        .agg(F.count(F.lit(1)).alias("c1"))
+        .coalesce(1),
+    )
+
+    def build_meta():
+        vocab = kept.agg((F.count(F.lit(1)) + F.lit(1)).alias("vocab"))
+        ds = _lm_doc_scores(mapped_bg(), bigram, ctx, vocab)
+        return vocab.crossJoin(_lm_tercile_cuts(ds)).coalesce(1)
+
+    return kept, bigram, ctx, mk("lm_unk_meta", build_meta)
+
+
+def lm_unk_model_paths(sf_dir: str) -> list[str]:
+    """Where :func:`lm_unk_model_tables` persists its four fits — feeds
+    the driver's oracle-first pre-build guard (llm.model_artifact_paths)."""
+    from crypto_datalake_spark.queries.llm import _served_model_path
+
+    return [
+        _served_model_path(
+            sf_dir, pre, _LM_UNK_SUFFIX, source="documents.parquet"
+        )
+        for pre in ("lm_unk_kept", "lm_unk_bigram", "lm_unk_ctx",
+                    "lm_unk_meta")
+    ]
+
+
+def _lm_unk_served_sql(sf_dir: str) -> str:
+    """Surrogate oracle for the UNK-capped served LM: DuckDB re-maps the
+    corpus through the PERSISTED kept vocabulary and recomputes the
+    serving policy conditional on the persisted bounded counts and
+    frozen cutoffs (the quality_lm_perplexity_served precedent)."""
+    kp, bp, cp, mp = lm_unk_model_paths(sf_dir)
+    return f"""
+    WITH {_lm_tok_ctes()},
+    kept AS (SELECT tokk FROM read_parquet('{kp}/*.parquet')),
+    b AS (SELECT w1, w2, c12 FROM read_parquet('{bp}/*.parquet')),
+    cx AS (SELECT w1, c1 FROM read_parquet('{cp}/*.parquet')),
+    m AS (SELECT vocab, c1v, c2v FROM read_parquet('{mp}/*.parquet')),
+    {_lm_unk_map_sql("ex", "kept")},
+    ds AS ({_lm_ds_sql("bgm", "b", "cx", "m", left=True)}
+    )
+    {_lm_bucket_select_sql("m")}
+    """
+
+
+@register(
+    "quality_lm_perplexity_unk_served",
+    sql=_lm_unk_served_sql,
+    doc="The persisted-model serving path over the UNK-capped fit — the "
+    "composition the cap exists for: kept vocabulary (≤ k rows), "
+    "BOUNDED bigram/context counts ((k+1)²/(k+1) rows regardless of "
+    "corpus size) and frozen tercile cutoffs persist once per source "
+    "fingerprint; serving UNK-maps new documents through the broadcast "
+    "kept set (zero added shuffle), joins the two broadcast-sized count "
+    "tables, and classifies against the frozen cutoffs. Handles truly "
+    "novel content two ways at once: OOV TOKENS collapse onto <unk> "
+    "statistics (real probability mass, not a smoothing fallback), and "
+    "unseen kept-token BIGRAM combinations coalesce to 0 before "
+    "add-alpha smoothing. On the training corpus the output equals "
+    "quality_lm_perplexity_unk (frozen cuts = fresh cuts on the same "
+    "data — pinned in tests). SURROGATE oracle conditional on the four "
+    "persisted tables through the oracle-first pre-build guard.",
+)
+def quality_lm_perplexity_unk_served(spark, sf_dir):
+    kept, bigram, ctx, meta = lm_unk_model_tables(spark, sf_dir)
+    d = t(spark, sf_dir, "documents")
+    # single-consumer chain: no corpus-size checkpoints on the hot path
+    bg = _unk_map(_lm_exploded(d, checkpoint=False), kept).where(
+        F.col("w2").isNotNull()
+    )
     ds = _lm_doc_scores(
         bg, bigram, ctx, meta.select("vocab"), left=True, checkpoint=False
     )

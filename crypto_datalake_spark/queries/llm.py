@@ -1891,6 +1891,9 @@ def _model_artifact_specs(sf_dir: str):
          lambda spark: curation.lm_model_tables(spark, sf_dir)),
         (lambda: curation.tfidf_model_paths(sf_dir),
          lambda spark: curation.tfidf_model_tables(spark, sf_dir)),
+        # four paths, one ordered build (kept feeds bigram/ctx/meta)
+        (lambda: curation.lm_unk_model_paths(sf_dir),
+         lambda spark: curation.lm_unk_model_tables(spark, sf_dir)),
     ]
 
 

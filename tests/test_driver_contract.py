@@ -41,6 +41,7 @@ def test_surrogate_oracles_resolve_with_artifact_paths():
         "ann_ivf_pq",
         "quality_score_classifier",
         "quality_lm_perplexity_served",
+        "quality_lm_perplexity_unk_served",
         "text_tfidf_topk_served",
     ):
         sql = REGISTRY[name].resolved_sql(DRIVER_SF_DIR)

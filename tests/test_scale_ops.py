@@ -678,6 +678,59 @@ def test_lm_unk_collapses_tail_tokens_only(spark):
     assert vocab.collect()[0]["vocab"] == 3  # x, y, <unk>
 
 
+def test_lm_unk_served_matches_inquery_on_training_corpus(spark, sf_dir):
+    """On the corpus it was fitted on, the UNK-capped persisted-model
+    serving path must reproduce quality_lm_perplexity_unk bit-for-bit
+    (same kept set, same bounded counts, frozen cuts = fresh cuts on
+    the same data)."""
+    from crypto_datalake_spark.queries import REGISTRY
+
+    base = {
+        tuple(r)
+        for r in REGISTRY["quality_lm_perplexity_unk"].fn(spark, sf_dir).collect()
+    }
+    served = {
+        tuple(r)
+        for r in REGISTRY["quality_lm_perplexity_unk_served"].fn(
+            spark, sf_dir).collect()
+    }
+    assert base == served and len(base) > 0
+
+
+def test_lm_unk_served_scores_novel_documents(spark, sf_dir, tmp_path):
+    """Serving NEW documents against the frozen UNK fit: fully-OOV text
+    collapses onto <unk> statistics (non-null score, a real bucket from
+    the FROZEN cutoffs), and count tables are never refit."""
+    import shutil
+
+    from crypto_datalake_spark.queries.curation import (
+        _lm_exploded,
+        _lm_classify,
+        _lm_doc_scores,
+        _unk_map,
+        lm_unk_model_tables,
+    )
+
+    kept, bigram, ctx, meta = lm_unk_model_tables(spark, sf_dir)
+    new_docs = spark.createDataFrame(
+        [(9001, "zz1 zz2 zz3 zz4 zz5"),  # fully OOV → pure <unk> bigrams
+         (9002, "x")],                    # 1 token → short
+        "doc_id long, text string",
+    )
+    bg = _unk_map(_lm_exploded(new_docs, checkpoint=False), kept).where(
+        F.col("w2").isNotNull()
+    )
+    ds = _lm_doc_scores(
+        bg, bigram, ctx, meta.select("vocab"), left=True, checkpoint=False
+    )
+    out = {r["doc_id"]: r for r in
+           _lm_classify(new_docs, ds, meta.select("c1v", "c2v")).collect()}
+    assert out[9001]["log_ppl"] is not None
+    assert out[9001]["ppl_bucket"] in ("head", "middle", "tail")
+    assert out[9001]["n_bigrams"] == 4
+    assert out[9002]["ppl_bucket"] == "short"
+
+
 def test_lm_unk_count_tables_bounded(spark):
     """The whole point of the cap: with k=3 and 40 distinct rare
     tokens, the bigram table must stay within (k+1)² rows and the
