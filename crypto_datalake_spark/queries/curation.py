@@ -1348,7 +1348,13 @@ def quality_lm_perplexity_served(spark, sf_dir):
 
 # ------------------------ LM perplexity: UNK-capped persisted serving
 
-_LM_UNK_SUFFIX = f"a{_PPL_ALPHA}_k{_LM_UNK_K}"
+
+def _lm_unk_suffix(k: int) -> str:
+    """Cache-key suffix carrying BOTH fit params: a caller's non-default
+    ``k`` gets its own persisted fit instead of silently serving (or
+    poisoning) the default-k artifacts — the tfidf/IVF parameterized-
+    suffix convention."""
+    return f"a{_PPL_ALPHA}_k{k}"
 
 
 def lm_unk_model_tables(spark, sf_dir, k: int = _LM_UNK_K):
@@ -1366,7 +1372,7 @@ def lm_unk_model_tables(spark, sf_dir, k: int = _LM_UNK_K):
 
     def mk(prefix, build):
         return _served_model_table(
-            spark, sf_dir, prefix, _LM_UNK_SUFFIX, build,
+            spark, sf_dir, prefix, _lm_unk_suffix(k), build,
             source="documents.parquet",
         )
 
@@ -1416,14 +1422,14 @@ def lm_unk_model_tables(spark, sf_dir, k: int = _LM_UNK_K):
     return kept, bigram, ctx, mk("lm_unk_meta", build_meta)
 
 
-def lm_unk_model_paths(sf_dir: str) -> list[str]:
+def lm_unk_model_paths(sf_dir: str, k: int = _LM_UNK_K) -> list[str]:
     """Where :func:`lm_unk_model_tables` persists its four fits — feeds
     the driver's oracle-first pre-build guard (llm.model_artifact_paths)."""
     from crypto_datalake_spark.queries.llm import _served_model_path
 
     return [
         _served_model_path(
-            sf_dir, pre, _LM_UNK_SUFFIX, source="documents.parquet"
+            sf_dir, pre, _lm_unk_suffix(k), source="documents.parquet"
         )
         for pre in ("lm_unk_kept", "lm_unk_bigram", "lm_unk_ctx",
                     "lm_unk_meta")

@@ -697,12 +697,10 @@ def test_lm_unk_served_matches_inquery_on_training_corpus(spark, sf_dir):
     assert base == served and len(base) > 0
 
 
-def test_lm_unk_served_scores_novel_documents(spark, sf_dir, tmp_path):
+def test_lm_unk_served_scores_novel_documents(spark, sf_dir):
     """Serving NEW documents against the frozen UNK fit: fully-OOV text
     collapses onto <unk> statistics (non-null score, a real bucket from
     the FROZEN cutoffs), and count tables are never refit."""
-    import shutil
-
     from crypto_datalake_spark.queries.curation import (
         _lm_exploded,
         _lm_classify,
