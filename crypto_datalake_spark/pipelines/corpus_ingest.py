@@ -41,13 +41,19 @@ Scale notes:
   against a TABLE (the corpus band index), not against bounded stream
   state — the corpus is unbounded and lives in storage, exactly the
   case Structured Streaming's foreachBatch exists for.
-- Each batch recomputes signatures only for its own docs; the corpus
-  side is a parquet scan. At 100 TB the corpus band index is a
-  persisted bucketed table (the signature pass is paid once at accept
-  time, the per-batch join prunes by band_key); recomputing corpus
-  signatures per batch, as this sandbox-sized twin does for simplicity,
-  is the one non-incremental cost — batch_novelty_counts marks the seam
-  where the persisted index drops in.
+- The corpus band index is PERSISTED (``<corpus>_bandindex``): one row
+  per corpus doc carrying its shingle set and band keys, appended at
+  accept time — so the shingle+minhash pass over a corpus doc's text
+  is paid exactly ONCE, when it is accepted, and each batch's
+  dedup-vs-corpus join reads the index instead of re-tokenizing the
+  whole corpus (the non-incremental cost earlier rounds flagged,
+  closed). The index self-heals: any corpus doc missing an index row
+  (crash between corpus and index appends, or a pre-index seed corpus
+  bootstrapping) is detected by an id anti-join and backfilled from
+  its text before the batch's novelty join, so a crash gap degrades to
+  O(gap) recompute, never to a false accept. At 100 TB the next seam
+  is layout, not logic: bucket the index by band_key so the per-batch
+  candidate join prunes buckets instead of scanning the index.
 - Appends are plain parquet appends; the checkpoint gives
   at-least-once. Replays are SAFE and converge: a batch doc that is a
   byte-copy of a corpus row (same doc_id AND same md5(text)) is always
@@ -95,22 +101,84 @@ def _quality_verdict(batch: DataFrame) -> DataFrame:
     )
 
 
-def _corpus_novelty(batch_ids, in_sig, in_bands, novelty_ref: DataFrame) -> DataFrame:
-    """(doc_id, n_dup_existing, is_novel) for the batch vs the corpus
-    reference — the production incremental core, two-sided. Takes the
-    batch's (sig, bands) so the signature pass is computed ONCE per
-    micro-batch and shared with the intra-batch stage."""
-    from crypto_datalake_spark.queries.dedup import lsh_signatures
+def _corpus_novelty(batch_ids, in_sig, in_bands, idx: DataFrame) -> DataFrame:
+    """(doc_id, n_dup_existing, is_novel) for the batch vs the PERSISTED
+    corpus band index — the production incremental core, two-sided.
+    Takes the batch's (sig, bands) so the signature pass is computed
+    ONCE per micro-batch and shared with the intra-batch stage; the
+    corpus side is read from the index (shingles + band keys persisted
+    at accept time), never re-derived from text."""
     from crypto_datalake_spark.queries.scrub import (
         batch_novelty_counts,
         novelty_verdict,
     )
 
-    ex_sig, ex_bands = lsh_signatures(novelty_ref)
+    ex_sig = idx.where(F.col("shingles").isNotNull()).select(
+        "doc_id", "shingles"
+    )
+    ex_bands = (
+        idx.where(F.col("bands").isNotNull())
+        .select("doc_id", F.explode("bands").alias("bk"))
+        .select("doc_id", "bk.band_id", "bk.band_key")
+    )
     return novelty_verdict(
         batch_ids,
         batch_novelty_counts(in_sig, in_bands, ex_sig, ex_bands),
     )
+
+
+_INDEX_SCHEMA = (
+    "doc_id long, shingles array<string>, "
+    "bands array<struct<band_id: int, band_key: string>>"
+)
+
+
+def _index_rows_for(docs: DataFrame) -> DataFrame:
+    """One band-index row per doc of a (doc_id, text) frame: shingle set
+    + collected band keys (NULL for sub-3-token docs, which produce no
+    signature — persisting the NULL row keeps the self-heal anti-join
+    empty instead of re-deriving those docs every batch)."""
+    from crypto_datalake_spark.queries.dedup import lsh_signatures
+
+    sig, bands = lsh_signatures(docs)
+    per_doc = bands.groupBy("doc_id").agg(
+        F.collect_list(F.struct("band_id", "band_key")).alias("bands")
+    )
+    return (
+        docs.select("doc_id")
+        .join(sig.select("doc_id", "shingles"), "doc_id", "left")
+        .join(per_doc, "doc_id", "left")
+    )
+
+
+def _read_index(spark: SparkSession, index_path: str) -> DataFrame:
+    """Band-index store, or an empty frame when it does not exist yet
+    (bootstrap / pre-index seed corpus — the self-heal backfills)."""
+    from crypto_datalake_spark.sinks import is_missing_target_error
+
+    try:
+        return spark.read.parquet(index_path).select(
+            "doc_id", "shingles", "bands"
+        )
+    except AnalysisException as e:
+        if is_missing_target_error(e):
+            return spark.createDataFrame([], _INDEX_SCHEMA)
+        raise
+
+
+def _healed_index(
+    spark: SparkSession, corpus: DataFrame, index_path: str
+) -> DataFrame:
+    """The band index with any corpus docs missing from it backfilled
+    (bootstrap over a seed corpus, or the crash window between the
+    corpus append and the index append).  Backfill cost is O(gap); in
+    steady state the anti-join finds nothing."""
+    idx = _read_index(spark, index_path)
+    missing = corpus.join(idx.select("doc_id"), "doc_id", "left_anti")
+    if not missing.isEmpty():
+        _index_rows_for(missing).write.mode("append").parquet(index_path)
+        idx = _read_index(spark, index_path)
+    return idx
 
 
 def _intra_batch_losers(eligible: DataFrame, in_sig, in_bands) -> DataFrame:
@@ -178,12 +246,15 @@ def _read_corpus(spark: SparkSession, corpus_path: str) -> DataFrame:
 
 def ingest_batch(
     spark: SparkSession, batch: DataFrame, corpus_path: str, audit_path: str,
-    batch_id: int,
+    batch_id: int, index_path: str | None = None,
 ) -> None:
     """Score ONE micro-batch and append: every doc to the audit table
-    with its verdict, accepted docs to the corpus store."""
+    with its verdict, accepted docs to the corpus store AND the band
+    index (``index_path``, default ``<corpus_path>_bandindex``)."""
     if batch.isEmpty():
         return
+    if index_path is None:
+        index_path = corpus_path.rstrip("/") + "_bandindex"
     # one row per doc_id, deterministically (min text): a crawl file
     # repeating an id would otherwise multiply rows through every
     # doc_id join below and double-append to the corpus
@@ -218,7 +289,11 @@ def ingest_batch(
         .select("doc_id")
         .withColumn("id_conflict", F.lit(True))
     )
-    novelty_ref = corpus.join(replay_ids, "doc_id", "left_anti")
+    # novelty reference = the persisted band index (self-healed against
+    # the corpus) minus this batch's own replayed copies
+    novelty_ref = _healed_index(spark, corpus, index_path).join(
+        replay_ids, "doc_id", "left_anti"
+    )
 
     from crypto_datalake_spark.queries.dedup import lsh_signatures
 
@@ -296,7 +371,13 @@ def ingest_batch(
         .join(corpus.select("doc_id"), "doc_id", "left_anti")
     )
     if not accepted.isEmpty():
+        accepted = accepted.localCheckpoint()  # corpus + index appends
         accepted.write.mode("append").parquet(corpus_path)
+        # index append last: a crash here leaves corpus docs without
+        # index rows, which the NEXT batch's self-heal backfills from
+        # text (the reverse order would index text the corpus lost —
+        # a permanent false reject, not a recoverable gap)
+        _index_rows_for(accepted).write.mode("append").parquet(index_path)
 
 
 def corpus_ingest_stream(
@@ -306,6 +387,7 @@ def corpus_ingest_stream(
     audit_path: str,
     checkpoint_dir: str,
     max_files_per_trigger: int = 1,
+    index_path: str | None = None,
 ):
     """Wire the ingest as a file-source stream; availableNow drains the
     incoming directory one file per micro-batch (so acceptance order is
@@ -318,7 +400,8 @@ def corpus_ingest_stream(
     return (
         incoming.writeStream.foreachBatch(
             lambda df, bid: ingest_batch(
-                spark, df, corpus_path, audit_path, bid
+                spark, df, corpus_path, audit_path, bid,
+                index_path=index_path,
             )
         )
         .option("checkpointLocation", checkpoint_dir)

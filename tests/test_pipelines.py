@@ -962,6 +962,59 @@ def test_corpus_ingest_crash_restart_checkpoint(spark, tmp_path):
     assert by_doc[21] == {(True, None)}
 
 
+def test_corpus_ingest_band_index_heals_and_stays_incremental(spark, tmp_path):
+    """The persisted band index: (a) a seed corpus (or a crash gap
+    between the corpus and index appends) backfills via the self-heal
+    anti-join, so a near-dup of an unindexed corpus doc is STILL
+    rejected; (b) accepts append exactly one index row per corpus doc
+    (sub-3-token docs get a NULL placeholder row so the heal never
+    re-derives them), keeping the per-batch corpus-side work a read of
+    persisted shingles, not a re-tokenization."""
+    from crypto_datalake_spark.pipelines.corpus_ingest import ingest_batch
+
+    corpus = str(tmp_path / "corpus")
+    index = corpus + "_bandindex"
+    audit = str(tmp_path / "audit")
+    seed = " ".join(f"s{i}" for i in range(20))
+    # seed corpus WITHOUT an index — the pre-index bootstrap case; the
+    # 2-token seed doc can never produce shingles, so its index row must
+    # be a NULL placeholder (else the heal re-derives it every batch)
+    spark.createDataFrame(
+        [(1, seed), (2, "xy zz")], "doc_id long, text string"
+    ).write.parquet(corpus)
+
+    batch = spark.createDataFrame(
+        [(10, seed + " tail"),                        # near-dup of seed
+         (11, " ".join(f"b{i}" for i in range(20)))],  # novel
+        "doc_id long, text string",
+    )
+    ingest_batch(spark, batch, corpus, audit, batch_id=0)
+    got = {r["doc_id"]: (r["accepted"], r["reject_reason"])
+           for r in spark.read.parquet(audit).collect()}
+    assert got[10] == (False, "near_duplicate")  # healed index caught it
+    assert got[11][0] is True
+
+    idx = {r["doc_id"]: r for r in spark.read.parquet(index).collect()}
+    corpus_ids = {r["doc_id"] for r in spark.read.parquet(corpus).collect()}
+    assert set(idx) == corpus_ids == {1, 2, 11}
+    assert idx[1]["shingles"] and idx[1]["bands"]  # healed from text
+    assert idx[2]["shingles"] is None and idx[2]["bands"] is None
+
+    # steady state: another batch appends exactly its own accepted row —
+    # no rewrite, no re-derivation of the placeholder or healed rows
+    ingest_batch(
+        spark,
+        spark.createDataFrame(
+            [(20, " ".join(f"c{i}" for i in range(20)))],
+            "doc_id long, text string",
+        ),
+        corpus, audit, batch_id=1,
+    )
+    idx2 = spark.read.parquet(index).collect()
+    assert {r["doc_id"] for r in idx2} == {1, 2, 11, 20}
+    assert len(idx2) == 4  # one row per corpus doc, appends only
+
+
 def test_corpus_ingest_bootstrap_and_replay(spark, tmp_path):
     """No seed corpus: the first batch bootstraps it (dedup only against
     itself). Replaying the same batch (at-least-once crash semantics)
