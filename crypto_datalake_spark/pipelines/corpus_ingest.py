@@ -133,52 +133,92 @@ _INDEX_SCHEMA = (
 )
 
 
-def _index_rows_for(docs: DataFrame) -> DataFrame:
+def default_index_path(corpus_path: str) -> str:
+    """``<corpus>_bandindex_<fp>`` where ``fp`` fingerprints the LSH
+    family (shingle/minhash/banding constants in queries/dedup.py).  A
+    change to any dedup parameter changes the path, so the next batch
+    bootstraps a fresh index under the NEW family instead of silently
+    band-joining new-family batch keys against old-family persisted
+    keys — which would never match and turn every cross-corpus near-dup
+    into a permanent false accept.  Stale-family directories are inert
+    (nothing computes their path anymore) and reclaimable by ops."""
+    import hashlib
+
+    from crypto_datalake_spark.queries import dedup as dk
+
+    key = (
+        f"{dk._SP_SHINGLES}|{dk._SP_H}|{dk._MH_P}|{dk._N_HASH}|"
+        f"{dk._BAND_SIZE}|{dk._sp_minhash(0)}"
+    )
+    fp = hashlib.md5(key.encode()).hexdigest()[:8]
+    return f"{corpus_path.rstrip('/')}_bandindex_{fp}"
+
+
+def _index_rows_for(docs: DataFrame, sig=None, bands=None) -> DataFrame:
     """One band-index row per doc of a (doc_id, text) frame: shingle set
     + collected band keys (NULL for sub-3-token docs, which produce no
     signature — persisting the NULL row keeps the self-heal anti-join
-    empty instead of re-deriving those docs every batch)."""
-    from crypto_datalake_spark.queries.dedup import lsh_signatures
+    empty instead of re-deriving those docs every batch).  Pass the
+    batch's already-computed ``(sig, bands)`` to reuse them (accept-time
+    append); omit them only where text is all there is (the heal)."""
+    if sig is None or bands is None:
+        from crypto_datalake_spark.queries.dedup import lsh_signatures
 
-    sig, bands = lsh_signatures(docs)
-    per_doc = bands.groupBy("doc_id").agg(
-        F.collect_list(F.struct("band_id", "band_key")).alias("bands")
+        sig, bands = lsh_signatures(docs)
+    ids = docs.select("doc_id")
+    per_doc = (
+        bands.join(ids, "doc_id", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.collect_list(F.struct("band_id", "band_key")).alias("bands"))
     )
     return (
-        docs.select("doc_id")
-        .join(sig.select("doc_id", "shingles"), "doc_id", "left")
+        ids.join(sig.select("doc_id", "shingles"), "doc_id", "left")
         .join(per_doc, "doc_id", "left")
     )
 
 
-def _read_index(spark: SparkSession, index_path: str) -> DataFrame:
-    """Band-index store, or an empty frame when it does not exist yet
-    (bootstrap / pre-index seed corpus — the self-heal backfills)."""
+def _read_store(
+    spark: SparkSession, path: str, cols: list[str], empty_schema: str
+) -> DataFrame:
+    """Read a pipeline store, or an empty typed frame ONLY when the
+    store does not exist yet (bootstrap).  Any other read failure —
+    transient storage errors, corrupt footers — must fail the batch so
+    the checkpoint retries it; swallowing those would dedup against an
+    empty reference and permanently accept duplicates."""
     from crypto_datalake_spark.sinks import is_missing_target_error
 
     try:
-        return spark.read.parquet(index_path).select(
-            "doc_id", "shingles", "bands"
-        )
+        return spark.read.parquet(path).select(*cols)
     except AnalysisException as e:
         if is_missing_target_error(e):
-            return spark.createDataFrame([], _INDEX_SCHEMA)
+            return spark.createDataFrame([], empty_schema)
         raise
 
 
 def _healed_index(
     spark: SparkSession, corpus: DataFrame, index_path: str
 ) -> DataFrame:
-    """The band index with any corpus docs missing from it backfilled
-    (bootstrap over a seed corpus, or the crash window between the
-    corpus append and the index append).  Backfill cost is O(gap); in
-    steady state the anti-join finds nothing."""
-    idx = _read_index(spark, index_path)
-    missing = corpus.join(idx.select("doc_id"), "doc_id", "left_anti")
-    if not missing.isEmpty():
+    """The band index restricted to CURRENT corpus docs, with any
+    corpus doc missing from it backfilled (bootstrap over a seed
+    corpus, or the crash window between the corpus and index appends).
+    The steady-state probe anti-joins doc_id columns only — the corpus
+    text column is touched solely in the backfill branch, and backfill
+    cost is O(gap).  The returned frame is semi-joined to corpus ids,
+    so index rows whose doc is no longer in the corpus (an externally
+    reset/trimmed corpus with a leftover index) cannot false-reject new
+    content against deleted text."""
+    idx = _read_store(
+        spark, index_path, ["doc_id", "shingles", "bands"], _INDEX_SCHEMA
+    )
+    corpus_ids = corpus.select("doc_id")
+    gap_ids = corpus_ids.join(idx.select("doc_id"), "doc_id", "left_anti")
+    if not gap_ids.isEmpty():
+        missing = corpus.join(gap_ids, "doc_id", "left_semi")
         _index_rows_for(missing).write.mode("append").parquet(index_path)
-        idx = _read_index(spark, index_path)
-    return idx
+        idx = _read_store(
+            spark, index_path, ["doc_id", "shingles", "bands"], _INDEX_SCHEMA
+        )
+    return idx.join(corpus_ids, "doc_id", "left_semi")
 
 
 def _intra_batch_losers(eligible: DataFrame, in_sig, in_bands) -> DataFrame:
@@ -230,18 +270,10 @@ def _intra_batch_losers(eligible: DataFrame, in_sig, in_bands) -> DataFrame:
 
 def _read_corpus(spark: SparkSession, corpus_path: str) -> DataFrame:
     """Corpus store, or an empty frame ONLY when the store does not
-    exist yet (bootstrap). Any other read failure — transient storage
-    errors, corrupt footers — must fail the batch so the checkpoint
-    retries it; swallowing those would dedup against an empty corpus
-    and permanently accept duplicates."""
-    from crypto_datalake_spark.sinks import is_missing_target_error
-
-    try:
-        return spark.read.parquet(corpus_path).select("doc_id", "text")
-    except AnalysisException as e:
-        if is_missing_target_error(e):
-            return spark.createDataFrame([], "doc_id long, text string")
-        raise
+    exist yet (bootstrap) — see :func:`_read_store`."""
+    return _read_store(
+        spark, corpus_path, ["doc_id", "text"], "doc_id long, text string"
+    )
 
 
 def ingest_batch(
@@ -250,11 +282,12 @@ def ingest_batch(
 ) -> None:
     """Score ONE micro-batch and append: every doc to the audit table
     with its verdict, accepted docs to the corpus store AND the band
-    index (``index_path``, default ``<corpus_path>_bandindex``)."""
+    index (``index_path``, default :func:`default_index_path` — the
+    corpus path suffixed with the LSH-family fingerprint)."""
     if batch.isEmpty():
         return
     if index_path is None:
-        index_path = corpus_path.rstrip("/") + "_bandindex"
+        index_path = default_index_path(corpus_path)
     # one row per doc_id, deterministically (min text): a crawl file
     # repeating an id would otherwise multiply rows through every
     # doc_id join below and double-append to the corpus
@@ -372,12 +405,33 @@ def ingest_batch(
     )
     if not accepted.isEmpty():
         accepted = accepted.localCheckpoint()  # corpus + index appends
+        # divergence tripwire: every accepted id is (by the anti-join
+        # above) absent from the corpus — if the index still holds a row
+        # for it, the corpus was reset/trimmed around a leftover index
+        # and the stale row's shingles would shadow this doc's text in
+        # every future batch.  That state is not self-healable by id,
+        # so fail LOUDLY instead of corrupting dedup silently.
+        stale = accepted.select("doc_id").join(
+            _read_store(spark, index_path, ["doc_id"], "doc_id long"),
+            "doc_id", "left_semi",
+        )
+        if not stale.isEmpty():
+            raise RuntimeError(
+                f"band index {index_path} holds rows for doc_ids absent "
+                "from the corpus that this batch is re-introducing — the "
+                "corpus was reset or trimmed around a leftover index. "
+                "Delete the index directory (it rebuilds from the corpus "
+                "on the next batch) before re-running."
+            )
         accepted.write.mode("append").parquet(corpus_path)
         # index append last: a crash here leaves corpus docs without
         # index rows, which the NEXT batch's self-heal backfills from
         # text (the reverse order would index text the corpus lost —
-        # a permanent false reject, not a recoverable gap)
-        _index_rows_for(accepted).write.mode("append").parquet(index_path)
+        # a permanent false reject, not a recoverable gap); the batch's
+        # own (sig, bands) are reused — no second signature pass
+        _index_rows_for(accepted, in_sig, in_bands).write.mode(
+            "append"
+        ).parquet(index_path)
 
 
 def corpus_ingest_stream(

@@ -970,10 +970,13 @@ def test_corpus_ingest_band_index_heals_and_stays_incremental(spark, tmp_path):
     (sub-3-token docs get a NULL placeholder row so the heal never
     re-derives them), keeping the per-batch corpus-side work a read of
     persisted shingles, not a re-tokenization."""
-    from crypto_datalake_spark.pipelines.corpus_ingest import ingest_batch
+    from crypto_datalake_spark.pipelines.corpus_ingest import (
+        default_index_path,
+        ingest_batch,
+    )
 
     corpus = str(tmp_path / "corpus")
-    index = corpus + "_bandindex"
+    index = default_index_path(corpus)
     audit = str(tmp_path / "audit")
     seed = " ".join(f"s{i}" for i in range(20))
     # seed corpus WITHOUT an index — the pre-index bootstrap case; the
@@ -1013,6 +1016,72 @@ def test_corpus_ingest_band_index_heals_and_stays_incremental(spark, tmp_path):
     idx2 = spark.read.parquet(index).collect()
     assert {r["doc_id"] for r in idx2} == {1, 2, 11, 20}
     assert len(idx2) == 4  # one row per corpus doc, appends only
+    # the LSH-family fingerprint is part of the path: a dedup-parameter
+    # change must bootstrap a fresh index, not band-join across families
+    assert index.split("_bandindex_")[1]
+
+
+def test_corpus_ingest_index_ghosts_dont_false_reject(spark, tmp_path):
+    """A corpus reset/trimmed around a leftover index: ghost rows for
+    deleted docs must NOT reject new content (the novelty reference is
+    semi-joined to current corpus ids), and a batch REUSING a ghost's
+    doc_id fails loudly instead of silently shadowing the new text with
+    stale shingles."""
+    import pytest
+
+    from crypto_datalake_spark.pipelines.corpus_ingest import (
+        default_index_path,
+        ingest_batch,
+    )
+
+    corpus = str(tmp_path / "corpus")
+    audit = str(tmp_path / "audit")
+    gone = " ".join(f"g{i}" for i in range(20))
+    spark.createDataFrame(
+        [(1, gone)], "doc_id long, text string"
+    ).write.parquet(corpus)
+    # build the index for doc 1, then "reset" the corpus without it
+    ingest_batch(
+        spark,
+        spark.createDataFrame(
+            [(2, " ".join(f"k{i}" for i in range(20)))],
+            "doc_id long, text string",
+        ),
+        corpus, audit, batch_id=0,
+    )
+    import shutil
+
+    shutil.rmtree(corpus)
+    spark.createDataFrame(
+        [(2, " ".join(f"k{i}" for i in range(20)))],
+        "doc_id long, text string",
+    ).write.parquet(corpus)  # doc 1 deleted; index still holds its rows
+
+    # a near-dup of the DELETED doc must be accepted (no ghost rejects)
+    audit2 = str(tmp_path / "audit2")
+    ingest_batch(
+        spark,
+        spark.createDataFrame(
+            [(10, gone + " tail")], "doc_id long, text string"
+        ),
+        corpus, audit2, batch_id=1,
+    )
+    got = {r["doc_id"]: r["accepted"]
+           for r in spark.read.parquet(audit2).collect()}
+    assert got[10] is True
+
+    # reusing the ghost's id with NEW text: loud failure, not silent
+    # stale-shingle shadowing
+    with pytest.raises(Exception, match="leftover index"):
+        ingest_batch(
+            spark,
+            spark.createDataFrame(
+                [(1, " ".join(f"n{i}" for i in range(20)))],
+                "doc_id long, text string",
+            ),
+            corpus, str(tmp_path / "audit3"), batch_id=2,
+        )
+    assert default_index_path(corpus)  # path helper stays importable
 
 
 def test_corpus_ingest_bootstrap_and_replay(spark, tmp_path):
