@@ -70,6 +70,7 @@ BENCH_QUERIES = [
     "scrub_exact_substrings",
     "dedup_minhash_lsh",
     "sample_domain_mixture",
+    "sample_dsir",                   # DSIR importance resample (full oracle)
     "dedup_ngram_jaccard",
     "doc_fingerprints",
     "text_profile",

@@ -1652,3 +1652,174 @@ def text_tfidf_topk_served(spark, sf_dir):
     return tfidf_topk_serve(
         t(spark, sf_dir, "documents"), tfidf_model_tables(spark, sf_dir)
     )
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance resampling (Xie et al. 2023, "Data Selection for
+# Language Models via Importance Resampling" — hashed n-gram features,
+# bag-of-buckets unigram LMs, Gumbel-top-k resample)
+
+_DSIR_B = 256          # hashed feature buckets (the paper's 10k, SF-scaled)
+_DSIR_TARGET = "en"    # target distribution: the English slice
+_DSIR_KEEP_DEN = 4     # resample floor(n / 4) documents
+
+
+def _dsir_gumbel_sql() -> str:
+    """DuckDB Gumbel key: logw - ln(-ln(u)) with u a seeded-md5 uniform."""
+    hv = _DK_H.format(x="'g1:' || CAST(doc_id AS VARCHAR)")
+    return (
+        f"round(dsir_logw - ln(-ln((CAST({hv} AS DOUBLE) + 0.5) "
+        "/ 1152921504606846976.0)), 7)"
+    )
+
+
+def dsir_frame(
+    docs,
+    n_buckets: int = _DSIR_B,
+    target_lang: str = _DSIR_TARGET,
+    keep_den: int = _DSIR_KEEP_DEN,
+):
+    """DSIR over a (doc_id, lang, text) frame — the DataFrame op behind
+    ``sample_dsir``.  Returns the resampled docs with their importance
+    log-weight, Gumbel key, and selection rank."""
+    from crypto_datalake_spark.ops.rank import global_row_number
+
+    base = docs.select("doc_id", "lang", F.split(F.col("text"), " ").alias("tok"))
+    # unigram + bigram features; CASE-guarded like repetition_signals so
+    # the inlined sequence() stays total if pushed past the size check
+    feats = F.expr(
+        "concat("
+        "transform(tok, t -> concat('u:', t)), "
+        "CASE WHEN size(tok) >= 2 THEN transform(sequence(0, size(tok) - 2), "
+        "i -> concat('b:', tok[i], ' ', tok[i + 1])) "
+        "ELSE CAST(array() AS array<string>) END)"
+    )
+    ex = (
+        base.select("doc_id", "lang", F.explode(feats).alias("f"))
+        .select(
+            "doc_id",
+            "lang",
+            (F.expr(_SP_H.format(x="f")) % n_buckets).alias("b"),
+        )
+        .localCheckpoint()  # consumers: bucket fit + per-doc scoring
+    )
+    # ONE corpus pass fits BOTH bucket LMs (raw = count, target = the
+    # lang slice); only raw-supported buckets matter because every doc
+    # feature is by construction raw-supported.
+    cnt = ex.groupBy("b").agg(
+        F.count(F.lit(1)).alias("cr"),
+        F.count(F.when(F.col("lang") == target_lang, 1)).alias("ct"),
+    )
+    # totals via a window over the ALREADY-AGGREGATED <=B-row frame
+    # (sample_domain_mixture precedent) — the corpus is counted once
+    w = Window.partitionBy()
+    tot = cnt.withColumn("tr", F.sum("cr").over(w)).withColumn(
+        "tt", F.sum("ct").over(w)
+    )
+    # add-one-smoothed log probability ratio per bucket, rounded to a
+    # decimal so the per-doc sum is engine-exact (the _lm discipline)
+    arg = (
+        (F.col("ct") + F.lit(1.0)) / (F.col("tt") + F.lit(float(n_buckets)))
+    ) * (
+        (F.col("tr") + F.lit(float(n_buckets))) / (F.col("cr") + F.lit(1.0))
+    )
+    ratio = tot.select("b", F.round(F.log(arg), 7).cast("decimal(20,7)").alias("r"))
+    sc = (
+        ex.join(F.broadcast(ratio), "b")
+        .groupBy("doc_id", "lang")
+        .agg(F.sum("r").alias("s"))
+        .select("doc_id", "lang", F.col("s").cast("double").alias("dsir_logw"))
+    )
+    hv = F.expr(_SP_H.format(x="concat('g1:', CAST(doc_id AS STRING))"))
+    u = (hv.cast("double") + F.lit(0.5)) / F.lit(float(1 << 60))
+    scored = sc.withColumn(
+        "gumbel_key", F.round(F.col("dsir_logw") - F.log(-F.log(u)), 7)
+    )
+    ranked = global_row_number(
+        scored,
+        [F.col("gumbel_key").desc(), F.col("doc_id").asc()],
+        out_col="__rk",
+    )
+    n = scored.agg(F.count(F.lit(1)).alias("__n"))
+    return (
+        ranked.crossJoin(F.broadcast(n))
+        .where(F.col("__rk") <= F.floor(F.col("__n") / keep_den))
+        .select(
+            "doc_id",
+            "lang",
+            "dsir_logw",
+            "gumbel_key",
+            F.col("__rk").cast("long").alias("sample_rank"),
+        )
+    )
+
+
+@register(
+    "sample_dsir",
+    sql=f"""
+    WITH tokd AS (
+      SELECT doc_id, lang, string_split(text, ' ') AS tok FROM documents
+    ),
+    feats AS (
+      SELECT doc_id, lang,
+             unnest(list_concat(
+               list_transform(tok, tk -> 'u:' || tk),
+               CASE WHEN len(tok) >= 2
+                 THEN [('b:' || tok[i] || ' ' || tok[i + 1])
+                       for i in range(1, len(tok))]
+                 ELSE [] END)) AS f
+      FROM tokd
+    ),
+    fb AS (
+      SELECT doc_id, lang, ({_DK_H.format(x="f")}) % {_DSIR_B} AS b FROM feats
+    ),
+    cnt AS (
+      SELECT b, count(*) AS cr,
+             sum(CASE WHEN lang = '{_DSIR_TARGET}' THEN 1 ELSE 0 END) AS ct
+      FROM fb GROUP BY b
+    ),
+    tot AS (
+      SELECT b, cr, ct, sum(cr) OVER () AS tr, sum(ct) OVER () AS tt FROM cnt
+    ),
+    ratio AS (
+      SELECT b,
+             CAST(round(ln((ct + 1.0) / (tt + {_DSIR_B}.0)
+                           * ((tr + {_DSIR_B}.0) / (cr + 1.0))), 7)
+                  AS DECIMAL(20,7)) AS r
+      FROM tot
+    ),
+    sc AS (
+      SELECT doc_id, lang, CAST(sum(r) AS DOUBLE) AS dsir_logw
+      FROM fb JOIN ratio USING (b) GROUP BY doc_id, lang
+    ),
+    g AS (
+      SELECT doc_id, lang, dsir_logw, {_dsir_gumbel_sql()} AS gumbel_key FROM sc
+    ),
+    rk AS (
+      SELECT *, row_number() OVER (ORDER BY gumbel_key DESC, doc_id) AS rnk,
+             count(*) OVER () AS n
+      FROM g
+    )
+    SELECT doc_id, lang, dsir_logw, gumbel_key,
+           CAST(rnk AS BIGINT) AS sample_rank
+    FROM rk WHERE rnk <= n // {_DSIR_KEEP_DEN}
+    """,
+    doc="DSIR data selection (Xie et al. 2023): hashed unigram+bigram "
+    f"features into {_DSIR_B} md5 buckets, add-one-smoothed bag-of-buckets "
+    "unigram LMs for the target distribution (the English slice) vs the "
+    "raw corpus, per-document importance log-weight = sum of per-bucket "
+    "log probability ratios (decimal-rounded so the sum is engine-exact, "
+    "the _lm discipline), then the paper's Gumbel-top-k resample made "
+    "deterministic: gumbel_key = logw - ln(-ln(u)) with u a seeded-md5 "
+    "uniform of the doc key, keep the global top floor(n/4) by key. "
+    "Scale shape: ONE checkpointed feature explode feeds both the "
+    f"{_DSIR_B}-row bucket fit (map-side combine to <=B rows; totals via "
+    "a window over the aggregated frame, never the corpus) and the "
+    "per-doc score (broadcast ratio join + one doc_id shuffle); "
+    "selection is the two-phase global rank — no all-pairs, no "
+    "corpus-size window, two corpus passes total at 100 TB. The "
+    "production seam mirrors tfidf/lm served: persist the B-row ratio "
+    "table and new batches score shuffle-free against the frozen fit.",
+)
+def sample_dsir(spark, sf_dir):
+    return dsir_frame(t(spark, sf_dir, "documents"))

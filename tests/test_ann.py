@@ -381,3 +381,38 @@ def test_domain_mixture_rates_and_scarcest_domain(spark, sf_dir):
     assert per_lang.get(scarce, 0) == cnt[scarce]
     rows2 = REGISTRY["sample_domain_mixture"].fn(spark, sf_dir).collect()
     assert sorted(r["doc_id"] for r in rows) == sorted(r["doc_id"] for r in rows2)
+
+
+def test_sample_dsir_selects_toward_target(spark, sf_dir):
+    """DSIR behavior: the importance weights separate the target slice
+    (en) from the rest, the resample keeps exactly floor(n/4) docs with
+    contiguous ranks, is deterministic, and is ENRICHED in the target
+    language relative to its corpus share."""
+    from pyspark.sql import functions as F
+
+    from crypto_datalake_spark.queries.common import t as _t
+    from crypto_datalake_spark.queries.curation import dsir_frame
+
+    d = _t(spark, sf_dir, "documents")
+    n = d.count()
+    en_share = d.where(F.col("lang") == "en").count() / n
+
+    # keep_den=1 -> every doc scored+ranked (selection is the full set)
+    allr = dsir_frame(d, keep_den=1).collect()
+    assert len(allr) == n
+    by_lang: dict[bool, list[float]] = {True: [], False: []}
+    for r in allr:
+        by_lang[r["lang"] == "en"].append(r["dsir_logw"])
+    mean_en = sum(by_lang[True]) / len(by_lang[True])
+    mean_rest = sum(by_lang[False]) / len(by_lang[False])
+    # target-distribution docs must carry higher importance weight
+    assert mean_en > mean_rest + 0.5
+
+    sel = dsir_frame(d).collect()
+    assert len(sel) == n // 4
+    assert sorted(r["sample_rank"] for r in sel) == list(range(1, n // 4 + 1))
+    en_sel = sum(1 for r in sel if r["lang"] == "en") / len(sel)
+    assert en_sel > en_share  # enrichment, not just reshuffling
+
+    sel2 = dsir_frame(d).collect()
+    assert sorted(r["doc_id"] for r in sel) == sorted(r["doc_id"] for r in sel2)
