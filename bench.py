@@ -75,6 +75,7 @@ BENCH_QUERIES = [
     "doc_fingerprints",
     "text_profile",
     "text_tfidf_topk",
+    "search_bm25_topk",              # lexical retrieval (full oracle)
     "text_tfidf_topk_served",        # persisted-vocab serve
     "quality_lm_perplexity",
     "quality_lm_perplexity_served",  # persisted-fit serve: 2.7 -> 0.7 s

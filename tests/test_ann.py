@@ -416,3 +416,35 @@ def test_sample_dsir_selects_toward_target(spark, sf_dir):
 
     sel2 = dsir_frame(d).collect()
     assert sorted(r["doc_id"] for r in sel) == sorted(r["doc_id"] for r in sel2)
+
+
+def test_bm25_ranks_duplicate_first_and_is_deterministic(spark):
+    """BM25 behavior on a hand-built corpus: an exact duplicate of the
+    query doc outranks partial matches, docs sharing no term never
+    appear, the self-match is excluded, n_hit_terms counts matched
+    DISTINCT terms, and the ranking is invariant to partitioning."""
+    from crypto_datalake_spark.queries.retrieval import bm25_topk
+
+    rows = [
+        (0, "apple banana cherry date"),       # the query (0 % 101 == 0)
+        (1, "apple banana cherry date"),       # exact duplicate
+        (2, "apple banana cherry mango kiwi"), # partial, longer
+        (3, "apple plum plum plum plum plum"), # one shared term
+        (4, "zebra yak xylophone"),            # disjoint: must not appear
+        (5, "date date date date"),            # one term, saturated tf
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    out = bm25_topk(d).collect()
+
+    hits = {r["doc_id"]: r for r in out}
+    assert all(r["qid"] == 0 for r in out)
+    assert 0 not in hits  # self-match excluded
+    assert 4 not in hits  # no shared term
+    assert hits[1]["rank"] == 1  # exact duplicate wins
+    assert hits[1]["n_hit_terms"] == 4
+    assert hits[3]["n_hit_terms"] == 1
+    # full-overlap beats partial-overlap beats single-term
+    assert hits[1]["bm25"] > hits[2]["bm25"] > hits[3]["bm25"]
+
+    out2 = bm25_topk(d.repartition(7)).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
