@@ -482,9 +482,9 @@ def _mp_probes_sql() -> str:
     )"""
 
 
-@register(
-    "ann_lsh_multiprobe",
-    sql=f"""
+# the full multiprobe statement, shared with the hybrid-RRF fusion
+# oracle (queries/retrieval.py) as a nested-subquery CTE
+MULTIPROBE_SQL = f"""
     WITH bk AS (
       SELECT vec_id, label, embedding, {_dk_bucket("embedding")} AS bucket
       FROM embeddings
@@ -496,7 +496,12 @@ def _mp_probes_sql() -> str:
     WHERE vec_id <> 0
     ORDER BY cosine DESC, vec_id ASC
     LIMIT 10
-    """,
+    """
+
+
+@register(
+    "ann_lsh_multiprobe",
+    sql=MULTIPROBE_SQL,
     doc="Multi-probe LSH ANN (Lv et al., VLDB'07): the query probes its own "
     "bucket PLUS the buckets reached by flipping the 1-2 hyperplanes with "
     "the smallest |dot| margin — the planes most likely to have mis-binned "
@@ -512,9 +517,16 @@ def _mp_probes_sql() -> str:
     "candidates, identical scoring).",
 )
 def ann_lsh_multiprobe(spark, sf_dir):
+    return lsh_multiprobe_topk(t(spark, sf_dir, "embeddings"))
+
+
+def lsh_multiprobe_topk(e_raw):
+    """Multi-probe LSH top-10 for the vec_id-0 query over a raw
+    embeddings frame — the DataFrame op behind ``ann_lsh_multiprobe``,
+    shared with the hybrid-RRF fusion (queries/retrieval.py)."""
     from pyspark.sql import Window
 
-    e = t(spark, sf_dir, "embeddings").withColumn("bucket", _sp_bucket("embedding"))
+    e = e_raw.withColumn("bucket", _sp_bucket("embedding"))
     q = e.where(F.col("vec_id") == 0).select(
         F.col("embedding").alias("qv"),
         F.col("bucket").alias("qb"),

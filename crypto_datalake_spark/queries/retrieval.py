@@ -111,9 +111,11 @@ def _bm25_scored(tf, qterms, k1: float = _K1, b: float = _B):
     )
 
 
-def bm25_topk(d, q_mod: int = _Q_MOD, k: int = _K):
+def bm25_topk(d, q_mod: int = _Q_MOD, k: int = _K, only_qid: int | None = None):
     """Top-``k`` BM25 hits for every corpus-derived query over a
-    (doc_id, text) frame — the DataFrame op behind ``search_bm25_topk``."""
+    (doc_id, text) frame — the DataFrame op behind ``search_bm25_topk``.
+    ``only_qid`` restricts the query set to one document (the hybrid-RRF
+    fusion's single-query shape) without changing corpus statistics."""
     from crypto_datalake_spark.queries.curation import _tfidf_tf_frame
 
     # one tokenize + (doc, term) count pass feeds postings, df, AND the
@@ -121,10 +123,10 @@ def bm25_topk(d, q_mod: int = _Q_MOD, k: int = _K):
     # re-scan and re-shuffle the corpus per consumer (the minhash-
     # signature precedent)
     tf = _tfidf_tf_frame(d).localCheckpoint()
-    qterms = (
-        tf.where(F.col("doc_id") % q_mod == 0)
-        .select(F.col("doc_id").alias("qid"), "term")
-    )
+    qpred = F.col("doc_id") % q_mod == 0
+    if only_qid is not None:
+        qpred = qpred & (F.col("doc_id") == only_qid)
+    qterms = tf.where(qpred).select(F.col("doc_id").alias("qid"), "term")
     scored = _bm25_scored(tf, qterms)
     w = Window.partitionBy("qid").orderBy(
         F.col("score_dec").desc(), F.col("doc_id").asc()
@@ -142,7 +144,11 @@ def bm25_topk(d, q_mod: int = _Q_MOD, k: int = _K):
     )
 
 
-_BM25_SQL = f"""
+def _bm25_sql(qid_pred: str = "") -> str:
+    """The full BM25 statement; ``qid_pred`` (an extra AND-conjunct on
+    the qterms CTE, e.g. "AND doc_id = 0") restricts the query set for
+    the hybrid-RRF fusion oracle without touching corpus statistics."""
+    return f"""
     WITH tk AS (
       SELECT doc_id, string_split(text, ' ') AS tok FROM documents
     ),
@@ -161,7 +167,8 @@ _BM25_SQL = f"""
       SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM dl
     ),
     qterms AS (
-      SELECT doc_id AS qid, term FROM tf WHERE doc_id % {_Q_MOD} = 0
+      SELECT doc_id AS qid, term FROM tf
+      WHERE doc_id % {_Q_MOD} = 0 {qid_pred}
     ),
     contrib AS (
       SELECT qid, tf.doc_id,
@@ -199,7 +206,7 @@ _BM25_SQL = f"""
 
 @register(
     "search_bm25_topk",
-    sql=_BM25_SQL,
+    sql=_bm25_sql(),
     doc=f"Lucene-formula BM25 ranked retrieval: every doc_id % {_Q_MOD} "
     "== 0 document's distinct terms form a more-like-this query bag, "
     f"scored against every other document, top-{_K} per query — the "
@@ -217,3 +224,114 @@ _BM25_SQL = f"""
 )
 def search_bm25_topk(spark, sf_dir):
     return bm25_topk(t(spark, sf_dir, "documents"))
+
+
+# ------------------------------------------------- hybrid RRF fusion
+
+_RRF_K = 60  # the standard RRF dampening constant (Cormack et al. 2009)
+
+
+def _rrf_contrib(rank_col):
+    """round(1/(60+rank), 7) as DECIMAL(12,7): each arm's contribution
+    is an exact decimal, so the fused score is an exact decimal add —
+    bit-identical across engines regardless of join/agg order."""
+    return F.round(
+        F.lit(1.0) / (F.lit(float(_RRF_K)) + rank_col.cast("double")), 7
+    ).cast("decimal(12,7)")
+
+
+def rrf_fuse(sparse, dense, k: int = _K):
+    """Reciprocal-rank-fuse two (doc_id, rank) arms into a top-``k``
+    ranking: score = Σ 1/(60+rank) over the arms a doc appears in.
+    Arms are each ≤ top-k result sets, so every frame here is tiny —
+    the corpus-scale work already happened inside the arms."""
+    s = sparse.select("doc_id", F.col("rank").alias("bm25_rank"))
+    d = dense.select("doc_id", F.col("rank").alias("cosine_rank"))
+    fused = (
+        s.join(d, "doc_id", "full_outer")
+        .withColumn(
+            "rrf",
+            F.coalesce(_rrf_contrib(F.col("bm25_rank")), F.lit(0).cast("decimal(12,7)"))
+            + F.coalesce(_rrf_contrib(F.col("cosine_rank")), F.lit(0).cast("decimal(12,7)")),
+        )
+    )
+    w = Window.orderBy(F.col("rrf").desc(), F.col("doc_id").asc())
+    return (
+        fused.withColumn("fused_rank", F.row_number().over(w).cast("long"))
+        .where(F.col("fused_rank") <= k)
+        .select(
+            "doc_id",
+            F.col("rrf").cast("double").alias("rrf"),
+            F.col("bm25_rank").cast("long").alias("bm25_rank"),
+            F.col("cosine_rank").cast("long").alias("cosine_rank"),
+            "fused_rank",
+        )
+    )
+
+
+def _hybrid_sql() -> str:
+    from crypto_datalake_spark.queries.llm import MULTIPROBE_SQL
+
+    contrib = (
+        "CAST(round(1.0 / (60.0 + CAST({r} AS DOUBLE)), 7) AS DECIMAL(12,7))"
+    )
+    return f"""
+    WITH sparse AS (
+      SELECT doc_id, rank FROM ({_bm25_sql("AND doc_id = 0")})
+    ),
+    dense AS (
+      SELECT vec_id AS doc_id,
+             row_number() OVER (ORDER BY cosine DESC, vec_id) AS rank
+      FROM ({MULTIPROBE_SQL})
+    ),
+    fused AS (
+      SELECT coalesce(sparse.doc_id, dense.doc_id) AS doc_id,
+             coalesce({contrib.format(r="sparse.rank")},
+                      CAST(0 AS DECIMAL(12,7)))
+             + coalesce({contrib.format(r="dense.rank")},
+                        CAST(0 AS DECIMAL(12,7))) AS rrf_dec,
+             sparse.rank AS bm25_rank, dense.rank AS cosine_rank
+      FROM sparse FULL OUTER JOIN dense ON sparse.doc_id = dense.doc_id
+    )
+    SELECT doc_id, CAST(rrf_dec AS DOUBLE) AS rrf,
+           CAST(bm25_rank AS BIGINT) AS bm25_rank,
+           CAST(cosine_rank AS BIGINT) AS cosine_rank,
+           CAST(row_number() OVER (ORDER BY rrf_dec DESC, doc_id)
+                AS BIGINT) AS fused_rank
+    FROM fused
+    QUALIFY fused_rank <= {_K}
+    """
+
+
+@register(
+    "search_hybrid_rrf",
+    # static oracle (no persisted artifacts): resolve at registration
+    sql=_hybrid_sql(),
+    doc=f"Hybrid retrieval via Reciprocal Rank Fusion (Cormack et al. "
+    "2009, the Elasticsearch/Vespa hybrid-search default): the sparse "
+    "arm is BM25 restricted to the doc-0 query bag, the dense arm is "
+    "multi-probe LSH ANN for the vec-0 query (doc_id ≡ vec_id in the "
+    f"testdata), fused by score = Σ 1/({_RRF_K}+rank) over the arms a "
+    f"doc appears in, top-{_K}. Each 1/({_RRF_K}+r) term is a 7dp "
+    "decimal so the fused score is an exact decimal add — rank-stable "
+    "across engines. Scale shape: both arms end at top-k, so the fusion "
+    "join/window touches ≤ 2k rows per query — all corpus-scale work "
+    "stays inside the arms (one tokenize+count shuffle for BM25, "
+    "bucket-pruned candidate scoring for the ANN); the single-partition "
+    "fusion window is bounded by k·|queries|, never corpus size. "
+    "SURROGATE-free: full static oracle composing the two arms' own "
+    "oracle statements as subqueries.",
+)
+def search_hybrid_rrf(spark, sf_dir):
+    from crypto_datalake_spark.queries.llm import lsh_multiprobe_topk
+
+    d = t(spark, sf_dir, "documents")
+    e = t(spark, sf_dir, "embeddings")
+    sparse = bm25_topk(d, only_qid=0)
+    dw = Window.orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+    dense = (
+        lsh_multiprobe_topk(e)
+        .withColumn("rank", F.row_number().over(dw))
+        .select(F.col("vec_id").alias("doc_id"), "rank")
+    )
+    return rrf_fuse(sparse, dense)

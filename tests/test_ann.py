@@ -448,3 +448,28 @@ def test_bm25_ranks_duplicate_first_and_is_deterministic(spark):
 
     out2 = bm25_topk(d.repartition(7)).collect()
     assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
+
+
+def test_rrf_fusion_rewards_cross_arm_agreement(spark):
+    """RRF behavior on hand-built arms: a doc ranked in BOTH arms beats
+    any single-arm doc whose best rank is 1; single-arm docs order by
+    their arm rank; arm ranks survive into the output columns."""
+    from crypto_datalake_spark.queries.retrieval import rrf_fuse
+
+    sparse = spark.createDataFrame(
+        [(10, 1), (11, 2), (12, 3)], "doc_id long, rank long"
+    )
+    dense = spark.createDataFrame(
+        [(10, 3), (20, 1), (21, 2)], "doc_id long, rank long"
+    )
+    out = {r["doc_id"]: r for r in rrf_fuse(sparse, dense).collect()}
+
+    # doc 10: 1/(60+1) + 1/(60+3) > any single 1/(60+1)
+    assert out[10]["fused_rank"] == 1
+    assert out[10]["bm25_rank"] == 1 and out[10]["cosine_rank"] == 3
+    # best single-arm docs follow; ties across arms break by doc_id
+    assert out[11]["bm25_rank"] == 2 and out[11]["cosine_rank"] is None
+    assert out[20]["cosine_rank"] == 1 and out[20]["bm25_rank"] is None
+    assert out[20]["fused_rank"] < out[11]["fused_rank"]  # rank1 beats rank2
+    assert out[11]["fused_rank"] < out[21]["fused_rank"]  # same score, lower id
+    assert abs(out[10]["rrf"] - (1 / 61 + 1 / 63)) < 2e-7
