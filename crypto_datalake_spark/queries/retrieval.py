@@ -137,7 +137,13 @@ def bm25_topk(d, q_mod: int = _Q_MOD, k: int = _K, only_qid: int | None = None):
         .select(
             "qid",
             "doc_id",
-            F.col("score_dec").cast("double").alias("bm25"),
+            # exact-decimal round to scale 7 BEFORE the double cast: the
+            # scale-14 sum can exceed 15 significant digits, where the
+            # engines' decimal->double conversions differ in the last
+            # ulp (observed at sf1: 731/24800 cells); an 11-sig-digit
+            # decimal casts bit-identically (the _lm scale-7 precedent).
+            # Ranking stays on the UNROUNDED exact sum.
+            F.round(F.col("score_dec"), 7).cast("double").alias("bm25"),
             F.col("n_hit_terms").cast("long").alias("n_hit_terms"),
             "rank",
         )
@@ -198,8 +204,8 @@ def _bm25_sql(qid_pred: str = "") -> str:
                PARTITION BY qid ORDER BY score_dec DESC, doc_id) AS rank
       FROM scored
     )
-    SELECT qid, doc_id, CAST(score_dec AS DOUBLE) AS bm25, n_hit_terms,
-           CAST(rank AS BIGINT) AS rank
+    SELECT qid, doc_id, CAST(round(score_dec, 7) AS DOUBLE) AS bm25,
+           n_hit_terms, CAST(rank AS BIGINT) AS rank
     FROM ranked WHERE rank <= {_K}
     """
 
