@@ -1889,7 +1889,7 @@ def _model_artifact_specs(sf_dir: str):
     "unbuildable here, skip just this one", matching the per-query
     degradation in registry.resolved_sql, instead of letting one absent
     source veto the pre-build of every OTHER artifact."""
-    from crypto_datalake_spark.queries import curation
+    from crypto_datalake_spark.queries import curation, retrieval
 
     return [
         (lambda: [ivf_centroid_path(sf_dir)],
@@ -1906,6 +1906,9 @@ def _model_artifact_specs(sf_dir: str):
         # four paths, one ordered build (kept feeds bigram/ctx/meta)
         (lambda: curation.lm_unk_model_paths(sf_dir),
          lambda spark: curation.lm_unk_model_tables(spark, sf_dir)),
+        # two paths, one ordered build (vocab + corpus-stats meta)
+        (lambda: retrieval.bm25_model_paths(sf_dir),
+         lambda spark: retrieval.bm25_model_tables(spark, sf_dir)),
     ]
 
 

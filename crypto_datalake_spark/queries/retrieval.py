@@ -341,3 +341,235 @@ def search_hybrid_rrf(spark, sf_dir):
         .select(F.col("vec_id").alias("doc_id"), "rank")
     )
     return rrf_fuse(sparse, dense)
+
+
+# ------------------------------------- persisted-corpus-stats serving
+
+_BM25_MAXF = 65_536  # fitted-vocabulary cap (the tfidf seam's knob)
+
+
+def bm25_model_tables(spark, sf_dir, max_features: int = _BM25_MAXF):
+    """The persisted BM25 fit: a (term, df_docs, idf) vocabulary — the
+    BM25 idf precomputed IN SPARK at fit time and stored as the SAME
+    DECIMAL(12,7) the in-query op multiplies with, so serve-time
+    products are bit-identical to in-query ones — capped at the
+    ``max_features`` highest-df terms, plus a 1-row (n_docs, sum_dl)
+    corpus-stats meta table (frozen N and avgdl, the production shape:
+    new batches score against the fit corpus's statistics).  Trained
+    once per source fingerprint via the shared served-model split; the
+    cap cut uses the two-phase global rank (large-k regime — the
+    tfidf_model_tables crossover note)."""
+    from crypto_datalake_spark.ops.rank import global_row_number
+    from crypto_datalake_spark.queries.curation import _tfidf_tf_frame
+    from crypto_datalake_spark.queries.llm import _served_model_table
+
+    def tf_stats():
+        tf = _tfidf_tf_frame(t(spark, sf_dir, "documents")).localCheckpoint()
+        stats = (
+            tf.groupBy("doc_id")
+            .agg(F.first("n_tok").alias("dl"))
+            .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl"))
+        )
+        return tf, stats
+
+    def build_vocab():
+        tf, stats = tf_stats()
+        dfc = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_docs"))
+        idf = F.round(
+            F.log(
+                (
+                    F.col("n_docs").cast("double")
+                    - F.col("df_docs").cast("double")
+                    + F.lit(0.5)
+                )
+                / (F.col("df_docs").cast("double") + F.lit(0.5))
+                + F.lit(1.0)
+            ),
+            7,
+        ).cast("decimal(12,7)")
+        ranked = global_row_number(
+            dfc.crossJoin(F.broadcast(stats)),
+            [F.col("df_docs").desc(), F.col("term").asc()],
+            out_col="__rk",
+        )
+        return (
+            ranked.where(F.col("__rk") <= max_features)
+            .select("term", "df_docs", idf.alias("idf"))
+            .coalesce(1)
+        )
+
+    def build_meta():
+        _, stats = tf_stats()
+        return stats.coalesce(1)
+
+    vocab = _served_model_table(
+        spark, sf_dir, "bm25_vocab", f"v{max_features}", build_vocab,
+        source="documents.parquet",
+    )
+    meta = _served_model_table(
+        spark, sf_dir, "bm25_meta", "v1", build_meta,
+        source="documents.parquet",
+    )
+    return vocab, meta
+
+
+def bm25_model_paths(sf_dir: str, max_features: int = _BM25_MAXF) -> list[str]:
+    """Where :func:`bm25_model_tables` persists its fit — feeds the
+    driver's oracle-first pre-build guard (llm.model_artifact_paths)."""
+    from crypto_datalake_spark.queries.llm import _served_model_path
+
+    return [
+        _served_model_path(
+            sf_dir, "bm25_vocab", f"v{max_features}", source="documents.parquet"
+        ),
+        _served_model_path(
+            sf_dir, "bm25_meta", "v1", source="documents.parquet"
+        ),
+    ]
+
+
+def bm25_topk_serve(
+    d, vocab, meta, q_mod: int = _Q_MOD, k: int = _K,
+    only_qid: int | None = None,
+):
+    """Score a (doc_id, text) frame against the persisted BM25 fit:
+    idf, N, and avgdl are READ from the frozen vocabulary/meta tables
+    (never re-derived — no ln, no df recount, no second corpus pass);
+    only each incoming doc's own length dl comes from the batch.  Terms
+    outside the fitted vocabulary are DROPPED (the sklearn-transform /
+    tfidf-serve semantics), so serving works on new documents."""
+    tf = _tfidf_tf_frame_cached(d)
+    qpred = F.col("doc_id") % q_mod == 0
+    if only_qid is not None:
+        qpred = qpred & (F.col("doc_id") == only_qid)
+    qterms = tf.where(qpred).select(F.col("doc_id").alias("qid"), "term")
+    tf_d = F.col("term_count").cast("double")
+    sat = F.round(
+        (tf_d * F.lit(_K1 + 1.0))
+        / (
+            tf_d
+            + F.lit(_K1)
+            * (
+                F.lit(1.0 - _B)
+                + F.lit(_B)
+                * (
+                    F.col("n_tok").cast("double")
+                    / (
+                        F.col("sum_dl").cast("double")
+                        / F.col("n_docs").cast("double")
+                    )
+                )
+            )
+        ),
+        7,
+    ).cast("decimal(12,7)")
+    weights = (
+        tf.crossJoin(F.broadcast(meta))
+        .join(F.broadcast(vocab.select("term", "idf")), "term")
+        .select("doc_id", "term", (F.col("idf") * sat).alias("w"))
+    )
+    scored = (
+        weights.join(qterms, "term")
+        .where(F.col("doc_id") != F.col("qid"))
+        .groupBy("qid", "doc_id")
+        .agg(
+            F.sum("w").alias("score_dec"),
+            F.count(F.lit(1)).alias("n_hit_terms"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.col("score_dec").desc(), F.col("doc_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select(
+            "qid",
+            "doc_id",
+            F.round(F.col("score_dec"), 7).cast("double").alias("bm25"),
+            F.col("n_hit_terms").cast("long").alias("n_hit_terms"),
+            "rank",
+        )
+    )
+
+
+def _tfidf_tf_frame_cached(d):
+    from crypto_datalake_spark.queries.curation import _tfidf_tf_frame
+
+    return _tfidf_tf_frame(d).localCheckpoint()
+
+
+def _bm25_served_sql(sf_dir: str) -> str:
+    """Surrogate oracle: DuckDB recomputes the serving policy
+    CONDITIONAL on the persisted vocabulary/meta — idf, N, avgdl are
+    READ (no cross-engine ln in play); the inner vocab join mirrors the
+    OOV-drop semantics."""
+    vp, mp = bm25_model_paths(sf_dir)
+    return f"""
+    WITH tk AS (
+      SELECT doc_id, string_split(text, ' ') AS tok FROM documents
+    ),
+    ex AS (
+      SELECT doc_id, len(tok) AS n_tok, unnest(tok) AS term FROM tk
+    ),
+    tf AS (
+      SELECT doc_id, n_tok, term, CAST(count(*) AS BIGINT) AS term_count
+      FROM ex GROUP BY 1, 2, 3
+    ),
+    voc AS (SELECT term, idf FROM read_parquet('{vp}/*.parquet')),
+    meta AS (SELECT n_docs, sum_dl FROM read_parquet('{mp}/*.parquet')),
+    qterms AS (
+      SELECT doc_id AS qid, term FROM tf WHERE doc_id % {_Q_MOD} = 0
+    ),
+    contrib AS (
+      SELECT qid, tf.doc_id,
+             idf
+             * CAST(round((CAST(term_count AS DOUBLE) * {_K1 + 1.0})
+                          / (CAST(term_count AS DOUBLE)
+                             + {_K1} * ({1.0 - _B}
+                                        + {_B} * (CAST(n_tok AS DOUBLE)
+                                                  / (CAST(sum_dl AS DOUBLE)
+                                                     / CAST(n_docs AS DOUBLE))))),
+                          7) AS DECIMAL(12,7)) AS w
+      FROM tf
+      JOIN voc USING (term)
+      JOIN qterms USING (term)
+      CROSS JOIN meta
+      WHERE tf.doc_id <> qid
+    ),
+    scored AS (
+      SELECT qid, doc_id, sum(w) AS score_dec,
+             CAST(count(*) AS BIGINT) AS n_hit_terms
+      FROM contrib GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (
+               PARTITION BY qid ORDER BY score_dec DESC, doc_id) AS rank
+      FROM scored
+    )
+    SELECT qid, doc_id, CAST(round(score_dec, 7) AS DOUBLE) AS bm25,
+           n_hit_terms, CAST(rank AS BIGINT) AS rank
+    FROM ranked WHERE rank <= {_K}
+    """
+
+
+@register(
+    "search_bm25_topk_served",
+    sql=_bm25_served_sql,
+    doc="The persisted-corpus-stats serving path of search_bm25_topk: "
+    "the df/idf vocabulary (max_features-capped, BM25 idf precomputed "
+    "at fit as the same DECIMAL(12,7) the query multiplies with) and a "
+    "1-row (n_docs, sum_dl) corpus-stats meta are trained once per "
+    "source fingerprint; serving is one tokenize + (doc, term) count "
+    "shuffle, one broadcast vocab join and a multiply — zero ln calls, "
+    "no df recount, frozen N/avgdl (the incremental-corpus production "
+    "shape: new batches rank against the fit corpus's statistics; "
+    "refits are explicit). OOV terms drop, so new documents serve "
+    "correctly. On the fit corpus with an uncapped vocabulary the "
+    "output equals search_bm25_topk (pinned in tests). SURROGATE "
+    "oracle: DuckDB recomputes the serving policy conditional on the "
+    "persisted tables through the oracle-first pre-build guard.",
+)
+def search_bm25_topk_served(spark, sf_dir):
+    vocab, meta = bm25_model_tables(spark, sf_dir)
+    return bm25_topk_serve(t(spark, sf_dir, "documents"), vocab, meta)

@@ -910,3 +910,67 @@ def test_lm_served_scores_oov_documents(spark):
     }
     assert got[1] == round(-math.log((3 + 0.5) / (3 + 0.5 * 4)), 7)
     assert got[2] == round(-math.log(0.5 / (0.5 * 4)), 7)  # = ln(4)
+
+
+def test_bm25_served_matches_inquery_on_training_corpus(spark, sf_dir):
+    """On the fit corpus (vocabulary uncapped at these SFs), the
+    persisted-corpus-stats serving path must reproduce search_bm25_topk
+    bit-for-bit — same idf decimals at fit, same frozen N/avgdl the
+    in-query op derives live, same tie-break."""
+    from crypto_datalake_spark.queries import REGISTRY
+
+    base = {
+        tuple(r)
+        for r in REGISTRY["search_bm25_topk"].fn(spark, sf_dir).collect()
+    }
+    served = {
+        tuple(r)
+        for r in REGISTRY["search_bm25_topk_served"].fn(spark, sf_dir).collect()
+    }
+    assert base == served and len(base) > 0
+
+
+def test_bm25_serve_drops_oov_and_length_normalizes(spark, sf_dir):
+    """Serving NEW documents against the frozen fit: OOV terms score
+    nothing (vocab-join drop) but still count toward the doc's length
+    dl, so between two docs matching the same query terms the one
+    padded with OOV ranks LOWER; an all-OOV doc never appears."""
+    from crypto_datalake_spark.queries.retrieval import (
+        bm25_model_tables,
+        bm25_topk_serve,
+    )
+
+    vocab, meta = bm25_model_tables(spark, sf_dir)
+    known = [
+        r["term"]
+        for r in vocab.orderBy(F.col("df_docs").desc(), "term").limit(2).collect()
+    ]
+    new_docs = spark.createDataFrame(
+        [
+            (0, f"{known[0]} {known[1]}"),              # the query bag
+            (1, f"{known[0]} {known[1]}"),              # clean match
+            (2, f"{known[0]} {known[1]} OOVX OOVY OOVZ"),  # OOV-padded
+            (3, "OOVA OOVB OOVC"),                      # all OOV
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in bm25_topk_serve(new_docs, vocab, meta).collect()}
+    assert 3 not in out                       # nothing in vocab -> no score
+    assert out[1]["n_hit_terms"] == 2 and out[2]["n_hit_terms"] == 2
+    assert out[1]["bm25"] > out[2]["bm25"]    # OOV padding dilutes via dl
+    assert out[1]["rank"] == 1 and out[2]["rank"] == 2
+
+
+def test_bm25_served_plan_no_ln_broadcast_vocab(spark, sf_dir):
+    """The serve path's point: idf/N/avgdl are READ (no ln anywhere in
+    the plan), the frozen vocabulary broadcasts into the term join, and
+    nothing degenerates to a cartesian or corpus-vs-corpus shuffle
+    join."""
+    from crypto_datalake_spark.queries import REGISTRY
+
+    p = plan_text(
+        REGISTRY["search_bm25_topk_served"].fn(spark, sf_dir), "simple"
+    )
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+    assert "LOG(" not in p.upper().replace("CATALOG", "")
