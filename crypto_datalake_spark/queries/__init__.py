@@ -37,8 +37,8 @@ from crypto_datalake_spark.queries.registry import (  # noqa: F401
 # The driver's 50-query correctness window, one entry per SURVEY.md §2 /
 # LLM-pipeline operator row (see COVERAGE.md for the op -> query map).
 #
-# Round-7 membership decision: ONE swap from the round-4 curation —
-# ann_lsh_multiprobe out, quality_lm_perplexity in.  The round-6
+# Round-7 membership decisions: TWO swaps from the round-4 curation.
+# Swap 1 — ann_lsh_multiprobe out, quality_lm_perplexity in.  The round-6
 # net-zero analysis (every swap demotes one driver-green row to
 # pytest-only) predated perplexity's FULL static oracle; with it, the
 # swap promotes the heaviest LLM-pipeline operator (CCNet quality
@@ -54,6 +54,13 @@ from crypto_datalake_spark.queries.registry import (  # noqa: F401
 # iterative ML fits are surrogate-oracled plus invariant-tested in
 # tests/test_ann.py (ann_ivf_kmeans, ann_ivf_pq, dedup_semantic_
 # clusters, quality_score_classifier).
+# Swap 2 (r7 session 3) — ann_cosine_topk out, search_bm25_topk in:
+# promotes the new lexical-retrieval family (full static oracle, the
+# sparse half of the hybrid-RRF stack) into the driver sweep; the ANN
+# family keeps a driver row via ann_ivf_probe, and ann_cosine_topk —
+# oracle unchanged — stays bit-swept by tests/test_oracle_parity.py
+# and benched.  search_bm25_topk_served / search_hybrid_rrf follow the
+# served/composition convention and stay pytest-swept.
 _WINDOW = [
     # §2.1 scans / §2.2 projections-predicates
     "s1_scan_project_filter",   # S1 + P1/P2 (pushdown-proven)
@@ -107,7 +114,7 @@ _WINDOW = [
     "dedup_ngram_jaccard",
     "doc_fingerprints",         # SimHash + rolling hash, one scan
     "dedup_embedding_cosine",
-    "ann_cosine_topk",
+    "search_bm25_topk",         # lexical retrieval (full static oracle)
     "quality_lm_perplexity",    # CCNet LM tiers (full static oracle)
     "ann_ivf_probe",
     "text_profile",             # lang-ID + token stats + quality, one scan

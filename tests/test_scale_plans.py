@@ -216,3 +216,16 @@ def test_tfidf_served_broadcasts_vocab_no_second_pass(spark, sf_dir):
     assert "SortMergeJoin" not in p and "CartesianProduct" not in p
     assert p.count("Exchange hashpartitioning") <= 2
     assert "LOG(" not in p.upper().replace("CATALOG", "")
+
+
+def test_bm25_plan_topk_pushdown_and_bounded_exchanges(spark, sf_dir):
+    # the retrieval plan's load-bearing shapes: the per-query top-k is
+    # group-limited BEFORE the window shuffle (WindowGroupLimit partial),
+    # every join is hash/broadcast (no sort-merge of the fanned-out
+    # posting stream at this SF, no cartesian), and the exchange budget
+    # stays at 5 (df agg, per-doc + global stats, score agg, topk window)
+    # — a 6th exchange means someone re-derived corpus stats per consumer
+    p = plan_text(REGISTRY["search_bm25_topk"].fn(spark, sf_dir), "simple")
+    assert "WindowGroupLimit" in p
+    assert "CartesianProduct" not in p
+    assert p.count("Exchange hashpartitioning") <= 5
