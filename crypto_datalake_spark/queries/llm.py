@@ -1889,7 +1889,7 @@ def _model_artifact_specs(sf_dir: str):
     "unbuildable here, skip just this one", matching the per-query
     degradation in registry.resolved_sql, instead of letting one absent
     source veto the pre-build of every OTHER artifact."""
-    from crypto_datalake_spark.queries import curation, retrieval
+    from crypto_datalake_spark.queries import curation, retrieval, tokenizer
 
     return [
         (lambda: [ivf_centroid_path(sf_dir)],
@@ -1909,6 +1909,9 @@ def _model_artifact_specs(sf_dir: str):
         # two paths, one ordered build (vocab + corpus-stats meta)
         (lambda: retrieval.bm25_model_paths(sf_dir),
          lambda spark: retrieval.bm25_model_tables(spark, sf_dir)),
+        # three paths, one shared driver-side fit (merges/vocab/words)
+        (lambda: tokenizer.bpe_model_paths(sf_dir),
+         lambda spark: tokenizer.bpe_model_tables(spark, sf_dir)),
     ]
 
 

@@ -44,6 +44,7 @@ def test_surrogate_oracles_resolve_with_artifact_paths():
         "quality_lm_perplexity_unk_served",
         "text_tfidf_topk_served",
         "search_bm25_topk_served",
+        "tokenize_bpe",
     ):
         sql = REGISTRY[name].resolved_sql(DRIVER_SF_DIR)
         assert sql is not None and "read_parquet" in sql
