@@ -69,6 +69,8 @@ BENCH_QUERIES = [
     "dedup_exact_substring",
     "scrub_exact_substrings",
     "dedup_minhash_lsh",
+    "dedup_paragraphs",              # CCNet span keep-first (full oracle)
+    "dedup_bloom_incremental",       # persisted Bloom + span index serve
     "sample_domain_mixture",
     "sample_dsir",                   # DSIR importance resample (full oracle)
     "dedup_ngram_jaccard",

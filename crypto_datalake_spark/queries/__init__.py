@@ -22,6 +22,7 @@ from crypto_datalake_spark.queries import (  # noqa: F401  (registration side-ef
     derived,
     joins,
     llm,
+    paragraphs,
     pipeline_q,
     retrieval,
     scrub,
