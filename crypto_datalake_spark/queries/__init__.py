@@ -57,6 +57,15 @@ from crypto_datalake_spark.queries.registry import (  # noqa: F401
 # iterative ML fits are surrogate-oracled plus invariant-tested in
 # tests/test_ann.py (ann_ivf_kmeans, ann_ivf_pq, dedup_semantic_
 # clusters, quality_score_classifier).
+# Late-r7 additions (curation_pipeline, dedup_paragraphs,
+# dedup_bloom_incremental) stay OUTSIDE the window by decision: each
+# swap demotes a driver-green row to pytest-only, and all three are
+# compositions/servings of stages whose canonical operators already
+# hold driver rows (normalize/exact-dedup/quality/packing for the
+# pipeline; span hashing + membership join for the paragraph pair) —
+# their full static oracles are bit-swept by tests/test_oracle_parity.py
+# and benched — the same evidence tier as the other served/composed
+# variants outside the window.
 # Swap 2 (r7 session 3) — ann_cosine_topk out, search_bm25_topk in:
 # promotes the new lexical-retrieval family (full static oracle, the
 # sparse half of the hybrid-RRF stack) into the driver sweep; the ANN

@@ -579,9 +579,11 @@ def lang_id_heuristic(spark, sf_dir):
     "side: iterative min-label propagation over the edge list with "
     "localCheckpoint per round — O(diameter) rounds, and near-dup "
     "components are shallow (chains longer than a few hops are rare); "
-    "each round is one shuffle join on the label frame. At 100 TB "
-    "switch the loop to large-star/small-star (O(log n) rounds, same "
-    "join primitive). Oracle: recursive-CTE transitive closure. "
+    "each round is one shuffle join on the label frame. The 100-TB "
+    "path — alternating large-star/small-star contraction (no label "
+    "frame, edge count never grows, provably O(log^2 n) rounds) — is "
+    "implemented as connected_components_star with a tested identical "
+    "contract. Oracle: recursive-CTE transitive closure. "
     "Singletons cluster with themselves, so the output covers the whole "
     "corpus and 'keep' = is_canonical.",
 )
@@ -648,6 +650,91 @@ def connected_components(docs, pairs, max_rounds: int = 25):
             f"label propagation did not converge in {max_rounds} rounds"
         )
     return labels
+
+
+def connected_components_star(docs, pairs, max_rounds: int = 30):
+    """Alternating large-star/small-star connected components (Kiveris
+    et al. 2014, "Connected Components in MapReduce and Beyond") — the
+    100-TB path :func:`connected_components`'s docstring points to.
+    Same contract: (doc_id, label) with label = component minimum.
+
+    Why it scales past min-label propagation: each round is ONE
+    per-node min aggregation + ONE join back to the edge list — no
+    per-node neighbor lists are ever materialized, so a hub with 10^8
+    neighbors costs a partial-aggregated min, not a collect.  Edge
+    count never grows above the input (large-star strictly reorients
+    edges toward smaller ids; small-star contracts stars), and the
+    paper proves O(log^2 n) rounds (O(log n) observed).  Per round the
+    frame is localCheckpointed to cut iterative lineage, exactly like
+    the propagation loop.
+
+    Convergence: alternate until neither phase changes the edge set;
+    at the fixed point every edge is (child, root).  Labels then read
+    straight off the final edge set; isolated docs label themselves.
+    """
+    # undirected edge set, kept canonical as (hi=u > lo=v); self-loops drop
+    e = (
+        pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def large_star(edges):
+        # for each node x: m(x) = min(neighbors ∪ {x}); every neighbor
+        # STRICTLY LARGER than x re-points to m(x)
+        und = edges.unionAll(
+            edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        mins = und.groupBy("u").agg(F.min("v").alias("mv"))
+        out = (
+            und.join(mins, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(
+                F.col("v").alias("u"),
+                F.least("u", "mv").alias("v"),
+            )
+        )
+        return out.where(F.col("u") != F.col("v")).distinct()
+
+    def small_star(edges):
+        # for each node x over its SMALLER neighbors N≤: m = min(N≤);
+        # x and every v ∈ N≤ re-point to m (edges arrive canonical u>v)
+        mins = edges.groupBy("u").agg(F.min("v").alias("m"))
+        j = edges.join(mins, "u")
+        out = j.select(
+            F.col("v").alias("u"), F.col("m").alias("v")
+        ).unionAll(j.select("u", F.col("m").alias("v")))
+        return out.where(F.col("u") != F.col("v")).distinct()
+
+    def changed(old, new) -> bool:
+        return (
+            not new.exceptAll(old).isEmpty()
+            or not old.exceptAll(new).isEmpty()
+        )
+
+    converged = False
+    for _ in range(max_rounds):
+        after_large = large_star(e).localCheckpoint(eager=True)
+        after_small = small_star(after_large).localCheckpoint(eager=True)
+        if not changed(e, after_small):
+            converged = True
+            e = after_small
+            break
+        e = after_small
+    if not converged:
+        raise RuntimeError(
+            f"star contraction did not converge in {max_rounds} rounds"
+        )
+    # fixed point: every edge is (member, root); roots and isolated docs
+    # label themselves
+    parent = e.groupBy("u").agg(F.min("v").alias("p"))
+    return docs.join(
+        parent, docs.doc_id == parent.u, "left"
+    ).select("doc_id", F.coalesce("p", "doc_id").alias("label"))
 
 
 # ------------------------------------------------- exact-substring dedup

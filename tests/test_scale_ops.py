@@ -111,6 +111,62 @@ def test_connected_components_long_chain(spark):
     assert got == {10: 10, 11: 10, 12: 10, 20: 20, 21: 20, 99: 99}
 
 
+def test_star_contraction_matches_label_propagation(spark, sf_dir):
+    """connected_components_star (the 100-TB large-star/small-star path)
+    must produce EXACTLY the labels of the propagation loop on every
+    graph shape: chain, hub, cliques, singletons, random, and the real
+    LSH pair graph — the two are interchangeable by contract."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from crypto_datalake_spark.queries.dedup import (
+        connected_components,
+        connected_components_star,
+        minhash_lsh_pairs,
+    )
+
+    def labels_of(fn, docs, pairs):
+        return {r["doc_id"]: r["label"] for r in fn(docs, pairs).collect()}
+
+    def both_equal(doc_ids, edge_list):
+        docs = spark.createDataFrame([(i,) for i in doc_ids], "doc_id long")
+        pairs = spark.createDataFrame(
+            edge_list or [(doc_ids[0], doc_ids[0])], "doc_a long, doc_b long"
+        )
+        a = labels_of(connected_components, docs, pairs)
+        b = labels_of(connected_components_star, docs, pairs)
+        assert a == b, f"star != propagation on {edge_list[:8]}..."
+        return a
+
+    # chain (deep), hub (wide), two cliques + singleton
+    n = 64
+    both_equal(list(range(n)), [(i, i + 1) for i in range(n - 1)])
+    both_equal(list(range(n)), [(0, i) for i in range(1, n)])
+    clique = [(a, b) for a in range(5, 10) for b in range(a + 1, 10)]
+    clique += [(a, b) for a in range(20, 24) for b in range(a + 1, 24)]
+    got = both_equal(list(range(5, 10)) + list(range(20, 24)) + [99], clique)
+    assert got[99] == 99 and got[23] == 20 and got[9] == 5
+
+    # seeded random graphs (duplicate edges, both orientations, self-loops)
+    rng = random.Random(7)
+    for _ in range(3):
+        ids = list(range(40))
+        edges = [
+            (rng.randrange(40), rng.randrange(40)) for _ in range(45)
+        ]
+        both_equal(ids, edges)
+
+    # the real graph the registered query clusters
+    from crypto_datalake_spark.queries.common import t as _t
+
+    corpus_docs = _t(spark, sf_dir, "documents").select("doc_id")
+    pairs = minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    a = labels_of(connected_components, corpus_docs, pairs)
+    b = labels_of(connected_components_star, corpus_docs, pairs)
+    assert a == b
+
+
 def test_spread_is_identity_when_scan_already_parallel(spark, sf_dir):
     """spread()'s 100 TB guarantee: it repartitions ONLY an under-parallel
     scan. A frame that already has >= defaultParallelism partitions (a
