@@ -981,3 +981,140 @@ def q11_nation_revenue_concentration(spark, sf_dir):
         .select("nation", F.col("revenue_dec").cast("double").alias("revenue"))
         .orderBy(F.col("revenue").desc(), "nation")
     )
+
+
+@register(
+    "q8_national_market_share",
+    sql="""
+    SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+           CAST(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,6))
+                 * CAST(CASE WHEN n2.n_name = 'NATION_1'
+                             THEN 1.0 - l.l_discount ELSE 0.0 END
+                        AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS DOUBLE)
+             / CAST(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,6))
+                 * CAST(1.0 - l.l_discount AS DECIMAL(18,6)))
+                        AS DECIMAL(38,6)) AS DOUBLE) AS mkt_share
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n1 ON n1.n_nationkey = c.c_nationkey
+    JOIN region r ON r.r_regionkey = n1.n_regionkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n2 ON n2.n_nationkey = s.s_nationkey
+    WHERE p.p_type = 'PROMO'
+      AND r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1995-01-01'
+      AND o.o_orderdate < TIMESTAMP '1997-01-01'
+    GROUP BY 1
+    """,
+    doc="TPC-H Q8 shape: national market share — NATION_1's fraction of "
+    "PROMO-part revenue sold into the ASIA customer market by order "
+    "year, an 8-table join with a conditional aggregate. Every "
+    "dimension (part filter, supplier→nation, customer→nation→region) "
+    "broadcasts; the only shuffles are lineitem⋈orders on orderkey and "
+    "the year agg. Numerator and denominator are exact decimal sums "
+    "cast to double before the one IEEE division.",
+)
+def q8_national_market_share(spark, sf_dir):
+    from crypto_datalake_spark.ops.agg import DEC_MUL, _to_double, dec
+
+    li = t(spark, sf_dir, "lineitem")
+    p = (
+        t(spark, sf_dir, "part")
+        .where(F.col("p_type") == "PROMO")
+        .select("p_partkey")
+    )
+    o = t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+    )
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n1 = t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nkey"), F.col("n_regionkey").alias("c_rkey")
+    )
+    r = (
+        t(spark, sf_dir, "region")
+        .where(F.col("r_name") == "ASIA")
+        .select("r_regionkey")
+    )
+    s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n2 = t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+    )
+    vol = dec("l_extendedprice", DEC_MUL) * dec(
+        F.lit(1.0) - F.col("l_discount"), DEC_MUL
+    )
+    nat_vol = dec("l_extendedprice", DEC_MUL) * dec(
+        F.when(F.col("supp_nation") == "NATION_1", F.lit(1.0) - F.col("l_discount"))
+        .otherwise(F.lit(0.0)),
+        DEC_MUL,
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), c.c_nationkey == F.col("c_nkey"))
+        .join(F.broadcast(r), F.col("c_rkey") == r.r_regionkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n2), s.s_nationkey == F.col("s_nkey"))
+        .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(
+            (_to_double(F.sum(nat_vol)) / _to_double(F.sum(vol))).alias(
+                "mkt_share"
+            )
+        )
+    )
+
+
+@register(
+    "q9_product_type_profit",
+    sql="""
+    SELECT n.n_name AS nation,
+           CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+           CAST(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,6))
+                   * CAST(1.0 - l.l_discount AS DECIMAL(18,6))
+                 - CAST(0.8 * p.p_retailprice AS DECIMAL(18,6))
+                   * CAST(l.l_quantity AS DECIMAL(18,6)))
+                AS DECIMAL(38,6)) AS DOUBLE) AS sum_profit
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE p.p_name LIKE '%gear%'
+    GROUP BY 1, 2
+    """,
+    doc="TPC-H Q9 shape: product-type profit by supplier nation and "
+    "order year — revenue minus cost per line over a part-name "
+    "substring filter. The fixture has no partsupp, so cost is a "
+    "0.8·p_retailprice·quantity proxy (same join/agg shape, same "
+    "decimal discipline: the per-line profit is one exact decimal "
+    "expression summed exactly, cast to double once). part/supplier/"
+    "nation broadcast; lineitem⋈orders shuffles on orderkey.",
+)
+def q9_product_type_profit(spark, sf_dir):
+    from crypto_datalake_spark.ops.agg import DEC_MUL, _to_double, dec
+
+    li = t(spark, sf_dir, "lineitem")
+    p = (
+        t(spark, sf_dir, "part")
+        .where(F.col("p_name").like("%gear%"))
+        .select("p_partkey", "p_retailprice")
+    )
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = t(spark, sf_dir, "nation").select("n_nationkey", F.col("n_name").alias("nation"))
+    profit = dec("l_extendedprice", DEC_MUL) * dec(
+        F.lit(1.0) - F.col("l_discount"), DEC_MUL
+    ) - dec(F.lit(0.8) * F.col("p_retailprice"), DEC_MUL) * dec(
+        "l_quantity", DEC_MUL
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("nation", F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(_to_double(F.sum(profit)).alias("sum_profit"))
+    )
