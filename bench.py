@@ -71,6 +71,7 @@ BENCH_QUERIES = [
     "dedup_minhash_lsh",
     "dedup_paragraphs",              # CCNet span keep-first (full oracle)
     "dedup_bloom_incremental",       # persisted Bloom + span index serve
+    "layout_zorder_key",             # Morton key, no shuffle (full oracle)
     "sample_domain_mixture",
     "sample_dsir",                   # DSIR importance resample (full oracle)
     "dedup_ngram_jaccard",

@@ -21,6 +21,7 @@ from crypto_datalake_spark.queries import (  # noqa: F401  (registration side-ef
     dedup,
     derived,
     joins,
+    layout_q,
     llm,
     paragraphs,
     pipeline_q,
