@@ -83,6 +83,7 @@ BENCH_QUERIES = [
     "search_hybrid_rrf",             # BM25 + LSH-ANN fusion (full oracle)
     "text_tfidf_topk_served",        # persisted-vocab serve
     "tokenize_bpe",                  # persisted-BPE-fit serve (surrogate oracle)
+    "tokenize_unigram",              # persisted Viterbi-EM fit serve + exact LL
     "curation_pipeline",             # normalize→dedup→quality→pack (full oracle)
     "quality_lm_perplexity",
     "quality_lm_perplexity_served",  # persisted-fit serve: 2.7 -> 0.7 s

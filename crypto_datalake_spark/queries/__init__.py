@@ -29,6 +29,7 @@ from crypto_datalake_spark.queries import (  # noqa: F401  (registration side-ef
     scrub,
     streaming_q,
     tokenizer,
+    tokenizer_unigram,
     tpch,
     windows,
 )

@@ -1889,7 +1889,12 @@ def _model_artifact_specs(sf_dir: str):
     "unbuildable here, skip just this one", matching the per-query
     degradation in registry.resolved_sql, instead of letting one absent
     source veto the pre-build of every OTHER artifact."""
-    from crypto_datalake_spark.queries import curation, retrieval, tokenizer
+    from crypto_datalake_spark.queries import (
+        curation,
+        retrieval,
+        tokenizer,
+        tokenizer_unigram,
+    )
 
     return [
         (lambda: [ivf_centroid_path(sf_dir)],
@@ -1912,6 +1917,9 @@ def _model_artifact_specs(sf_dir: str):
         # three paths, one shared driver-side fit (merges/vocab/words)
         (lambda: tokenizer.bpe_model_paths(sf_dir),
          lambda spark: tokenizer.bpe_model_tables(spark, sf_dir)),
+        # two paths, one shared Viterbi-EM fit (vocab + word->pieces)
+        (lambda: tokenizer_unigram.unigram_model_paths(sf_dir),
+         lambda spark: tokenizer_unigram.unigram_model_tables(spark, sf_dir)),
     ]
 
 

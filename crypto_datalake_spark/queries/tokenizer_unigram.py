@@ -1,0 +1,346 @@
+"""Unigram-LM subword tokenizer (SentencePiece-style): offline
+Viterbi-EM fit, persisted artifacts, join serving.
+
+Second tokenizer family next to BPE (:mod:`tokenizer`): Kudo 2018,
+"Subword Regularization" — model words as the max-likelihood
+segmentation under a unigram distribution over pieces, fit by EM with
+iterative vocabulary pruning.  This is a deterministic re-expression,
+not a SentencePiece port: hard (Viterbi) EM with exact tie-breaks, a
+count-seeded candidate vocabulary, and a fixed pruning schedule — every
+step reproducible bit-for-bit from the capped word-type aggregate.
+
+Scale split is the BPE/IVF/LM/TF-IDF/BM25 doctrine verbatim:
+
+- **Fit**: ONE corpus shuffle produces the capped distinct-word
+  frequency table (``ranked_topk``); candidate seeding, Viterbi-EM,
+  and pruning run driver-side over that vocabulary-sized aggregate —
+  O(max_words · word_len² · rounds), independent of corpus size.
+- **Serve**: identical plan to BPE serving (it literally reuses
+  ``tokenize_bpe_frame``): tokenize + one (doc, word) count shuffle +
+  ONE broadcast join against the persisted word→pieces table + a
+  per-doc aggregate.  Segmentation is paid per word TYPE at fit.
+- **OOV** falls back to character count, zero id checksum, zero
+  log-likelihood contribution — the frozen tokenizer serves new docs.
+
+Unigram-specific output: per-doc corpus log-likelihood under the
+fitted piece distribution, summed EXACTLY as integer micro-nats
+(``ll_e7`` = round(logprob·1e7) persisted per word) so the float sum
+is order-independent and DuckDB-oracle-able — the decimal-sum
+discipline of ops/agg.py applied to model scores.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from crypto_datalake_spark.queries.common import t
+from crypto_datalake_spark.queries.registry import register
+from crypto_datalake_spark.queries.tokenizer import _bpe_word_count_rows
+
+_UNI_VOCAB = 512       # target piece-vocabulary size (incl. single chars)
+_UNI_SEED = 4096       # candidate pieces before pruning
+_UNI_MAXLEN = 6        # max piece length (chars)
+_UNI_EM_ROUNDS = 3     # Viterbi-EM rounds between prunes
+_UNI_PRUNE_FRAC = 0.25  # fraction of prunable pieces dropped per prune
+_UNI_MAXW = 65536      # fit-vocabulary cap (shared with BPE)
+
+
+def viterbi_segment(word: str, logp: dict, max_len: int = _UNI_MAXLEN):
+    """Max-likelihood segmentation of ``word`` under piece log-probs.
+
+    dp over end positions; ties broken by (fewer pieces, then
+    lexicographically smaller piece tuple) so the fit is reproducible
+    regardless of dict order.  Every single character is guaranteed in
+    the vocabulary, so segmentation never fails."""
+    n = len(word)
+    # dp[i] = (score, n_pieces, pieces_tuple) best for word[:i]
+    dp = [None] * (n + 1)
+    dp[0] = (0.0, 0, ())
+    for i in range(1, n + 1):
+        best = None
+        for j in range(max(0, i - max_len), i):
+            if dp[j] is None:
+                continue
+            piece = word[j:i]
+            lp = logp.get(piece)
+            if lp is None:
+                continue
+            s, k, path = dp[j]
+            cand = (s + lp, k + 1, path + (piece,))
+            if (
+                best is None
+                or cand[0] > best[0]
+                or (cand[0] == best[0] and (cand[1], cand[2]) < (best[1], best[2]))
+            ):
+                best = cand
+        dp[i] = best
+    assert dp[n] is not None, f"unsegmentable word {word!r}"
+    return dp[n][2], dp[n][0]
+
+
+def learn_unigram(
+    word_counts,
+    vocab_size: int = _UNI_VOCAB,
+    seed_size: int = _UNI_SEED,
+    max_len: int = _UNI_MAXLEN,
+    em_rounds: int = _UNI_EM_ROUNDS,
+    prune_frac: float = _UNI_PRUNE_FRAC,
+):
+    """Fit the unigram piece distribution over a (word, count) aggregate.
+
+    Returns ``(logp, seg)``: piece → logprob and word → (pieces, ll).
+    Seeding: all substrings up to ``max_len`` scored by occurrence
+    count, top ``seed_size`` kept (count desc, piece asc) plus every
+    single character (mandatory — keeps every word segmentable).
+    Then alternate: ``em_rounds`` of hard EM (Viterbi segment → count →
+    renormalize) and a prune of the ``prune_frac`` lowest-probability
+    multi-char pieces, until the vocabulary fits ``vocab_size``."""
+    wc = [(w, int(c)) for w, c in word_counts if w]
+
+    subs: dict[str, int] = {}
+    for w, c in wc:
+        n = len(w)
+        for i in range(n):
+            for ln in range(1, min(max_len, n - i) + 1):
+                p = w[i : i + ln]
+                subs[p] = subs.get(p, 0) + c
+    chars = {p for p in subs if len(p) == 1}
+    multi = sorted(
+        (p for p in subs if len(p) > 1),
+        key=lambda p: (-subs[p], p),
+    )[: max(0, seed_size - len(chars))]
+    vocab = chars | set(multi)
+
+    def normalize(counts: dict) -> dict:
+        total = sum(counts.values())
+        return {p: math.log(c / total) for p, c in counts.items()}
+
+    logp = normalize({p: subs[p] for p in vocab})
+
+    def em(logp: dict) -> tuple[dict, dict, float]:
+        seg = {}
+        counts = dict.fromkeys(logp, 0)
+        ll = 0.0
+        for w, c in wc:
+            pieces, s = viterbi_segment(w, logp, max_len)
+            seg[w] = pieces
+            ll += c * s
+            for p in pieces:
+                counts[p] += c
+        # unused pieces keep an epsilon count so log() is defined until
+        # the prune removes them (chars may be temporarily unused too)
+        counts = {p: (c if c > 0 else 1e-9) for p, c in counts.items()}
+        return normalize(counts), seg, ll
+
+    while True:
+        for _ in range(em_rounds):
+            logp, seg, _ = em(logp)
+        prunable = sorted(
+            (p for p in logp if len(p) > 1),
+            key=lambda p: (logp[p], p),
+        )
+        excess = len(logp) - vocab_size
+        if excess <= 0 or not prunable:
+            break
+        k = max(min(excess, max(1, int(len(prunable) * prune_frac))), 1)
+        drop = set(prunable[:k])
+        logp = {p: lp for p, lp in logp.items() if p not in drop}
+        logp, seg, _ = em(logp)
+
+    logp, _, _ = em(logp)
+    # persisted segmentations are re-derived under the FINAL logp, so
+    # "stored pieces == Viterbi(word, stored vocab)" holds exactly (the
+    # parity invariant the tests pin)
+    seg = {}
+    for w, _c in wc:
+        pieces, ll = viterbi_segment(w, logp, max_len)
+        seg[w] = (pieces, ll)
+    return logp, seg
+
+
+# ---------------------------------------------------------------------------
+# persisted fit
+
+def _uni_suffix(vocab_size: int, max_words: int) -> str:
+    return f"v{vocab_size}_w{max_words}"
+
+
+def unigram_model_tables(
+    spark, sf_dir, vocab_size: int = _UNI_VOCAB, max_words: int = _UNI_MAXW
+):
+    """The persisted unigram fit as two warehouse tables — the piece
+    vocabulary (piece, piece_id, logprob; ids dense by piece asc) and
+    the word→pieces map (word, n_tokens, tokens_str, id_possum, ll_e7)
+    — trained once per source fingerprint.  ``ll_e7`` is the word's
+    segmentation log-likelihood in integer micro-nats, so downstream
+    sums are exact."""
+    from crypto_datalake_spark.queries.llm import _served_model_table
+
+    suffix = _uni_suffix(vocab_size, max_words)
+    memo: dict = {}
+
+    def fit():
+        if "fit" not in memo:
+            rows = _bpe_word_count_rows(spark, sf_dir, max_words)
+            logp, seg = learn_unigram(rows, vocab_size=vocab_size)
+            pid = {p: i + 1 for i, p in enumerate(sorted(logp))}
+            memo["fit"] = (logp, seg, pid)
+        return memo["fit"]
+
+    def mk(prefix, build):
+        return _served_model_table(
+            spark, sf_dir, prefix, suffix, build, source="documents.parquet"
+        )
+
+    def build_vocab():
+        logp, _, pid = fit()
+        return spark.createDataFrame(
+            [(p, pid[p], logp[p]) for p in sorted(logp)],
+            "piece string, piece_id bigint, logprob double",
+        ).coalesce(1)
+
+    def build_word_tokens():
+        _, seg, pid = fit()
+        rows = []
+        for w, (pieces, ll) in sorted(seg.items()):
+            ids = [pid[p] for p in pieces]
+            rows.append(
+                (
+                    w,
+                    len(pieces),
+                    " ".join(pieces),
+                    sum((i + 1) * v for i, v in enumerate(ids)),
+                    int(round(ll * 1e7)),
+                )
+            )
+        return spark.createDataFrame(
+            rows,
+            "word string, n_tokens bigint, tokens_str string, "
+            "id_possum bigint, ll_e7 bigint",
+        ).coalesce(1)
+
+    return mk("uni_vocab", build_vocab), mk("uni_word_tokens", build_word_tokens)
+
+
+def unigram_model_paths(
+    sf_dir: str, vocab_size: int = _UNI_VOCAB, max_words: int = _UNI_MAXW
+) -> list[str]:
+    """Where :func:`unigram_model_tables` persists its fits (feeds the
+    oracle-first pre-build guard, llm.model_artifact_paths)."""
+    from crypto_datalake_spark.queries.llm import _served_model_path
+
+    suffix = _uni_suffix(vocab_size, max_words)
+    return [
+        _served_model_path(sf_dir, pre, suffix, source="documents.parquet")
+        for pre in ("uni_vocab", "uni_word_tokens")
+    ]
+
+
+# ---------------------------------------------------------------------------
+# serving
+
+def _uni_served_sql(sf_dir: str) -> str:
+    """Surrogate oracle: the serving policy conditional on the persisted
+    word→pieces fit (segmentations READ, never re-derived — the EM fit
+    is genuinely non-SQL-expressible), including the exact micro-nat
+    log-likelihood sum and the OOV char-count fallback."""
+    wp = unigram_model_paths(sf_dir)[1]
+    return f"""
+    WITH ex AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+    ),
+    wc AS (
+      SELECT doc_id, word, CAST(count(*) AS BIGINT) AS wcount
+      FROM ex WHERE word <> '' GROUP BY 1, 2
+    ),
+    vt AS (
+      SELECT word, n_tokens, id_possum, ll_e7
+      FROM read_parquet('{wp}/*.parquet')
+    ),
+    j AS (
+      SELECT doc_id, wcount, length(word) AS wlen,
+             n_tokens, id_possum, ll_e7
+      FROM wc LEFT JOIN vt USING (word)
+    )
+    SELECT doc_id,
+           CAST(sum(wcount) AS BIGINT) AS n_words,
+           CAST(sum(wcount * coalesce(n_tokens, wlen)) AS BIGINT) AS n_tokens,
+           CAST(sum(CASE WHEN n_tokens IS NULL THEN wcount ELSE 0 END)
+                AS BIGINT) AS n_oov_words,
+           CAST(sum(wcount * coalesce(id_possum, 0)) AS BIGINT)
+             AS token_id_sum,
+           round(CAST(sum(wcount * wlen) AS DOUBLE)
+                 / CAST(sum(wcount * coalesce(n_tokens, wlen)) AS DOUBLE), 7)
+             AS chars_per_token,
+           CAST(sum(wcount * coalesce(ll_e7, 0)) AS DOUBLE) / 1e7
+             AS log_likelihood
+    FROM j GROUP BY doc_id
+    """
+
+
+@register(
+    "tokenize_unigram",
+    sql=_uni_served_sql,
+    doc="Unigram-LM-tokenize the documents table against a persisted "
+    "fitted tokenizer (Kudo 2018, deterministic Viterbi-EM "
+    "re-expression): candidate pieces seeded from substring counts, "
+    "hard-EM segmentation/renormalization rounds with iterative "
+    "lowest-probability pruning down to the target vocabulary — all "
+    "driver-side over the capped distinct-word aggregate (ONE corpus "
+    "shuffle), persisted once per source fingerprint. Serving mirrors "
+    "the BPE serve plan (one (doc, word) count shuffle + ONE "
+    "broadcast join + per-doc agg) and adds the per-doc corpus "
+    "log-likelihood under the fitted distribution, summed exactly in "
+    "integer micro-nats so the result is order-independent. OOV words "
+    "fall back to character count with zero LL. SURROGATE oracle via "
+    "the oracle-first pre-build guard.",
+)
+def tokenize_unigram(spark, sf_dir):
+    _, word_tokens = unigram_model_tables(spark, sf_dir)
+    return tokenize_unigram_frame(t(spark, sf_dir, "documents"), word_tokens)
+
+
+def tokenize_unigram_frame(d, word_tokens):
+    """Serve a (doc_id, text) frame against a persisted word→pieces map.
+
+    Same plan shape as tokenize_bpe_frame plus the exact-LL measure —
+    inlined (rather than reused) because the LL column must ride the
+    ONE broadcast join; a second join for it would double the serve."""
+    wc = (
+        d.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("word"))
+        .where(F.col("word") != "")
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("wcount"))
+    )
+    j = wc.join(
+        F.broadcast(
+            word_tokens.select("word", "n_tokens", "id_possum", "ll_e7")
+        ),
+        "word",
+        "left",
+    )
+    wlen = F.length("word").cast("long")
+    eff_tokens = F.coalesce(F.col("n_tokens"), wlen)
+    return j.groupBy("doc_id").agg(
+        F.sum("wcount").alias("n_words"),
+        F.sum(F.col("wcount") * eff_tokens).alias("n_tokens"),
+        F.sum(
+            F.when(F.col("n_tokens").isNull(), F.col("wcount")).otherwise(F.lit(0))
+        ).alias("n_oov_words"),
+        F.sum(F.col("wcount") * F.coalesce(F.col("id_possum"), F.lit(0))).alias(
+            "token_id_sum"
+        ),
+        F.round(
+            F.sum(F.col("wcount") * wlen).cast("double")
+            / F.sum(F.col("wcount") * eff_tokens).cast("double"),
+            7,
+        ).alias("chars_per_token"),
+        (
+            F.sum(F.col("wcount") * F.coalesce(F.col("ll_e7"), F.lit(0))).cast(
+                "double"
+            )
+            / F.lit(1e7)
+        ).alias("log_likelihood"),
+    )
