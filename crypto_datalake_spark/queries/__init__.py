@@ -25,6 +25,7 @@ from crypto_datalake_spark.queries import (  # noqa: F401  (registration side-ef
     llm,
     paragraphs,
     pipeline_q,
+    product_analytics,
     retrieval,
     scrub,
     streaming_q,

@@ -1,0 +1,123 @@
+"""Funnel/retention semantics the corpus-level oracle can't isolate:
+strict event ordering, non-converting orders, cohort week boundaries.
+
+Oracle parity for both registered queries is swept by
+tests/test_oracle_parity.py.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from crypto_datalake_spark.queries import REGISTRY
+
+
+def _events(spark, rows):
+    df = spark.createDataFrame(
+        [(i, ts, uid, et, 0.0, "{}") for i, (ts, uid, et) in enumerate(rows)],
+        "event_id long, ts string, user_id long, event_type string, "
+        "value double, props string",
+    )
+    from pyspark.sql import functions as F
+
+    return df.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+
+
+def _run_funnel(spark, rows, monkeypatch, tmp_path):
+    import crypto_datalake_spark.queries.product_analytics as pa
+
+    ev = _events(spark, rows)
+    monkeypatch.setattr(pa, "load_table", lambda s, d, n: ev)
+    out = REGISTRY["funnel_conversion"].fn(spark, str(tmp_path))
+    return {r["stage"]: r for r in out.collect()}
+
+
+def test_funnel_requires_strict_order(spark, monkeypatch, tmp_path):
+    rows = [
+        # user 1: full ordered funnel
+        ("2024-01-01 00:00:00", 1, "view"),
+        ("2024-01-01 01:00:00", 1, "click"),
+        ("2024-01-01 02:00:00", 1, "purchase"),
+        # user 2: purchase BEFORE click — stops at click
+        ("2024-01-01 00:00:00", 2, "view"),
+        ("2024-01-01 02:00:00", 2, "click"),
+        ("2024-01-01 01:00:00", 2, "purchase"),
+        # user 3: click before any view — never enters the funnel past view?
+        # no view at all: not counted anywhere
+        ("2024-01-01 00:00:00", 3, "click"),
+        ("2024-01-01 01:00:00", 3, "purchase"),
+        # user 4: view only
+        ("2024-01-01 00:00:00", 4, "view"),
+    ]
+    out = _run_funnel(spark, rows, monkeypatch, tmp_path)
+    assert out["view"]["n_users"] == 3          # users 1, 2, 4
+    assert out["click"]["n_users"] == 2         # users 1, 2
+    assert out["purchase"]["n_users"] == 1      # user 1 only
+    assert out["purchase"]["conv_from_prev"] == 0.5
+    assert out["purchase"]["conv_from_start"] == 1 / 3
+    assert out["view"]["conv_from_prev"] is None
+
+
+def test_funnel_uses_first_view_not_best_view(spark, monkeypatch, tmp_path):
+    # the click precedes the FIRST view but follows a later view: the
+    # strict semantics anchor on the first view, so no conversion
+    rows = [
+        ("2024-01-01 02:00:00", 1, "view"),
+        ("2024-01-01 01:00:00", 1, "click"),
+        ("2024-01-01 00:30:00", 1, "view"),  # first view is 00:30
+        ("2024-01-01 03:00:00", 1, "purchase"),
+    ]
+    out = _run_funnel(spark, rows, monkeypatch, tmp_path)
+    assert out["view"]["n_users"] == 1
+    # click at 01:00 IS after first view 00:30 -> converts; purchase after
+    assert out["click"]["n_users"] == 1
+    assert out["purchase"]["n_users"] == 1
+
+    rows2 = [
+        ("2024-01-01 02:00:00", 1, "view"),
+        ("2024-01-01 01:00:00", 1, "click"),  # before the only view
+        ("2024-01-01 03:00:00", 1, "purchase"),
+    ]
+    out2 = _run_funnel(spark, rows2, monkeypatch, tmp_path)
+    assert out2["click"]["n_users"] == 0
+    # purchase can't fire without a click stage
+    assert out2["purchase"]["n_users"] == 0
+
+
+def test_retention_week_boundaries(spark, monkeypatch, tmp_path):
+    import crypto_datalake_spark.queries.product_analytics as pa
+
+    rows = [
+        ("2024-01-01 12:00:00", 1, "signup"),
+        ("2024-01-07 23:00:00", 1, "click"),   # day 6 -> week 0
+        ("2024-01-08 01:00:00", 1, "view"),    # day 7 -> week 1
+        ("2024-01-22 01:00:00", 1, "view"),    # day 21 -> week 3
+        ("2023-12-31 01:00:00", 1, "view"),    # BEFORE signup: excluded
+        ("2024-01-01 00:00:00", 2, "signup"),  # same cohort day
+    ]
+    ev = _events(spark, rows)
+    monkeypatch.setattr(pa, "load_table", lambda s, d, n: ev)
+    out = REGISTRY["retention_cohorts"].fn(spark, str(tmp_path))
+    got = {
+        (str(r["cohort_day"]), r["week_offset"]): r for r in out.collect()
+    }
+    key0 = ("2024-01-01", 0)
+    assert got[key0]["cohort_size"] == 2
+    # week 0 actives: user 1 (signup + day-6 click) and user 2 (signup)
+    assert got[key0]["n_active"] == 2 and got[key0]["retention"] == 1.0
+    assert got[("2024-01-01", 1)]["n_active"] == 1
+    assert got[("2024-01-01", 3)]["n_active"] == 1
+    assert ("2023-12-26", 0) not in got and all(
+        k[1] >= 0 for k in got
+    ), "pre-signup activity must not create negative weeks"
+
+
+def test_funnel_plan_one_event_pass_no_python(spark, sf_dir):
+    from tests.test_scale_plans import plan_text
+
+    p = plan_text(REGISTRY["funnel_conversion"].fn(spark, sf_dir), "simple")
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "SortMergeJoin" not in p  # no per-stage self-joins
+    # one scan per stage-row of the tiny counts frame is fine; the
+    # events table must be aggregated (no join against itself)
+    assert "CartesianProduct" not in p
