@@ -99,6 +99,7 @@ BENCH_QUERIES = [
     "ann_ivf_probe",
     "ann_ivf_kmeans",
     "ann_ivf_pq",
+    "dq_expectations",               # one-scan declarative DQ rule gate
     "funnel_conversion",             # one-shuffle ordered-funnel walk
     "retention_cohorts",             # signup-cohort weekly retention
     "st2_streaming_minute_agg",

@@ -311,3 +311,95 @@ def s4_write_audit_ledger(spark, sf_dir):
     return read_ledger(spark, ledger_path).select(
         "event_type", "day", "row_count", "min_ts", "max_ts", "content_hash"
     )
+
+
+# DLT-expectations-style rule set over events: (rule name, violation
+# predicate as a Spark Column factory + DuckDB SQL fragment).  Row-local
+# rules share ONE scan (conditional counts, no shuffle); the uniqueness
+# rule is a separate distinct aggregate crossJoined in (two 1-row
+# frames — folding it into the same agg would Expand the scan).
+_DQ_ROW_RULES = [
+    ("value_positive", "value <= 0"),
+    ("value_below_cap", "value > 100.0"),
+    ("event_type_known",
+     "event_type NOT IN ('view','click','purchase','signup','error')"),
+    ("ts_in_2024",
+     "ts < TIMESTAMP '2024-01-01' OR ts >= TIMESTAMP '2025-01-01'"),
+]
+
+
+@register(
+    "dq_expectations",
+    sql=f"""
+    WITH r AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_rows,
+             {', '.join(
+                 f'CAST(count(*) FILTER (WHERE {pred}) AS BIGINT) AS v{i}'
+                 for i, (_, pred) in enumerate(_DQ_ROW_RULES)
+             )},
+             CAST(count(*) - count(DISTINCT event_id) AS BIGINT) AS vdup
+      FROM events
+    )
+    SELECT rule, n_violations, n_rows,
+           CAST(n_violations AS DOUBLE) / CAST(n_rows AS DOUBLE)
+             AS violation_rate,
+           n_violations = 0 AS passed
+    FROM (
+      {' UNION ALL '.join(
+          f"SELECT '{name}' AS rule, v{i} AS n_violations, n_rows FROM r"
+          for i, (name, _) in enumerate(_DQ_ROW_RULES)
+      )}
+      UNION ALL
+      SELECT 'event_id_unique', vdup, n_rows FROM r
+    )
+    """,
+    doc="Data-quality expectations (the DLT-expectations / "
+    "Great-Expectations shape, extending the reference's validation/dq "
+    "gates): a declarative rule set evaluated in ONE scan — every "
+    "row-local rule is a conditional count in the same aggregate, no "
+    "shuffle, no per-rule pass — plus a key-uniqueness rule from a "
+    "separate distinct aggregate (kept out of the shared agg so the "
+    "scan is not Expand-doubled). Emits one row per rule: violation "
+    "count, rate, and pass verdict. At 100 TB the whole gate costs one "
+    "scan regardless of rule count.",
+)
+def dq_expectations(spark, sf_dir):
+    from crypto_datalake_spark.io import load_table
+
+    e = load_table(spark, sf_dir, "events")
+    row_aggs = [
+        F.count(F.when(F.expr(pred.replace("TIMESTAMP ", "TIMESTAMP_NTZ ")), 1)).alias(f"v{i}")
+        for i, (_, pred) in enumerate(_DQ_ROW_RULES)
+    ]
+    r = e.agg(F.count(F.lit(1)).alias("n_rows"), *row_aggs)
+    dup = e.agg(
+        (F.count(F.lit(1)) - F.countDistinct("event_id")).alias("vdup")
+    )
+    base = r.crossJoin(dup)
+    rows = [
+        base.select(
+            F.lit(name).alias("rule"),
+            F.col(f"v{i}").alias("n_violations"),
+            "n_rows",
+        )
+        for i, (name, _) in enumerate(_DQ_ROW_RULES)
+    ] + [
+        base.select(
+            F.lit("event_id_unique").alias("rule"),
+            F.col("vdup").alias("n_violations"),
+            "n_rows",
+        )
+    ]
+    out = rows[0]
+    for fr in rows[1:]:
+        out = out.unionAll(fr)
+    return out.select(
+        "rule",
+        "n_violations",
+        "n_rows",
+        (
+            F.col("n_violations").cast("double")
+            / F.col("n_rows").cast("double")
+        ).alias("violation_rate"),
+        (F.col("n_violations") == 0).alias("passed"),
+    )

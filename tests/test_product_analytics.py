@@ -121,3 +121,40 @@ def test_funnel_plan_one_event_pass_no_python(spark, sf_dir):
     # one scan per stage-row of the tiny counts frame is fine; the
     # events table must be aggregated (no join against itself)
     assert "CartesianProduct" not in p
+
+
+def test_dq_expectations_counts_each_rule(spark, monkeypatch, tmp_path):
+    # dq_expectations imports load_table from io at call time
+    import crypto_datalake_spark.io as cio
+
+    rows = [
+        ("2024-01-05 00:00:00", 1, "view"),         # clean
+        ("2024-01-05 00:01:00", 1, "teleport"),     # unknown type
+        ("2023-12-31 23:59:59", 2, "click"),        # out of 2024
+        ("2024-01-05 00:02:00", 2, "purchase"),     # dup event_id below
+    ]
+    df = spark.createDataFrame(
+        [
+            (i if i < 3 else 0, ts, uid, et, v, "{}")
+            for i, ((ts, uid, et), v) in enumerate(
+                zip(rows, [1.0, -2.0, 500.0, 1.0])
+            )
+        ],
+        "event_id long, ts string, user_id long, event_type string, "
+        "value double, props string",
+    )
+    from pyspark.sql import functions as F
+
+    ev = df.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    monkeypatch.setattr(cio, "load_table", lambda s, d, n: ev)
+    out = {
+        r["rule"]: r
+        for r in REGISTRY["dq_expectations"].fn(spark, str(tmp_path)).collect()
+    }
+    assert out["value_positive"]["n_violations"] == 1        # -2.0
+    assert out["value_below_cap"]["n_violations"] == 1       # 500.0
+    assert out["event_type_known"]["n_violations"] == 1      # teleport
+    assert out["ts_in_2024"]["n_violations"] == 1            # 2023 row
+    assert out["event_id_unique"]["n_violations"] == 1       # id 0 twice
+    assert all(not out[r]["passed"] for r in out)
+    assert all(out[r]["n_rows"] == 4 for r in out)
