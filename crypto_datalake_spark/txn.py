@@ -926,3 +926,70 @@ def vacuum(spark: SparkSession, table_path: str, keep_manifests: int = 3) -> int
                 jvm.org.apache.hadoop.fs.Path(_manifest_path(table_path, v)), False
             )
     return removed
+
+
+def purge_rows(
+    spark: SparkSession,
+    table_path: str,
+    predicate: Column,
+    partition_cols: Sequence[str],
+    vacuum_history: bool = True,
+) -> dict | None:
+    """Compliance erasure (GDPR delete / Delta REORG-PURGE shape): remove
+    every row where ``predicate`` is TRUE from the live table in one
+    atomic commit, then — by default — truncate retained history so the
+    purged rows cannot be served from ANY readable state.
+
+    Mechanics: only partitions that actually contain matching rows are
+    rewritten (manifest-pruned scan → filtered new generation →
+    compare-and-swap commit); untouched partitions keep their
+    generation mapping byte-for-byte.  Rows where the predicate is NULL
+    are KEPT — erasure must remove exactly what it can prove matches.
+
+    History: an erasure that leaves old generations readable has not
+    erased anything — time travel would resurface the rows.  With
+    ``vacuum_history`` (default) the commit is followed by
+    ``vacuum(keep_manifests=1)``, so pre-purge manifests and the
+    rewritten partitions' old generations are deleted; ``at_version``
+    reads of pre-purge versions then fail LOUDLY instead of silently
+    serving purged data.  Generations shared with the new manifest
+    (untouched partitions) survive — they contain no matching rows by
+    construction.  Pass ``vacuum_history=False`` only when a separate
+    retention process owns vacuuming, and understand the purge is not
+    complete until it runs.
+    """
+    from crypto_datalake_spark.sinks import frame_schema_hash, semi_join_null_safe
+
+    manifest = current_manifest(spark, table_path)
+    if manifest is None or not manifest["partitions"]:
+        return None
+    live = read_table(spark, table_path)
+    hit = F.coalesce(predicate, F.lit(False))
+    matches = live.where(hit)
+    touched = set(_partition_path_strings(spark, matches, partition_cols))
+    if not touched:
+        return manifest  # nothing matches: no rewrite, history untouched
+    touched_dirs = matches.select(*partition_cols).distinct()
+    keep = semi_join_null_safe(live, touched_dirs, partition_cols).where(~hit)
+    keep = keep.persist()
+    try:
+        gid = write_generation(keep, table_path, partition_cols)
+        present = set(_partition_path_strings(spark, keep, partition_cols))
+        parts = dict(manifest["partitions"])
+        for p in touched:
+            parts.pop(p, None)  # fully-purged partitions stay gone
+        for p in present:
+            parts[p] = gid
+        committed = commit_manifest(
+            spark,
+            table_path,
+            parts,
+            base_version=manifest["version"],
+            schema_hash=frame_schema_hash(keep),
+            table_schema=json.loads(keep.schema.json()),
+        )
+    finally:
+        keep.unpersist()
+    if vacuum_history:
+        vacuum(spark, table_path, keep_manifests=1)
+    return committed

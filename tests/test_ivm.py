@@ -116,3 +116,79 @@ def test_null_group_key_maintains(spark, tmp_path):
     assert _rows(state) == _rows(want)
     nulls = [r for r in state.collect() if r["sym"] is None]
     assert len(nulls) == 1 and nulls[0]["__n_rows"] == 2
+
+
+# --------------------------------------------------------------- purge
+
+def _all_generation_rows(spark, path):
+    """Every row readable from ANY parquet file still on disk under the
+    table (all generations, not just the live manifest)."""
+    import glob
+
+    files = glob.glob(f"{path}/**/*.parquet", recursive=True)
+    if not files:
+        return []
+    return spark.read.parquet(*files).collect()
+
+
+def test_purge_rows_erases_live_and_history(spark, tmp_path):
+    path = str(tmp_path / "lake")
+    txn.atomic_upsert_partitioned(
+        spark,
+        _df(spark, [("A", _T(0), 1.0, "d1"), ("B", _T(1), 2.0, "d1"),
+                    ("B", _T(2), 3.0, "d2"), ("C", _T(3), 4.0, "d3")]),
+        path, **KW,
+    )
+    # a second commit so pre-purge history exists
+    txn.atomic_upsert_partitioned(
+        spark, _df(spark, [("A", _T(4), 5.0, "d1")]), path, **KW
+    )
+    pre_purge_version = txn.current_manifest(spark, path)["version"]
+
+    m = txn.purge_rows(spark, path, F.col("sym") == "B", ["day"])
+    assert m is not None
+
+    # live: B gone, everything else intact; d2 (all-B) vanished entirely
+    live = {(r["sym"], r["day"]) for r in txn.read_table(spark, path).collect()}
+    assert live == {("A", "d1"), ("C", "d3")}
+    assert m["partitions"].keys() == {"day=d1", "day=d3"}
+
+    # history: pre-purge manifests are gone -> time travel fails loudly
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="vacuumed or never committed"):
+        txn.read_table(spark, path, at_version=pre_purge_version)
+
+    # NO file on disk — any generation — still holds a B row
+    assert all(r["sym"] != "B" for r in _all_generation_rows(spark, path))
+
+
+def test_purge_keeps_null_predicate_rows_and_untouched_generations(
+    spark, tmp_path
+):
+    path = str(tmp_path / "lake")
+    txn.atomic_upsert_partitioned(
+        spark,
+        _df(spark, [("A", _T(0), 1.0, "d1"), (None, _T(1), 2.0, "d1"),
+                    ("C", _T(2), 3.0, "d2")]),
+        path, **KW,
+    )
+    before = dict(txn.current_manifest(spark, path)["partitions"])
+    # predicate is NULL for the NULL-sym row: it must SURVIVE the purge
+    txn.purge_rows(spark, path, F.col("sym") == "A", ["day"])
+    live = {(r["sym"], r["day"]) for r in txn.read_table(spark, path).collect()}
+    assert live == {(None, "d1"), ("C", "d2")}
+    # untouched d2 keeps its generation byte-for-byte
+    after = dict(txn.current_manifest(spark, path)["partitions"])
+    assert after["day=d2"] == before["day=d2"]
+    assert after["day=d1"] != before["day=d1"]
+
+
+def test_purge_no_match_is_a_noop(spark, tmp_path):
+    path = str(tmp_path / "lake")
+    txn.atomic_upsert_partitioned(
+        spark, _df(spark, [("A", _T(0), 1.0, "d1")]), path, **KW
+    )
+    before = txn.current_manifest(spark, path)
+    m = txn.purge_rows(spark, path, F.col("sym") == "ZZZ", ["day"])
+    assert m["version"] == before["version"]  # no commit, history intact
