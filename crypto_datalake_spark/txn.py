@@ -685,11 +685,20 @@ def atomic_upsert_partitioned(
     flag_cols: Sequence[str] = (),
     ledger_path: str | None = None,
     digest_cols: Sequence[str] | None = None,
+    stats_cols: Sequence[str] = (),
 ) -> dict:
     """`sinks.upsert_partitioned` semantics (keep-last merge, LIVE_ONLY
     preservation, flag OR) with an atomic multi-partition commit: all
     touched partitions flip to the new generation in one pointer swap, or
     none do.  Returns the committed manifest.
+
+    ``stats_cols``: record per-partition [min, max] of these columns in
+    the manifest (one extra map-side aggregate over the merged output);
+    ``read_table_skipping`` then prunes partitions driver-side before
+    any filesystem call.  Untouched partitions carry their previous
+    stats forward (their generation is unchanged); touched partitions
+    always get FRESH stats, so recorded bounds can never describe a
+    dead generation.
 
     The merge reads existing rows through the manifest (only the touched
     partitions' live generations), writes the merged output as a NEW
@@ -734,6 +743,14 @@ def atomic_upsert_partitioned(
             parts.pop(p, None)  # emptied partitions stay gone
         for p in present:
             parts[p] = gid
+        extra: dict = {}
+        if stats_cols:
+            extra["stats"] = carry_forward_stats(
+                manifest,
+                partition_stats(spark, out, partition_cols, stats_cols),
+                touched | present,
+                parts,
+            )
         committed = commit_manifest(
             spark,
             path,
@@ -741,6 +758,7 @@ def atomic_upsert_partitioned(
             base_version=manifest["version"] if manifest else None,
             schema_hash=frame_schema_hash(out),
             table_schema=json.loads(out.schema.json()),
+            **extra,
         )
 
         if ledger_path is not None:
@@ -993,3 +1011,124 @@ def purge_rows(
     if vacuum_history:
         vacuum(spark, table_path, keep_manifests=1)
     return committed
+
+
+# ------------------------------------------------------- data skipping
+
+def _stat_scalar(v):
+    """JSON-safe, order-preserving rendering of a stats value: ISO
+    strings for datetimes (lexicographically ordered), native numbers
+    and strings as-is.  The SAME normalization applies to recorded
+    stats and to pruning bounds, so comparisons always happen in one
+    domain."""
+    import datetime as _dt
+
+    if isinstance(v, _dt.datetime):
+        return v.isoformat(sep=" ")
+    if isinstance(v, _dt.date):
+        return v.isoformat()
+    return v
+
+
+def partition_stats(
+    spark: SparkSession,
+    df: DataFrame,
+    partition_cols: Sequence[str],
+    stats_cols: Sequence[str],
+) -> dict[str, dict[str, list]]:
+    """Per-partition [min, max] of each stats column — ONE shuffle-free
+    (map-side combinable) aggregate over the frame being committed.
+    Keys are the same hive-escaped partition paths the manifest maps,
+    rendered with Spark's own escaping (`_partition_path_strings`
+    doctrine).  Null-only columns record [None, None] (never prunable).
+    """
+    esc = spark.sparkContext._jvm.org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+    aggs = []
+    for c in stats_cols:
+        aggs.append(F.min(c).alias(f"__mn_{c}"))
+        aggs.append(F.max(c).alias(f"__mx_{c}"))
+    rows = (
+        df.groupBy(*[F.col(c).cast("string").alias(c) for c in partition_cols])
+        .agg(*aggs)
+        .collect()
+    )
+    out: dict[str, dict[str, list]] = {}
+    for r in rows:
+        ppath = (
+            "/".join(
+                esc.getPartitionPathString(c, "" if r[c] is None else r[c])
+                for c in partition_cols
+            )
+            if partition_cols
+            else ROOT_PART
+        )
+        out[ppath] = {
+            c: [_stat_scalar(r[f"__mn_{c}"]), _stat_scalar(r[f"__mx_{c}"])]
+            for c in stats_cols
+        }
+    return out
+
+
+def carry_forward_stats(
+    prev_manifest: dict | None,
+    new_stats: dict[str, dict[str, list]],
+    touched: set[str],
+    final_partitions: dict[str, str],
+) -> dict[str, dict[str, list]]:
+    """Merge freshly-computed stats with the previous manifest's for
+    partitions whose GENERATION did not move.  A touched partition's
+    old stats are never carried (they describe a dead generation — the
+    stale-stats wrong-pruning hazard); a partition absent from the new
+    manifest drops out entirely."""
+    prev = (prev_manifest or {}).get("stats", {})
+    out = {
+        p: prev[p]
+        for p in final_partitions
+        if p in prev and p not in touched
+    }
+    out.update({p: s for p, s in new_stats.items() if p in final_partitions})
+    return out
+
+
+def read_table_skipping(
+    spark: SparkSession,
+    table_path: str,
+    bounds: dict[str, tuple],
+    at_version: int | None = None,
+) -> DataFrame | None:
+    """`read_table` with MANIFEST-LEVEL data skipping: partitions whose
+    recorded column stats prove no overlap with ``bounds`` (col →
+    inclusive (lo, hi); either side None = unbounded) are never listed,
+    opened, or footer-read — the Delta-transaction-log data-skipping
+    design on top of the generation manifest.  Partitions with no
+    recorded stats for a bounded column are read (skipping is only ever
+    an optimization — the caller still applies the row filter).  At
+    100k partitions this prunes from the driver-side JSON in
+    microseconds, before any filesystem call.
+    """
+    manifest = (
+        _manifest_at(spark, table_path, at_version)
+        if at_version is not None
+        else current_manifest(spark, table_path)
+    )
+    if manifest is None or not manifest["partitions"]:
+        return None
+    stats = manifest.get("stats", {})
+    keep: dict[str, str] = {}
+    for ppath, gid in manifest["partitions"].items():
+        drop = False
+        pstats = stats.get(ppath, {})
+        for col, (lo, hi) in bounds.items():
+            rng = pstats.get(col)
+            if not rng or rng[0] is None or rng[1] is None:
+                continue  # no usable stats: must read
+            if (hi is not None and _stat_scalar(hi) < rng[0]) or (
+                lo is not None and _stat_scalar(lo) > rng[1]
+            ):
+                drop = True
+                break
+        if not drop:
+            keep[ppath] = gid
+    if not keep:
+        return None
+    return _read_generation_dirs(spark, table_path, manifest, keep)

@@ -192,3 +192,58 @@ def test_purge_no_match_is_a_noop(spark, tmp_path):
     before = txn.current_manifest(spark, path)
     m = txn.purge_rows(spark, path, F.col("sym") == "ZZZ", ["day"])
     assert m["version"] == before["version"]  # no commit, history intact
+
+
+# ------------------------------------------------------- data skipping
+
+def test_manifest_data_skipping_prunes_and_stays_correct(spark, tmp_path):
+    path = str(tmp_path / "lake")
+    rows = [("A", _T(0), 1.0, "d1"), ("B", _T(1), 2.0, "d1"),
+            ("C", _T(10), 10.0, "d2"), ("D", _T(11), 11.0, "d2"),
+            ("E", _T(30), 30.0, "d3")]
+    txn.atomic_upsert_partitioned(
+        spark, _df(spark, rows), path, stats_cols=["v", "ts"], **KW
+    )
+    m = txn.current_manifest(spark, path)
+    assert m["stats"]["day=d1"]["v"] == [1.0, 2.0]
+    assert m["stats"]["day=d3"]["v"] == [30.0, 30.0]
+
+    # v in [9, 12]: stats exclude d1 and d3 -> only d2 files listed
+    df = txn.read_table_skipping(spark, path, {"v": (9.0, 12.0)})
+    assert all("day=d2" in f for f in df.inputFiles())
+    got = sorted(r["sym"] for r in df.where(F.col("v").between(9.0, 12.0)).collect())
+    assert got == ["C", "D"]
+
+    # timestamp bounds prune too (ISO rendering is order-preserving)
+    df2 = txn.read_table_skipping(spark, path, {"ts": (_T(25), None)})
+    assert all("day=d3" in f for f in df2.inputFiles())
+
+    # stats refresh on rewrite: bump d1's values, old bounds must not
+    # exclude the new rows
+    txn.atomic_upsert_partitioned(
+        spark, _df(spark, [("A", _T(0), 100.0, "d1")]), path,
+        stats_cols=["v", "ts"], **KW,
+    )
+    m2 = txn.current_manifest(spark, path)
+    assert m2["stats"]["day=d1"]["v"] == [2.0, 100.0]
+    assert m2["stats"]["day=d2"] == m["stats"]["day=d2"]  # carried forward
+    df3 = txn.read_table_skipping(spark, path, {"v": (50.0, None)})
+    assert {r["sym"] for r in df3.where(F.col("v") >= 50.0).collect()} == {"A"}
+
+    # nothing overlaps -> None (read nothing, open nothing)
+    assert txn.read_table_skipping(spark, path, {"v": (1e6, None)}) is None
+
+
+def test_data_skipping_safe_without_stats(spark, tmp_path):
+    """A commit that records no stats disables skipping rather than
+    mis-pruning: read_table_skipping reads everything and stays correct."""
+    path = str(tmp_path / "lake")
+    txn.atomic_upsert_partitioned(
+        spark,
+        _df(spark, [("A", _T(0), 1.0, "d1"), ("B", _T(10), 10.0, "d2")]),
+        path, **KW,  # no stats_cols
+    )
+    df = txn.read_table_skipping(spark, path, {"v": (9.0, 12.0)})
+    assert {r["day"] for r in df.collect()} == {"d1", "d2"}  # nothing pruned
+    got = [r["sym"] for r in df.where(F.col("v").between(9.0, 12.0)).collect()]
+    assert got == ["B"]
