@@ -91,6 +91,7 @@ BENCH_QUERIES = [
     "quality_lm_perplexity_unk_served",  # bounded persisted-fit serve
     "shuffle_export_shards",
     "quality_score_classifier",
+    "embedding_pca_project",         # codegen'd projection, persisted eigenfit
     "dedup_embedding_cosine",
     "dedup_semantic_clusters",
     "ann_cosine_topk",

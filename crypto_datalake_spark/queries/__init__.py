@@ -24,6 +24,7 @@ from crypto_datalake_spark.queries import (  # noqa: F401  (registration side-ef
     layout_q,
     llm,
     paragraphs,
+    pca,
     pipeline_q,
     product_analytics,
     retrieval,

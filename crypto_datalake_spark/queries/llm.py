@@ -1891,6 +1891,7 @@ def _model_artifact_specs(sf_dir: str):
     source veto the pre-build of every OTHER artifact."""
     from crypto_datalake_spark.queries import (
         curation,
+        pca,
         retrieval,
         tokenizer,
         tokenizer_unigram,
@@ -1920,6 +1921,9 @@ def _model_artifact_specs(sf_dir: str):
         # two paths, one shared Viterbi-EM fit (vocab + word->pieces)
         (lambda: tokenizer_unigram.unigram_model_paths(sf_dir),
          lambda spark: tokenizer_unigram.unigram_model_tables(spark, sf_dir)),
+        # two paths, one shared eigenfit (components + mean)
+        (lambda: pca.pca_model_paths(sf_dir),
+         lambda spark: pca.pca_model_tables(spark, sf_dir)),
     ]
 
 
