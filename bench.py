@@ -164,6 +164,13 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                # methodology: per-query min of N full evaluations (noop
+                # sink). The min is the steady-state estimator — single
+                # runs alias codegen/AQE warmup and host contention as
+                # regressions (r6 showed +25-31% single-run noise on
+                # sub-second queries whose plans were unchanged).
+                "runs_per_query": runs,
+                "timing": "min",
             }
         )
     )
