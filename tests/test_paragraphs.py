@@ -126,7 +126,6 @@ def test_bloom_actually_rejects_on_corpus(spark, sf_dir):
     # the production point: novel spans never reach the index — at the
     # registered params (1 Mbit, g=7, ~1.5k existing spans) the
     # candidate set must be essentially the true-member set
-    from crypto_datalake_spark.queries.llm import _served_model_table  # noqa: F401
     from crypto_datalake_spark.queries import REGISTRY
 
     out = REGISTRY["dedup_bloom_incremental"].fn(spark, sf_dir)

@@ -7,8 +7,6 @@ tests/test_oracle_parity.py.
 
 from __future__ import annotations
 
-from datetime import datetime
-
 from crypto_datalake_spark.queries import REGISTRY
 
 

@@ -9,8 +9,6 @@ from __future__ import annotations
 
 import math
 
-from pyspark.sql import functions as F
-
 from crypto_datalake_spark.queries.tokenizer_unigram import (
     learn_unigram,
     tokenize_unigram_frame,
