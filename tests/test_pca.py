@@ -82,3 +82,52 @@ def test_projection_matches_numpy_and_plan_is_map_only(spark, sf_dir):
             assert math.isclose(
                 got[(r["vec_id"], cid)], round(want, 9), abs_tol=1e-9
             )
+
+
+def test_projection_contracts_and_captures_spectrum_variance(spark, sf_dir):
+    """Exact invariants of an orthonormal projection, independent of the
+    data's structure (the synthetic embeddings are near-isotropic, so
+    neighbor-recall-style claims would test the data, not the code):
+
+    - contraction: every projected squared distance ≤ the raw centered
+      one (so PCA-space ANN candidate sets can over-approximate but the
+      distances never lie long);
+    - variance capture: corpus-wide, the ratio of projected to centered
+      total variance equals Σ(top-k eigenvalues)/total variance — the
+      fit's own explained-variance accounting, closed loop against the
+      served projection."""
+    from pyspark.sql import functions as F
+
+    from crypto_datalake_spark.queries import REGISTRY
+    from crypto_datalake_spark.queries.common import t
+
+    proj = REGISTRY["embedding_pca_project"].fn(spark, sf_dir).collect()
+    vecs: dict[int, np.ndarray] = {}
+    for r in proj:
+        vecs.setdefault(r["vec_id"], np.zeros(16))[r["comp_id"]] = r["coord"]
+
+    rows = (
+        t(spark, sf_dir, "embeddings").where(F.col("vec_id") != 0).collect()
+    )
+    raw = {r["vec_id"]: np.asarray([float(x) for x in r["embedding"]])
+           for r in rows}
+    _, mean_df = pca_model_tables(spark, sf_dir)
+    mean = np.asarray(mean_df.collect()[0]["mv"])
+
+    ids = sorted(raw)
+    for a, b in zip(ids[:20], ids[1:21]):  # contraction on sample pairs
+        d_raw = float(((raw[a] - mean) - (raw[b] - mean)) @ ((raw[a] - raw[b])))
+        d_pca = float((vecs[a] - vecs[b]) @ (vecs[a] - vecs[b]))
+        assert d_pca <= d_raw + 1e-6, (a, b, d_pca, d_raw)
+
+    centered = np.stack([raw[i] - mean for i in ids])
+    projected = np.stack([vecs[i] for i in ids])
+    ratio = float((projected**2).sum() / (centered**2).sum())
+    # the fit trained on (a superset sample of) these rows: the captured
+    # fraction must sit strictly between "nothing" and "everything" and
+    # match the eigen-spectrum's own accounting to a few percent
+    comps_df, _ = pca_model_tables(spark, sf_dir)
+    evar = sum(r["evar"] for r in comps_df.collect())
+    total = float((centered**2).sum() / max(1, len(ids) - 1))
+    assert 0.0 < ratio < 1.0
+    assert abs(ratio - evar / total) < 0.05, (ratio, evar / total)
