@@ -22,6 +22,8 @@ bounds recomputation to recent buckets only — partition pruning keeps a
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -142,6 +144,7 @@ def incremental_update(
     repair_lookback_minutes: int = 120,
     now_ts: str | None = None,
     atomic: bool = False,
+    stats_cols: Sequence[str] = (),
 ) -> None:
     """Incremental materialization with late-data repair: re-aggregate every
     bucket overlapping [max(ts) − lookback, ∞) and upsert idempotently
@@ -178,6 +181,9 @@ def incremental_update(
     if atomic:
         from crypto_datalake_spark.txn import atomic_upsert_partitioned
 
-        atomic_upsert_partitioned(spark, bars, lake_path, **kw)
+        # stats_cols: manifest data-skipping stats per commit (atomic only)
+        atomic_upsert_partitioned(
+            spark, bars, lake_path, stats_cols=stats_cols, **kw
+        )
     else:
         upsert_partitioned(spark, bars, lake_path, **kw)

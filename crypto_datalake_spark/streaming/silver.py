@@ -37,6 +37,7 @@ def foreach_batch_upsert(
     partition_cols: Sequence[str],
     derive_partitions: Callable[[DataFrame], DataFrame] | None = None,
     atomic: bool = False,
+    stats_cols: Sequence[str] = (),
 ) -> Callable[[DataFrame, int], None]:
     """Build a ``foreachBatch`` function that upserts each micro-batch.
 
@@ -45,6 +46,9 @@ def foreach_batch_upsert(
     leaves readers on the previous generation instead of a half-written
     batch, and the streaming checkpoint replays the batch into a clean
     retry — exactly-once table state even across multi-partition batches.
+    ``stats_cols`` (atomic only) records per-partition min/max column
+    stats in each commit so readers can manifest-prune
+    (``txn.read_table_skipping``) the streamed table.
     """
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
@@ -58,6 +62,7 @@ def foreach_batch_upsert(
             atomic_upsert_partitioned(
                 spark, batch_df, path,
                 keys=keys, order_cols=order_cols, partition_cols=partition_cols,
+                stats_cols=stats_cols,
             )
         else:
             upsert_partitioned(

@@ -419,6 +419,46 @@ def test_foreach_batch_upsert_atomic(spark, tmp_path, bronze_events):
     ] == 200.0
 
 
+def test_foreach_batch_upsert_records_skipping_stats(
+    spark, tmp_path, bronze_events
+):
+    """stats_cols on the atomic streaming sink: each micro-batch commit
+    records per-partition min/max, so the streamed silver table is
+    manifest-prunable with read_table_skipping."""
+    from crypto_datalake_spark.txn import current_manifest, read_table_skipping
+
+    src = str(tmp_path / "bronze_s")
+    bronze_events.write.parquet(src)
+    lake = str(tmp_path / "silver_s")
+    stream = spark.readStream.schema(_EVENTS_DDL).parquet(src)
+    sink = foreach_batch_upsert(
+        spark, lake,
+        keys=["symbol", "minute_ts"], order_cols=["max_event_time"],
+        partition_cols=["symbol"], atomic=True,
+        stats_cols=["minute_ts"],
+    )
+    q = (
+        minute_feature_stream(stream)
+        .writeStream.foreachBatch(sink)
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt_s"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    m = current_manifest(spark, lake)
+    assert "stats" in m and all("minute_ts" in s for s in m["stats"].values())
+    # bounds before the table's first minute prune EVERYTHING
+    assert read_table_skipping(
+        spark, lake, {"minute_ts": (None, dt.datetime(2020, 1, 1))}
+    ) is None
+    # and a covering bound reads the full table
+    df = read_table_skipping(
+        spark, lake, {"minute_ts": (dt.datetime(2020, 1, 1), None)}
+    )
+    assert df.count() == 2
+
+
 def test_session_stream_native_matches_batch(spark, tmp_path):
     """The built-in session_window backend emits the same closed sessions
     as the batch sessionize twin (away from the gap knife-edge)."""
