@@ -35,12 +35,19 @@ def grouped_agg_state(
     df: DataFrame, keys: list[str], measures: dict[str, str]
 ) -> DataFrame:
     """Materialize the maintainable state of ``SELECT keys, sum(col)…,
-    count(*) FROM df GROUP BY keys``: one decimal sum per measure alias
-    plus the group row count (needed to retire emptied groups)."""
-    return df.groupBy(*keys).agg(
-        *[F.sum(dec(src, DEC)).alias(a) for a, src in measures.items()],
-        F.count(F.lit(1)).alias(_N),
-    )
+    count(*) FROM df GROUP BY keys``: per measure a decimal sum (stored
+    0 for all-NULL groups) plus its NON-NULL count — SQL's sum is NULL
+    when every input is NULL, and a signed delta alone cannot tell
+    "sums to zero" from "no non-null values left", so the nn count is
+    what lets the view render NULL exactly like a recompute — plus the
+    group row count (retires emptied groups)."""
+    aggs = []
+    for a, src in measures.items():
+        aggs.append(
+            F.coalesce(F.sum(dec(src, DEC)), F.lit(0).cast(DEC)).alias(a)
+        )
+        aggs.append(F.count(src).alias(f"{a}__nn"))
+    return df.groupBy(*keys).agg(*aggs, F.count(F.lit(1)).alias(_N))
 
 
 def apply_delta(
@@ -54,14 +61,23 @@ def apply_delta(
     aggregation over the DIFF + one full-outer join against the state —
     never a table scan."""
     ins = F.col("__change") == "insert"
-    delta = diff.groupBy(*keys).agg(
-        *[
-            F.sum(
-                F.when(ins, dec(src, DEC)).otherwise(-dec(src, DEC))
+    delta_aggs = []
+    for a, src in measures.items():
+        delta_aggs.append(
+            F.coalesce(
+                F.sum(F.when(ins, dec(src, DEC)).otherwise(-dec(src, DEC))),
+                F.lit(0).cast(DEC),
             ).alias(a)
-            for a, src in measures.items()
-        ],
-        F.sum(F.when(ins, 1).otherwise(-1)).alias(_N),
+        )
+        delta_aggs.append(
+            F.sum(
+                F.when(ins & F.col(src).isNotNull(), 1)
+                .when(~ins & F.col(src).isNotNull(), -1)
+                .otherwise(0)
+            ).alias(f"{a}__nn")
+        )
+    delta = diff.groupBy(*keys).agg(
+        *delta_aggs, F.sum(F.when(ins, 1).otherwise(-1)).alias(_N)
     )
     s, d = state.alias("s"), delta.alias("d")
     cond = reduce(
@@ -71,34 +87,36 @@ def apply_delta(
     cols = [
         F.coalesce(F.col(f"s.{k}"), F.col(f"d.{k}")).alias(k) for k in keys
     ]
+
+    def _merged(col: str, zero):
+        return F.coalesce(F.col(f"s.{col}"), zero) + F.coalesce(
+            F.col(f"d.{col}"), zero
+        )
+
     for a in measures:
         # decimal + decimal is exact; an absent side contributes 0
-        cols.append(
-            (
-                F.coalesce(F.col(f"s.{a}"), F.lit(0).cast(DEC))
-                + F.coalesce(F.col(f"d.{a}"), F.lit(0).cast(DEC))
-            ).cast(DEC).alias(a)
-        )
-    cols.append(
-        (
-            F.coalesce(F.col(f"s.{_N}"), F.lit(0))
-            + F.coalesce(F.col(f"d.{_N}"), F.lit(0))
-        ).alias(_N)
-    )
+        cols.append(_merged(a, F.lit(0).cast(DEC)).cast(DEC).alias(a))
+        cols.append(_merged(f"{a}__nn", F.lit(0)).alias(f"{a}__nn"))
+    cols.append(_merged(_N, F.lit(0)).alias(_N))
     return s.join(d, cond, "full_outer").select(*cols).where(F.col(_N) > 0)
 
 
 def state_view(state: DataFrame, measures: dict[str, str]) -> DataFrame:
-    """The serving shape of the state: doubles for the sums, ``n_rows``,
-    and an exact-sum-over-exact-count average per measure."""
-    out = state
-    sel = [c for c in state.columns if c not in measures and c != _N]
+    """The serving shape of the state: per measure the sum as double
+    (NULL when the group holds no non-null values, exactly as a
+    recomputed SQL sum would be) and the SQL-AVG average (sum over the
+    NON-NULL count — not count(*)), plus ``n_rows``."""
+    aux = {f"{a}__nn" for a in measures}
+    sel = [
+        c for c in state.columns if c not in measures and c != _N and c not in aux
+    ]
     for a in measures:
-        sel.append(F.col(a).cast("double").alias(a))
+        nn = F.col(f"{a}__nn")
+        sel.append(F.when(nn > 0, F.col(a).cast("double")).alias(a))
         sel.append(
-            (F.col(a).cast("double") / F.col(_N).cast("double")).alias(
+            F.when(nn > 0, F.col(a).cast("double") / nn.cast("double")).alias(
                 f"{a}_avg"
             )
         )
     sel.append(F.col(_N).alias("n_rows"))
-    return out.select(*sel)
+    return state.select(*sel)

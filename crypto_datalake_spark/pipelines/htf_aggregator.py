@@ -155,6 +155,11 @@ def incremental_update(
     a tick that dies mid-write can never leave some repaired days visible
     and others stale (read the lake back with ``txn.read_table``).
     """
+    if stats_cols and not atomic:
+        raise ValueError(
+            "stats_cols requires atomic=True — only manifest commits can "
+            "record data-skipping stats"
+        )
     horizon = (
         F.lit(now_ts).cast("timestamp_ntz")
         if now_ts

@@ -1196,6 +1196,18 @@ def dedup_recall_eval(spark, sf_dir):
 _WS_RUN = "[ \t\n\r\f\x0b]+"
 
 
+def norm_text_expr(col: str = "text"):
+    """Spark: the canonicalization expression (lowercase, collapse
+    whitespace runs, trim) — the ONE spelling every consumer composes
+    (text_normalize, the composed curation pipeline)."""
+    return F.trim(F.regexp_replace(F.lower(F.col(col)), _WS_RUN, " "))
+
+
+def norm_text_sql(expr: str = "text") -> str:
+    """DuckDB twin of :func:`norm_text_expr`."""
+    return f"trim(regexp_replace(lower({expr}), '{_WS_RUN}', ' ', 'g'))"
+
+
 def normalize_text_frame(d):
     """(doc_id, norm_text, changed) — the canonicalization pass that runs
     BEFORE hashing/dedup in C4/CCNet-style pipelines, so that
@@ -1206,7 +1218,7 @@ def normalize_text_frame(d):
     corpus); full-Unicode case mapping is engine-specific (JVM
     toLowerCase maps U+0130 to "i"+combining-dot, DuckDB to "i") and
     out of the oracle contract."""
-    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), _WS_RUN, " "))
+    norm = norm_text_expr()
     return d.select(
         "doc_id",
         norm.alias("norm_text"),
@@ -1218,8 +1230,8 @@ def normalize_text_frame(d):
     "text_normalize",
     sql=f"""
     SELECT doc_id,
-           trim(regexp_replace(lower(text), '{_WS_RUN}', ' ', 'g')) AS norm_text,
-           trim(regexp_replace(lower(text), '{_WS_RUN}', ' ', 'g'))
+           {norm_text_sql('text')} AS norm_text,
+           {norm_text_sql('text')}
              IS DISTINCT FROM text AS changed
     FROM documents
     """,

@@ -16,9 +16,22 @@ from crypto_datalake_spark.queries.registry import register
 
 
 # One stopword list for every text-quality heuristic (text_quality_score,
-# text_profile, the quality classifier) so they cannot drift independently.
-# The SQL oracles inline the same literals.
+# text_profile, the quality classifier, the composed curation pipeline)
+# so they cannot drift independently.  The shared fragments below are
+# the ONLY spellings of the membership test — every SQL oracle and
+# Spark expression composes them.
 _STOPWORDS = ("the", "a", "of", "and", "is")
+STOP_SQL = ", ".join(repr(w) for w in _STOPWORDS)
+
+
+def stop_count_expr(tok):
+    """Spark: number of stopword tokens in an array column."""
+    return F.size(F.filter(tok, lambda x: x.isin(*_STOPWORDS)))
+
+
+def stop_count_sql(tok_expr: str) -> str:
+    """DuckDB twin of :func:`stop_count_expr`."""
+    return f"len(list_filter({tok_expr}, x -> x IN ({STOP_SQL})))"
 
 
 def _dot(a, b):
@@ -130,7 +143,7 @@ def text_token_stats(spark, sf_dir):
 def text_quality_score(spark, sf_dir):
     d = t(spark, sf_dir, "documents")
     tok = F.split(F.col("text"), " ")
-    n_stop = F.size(F.filter(tok, lambda x: x.isin(*_STOPWORDS)))
+    n_stop = stop_count_expr(tok)
     n_tok = F.size(tok)
     return d.select(
         "doc_id",
@@ -214,7 +227,7 @@ def text_profile(spark, sf_dir):
         .when(counts["de"] > 0, "de")
         .otherwise("unknown")
     )
-    n_stop = F.size(F.filter(tok, lambda x: x.isin(*_STOPWORDS)))
+    n_stop = stop_count_expr(tok)
     n_tok = F.size(tok)
     return d.select(
         "doc_id",
@@ -1720,7 +1733,7 @@ def doc_quality_features():
     feature extraction is a map pass with zero Python at any scale."""
     tok = F.split("text", " ")
     n_tok = F.size(tok).cast("double")
-    n_stop = F.size(F.filter(tok, lambda x: x.isin(*_STOPWORDS))).cast("double")
+    n_stop = stop_count_expr(tok).cast("double")
     return F.array(
         F.log1p(n_tok),
         n_stop / n_tok,

@@ -33,8 +33,8 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from crypto_datalake_spark.queries.common import t
-from crypto_datalake_spark.queries.curation import _WS_RUN
-from crypto_datalake_spark.queries.llm import _STOPWORDS
+from crypto_datalake_spark.queries.curation import norm_text_expr, norm_text_sql
+from crypto_datalake_spark.queries.llm import stop_count_expr, stop_count_sql
 from crypto_datalake_spark.queries.registry import register
 
 _CP_MIN_TOKENS = 24     # Gopher-style minimum document length (tokens)
@@ -57,12 +57,13 @@ def curation_pipeline_frame(
     concat-and-chunk over kept tokens)."""
     from crypto_datalake_spark.ops.prefix import cum_before
 
-    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), _WS_RUN, " "))
-    base = d.select("doc_id", "source", norm.alias("norm_text"))
+    # the SHARED stage definitions (norm_text_expr / stop_count_expr) —
+    # the composition can't drift from text_normalize / the quality tier
+    base = d.select("doc_id", "source", norm_text_expr().alias("norm_text"))
 
     tok = F.split(F.col("norm_text"), " ")
     n_tok = F.size(tok).cast("long")
-    n_stop = F.size(F.filter(tok, lambda x: x.isin(*_STOPWORDS))).cast("long")
+    n_stop = stop_count_expr(tok).cast("long")
     staged = base.select(
         "doc_id",
         "source",
@@ -112,15 +113,12 @@ def curation_pipeline_frame(
     )
 
 
-_CP_STOP_SQL = ", ".join(repr(w) for w in _STOPWORDS)
-
 @register(
     "curation_pipeline",
     sql=f"""
     WITH n AS (
       SELECT doc_id, source,
-             trim(regexp_replace(lower(text), '{_WS_RUN}', ' ', 'g'))
-               AS norm_text
+             {norm_text_sql('text')} AS norm_text
       FROM documents
     ),
     s AS (
@@ -132,7 +130,7 @@ _CP_STOP_SQL = ", ".join(repr(w) for w in _STOPWORDS)
       SELECT doc_id, source,
              min(doc_id) OVER (PARTITION BY h) AS canon,
              CAST(len(tok) AS BIGINT) AS n_tokens,
-             CAST(len(list_filter(tok, x -> x IN ({_CP_STOP_SQL})))
+             CAST({stop_count_sql('tok')}
                   AS DOUBLE) / CAST(len(tok) AS DOUBLE) AS stop_ratio
       FROM s
     ),

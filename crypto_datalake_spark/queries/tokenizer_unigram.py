@@ -114,8 +114,14 @@ def learn_unigram(
     vocab = chars | set(multi)
 
     def normalize(counts: dict) -> dict:
-        total = sum(counts.values())
-        return {p: math.log(c / total) for p, c in counts.items()}
+        # sum and emit in SORTED piece order: dict/set iteration order is
+        # PYTHONHASHSEED-dependent, and with the epsilon float counts a
+        # reordered sum differs by ULPs — enough to flip the Viterbi
+        # exact-equality tie-break and break bit-identical refits across
+        # processes
+        pieces = sorted(counts)
+        total = sum(counts[p] for p in pieces)
+        return {p: math.log(counts[p] / total) for p in pieces}
 
     logp = normalize({p: subs[p] for p in vocab})
 

@@ -51,6 +51,13 @@ def foreach_batch_upsert(
     (``txn.read_table_skipping``) the streamed table.
     """
 
+    if stats_cols and not atomic:
+        raise ValueError(
+            "stats_cols requires atomic=True — only manifest commits can "
+            "record data-skipping stats; a silent drop would surface as "
+            "an unprunable table at read time"
+        )
+
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         if derive_partitions is not None:
             batch_df = derive_partitions(batch_df)

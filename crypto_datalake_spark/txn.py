@@ -536,19 +536,30 @@ def _partition_path_strings(
     ``.500000``) — and a mis-rendered key maps a directory that does not
     exist (reads fail) or misses one that does (deleted rows resurrect
     through ``_drop_emptied_partitions``)."""
-    esc = spark.sparkContext._jvm.org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+    esc = _hive_escaper(spark)
     rendered = df.select(
         *[F.col(c).cast("string").alias(c) for c in partition_cols]
     ).distinct()
-    out = []
-    for r in rendered.collect():
-        out.append(
-            "/".join(
-                esc.getPartitionPathString(c, "" if r[c] is None else r[c])
-                for c in partition_cols
-            )
-        )
-    return out
+    return [
+        _hive_partition_path(esc, r, partition_cols) for r in rendered.collect()
+    ]
+
+
+def _hive_escaper(spark: SparkSession):
+    return spark.sparkContext._jvm.org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+
+
+def _hive_partition_path(esc, row, partition_cols: Sequence[str]) -> str:
+    """Render ONE collected row (of Spark-cast-to-string partition
+    values) to its hive-escaped relative path — the single spelling
+    shared by the manifest partition map and the stats map, so the two
+    can never key the same partition under different strings."""
+    if not partition_cols:
+        return ROOT_PART
+    return "/".join(
+        esc.getPartitionPathString(c, "" if row[c] is None else row[c])
+        for c in partition_cols
+    )
 
 
 def _align_to(df: DataFrame, cols: Sequence[str], typ: dict) -> DataFrame:
@@ -737,19 +748,23 @@ def atomic_upsert_partitioned(
         touched = set(
             _partition_path_strings(spark, incoming, partition_cols)
         )
-        present = set(_partition_path_strings(spark, out, partition_cols))
+        extra: dict = {}
+        if stats_cols:
+            # the stats aggregate groups the SAME frame by the SAME
+            # rendered partition values — its keys ARE the present set,
+            # so the separate distinct-collect job is skipped
+            stats_new = partition_stats(spark, out, partition_cols, stats_cols)
+            present = set(stats_new)
+        else:
+            present = set(_partition_path_strings(spark, out, partition_cols))
         parts = dict(manifest["partitions"]) if manifest else {}
         for p in touched:
             parts.pop(p, None)  # emptied partitions stay gone
         for p in present:
             parts[p] = gid
-        extra: dict = {}
         if stats_cols:
             extra["stats"] = carry_forward_stats(
-                manifest,
-                partition_stats(spark, out, partition_cols, stats_cols),
-                touched | present,
-                parts,
+                manifest, stats_new, touched | present, parts
             )
         committed = commit_manifest(
             spark,
@@ -830,6 +845,9 @@ def atomic_merge_into(
             parts,
             base_version=base_version,
             table_schema=json.loads(out.schema.json()),
+            **_refresh_stats_extra(
+                spark, manifest, out, partition_cols, touched_paths, parts
+            ),
         )
     finally:
         out.unpersist()
@@ -894,6 +912,12 @@ def compact_partitions(
         if "table_schema" in manifest
         else {}
     )
+    if "stats" in manifest:
+        # same rows, new layout: recorded bounds still describe the live
+        # generation exactly, so they carry through verbatim
+        carry["stats"] = {
+            p: s for p, s in manifest["stats"].items() if p in parts
+        }
     return commit_manifest(
         spark, table_path, parts, base_version=manifest["version"], **carry
     )
@@ -944,6 +968,34 @@ def vacuum(spark: SparkSession, table_path: str, keep_manifests: int = 3) -> int
                 jvm.org.apache.hadoop.fs.Path(_manifest_path(table_path, v)), False
             )
     return removed
+
+
+def _refresh_stats_extra(
+    spark: SparkSession,
+    manifest: dict | None,
+    out: DataFrame,
+    partition_cols: Sequence[str],
+    touched: set[str],
+    final_partitions: dict[str, str],
+) -> dict:
+    """Recompute data-skipping stats for a rewrite commit: when the
+    previous manifest recorded stats, the rewritten partitions get FRESH
+    bounds over ``out`` (for the same columns, where they still exist)
+    and untouched partitions carry forward — so a merge or purge never
+    silently disables skipping table-wide.  Returns ``{}`` (no stats
+    key) when the table never recorded stats."""
+    prev = (manifest or {}).get("stats") or {}
+    if not prev:
+        return {}
+    cols = sorted(
+        {c for pstats in prev.values() for c in pstats} & set(out.columns)
+    )
+    new_stats = partition_stats(spark, out, partition_cols, cols) if cols else {}
+    return {
+        "stats": carry_forward_stats(
+            manifest, new_stats, touched | set(new_stats), final_partitions
+        )
+    }
 
 
 def purge_rows(
@@ -1005,6 +1057,9 @@ def purge_rows(
             base_version=manifest["version"],
             schema_hash=frame_schema_hash(keep),
             table_schema=json.loads(keep.schema.json()),
+            **_refresh_stats_extra(
+                spark, manifest, keep, partition_cols, touched, parts
+            ),
         )
     finally:
         keep.unpersist()
@@ -1042,7 +1097,7 @@ def partition_stats(
     rendered with Spark's own escaping (`_partition_path_strings`
     doctrine).  Null-only columns record [None, None] (never prunable).
     """
-    esc = spark.sparkContext._jvm.org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+    esc = _hive_escaper(spark)
     aggs = []
     for c in stats_cols:
         aggs.append(F.min(c).alias(f"__mn_{c}"))
@@ -1054,14 +1109,7 @@ def partition_stats(
     )
     out: dict[str, dict[str, list]] = {}
     for r in rows:
-        ppath = (
-            "/".join(
-                esc.getPartitionPathString(c, "" if r[c] is None else r[c])
-                for c in partition_cols
-            )
-            if partition_cols
-            else ROOT_PART
-        )
+        ppath = _hive_partition_path(esc, r, partition_cols)
         out[ppath] = {
             c: [_stat_scalar(r[f"__mn_{c}"]), _stat_scalar(r[f"__mx_{c}"])]
             for c in stats_cols

@@ -118,6 +118,48 @@ def test_null_group_key_maintains(spark, tmp_path):
     assert len(nulls) == 1 and nulls[0]["__n_rows"] == 2
 
 
+def test_all_null_measure_group_matches_recompute(spark, tmp_path):
+    """The NULL-measure edge: when a CDC tick deletes a group's last
+    non-null value, SQL's recomputed sum is NULL — the maintained state
+    must say NULL too, not 0 (the signed-delta failure mode the per-
+    measure non-null count exists to close)."""
+    path = str(tmp_path / "lake")
+    txn.atomic_upsert_partitioned(
+        spark,
+        _df(spark, [("A", _T(0), 5.0, "d1"), ("A", _T(1), None, "d1")]),
+        path, **KW,
+    )
+    state = grouped_agg_state(txn.read_table(spark, path), KEYS, MEAS)
+    # delete the only non-null row: A keeps one (all-NULL) row
+    txn.atomic_merge_into(
+        spark,
+        _df(spark, [("A", _T(0), 0.0, "d1")]),
+        path,
+        on=["sym", "ts"],
+        partition_cols=["day"],
+        delete_condition=F.lit(True),
+        insert=False,
+    )
+    state = apply_delta(state, txn.table_diff(spark, path, 1, 2), KEYS, MEAS)
+    want = grouped_agg_state(txn.read_table(spark, path), KEYS, MEAS)
+    assert _rows(state) == _rows(want)
+    view = {r["sym"]: r for r in state_view(state, MEAS).collect()}
+    assert view["A"]["v_sum"] is None          # NULL, never 0.0
+    assert view["A"]["v_sum_avg"] is None
+    assert view["A"]["n_rows"] == 1
+
+    # and re-inserting a value resurrects the sum exactly
+    txn.atomic_upsert_partitioned(
+        spark, _df(spark, [("A", _T(2), 2.5, "d1")]), path, **KW
+    )
+    state = apply_delta(state, txn.table_diff(spark, path, 2, 3), KEYS, MEAS)
+    assert _rows(state) == _rows(
+        grouped_agg_state(txn.read_table(spark, path), KEYS, MEAS)
+    )
+    view = {r["sym"]: r for r in state_view(state, MEAS).collect()}
+    assert view["A"]["v_sum"] == 2.5 and view["A"]["v_sum_avg"] == 2.5
+
+
 # --------------------------------------------------------------- purge
 
 def _all_generation_rows(spark, path):
@@ -247,3 +289,40 @@ def test_data_skipping_safe_without_stats(spark, tmp_path):
     assert {r["day"] for r in df.collect()} == {"d1", "d2"}  # nothing pruned
     got = [r["sym"] for r in df.where(F.col("v").between(9.0, 12.0)).collect()]
     assert got == ["B"]
+
+
+def test_stats_survive_merge_purge_and_compaction(spark, tmp_path):
+    """Rewrite commits must not silently disable data skipping: merge
+    and purge refresh stats for the partitions they rewrite and carry
+    untouched ones forward; compaction (same rows) carries verbatim."""
+    path = str(tmp_path / "lake")
+    txn.atomic_upsert_partitioned(
+        spark,
+        _df(spark, [("A", _T(0), 1.0, "d1"), ("B", _T(1), 50.0, "d2")]),
+        path, stats_cols=["v"], **KW,
+    )
+    # merge-delete the A row: d1 vanishes, d2's stats carry forward
+    txn.atomic_merge_into(
+        spark, _df(spark, [("A", _T(0), 0.0, "d1")]), path,
+        on=["sym", "ts"], partition_cols=["day"],
+        delete_condition=F.lit(True), insert=False,
+    )
+    m = txn.current_manifest(spark, path)
+    assert m["stats"] == {"day=d2": {"v": [50.0, 50.0]}}
+    assert txn.read_table_skipping(spark, path, {"v": (100.0, None)}) is None
+
+    # upsert a new low-v row into d2, then purge it: d2's stats refresh
+    txn.atomic_upsert_partitioned(
+        spark, _df(spark, [("C", _T(2), 1.0, "d2")]), path,
+        stats_cols=["v"], **KW,
+    )
+    assert txn.current_manifest(spark, path)["stats"]["day=d2"]["v"] == [1.0, 50.0]
+    txn.purge_rows(spark, path, F.col("sym") == "C", ["day"])
+    m2 = txn.current_manifest(spark, path)
+    assert m2["stats"]["day=d2"]["v"] == [50.0, 50.0]  # fresh, not stale
+
+    # compaction: same rows -> stats carry verbatim
+    txn.compact_partitions(spark, path)
+    assert txn.current_manifest(spark, path)["stats"] == m2["stats"]
+    df = txn.read_table_skipping(spark, path, {"v": (40.0, 60.0)})
+    assert [r["sym"] for r in df.collect()] == ["B"]
