@@ -74,6 +74,7 @@ BENCH_QUERIES = [
     "layout_zorder_key",             # Morton key, no shuffle (full oracle)
     "sample_domain_mixture",
     "sample_dsir",                   # DSIR importance resample (full oracle)
+    "sample_token_budget_plan",      # token-budget data recipe (full oracle)
     "dedup_ngram_jaccard",
     "doc_fingerprints",
     "text_profile",

@@ -1977,3 +1977,70 @@ def ensure_model_tables(spark, sf_dir: str) -> None:
     :func:`missing_model_builds`)."""
     for build in missing_model_builds(sf_dir):
         build(spark)
+
+
+_BUDGET_TOKENS = 50_000  # total training-token budget for the plan
+
+
+@register(
+    "sample_token_budget_plan",
+    sql=f"""
+    WITH a AS (
+      SELECT source,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+               AS avail_tokens
+      FROM documents GROUP BY source
+    ),
+    n AS (SELECT count(*) AS n_domains FROM a)
+    SELECT source, n_docs, avail_tokens,
+           CAST({_BUDGET_TOKENS} AS DOUBLE) / n_domains AS target_tokens,
+           CASE WHEN CAST({_BUDGET_TOKENS} AS DOUBLE) / n_domains
+                     <= CAST(avail_tokens AS DOUBLE)
+                THEN CAST(1 AS BIGINT)
+                ELSE CAST(ceil((CAST({_BUDGET_TOKENS} AS DOUBLE) / n_domains)
+                          / CAST(avail_tokens AS DOUBLE)) AS BIGINT)
+           END AS epochs,
+           round((CAST({_BUDGET_TOKENS} AS DOUBLE) / n_domains)
+                 / (CAST(avail_tokens AS DOUBLE)
+                    * CASE WHEN CAST({_BUDGET_TOKENS} AS DOUBLE) / n_domains
+                                <= CAST(avail_tokens AS DOUBLE)
+                           THEN 1
+                           ELSE CAST(ceil((CAST({_BUDGET_TOKENS} AS DOUBLE)
+                                           / n_domains)
+                                     / CAST(avail_tokens AS DOUBLE)) AS BIGINT)
+                      END), 9) AS rate
+    FROM a CROSS JOIN n
+    """,
+    doc="Token-budget mixture plan (the data-recipe step ahead of "
+    "sample_domain_mixture): per source domain, available tokens, the "
+    "uniform-mixture token target for a fixed total budget, the epoch "
+    "count (upsampling by repetition when the target exceeds the "
+    "domain's supply — the LLaMA-recipe shape), and the per-epoch "
+    "acceptance rate sized so expected sampled tokens hit the target "
+    "exactly. One per-domain aggregate (domain-count-sized frame "
+    "broadcast back); the plan rows then parameterize the shuffle-free "
+    "hash-threshold sampler. All double arithmetic, rounded to 9 dp — "
+    "full static DuckDB oracle.",
+)
+def sample_token_budget_plan(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    a = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(F.split("text", " ")).cast("long")).alias("avail_tokens"),
+    )
+    n = a.agg(F.count(F.lit(1)).alias("n_domains"))
+    j = a.crossJoin(F.broadcast(n))
+    target = F.lit(float(_BUDGET_TOKENS)) / F.col("n_domains")
+    avail = F.col("avail_tokens").cast("double")
+    epochs = F.when(target <= avail, F.lit(1).cast("long")).otherwise(
+        F.ceil(target / avail).cast("long")
+    )
+    return j.select(
+        "source",
+        "n_docs",
+        "avail_tokens",
+        target.alias("target_tokens"),
+        epochs.alias("epochs"),
+        F.round(target / (avail * epochs.cast("double")), 9).alias("rate"),
+    )

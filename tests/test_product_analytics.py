@@ -156,3 +156,44 @@ def test_dq_expectations_counts_each_rule(spark, monkeypatch, tmp_path):
     assert out["event_id_unique"]["n_violations"] == 1       # id 0 twice
     assert all(not out[r]["passed"] for r in out)
     assert all(out[r]["n_rows"] == 4 for r in out)
+
+
+def test_token_budget_plan_hits_target_in_expectation(spark, sf_dir):
+    from crypto_datalake_spark.queries import REGISTRY
+
+    rows = REGISTRY["sample_token_budget_plan"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        # expected sampled tokens = rate * avail * epochs == target (9dp)
+        assert abs(
+            r["rate"] * r["avail_tokens"] * r["epochs"] - r["target_tokens"]
+        ) < max(1e-6 * r["target_tokens"], 1e-3)
+        assert 0.0 < r["rate"] <= 1.0
+        assert r["epochs"] >= 1
+        # upsampling only when the domain is genuinely short of tokens
+        assert (r["epochs"] > 1) == (r["avail_tokens"] < r["target_tokens"])
+
+
+def test_token_budget_plan_downsamples_rich_domains(spark, monkeypatch, tmp_path):
+    # the planner reads via queries.common.t, which bound load_table at
+    # import time — patch the binding common actually calls
+    import crypto_datalake_spark.queries.common as cio
+    from crypto_datalake_spark.queries import REGISTRY
+
+    body = "tok " * 60_000  # one domain holds the whole budget many times
+    docs = spark.createDataFrame(
+        [(1, body.strip(), "en", "rich", len(body)),
+         (2, "tiny doc", "en", "poor", 8)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    monkeypatch.setattr(cio, "load_table", lambda s, d, n: docs)
+    out = {
+        r["source"]: r
+        for r in REGISTRY["sample_token_budget_plan"]
+        .fn(spark, str(tmp_path))
+        .collect()
+    }
+    rich, poor = out["rich"], out["poor"]
+    assert rich["epochs"] == 1 and rich["rate"] < 1.0   # downsample
+    assert poor["epochs"] > 1                            # upsample by repeat
+    assert rich["target_tokens"] == poor["target_tokens"] == 25_000.0
