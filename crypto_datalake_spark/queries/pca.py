@@ -118,31 +118,15 @@ def pca_model_paths(sf_dir: str, k: int = _PCA_K) -> list[str]:
     ]
 
 
-def project_expr(comp: list[float], mean: list[float]):
-    """One projection coordinate as a codegen'd fold:
-    Σ_i (x_i − m_i)·c_i, rounded to 9 dp (ANN-family discipline)."""
-    centered_prod = F.zip_with(
-        F.col("embedding").cast("array<double>"),
-        F.lit([float(m) for m in mean]),
-        lambda x, m: x - m,
-    )
-    prod = F.zip_with(
-        centered_prod, F.lit([float(c) for c in comp]), lambda xc, c: xc * c
-    )
-    return F.round(
-        F.aggregate(prod, F.lit(0.0), lambda acc, v: acc + v), 9
-    )
-
-
 def project_all_expr(comps: list[list[float]], mean: list[float]):
-    """All k coordinates in one pass: center the embedding ONCE, then
-    fold each row of a k×d nested-array literal against it.  Same math
-    and fold order as k :func:`project_expr` calls (the oracle is
-    unchanged), but the centered array is shared instead of recomputed
-    per coordinate and the plan carries one expression tree instead of
-    k — measured 2.08 → 1.56 s at sf0.1 (the remaining cost is the
-    row explosion, not the arithmetic); at scale the saving is k−1
-    subtraction passes per row.  Returns array<double>[k]."""
+    """All k projection coordinates (Σ_i (x_i − m_i)·c_i, rounded to
+    9 dp — the ANN-family discipline) in one pass: center the embedding
+    ONCE, then fold each row of a k×d nested-array literal against it.
+    One expression tree instead of k, and the centered array is shared
+    instead of recomputed per coordinate — measured 2.08 → 1.56 s at
+    sf0.1 (the remaining cost is the row explosion, not the
+    arithmetic); at scale the saving is k−1 subtraction passes per
+    row.  Returns array<double>[k] in ``comps`` order."""
     centered = F.zip_with(
         F.col("embedding").cast("array<double>"),
         F.lit([float(m) for m in mean]),
@@ -202,7 +186,15 @@ def embedding_pca_project(spark, sf_dir):
     comps = sorted(
         ((r["comp_id"], r["cv"]) for r in comps_df.collect()),
     )
-    assert [cid for cid, _ in comps] == list(range(len(comps)))
+    # posexplode derives comp_id from ARRAY POSITION, which is only
+    # valid when the persisted ids are contiguous 0..k-1 — a stale or
+    # reordered artifact must fail loudly, not mislabel every coordinate
+    ids = [cid for cid, _ in comps]
+    if ids != list(range(len(comps))):
+        raise ValueError(
+            f"pca_components ids must be contiguous 0..{len(comps) - 1}, "
+            f"got {ids} — stale artifact? delete the warehouse table to refit"
+        )
     mean = mean_df.collect()[0]["mv"]
     e = t(spark, sf_dir, "embeddings").where(F.col("vec_id") != 0)
     coords = project_all_expr([cv for _, cv in comps], mean)

@@ -115,19 +115,40 @@ def test_ivm_matches_recompute_under_random_churn(spark, tmp_path):
             txn.atomic_upsert_partitioned(spark, mk(uniq), path, **KW)
         else:
             tbl = txn.read_table(spark, path)
-            live = tbl.collect() if tbl is not None else []
+            live = (
+                sorted(
+                    tbl.collect(),
+                    key=lambda r: [(v is None, str(v)) for v in r],
+                )
+                if tbl is not None
+                else []
+            )  # collect order is not guaranteed; sort so the rng's
+            # victim schedule is identical on every run (seed 11 kills
+            # a NULL-sym row at tick 6 — the NULL-key group-death path)
             if not live:
                 continue
             victim = rng.choice(live)
-            txn.atomic_merge_into(
-                spark,
-                mk([(victim["sym"], victim["ts"], 0.0, victim["day"])]),
-                path,
-                on=["sym", "ts"],
-                partition_cols=["day"],
-                delete_condition=F.lit(True),
-                insert=False,
-            )
+            if victim["sym"] is None:
+                # merge joins on plain equality (intentionally not
+                # null-safe), so a NULL-key victim would be a silent
+                # no-op — delete it through purge_rows, which CAN
+                # address NULL keys; vacuum off so table_diff(v-1, v)
+                # below still resolves the prior manifest
+                txn.purge_rows(
+                    spark, path,
+                    F.col("sym").isNull() & (F.col("ts") == F.lit(victim["ts"])),
+                    ["day"], vacuum_history=False,
+                )
+            else:
+                txn.atomic_merge_into(
+                    spark,
+                    mk([(victim["sym"], victim["ts"], 0.0, victim["day"])]),
+                    path,
+                    on=["sym", "ts"],
+                    partition_cols=["day"],
+                    delete_condition=F.lit(True),
+                    insert=False,
+                )
         v = txn.current_manifest(spark, path)["version"]
         state = apply_delta(
             state, txn.table_diff(spark, path, v - 1, v), KEYS, MEAS
