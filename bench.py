@@ -102,6 +102,8 @@ BENCH_QUERIES = [
     "ann_ivf_kmeans",
     "ann_ivf_pq",
     "dq_expectations",               # one-scan declarative DQ rule gate
+    "feature_quantile_bins",         # exact nearest-rank discretization
+    "feature_target_encode",         # leave-one-out categorical encoding
     "funnel_conversion",             # one-shuffle ordered-funnel walk
     "retention_cohorts",             # signup-cohort weekly retention
     "st2_streaming_minute_agg",

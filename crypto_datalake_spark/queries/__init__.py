@@ -20,6 +20,7 @@ from crypto_datalake_spark.queries import (  # noqa: F401  (registration side-ef
     curation,
     dedup,
     derived,
+    features_q,
     joins,
     layout_q,
     llm,

@@ -197,3 +197,53 @@ def test_token_budget_plan_downsamples_rich_domains(spark, monkeypatch, tmp_path
     assert rich["epochs"] == 1 and rich["rate"] < 1.0   # downsample
     assert poor["epochs"] > 1                            # upsample by repeat
     assert rich["target_tokens"] == poor["target_tokens"] == 25_000.0
+
+
+def test_quantile_bins_balanced_and_null_safe(spark, monkeypatch, tmp_path):
+    # features_q binds load_table at module import — patch its binding
+    import crypto_datalake_spark.queries.features_q as cio
+    from crypto_datalake_spark.queries import REGISTRY
+    from pyspark.sql import functions as F
+
+    # values 1..8 in one type: quartile edges 2/4/6 -> two rows per bin;
+    # plus a NULL value that must keep a NULL bin
+    rows = [(i, "2024-01-05 00:00:00", 1, "click", float(i), "{}") for i in range(1, 9)]
+    rows.append((9, "2024-01-05 00:00:00", 1, "click", None, "{}"))
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, event_type string, "
+        "value double, props string",
+    ).withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    monkeypatch.setattr(cio, "load_table", lambda s, d, n: ev)
+    out = {
+        r["event_id"]: r["bin"]
+        for r in REGISTRY["feature_quantile_bins"].fn(spark, str(tmp_path)).collect()
+    }
+    assert out == {1: 0, 2: 0, 3: 1, 4: 1, 5: 2, 6: 2, 7: 3, 8: 3, 9: None}
+
+
+def test_target_encode_leaves_one_out(spark, monkeypatch, tmp_path):
+    import crypto_datalake_spark.queries.features_q as cio
+    from crypto_datalake_spark.queries import REGISTRY
+    from pyspark.sql import functions as F
+
+    rows = [
+        (1, "2024-01-05 00:00:00", 1, "click", 10.0, "{}"),
+        (2, "2024-01-05 00:01:00", 1, "click", 20.0, "{}"),
+        (3, "2024-01-05 00:02:00", 1, "click", 30.0, "{}"),
+        (4, "2024-01-05 00:03:00", 1, "view", 7.0, "{}"),   # singleton
+        (5, "2024-01-05 00:04:00", 1, "click", None, "{}"),  # null target
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, event_type string, "
+        "value double, props string",
+    ).withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    monkeypatch.setattr(cio, "load_table", lambda s, d, n: ev)
+    out = {
+        r["event_id"]: r["te"]
+        for r in REGISTRY["feature_target_encode"].fn(spark, str(tmp_path)).collect()
+    }
+    assert out[1] == 25.0 and out[2] == 20.0 and out[3] == 15.0  # LOO means
+    assert out[4] is None  # singleton category: no peers to average
+    assert out[5] is None  # null target contributes nothing, encodes nothing
