@@ -70,6 +70,7 @@ BENCH_QUERIES = [
     "scrub_exact_substrings",
     "dedup_minhash_lsh",
     "dedup_paragraphs",              # CCNet span keep-first (full oracle)
+    "scrub_paragraphs",              # rewrite twin, churn-sized output
     "dedup_bloom_incremental",       # persisted Bloom + span index serve
     "layout_zorder_key",             # Morton key, no shuffle (full oracle)
     "sample_domain_mixture",

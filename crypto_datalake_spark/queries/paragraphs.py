@@ -337,3 +337,64 @@ def dedup_bloom_incremental(spark, sf_dir):
     return bloom_membership(
         _span_hashes(docs.where(incoming)), bloom, span_index
     )
+
+
+def paragraph_scrub_frame(d: DataFrame, w: int = _PARA_W) -> DataFrame:
+    """The rewrite twin of :func:`paragraph_dedup_frame` (the
+    scrub_exact_substrings convention): emit the reconstructed
+    kept-spans-only text for every doc that LOST at least one span —
+    docs the dedup left untouched need no rewrite and are omitted, so
+    the output is churn-sized, not corpus-sized.  Shares the keep-first
+    decision verbatim with the stats op (same window, same tie-break),
+    so the pair cannot drift."""
+    sp = doc_spans(d, w)
+    wk = Window.partitionBy("span").orderBy("doc_id", "span_idx")
+    k = sp.withColumn("kept", F.row_number().over(wk) == 1)
+    agg = k.groupBy("doc_id").agg(
+        F.count(F.when(~F.col("kept"), 1)).alias("n_removed_spans"),
+        F.array_sort(
+            F.collect_list(
+                F.when(F.col("kept"), F.struct("span_idx", "span"))
+            )
+        ).alias("_kept"),
+    )
+    return agg.where(F.col("n_removed_spans") > 0).select(
+        "doc_id",
+        F.array_join(
+            F.transform(F.col("_kept"), lambda x: x.getField("span")), " "
+        ).alias("new_text"),
+        "n_removed_spans",
+    )
+
+
+@register(
+    "scrub_paragraphs",
+    sql=f"""
+    WITH {_SPANS_SQL},
+    k AS (
+      SELECT doc_id, span_idx, span,
+             row_number() OVER (
+               PARTITION BY span ORDER BY doc_id, span_idx) = 1 AS kept
+      FROM sp
+    )
+    SELECT doc_id,
+           coalesce(string_agg(span, ' ' ORDER BY span_idx)
+                    FILTER (WHERE kept), '') AS new_text,
+           CAST(count(*) FILTER (WHERE NOT kept) AS BIGINT)
+             AS n_removed_spans
+    FROM k GROUP BY doc_id
+    HAVING count(*) FILTER (WHERE NOT kept) > 0
+    """,
+    doc="Paragraph-dedup REWRITE (the policy twin of dedup_paragraphs, "
+    "mirroring the exact-substring dedup/scrub pair): rebuild each "
+    "document from its keep-first-surviving spans only, emitting rows "
+    "for CUT documents alone — a doc that lost every span comes back "
+    "with empty text (its removal is the caller's retention decision). "
+    "Same span window and tie-break as the stats op, shared verbatim. "
+    "At 100 TB the output is churn-sized: untouched docs never leave "
+    "the reducer. Full static DuckDB oracle.",
+)
+def scrub_paragraphs(spark, sf_dir):
+    return paragraph_scrub_frame(
+        t(spark, sf_dir, "documents").select("doc_id", "text")
+    )

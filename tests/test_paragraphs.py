@@ -150,3 +150,34 @@ def test_plan_broadcast_bloom_no_python(spark, sf_dir):
     # one span-value shuffle (window) + one per-doc re-group; spread()
     # may add a round-robin exchange on the single-row-group test file
     assert p2.count("Exchange hashpartitioning") <= 2
+
+
+def test_scrub_rebuilds_only_cut_docs_and_agrees_with_dedup(spark, sf_dir):
+    from crypto_datalake_spark.queries import REGISTRY
+    from crypto_datalake_spark.queries.paragraphs import paragraph_scrub_frame
+
+    # synthetic: doc2 loses B, doc3 loses everything, doc1 untouched
+    a, b = "a a a a", "b b b b"
+    d = _docs(spark, [(1, f"{a} {b}"), (2, f"{b} c c c c"), (3, a)])
+    out = {r["doc_id"]: r for r in paragraph_scrub_frame(d, _W).collect()}
+    assert 1 not in out, "untouched docs must not be rewritten"
+    assert out[2]["new_text"] == "c c c c" and out[2]["n_removed_spans"] == 1
+    assert out[3]["new_text"] == "" and out[3]["n_removed_spans"] == 1
+
+    # pair coherence on the corpus: the scrub's rebuilt text hashes to
+    # exactly the dedup op's kept_text_hash for every cut doc
+    dedup = {
+        r["doc_id"]: r
+        for r in REGISTRY["dedup_paragraphs"].fn(spark, sf_dir).collect()
+    }
+    scrub = REGISTRY["scrub_paragraphs"].fn(spark, sf_dir).collect()
+    assert scrub, "testdata must contain cut docs"
+    for r in scrub:
+        want = dedup[r["doc_id"]]
+        assert want["n_removed_spans"] == r["n_removed_spans"] > 0
+        got_hash = _md5(r["new_text"]) if r["new_text"] else None
+        assert got_hash == want["kept_text_hash"]
+    cut_ids = {r["doc_id"] for r in scrub}
+    assert cut_ids == {
+        d for d, r in dedup.items() if r["n_removed_spans"] > 0
+    }
