@@ -30,6 +30,11 @@ from crypto_datalake_spark.ops.agg import DEC, dec
 
 _N = "__n_rows"
 
+# Spark widens a DECIMAL(p,s) sum to DECIMAL(min(38, p+10), s); the
+# state columns grouped_agg_state materializes therefore carry this
+# type, and every maintenance merge must stay in it.
+DEC_SUM = "decimal(38,6)"
+
 
 def grouped_agg_state(
     df: DataFrame, keys: list[str], measures: dict[str, str]
@@ -94,8 +99,14 @@ def apply_delta(
         )
 
     for a in measures:
-        # decimal + decimal is exact; an absent side contributes 0
-        cols.append(_merged(a, F.lit(0).cast(DEC)).cast(DEC).alias(a))
+        # decimal + decimal is exact; an absent side contributes 0.
+        # Re-cast to DEC_SUM — the widened sum type grouped_agg_state
+        # produces (Spark widens sum precision by +10) — NOT DEC: a
+        # narrowing cast here would overflow groups whose running sum
+        # exceeds 28,6 capacity while a full recompute stayed correct,
+        # and would leave maintained vs recomputed state with
+        # different column types.
+        cols.append(_merged(a, F.lit(0).cast(DEC_SUM)).cast(DEC_SUM).alias(a))
         cols.append(_merged(f"{a}__nn", F.lit(0)).alias(f"{a}__nn"))
     cols.append(_merged(_N, F.lit(0)).alias(_N))
     return s.join(d, cond, "full_outer").select(*cols).where(F.col(_N) > 0)

@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from crypto_datalake_spark.io import load_table
-from crypto_datalake_spark.ops.agg import DEC, dec, nearest_rank_percentile
+from crypto_datalake_spark.ops.agg import DEC, dec
 from crypto_datalake_spark.queries.registry import register
 
 _QS = (0.25, 0.5, 0.75)
@@ -71,13 +71,32 @@ _QS = (0.25, 0.5, 0.75)
     "DuckDB oracle.",
 )
 def feature_quantile_bins(spark, sf_dir):
+    from pyspark.sql import Window
+
     e = load_table(spark, sf_dir, "events")
-    edges = None
-    for i, p in enumerate(_QS, start=1):
-        q = nearest_rank_percentile(
-            e, "value", p, by=["event_type"], out_col=f"q{i}"
-        )
-        edges = q if edges is None else edges.join(q, "event_type")
+    # ONE per-group rank window (the oracle's `ranked` CTE shape), then
+    # all three edges as conditional aggregates of a single groupBy —
+    # not one sort-shuffle per quartile.
+    nn = e.where(F.col("value").isNotNull())
+    w = Window.partitionBy("event_type").orderBy(F.col("value").asc())
+    wn = Window.partitionBy("event_type")
+    ranked = nn.select(
+        "event_type",
+        "value",
+        F.row_number().over(w).alias("__rk"),
+        F.count(F.lit(1)).over(wn).alias("__n"),
+    )
+    edges = ranked.groupBy("event_type").agg(
+        *[
+            F.max(
+                F.when(
+                    F.col("__rk") == F.ceil(F.lit(p) * F.col("__n")),
+                    F.col("value"),
+                )
+            ).alias(f"q{i}")
+            for i, p in enumerate(_QS, start=1)
+        ]
+    )
     b = (
         F.when(F.col("value").isNull(), F.lit(None))
         .when(F.col("value") <= F.col("q1"), 0)

@@ -766,6 +766,17 @@ def atomic_upsert_partitioned(
             extra["stats"] = carry_forward_stats(
                 manifest, stats_new, touched | present, parts
             )
+        else:
+            # stats_cols omitted on a table that already records stats
+            # must NOT publish a stats-less manifest (that silently
+            # disables data skipping table-wide): refresh the touched
+            # partitions over the same recorded columns and carry the
+            # rest forward, exactly like merge/purge/compaction do.
+            extra.update(
+                _refresh_stats_extra(
+                    spark, manifest, out, partition_cols, touched, parts
+                )
+            )
         committed = commit_manifest(
             spark,
             path,
@@ -1077,11 +1088,21 @@ def _stat_scalar(v):
     stats and to pruning bounds, so comparisons always happen in one
     domain."""
     import datetime as _dt
+    import decimal as _decimal
 
     if isinstance(v, _dt.datetime):
         return v.isoformat(sep=" ")
     if isinstance(v, _dt.date):
         return v.isoformat()
+    if isinstance(v, _decimal.Decimal):
+        # JSON can't carry Decimal; float keeps numeric ordering so
+        # recorded bounds stay comparable with numeric pruning bounds
+        # (a stats column is a pruning hint, not an exactness contract)
+        return float(v)
+    if isinstance(v, (bytes, bytearray)):
+        # binary stats are not orderable in the JSON domain: record as
+        # None so the partition is never (wrongly) pruned on them
+        return None
     return v
 
 
@@ -1170,11 +1191,18 @@ def read_table_skipping(
             rng = pstats.get(col)
             if not rng or rng[0] is None or rng[1] is None:
                 continue  # no usable stats: must read
-            if (hi is not None and _stat_scalar(hi) < rng[0]) or (
-                lo is not None and _stat_scalar(lo) > rng[1]
-            ):
-                drop = True
-                break
+            try:
+                if (hi is not None and _stat_scalar(hi) < rng[0]) or (
+                    lo is not None and _stat_scalar(lo) > rng[1]
+                ):
+                    drop = True
+                    break
+            except TypeError:
+                # bound and recorded stat live in incomparable domains
+                # (e.g. numeric bound vs ISO-string timestamp stat):
+                # skipping is only ever an optimization, so degrade to
+                # "must read" rather than fail the read
+                continue
         if not drop:
             keep[ppath] = gid
     if not keep:

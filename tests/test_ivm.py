@@ -326,3 +326,29 @@ def test_stats_survive_merge_purge_and_compaction(spark, tmp_path):
     assert txn.current_manifest(spark, path)["stats"] == m2["stats"]
     df = txn.read_table_skipping(spark, path, {"v": (40.0, 60.0)})
     assert [r["sym"] for r in df.collect()] == ["B"]
+
+
+def test_wide_sum_keeps_widened_decimal_no_overflow(spark, tmp_path):
+    """Spark widens a DECIMAL(28,6) sum to DECIMAL(38,6); the maintained
+    state must keep that widened type through apply_delta.  A running
+    sum past 28,6 capacity (>= 1e22) overflowed under a narrowing
+    re-cast while a full recompute stayed correct — the exact
+    maintained-vs-recomputed divergence this test pins shut."""
+    path = str(tmp_path / "lake")
+    big = 9.0e21  # two rows -> 1.8e22 > DECIMAL(28,6) capacity
+    txn.atomic_upsert_partitioned(
+        spark, _df(spark, [("A", _T(0), big, "d1")]), path, **KW
+    )
+    state = grouped_agg_state(txn.read_table(spark, path), KEYS, MEAS)
+    want = grouped_agg_state(txn.read_table(spark, path), KEYS, MEAS)
+    assert dict(state.dtypes) == dict(want.dtypes)
+
+    txn.atomic_upsert_partitioned(
+        spark, _df(spark, [("A", _T(1), big, "d1")]), path, **KW
+    )
+    state = apply_delta(state, txn.table_diff(spark, path, 1, 2), KEYS, MEAS)
+    want = grouped_agg_state(txn.read_table(spark, path), KEYS, MEAS)
+    assert dict(state.dtypes) == dict(want.dtypes)  # still the sum type
+    assert _rows(state) == _rows(want)
+    (row,) = state.collect()
+    assert row["v_sum"] is not None and float(row["v_sum"]) == 2 * big

@@ -927,3 +927,65 @@ def test_evolution_guard_covers_pre_schema_manifests_and_type_changes(spark, tmp
             spark, restring, path,
             keys=["sym", "ts"], order_cols=["ts"], partition_cols=["day"],
         )
+
+
+def test_decimal_and_binary_stats_cols_commit_cleanly(spark, tmp_path):
+    """DECIMAL stats serialize to float (JSON can't carry Decimal) and
+    binary stats degrade to no-prune None — neither may abort the commit
+    after the generation is written (the orphan-generation failure)."""
+    path = str(tmp_path / "lake")
+    df = _df(spark, [("A", _T(0), 1.5, "d1"), ("B", _T(1), 2.5, "d2")]) \
+        .withColumn("amt", F.col("v").cast("decimal(28,6)")) \
+        .withColumn("blob", F.col("sym").cast("binary"))
+    m = txn.atomic_upsert_partitioned(
+        spark, df, path,
+        keys=["sym", "ts"], order_cols=["ts"], partition_cols=["day"],
+        stats_cols=["amt", "blob"],
+    )
+    assert m["stats"]["day=d1"]["amt"] == [1.5, 1.5]
+    assert m["stats"]["day=d1"]["blob"] == [None, None]  # never prunes
+    # decimal bounds prune; binary bounds are ignored (must-read)
+    got = txn.read_table_skipping(spark, path, {"amt": (2.0, None)})
+    assert all("day=d2" in f for f in got.inputFiles())
+    got2 = txn.read_table_skipping(spark, path, {"blob": (b"A", b"B")})
+    assert {r["day"] for r in got2.collect()} == {"d1", "d2"}
+
+
+def test_skipping_incomparable_bound_degrades_to_read(spark, tmp_path):
+    """A pruning bound in a different domain than the recorded stat
+    (numeric bound vs ISO-string timestamp stat) must degrade to
+    'read everything', never raise at read time."""
+    path = str(tmp_path / "lake")
+    txn.atomic_upsert_partitioned(
+        spark,
+        _df(spark, [("A", _T(0), 1.0, "d1"), ("B", _T(30), 30.0, "d2")]),
+        path, stats_cols=["ts", "v"], **KW,
+    )
+    # ts stats are ISO strings; a float bound is incomparable -> no prune
+    df = txn.read_table_skipping(spark, path, {"ts": (12345.0, None)})
+    assert {r["day"] for r in df.collect()} == {"d1", "d2"}
+    # and a string bound against numeric v stats likewise
+    df2 = txn.read_table_skipping(spark, path, {"v": ("zzz", None)})
+    assert {r["day"] for r in df2.collect()} == {"d1", "d2"}
+
+
+def test_upsert_without_stats_cols_preserves_skipping(spark, tmp_path):
+    """The common upsert path must not silently disable data skipping:
+    omitting stats_cols on a table whose manifest records stats refreshes
+    the touched partitions over the SAME columns and carries the rest
+    forward, like merge/purge/compaction already do."""
+    path = str(tmp_path / "lake")
+    txn.atomic_upsert_partitioned(
+        spark,
+        _df(spark, [("A", _T(0), 1.0, "d1"), ("B", _T(1), 50.0, "d2")]),
+        path, stats_cols=["v"], **KW,
+    )
+    # stats_cols omitted: d1 rewritten (fresh bounds), d2 carried forward
+    m = txn.atomic_upsert_partitioned(
+        spark, _df(spark, [("A", _T(2), 100.0, "d1")]), path, **KW
+    )
+    assert m["stats"]["day=d1"]["v"] == [1.0, 100.0]   # fresh, not stale
+    assert m["stats"]["day=d2"]["v"] == [50.0, 50.0]   # carried forward
+    assert txn.read_table_skipping(spark, path, {"v": (200.0, None)}) is None
+    df = txn.read_table_skipping(spark, path, {"v": (60.0, None)})
+    assert all("day=d1" in f for f in df.inputFiles())
