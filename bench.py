@@ -159,25 +159,48 @@ def main() -> None:
         timings[name] = round(best, 4)
     total = round(sum(timings.values()), 4)
 
-    print(
-        json.dumps(
-            {
-                "metric": "headline-query wall time (%d queries, local[%s])"
-                % (len(BENCH_QUERIES), cpus),
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                # methodology: per-query min of N full evaluations (noop
-                # sink). The min is the steady-state estimator — single
-                # runs alias codegen/AQE warmup and host contention as
-                # regressions (r6 showed +25-31% single-run noise on
-                # sub-second queries whose plans were unchanged).
-                "runs_per_query": runs,
-                "timing": "min",
-            }
-        )
-    )
+    payload = {
+        "metric": "headline-query wall time (%d queries, local[%s])"
+        % (len(BENCH_QUERIES), cpus),
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        # methodology: per-query min of N full evaluations (noop
+        # sink). The min is the steady-state estimator — single
+        # runs alias codegen/AQE warmup and host contention as
+        # regressions (r6 showed +25-31% single-run noise on
+        # sub-second queries whose plans were unchanged).
+        "runs_per_query": runs,
+        "timing": "min",
+    }
+    # Full-fidelity sidecar: the capture downstream of stdout keeps only
+    # a bounded tail, so the authoritative record lives in a file the
+    # line can never outgrow (r7's 64-query line exceeded the tail and
+    # arrived truncated).
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "BENCH.json"), "w") as fh:
+        json.dump(payload, fh, indent=1)
+        fh.write("\n")
+    # Printed line: required keys only (metric/value/unit/queries/sf),
+    # compact separators, per-query precision degraded just enough to
+    # fit a 1900-char budget — the capture downstream keeps a 2000-char
+    # stdout tail and stage-noise may precede the line. Methodology
+    # keys ride in the sidecar.
+    line = ""
+    for nd in (4, 3, 2, 1):
+        compact = {
+            "metric": "wall time (%dq, local[%s], min-of-%d)"
+            % (len(BENCH_QUERIES), cpus, runs),
+            "value": total,
+            "unit": "sec",
+            "queries": {k: round(v, nd) for k, v in timings.items()},
+            "sf": sf,
+        }
+        line = json.dumps(compact, separators=(",", ":"))
+        if len(line) <= 1900:
+            break
+    print(line)
     spark.stop()
 
 
