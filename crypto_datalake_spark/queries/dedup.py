@@ -262,6 +262,9 @@ _SP_GRAMH = _SP_H.format(x="concat(tok[i], ' ', tok[i+1])")
 _DK_GRAMH = _DK_H.format(x="(tok[i] || ' ' || tok[i+1])")
 
 
+_NGJ_DF_CAP = 64  # grams in more docs per block are stop-grams: no pairing
+
+
 @register(
     "dedup_ngram_jaccard",
     sql=f"""
@@ -273,12 +276,40 @@ _DK_GRAMH = _DK_H.format(x="(tok[i] || ' ' || tok[i+1])")
             FROM documents)
       WHERE len(tok) >= 2
     ),
+    ex AS (
+      SELECT doc_id, lang, len_bucket, unnest(grams) AS gh FROM g
+    ),
+    df AS (
+      SELECT lang, len_bucket, gh, count(*) AS df FROM ex GROUP BY ALL
+    ),
+    i0 AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter0
+      FROM ex a
+      JOIN ex b ON a.lang = b.lang AND a.len_bucket = b.len_bucket
+               AND a.gh = b.gh AND a.doc_id < b.doc_id
+      JOIN df ON df.lang = a.lang AND df.len_bucket = a.len_bucket
+             AND df.gh = a.gh
+      WHERE df.df <= {_NGJ_DF_CAP}
+      GROUP BY ALL
+    ),
+    cg AS (
+      SELECT e.doc_id, list(e.gh) AS cg
+      FROM ex e
+      JOIN df ON df.lang = e.lang AND df.len_bucket = e.len_bucket
+             AND df.gh = e.gh
+      WHERE df.df > {_NGJ_DF_CAP}
+      GROUP BY e.doc_id
+    ),
     p AS (
-      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-             len(list_intersect(a.grams, b.grams)) AS inter,
-             len(a.grams) + len(b.grams) AS tot
-      FROM g a JOIN g b
-        ON a.lang = b.lang AND a.len_bucket = b.len_bucket AND a.doc_id < b.doc_id
+      SELECT doc_a, doc_b,
+             i0.inter0 + len(list_intersect(coalesce(ca.cg, []),
+                                            coalesce(cb.cg, []))) AS inter,
+             len(sa.grams) + len(sb.grams) AS tot
+      FROM i0
+      JOIN g sa ON sa.doc_id = i0.doc_a
+      JOIN g sb ON sb.doc_id = i0.doc_b
+      LEFT JOIN cg ca ON ca.doc_id = i0.doc_a
+      LEFT JOIN cg cb ON cb.doc_id = i0.doc_b
     )
     SELECT doc_a, doc_b,
            CAST(inter AS DOUBLE) / CAST(tot - inter AS DOUBLE) AS jaccard
@@ -290,13 +321,28 @@ _DK_GRAMH = _DK_H.format(x="(tok[i] || ' ' || tok[i+1])")
     "by the largest block, never O(n²) over the corpus. The mid tier "
     "between exact-hash and MinHash-LSH: exact Jaccard, cheaper candidate "
     "generation. Grams are pre-hashed to 60-bit ints (one md5 per gram, "
-    "linear in corpus size), so the per-PAIR work is integer-set "
-    "intersection only, and the union size is derived as |A|+|B|-|∩| "
-    "instead of a second array pass. At 100 TB the block key shuffles "
-    "once; skewed blocks split by AQE.",
+    "linear in corpus size), so the per-PAIR work is integer counting "
+    "only, and the union size is derived as |A|+|B|-|∩| instead of a "
+    f"second array pass. Stop-gram policy: a gram in > {_NGJ_DF_CAP} "
+    "docs of one block generates NO candidate pairs (df-cap mirrored "
+    "exactly by the oracle, same policy as dedup_exact_substring's "
+    "posting caps), so one boilerplate bigram can never go quadratic in "
+    "the block; scores stay TRUE Jaccard because capped grams are "
+    "re-counted per surviving pair from a per-doc capped-gram side "
+    "array (block-bounded small). Recall effect: only a pair sharing "
+    "EXCLUSIVELY capped grams is missed. One shuffle builds the posting "
+    "lists; pairs expand in-place (<= C(cap,2) structs per gram row).",
 )
 def dedup_ngram_jaccard(spark, sf_dir):
-    d = t(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(t(spark, sf_dir, "documents"))
+
+
+def ngram_jaccard_pairs(d, cap: int = _NGJ_DF_CAP, threshold: float = 0.3):
+    """Blocked word-bigram TRUE-Jaccard pairs over a (doc_id, lang,
+    n_chars, text) frame — the plan documented on dedup_ngram_jaccard.
+    ``cap`` bounds a gram's per-block document frequency: hotter grams
+    are stop-grams that generate no candidates (but still count toward
+    surviving pairs' scores via the capped-gram side array)."""
     g = (
         d.select(
             "doc_id",
@@ -318,44 +364,87 @@ def dedup_ngram_jaccard(spark, sf_dir):
                 "ELSE CAST(array() AS array<bigint>) END"
             ).alias("grams"),
         )
-    # hash grams once; both the exploded index and the size lookup read
+    # hash grams once; the posting lists and the size lookup both read
     # the checkpointed frame
     ).localCheckpoint()
-    # INVERTED-INDEX pairing: join on the gram itself, so a pair
-    # materializes once per SHARED gram and the intersection size is a
-    # count aggregate — the per-block all-pairs form costs Σ|block|²
-    # rows regardless of similarity, this form costs Σ co-occurrences
-    # (pairs sharing nothing never exist; any pair with inter = 0 fails
-    # the 0.3 threshold anyway, so results are identical). A gram shared
-    # by a whole block still fans out — at 100 TB that's AQE skew-split
-    # territory, or a documented df-cap on stop-grams.
-    gexp = g.select("lang", "len_bucket", "doc_id", F.explode("grams").alias("gh"))
-    pa = gexp.select(
-        "lang", "len_bucket", "gh", F.col("doc_id").alias("doc_a")
+    # INVERTED-INDEX pairing via posting lists (same ONE-shuffle shape as
+    # exact_substring_runs): group the exploded grams by gram, then
+    # expand cross-document pairs IN-PLACE — a pair materializes once per
+    # SHARED gram and the intersection size is a count aggregate. The
+    # per-block all-pairs form costs Σ|block|² rows regardless of
+    # similarity; this form costs Σ co-occurrences, and the df-cap
+    # bounds any one gram's contribution at C(cap,2): a stop-gram shared
+    # by a whole block generates NO pairs instead of |block|² of them.
+    gexp = g.select(
+        "lang", "len_bucket", "doc_id", F.explode("grams").alias("gh")
     )
-    pb = gexp.select(
-        "lang", "len_bucket", "gh", F.col("doc_id").alias("doc_b")
+    pl = gexp.groupBy("lang", "len_bucket", "gh").agg(
+        F.collect_list("doc_id").alias("dl")
+    ).localCheckpoint()  # reused by the pairing AND the capped-gram arm
+    pairs = F.filter(
+        F.flatten(
+            F.transform(
+                F.col("dl"),
+                lambda a: F.transform(
+                    F.col("dl"),
+                    lambda b: F.struct(a.alias("doc_a"), b.alias("doc_b")),
+                ),
+            )
+        ),
+        lambda x: x["doc_a"] < x["doc_b"],
     )
-    inter = (
-        pa.join(pb, ["lang", "len_bucket", "gh"])
-        .where(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("inter"))
+    inter0 = (
+        pl.where(F.size("dl") <= cap)
+        .select(F.explode(pairs).alias("m"))
+        .groupBy(F.col("m.doc_a").alias("doc_a"), F.col("m.doc_b").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("inter0"))
+    )
+    # capped grams per doc: the stop-gram set is tiny by construction
+    # (few grams exceed the cap), so this arm is a small frame — it
+    # exists so surviving pairs still score TRUE Jaccard, cap or no cap
+    cgrams = (
+        pl.where(F.size("dl") > cap)
+        .select("gh", F.explode("dl").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.collect_list("gh").alias("cg"))
     )
     # no broadcast hint: sizes is per-doc (not broadcastable at scale) —
     # locally AQE broadcasts it anyway, on a cluster it hash-joins on the
     # already-small verified-pair frame
     sizes = g.select("doc_id", F.size("grams").alias("n"))
-    paired = inter.join(
-        sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")), "doc_a"
-    ).join(
-        sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")), "doc_b"
+    empty = F.array().cast("array<bigint>")
+    paired = (
+        inter0.join(
+            sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")),
+            "doc_a",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")),
+            "doc_b",
+        )
+        .join(
+            cgrams.select(F.col("doc_id").alias("doc_a"), F.col("cg").alias("ca")),
+            "doc_a", "left",
+        )
+        .join(
+            cgrams.select(F.col("doc_id").alias("doc_b"), F.col("cg").alias("cb")),
+            "doc_b", "left",
+        )
+        .withColumn(
+            "inter",
+            F.col("inter0")
+            + F.size(
+                F.array_intersect(
+                    F.coalesce("ca", empty), F.coalesce("cb", empty)
+                )
+            ),
+        )
     )
     jac = F.col("inter").cast("double") / (
         F.col("na") + F.col("nb") - F.col("inter")
     ).cast("double")
     return paired.select("doc_a", "doc_b", jac.alias("jaccard")).where(
-        F.col("jaccard") >= 0.3
+        F.col("jaccard") >= threshold
     )
 
 

@@ -38,12 +38,24 @@ _Q_MOD = 101  # every 101st doc is a query: 5 at sf0.01, ~50 at sf0.1
 _K = 10       # hits returned per query
 _K1 = 1.2     # BM25 term-frequency saturation
 _B = 0.75     # BM25 length normalization (exactly representable)
+# Stop-term policy: a term in more than this percentage of documents is
+# cut from the postings before the query fan-out (df*100 <= N*pct,
+# exact integers). 90 cuts natural-language stopwords (df ~ 0.95N)
+# whose idf is near zero anyway, while leaving mid-frequency vocabulary
+# — and therefore this corpus's 31-term synthetic vocabulary (max df
+# 0.8N) — fully scored.
+_BM25_STOP_DF_PCT = 90
 
 
-def _bm25_scored(tf, qterms, k1: float = _K1, b: float = _B):
+def _bm25_scored(
+    tf, qterms, k1: float = _K1, b: float = _B,
+    stop_df_pct: int = _BM25_STOP_DF_PCT,
+):
     """Per-(qid, doc_id) BM25 decimal scores from a term-frequency frame
     ``tf`` (doc_id, n_tok, term, term_count — curation._tfidf_tf_frame
-    shape) and a query-bag frame ``qterms`` (qid, term)."""
+    shape) and a query-bag frame ``qterms`` (qid, term).  ``stop_df_pct``:
+    terms in more than this percentage of documents are stop terms and
+    score nothing (exact integer predicate df*100 <= N*pct)."""
     # corpus stats off the already-collapsed tf frame: df is a
     # vocab-size agg, N / avgdl come from the one-row-per-doc lengths —
     # never a second corpus scan (the text_tfidf_topk doctrine)
@@ -89,9 +101,20 @@ def _bm25_scored(tf, qterms, k1: float = _K1, b: float = _B):
     # (doc, term) posting, and their exact decimal product w once per
     # posting — the fanned-out |queries|×|postings| stage below is then
     # pure join + decimal sum (measured 1.7x at sf0.1 vs computing
-    # ln/round/multiply per fanned row)
-    dfc_idf = dfc.crossJoin(F.broadcast(stats)).select(
-        "term", idf.alias("idf")
+    # ln/round/multiply per fanned row).
+    # STOP-TERM CAP (the dedup_exact_substring posting-cap policy, df-
+    # RELATIVE because BM25's vocabulary is open-ended): a term in more
+    # than stop_df_pct% of the corpus scores near-zero idf yet fans out
+    # |postings| x |queries| rows — the single biggest join input at
+    # 100 TB. Cut it from the postings entirely; exact-integer
+    # comparison, mirrored verbatim by every oracle and applied at FIT
+    # time for the served twin (so OOV-drop serve semantics inherit it).
+    dfc_idf = (
+        dfc.crossJoin(F.broadcast(stats))
+        .where(
+            F.col("df_docs") * 100 <= F.col("n_docs") * F.lit(stop_df_pct)
+        )
+        .select("term", idf.alias("idf"))
     )
     weights = (
         tf.withColumn("dl", F.col("n_tok"))
@@ -192,7 +215,7 @@ def _bm25_sql(qid_pred: str = "") -> str:
       JOIN qterms USING (term)
       JOIN dfc USING (term)
       CROSS JOIN stats
-      WHERE tf.doc_id <> qid
+      WHERE tf.doc_id <> qid AND df_docs * 100 <= n_docs * {_BM25_STOP_DF_PCT}
     ),
     scored AS (
       SELECT qid, doc_id, sum(w) AS score_dec,
@@ -223,8 +246,12 @@ def _bm25_sql(qid_pred: str = "") -> str:
     "over the collapsed tf frame, N+avgdl broadcast as one row, the "
     "posting-list join touches only the query terms' postings, and the "
     "per-query top-k window partitions by qid. At 100 TB the posting "
-    "join shuffles on term with AQE handling stopword skew (or the "
-    "query bag broadcasts when the query set is small); scores are "
+    f"join shuffles on term; terms in more than {_BM25_STOP_DF_PCT}% of "
+    "documents are stop terms cut from the postings BEFORE the fan-out "
+    "(near-zero idf, mirrored exactly by the oracle and applied at fit "
+    "time for the served twin), with AQE splitting any residual skew "
+    "(or the query bag broadcasts when the query set is small); scores "
+    "are "
     "exact DECIMAL(12,7) products decimal-summed, so ranking is "
     "bit-stable across engines and partitionings.",
 )
@@ -388,7 +415,14 @@ def bm25_model_tables(spark, sf_dir, max_features: int = _BM25_MAXF):
             7,
         ).cast("decimal(12,7)")
         ranked = global_row_number(
-            dfc.crossJoin(F.broadcast(stats)),
+            # stop-term cut at FIT time (df*100 <= N*pct, the
+            # _bm25_scored policy): serve-time OOV-drop then inherits
+            # it for free, and the persisted postings-side vocabulary
+            # never carries a term that would fan out the whole corpus
+            dfc.crossJoin(F.broadcast(stats)).where(
+                F.col("df_docs") * 100
+                <= F.col("n_docs") * F.lit(_BM25_STOP_DF_PCT)
+            ),
             [F.col("df_docs").desc(), F.col("term").asc()],
             out_col="__rk",
         )
@@ -403,7 +437,7 @@ def bm25_model_tables(spark, sf_dir, max_features: int = _BM25_MAXF):
         return stats.coalesce(1)
 
     vocab = _served_model_table(
-        spark, sf_dir, "bm25_vocab", f"v{max_features}", build_vocab,
+        spark, sf_dir, "bm25_vocab", f"v{max_features}_sw90", build_vocab,
         source="documents.parquet",
     )
     meta = _served_model_table(
@@ -420,7 +454,7 @@ def bm25_model_paths(sf_dir: str, max_features: int = _BM25_MAXF) -> list[str]:
 
     return [
         _served_model_path(
-            sf_dir, "bm25_vocab", f"v{max_features}", source="documents.parquet"
+            sf_dir, "bm25_vocab", f"v{max_features}_sw90", source="documents.parquet"
         ),
         _served_model_path(
             sf_dir, "bm25_meta", "v1", source="documents.parquet"

@@ -1030,3 +1030,76 @@ def test_bm25_served_plan_no_ln_broadcast_vocab(spark, sf_dir):
     assert "BroadcastHashJoin" in p
     assert "CartesianProduct" not in p
     assert "LOG(" not in p.upper().replace("CATALOG", "")
+
+
+def _jdocs(spark, rows):
+    return spark.createDataFrame(
+        [(i, "en", 50, t) for i, t in rows],
+        "doc_id long, lang string, n_chars long, text string",
+    )
+
+
+def test_ngram_jaccard_df_cap_bounds_stop_grams(spark):
+    """A bigram shared by a whole block is a stop-gram: it must generate
+    NO candidate pairs (the C(df,2) fan-out guard), yet surviving pairs
+    must still score TRUE Jaccard with the capped gram counted back in
+    via the per-doc capped-gram side array."""
+    from crypto_datalake_spark.queries.dedup import ngram_jaccard_pairs
+
+    near_a = "the of s1 s2 s3 s4 s5 s6 s7 s8 x1"  # 10 bigrams
+    near_b = "the of s1 s2 s3 s4 s5 s6 s7 s8 x2"  # shares 9 of them
+    rows = [(1, near_a), (2, near_b)] + [
+        (i, f"the of u{i}a u{i}b") for i in range(3, 203)
+    ]  # 200 filler docs whose ONLY shared gram is the stop-gram "the of"
+    d = _jdocs(spark, rows)
+
+    got = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+           for r in ngram_jaccard_pairs(d, cap=8).collect()}
+    # TRUE jaccard 9/11 — inter counts the capped "the of" too (8 rare
+    # shared grams via the index + 1 from the capped side array)
+    assert set(got) == {(1, 2)}
+    assert abs(got[(1, 2)] - 9 / 11) < 1e-12
+
+    # identical result set without the cap: every filler co-occurrence
+    # scores 1/(3+3-1) = 0.2 < 0.3, so the cap only removed fan-out
+    # (202 posting docs -> C(202,2) = 20301 pair rows), not results
+    unc = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+           for r in ngram_jaccard_pairs(d, cap=10**9).collect()}
+    assert unc == got
+
+
+def test_ngram_jaccard_df_cap_recall_effect(spark):
+    """The documented recall loss, exactly: a pair whose ONLY shared
+    gram is capped is missed under the cap and found without it."""
+    from crypto_datalake_spark.queries.dedup import ngram_jaccard_pairs
+
+    # 2-gram docs sharing just "the of": true jaccard 1/3 >= 0.3
+    rows = [(i, f"the of q{i}") for i in range(1, 13)]
+    d = _jdocs(spark, rows)
+    assert ngram_jaccard_pairs(d, cap=4).count() == 0       # capped: missed
+    unc = ngram_jaccard_pairs(d, cap=10**9)
+    assert unc.count() == 66                                # C(12,2) found
+    assert all(abs(r["jaccard"] - 1 / 3) < 1e-12 for r in unc.collect())
+
+
+def test_bm25_stop_term_cut_witness(spark):
+    """A term in more than _BM25_STOP_DF_PCT% of documents must be cut
+    from the postings BEFORE the query fan-out (it scores nothing and
+    generates no join rows); below the threshold it scores normally."""
+    from crypto_datalake_spark.queries.curation import _tfidf_tf_frame
+    from crypto_datalake_spark.queries.retrieval import _bm25_scored
+
+    # doc 0 is the query bag; "zz" sits in 19/20 docs = 95% > 90%
+    rows = [(i, "zz " + f"u{i}") for i in range(19)] + [(19, "u19 v19")]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    tf = _tfidf_tf_frame(d).localCheckpoint()
+    qterms = tf.where(F.col("doc_id") == 0).select(
+        F.col("doc_id").alias("qid"), "term"
+    )
+    # default policy: zz is a stop term, u0 is unique to the query ->
+    # nothing scores at all
+    assert _bm25_scored(tf, qterms).count() == 0
+    # policy disabled: zz scores against the 18 other docs containing it
+    got = _bm25_scored(tf, qterms, stop_df_pct=100)
+    assert got.count() == 18
+    assert all(r["n_hit_terms"] == 1 for r in got.collect())
