@@ -101,13 +101,25 @@ def _quality_verdict(batch: DataFrame) -> DataFrame:
     )
 
 
-def _corpus_novelty(batch_ids, in_sig, in_bands, idx: DataFrame) -> DataFrame:
+def _corpus_novelty(
+    batch_ids, in_sig, in_bands, idx: DataFrame, bloom: DataFrame | None = None
+) -> DataFrame:
     """(doc_id, n_dup_existing, is_novel) for the batch vs the PERSISTED
     corpus band index — the production incremental core, two-sided.
     Takes the batch's (sig, bands) so the signature pass is computed
     ONCE per micro-batch and shared with the intra-batch stage; the
     corpus side is read from the index (shingles + band keys persisted
-    at accept time), never re-derived from text."""
+    at accept time), never re-derived from text.
+
+    ``bloom``: optional packed-long Bloom over the CORPUS's band keys
+    (word_idx, bits — :func:`_healed_bloom`).  When given, batch band
+    keys the Bloom rejects — the crawl steady state is novel content —
+    are dropped map-side BEFORE the index join, and the surviving
+    candidate keys are broadcast-semi-joined into the index scan so the
+    corpus side is filtered at the scan instead of shuffled corpus-wide.
+    Semantics-free by the Bloom contract: no false negatives (a
+    truly-matching key always survives), and a false positive just
+    reaches the exact band join and matches nothing."""
     from crypto_datalake_spark.queries.scrub import (
         batch_novelty_counts,
         novelty_verdict,
@@ -121,6 +133,21 @@ def _corpus_novelty(batch_ids, in_sig, in_bands, idx: DataFrame) -> DataFrame:
         .select("doc_id", F.explode("bands").alias("bk"))
         .select("doc_id", "bk.band_id", "bk.band_key")
     )
+    if bloom is not None:
+        from crypto_datalake_spark.queries.paragraphs import bloom_candidates
+
+        keys = in_bands.select(_band_key_h().alias("h")).distinct()
+        cand = bloom_candidates(keys, bloom).localCheckpoint()
+        in_bands = (
+            in_bands.withColumn("h", _band_key_h())
+            .join(F.broadcast(cand), "h", "left_semi")
+            .drop("h")
+        )
+        ex_bands = (
+            ex_bands.withColumn("h", _band_key_h())
+            .join(F.broadcast(cand), "h", "left_semi")
+            .drop("h")
+        )
     return novelty_verdict(
         batch_ids,
         batch_novelty_counts(in_sig, in_bands, ex_sig, ex_bands),
@@ -133,6 +160,21 @@ _INDEX_SCHEMA = (
 )
 
 
+def _family_fp() -> str:
+    """Fingerprint of the LSH family (shingle/minhash/banding constants
+    in queries/dedup.py) — shared by the band index and Bloom paths so
+    both artifacts roll over together on any parameter change."""
+    import hashlib
+
+    from crypto_datalake_spark.queries import dedup as dk
+
+    key = (
+        f"{dk._SP_SHINGLES}|{dk._SP_H}|{dk._MH_P}|{dk._N_HASH}|"
+        f"{dk._BAND_SIZE}|{dk._sp_minhash(0)}"
+    )
+    return hashlib.md5(key.encode()).hexdigest()[:8]
+
+
 def default_index_path(corpus_path: str) -> str:
     """``<corpus>_bandindex_<fp>`` where ``fp`` fingerprints the LSH
     family (shingle/minhash/banding constants in queries/dedup.py).  A
@@ -142,16 +184,75 @@ def default_index_path(corpus_path: str) -> str:
     keys — which would never match and turn every cross-corpus near-dup
     into a permanent false accept.  Stale-family directories are inert
     (nothing computes their path anymore) and reclaimable by ops."""
-    import hashlib
+    return f"{corpus_path.rstrip('/')}_bandindex_{_family_fp()}"
 
-    from crypto_datalake_spark.queries import dedup as dk
 
-    key = (
-        f"{dk._SP_SHINGLES}|{dk._SP_H}|{dk._MH_P}|{dk._N_HASH}|"
-        f"{dk._BAND_SIZE}|{dk._sp_minhash(0)}"
+def default_bloom_path(corpus_path: str) -> str:
+    """``<corpus>_bandbloom_<fp>``: the packed-long Bloom sidecar over
+    the band index's keys (the dedup_bloom_incremental tier, wired in
+    front of the ingest novelty join).  Keyed by the SAME family
+    fingerprint as the index plus the Bloom parameters, so a family or
+    Bloom-shape change bootstraps both artifacts together.  Recovery
+    unit is the WHOLE directory: an emptied/removed Bloom rebuilds from
+    the index on the next batch (:func:`_healed_bloom`); deleting
+    individual parquet files inside it is NOT supported (the Bloom is
+    lossy, so a partial store cannot be detected — unlike the per-doc
+    index, whose anti-join heal is row-granular)."""
+    from crypto_datalake_spark.queries.paragraphs import _BLOOM_G, _BLOOM_M
+
+    return (
+        f"{corpus_path.rstrip('/')}_bandbloom_{_family_fp()}"
+        f"_m{_BLOOM_M.bit_length() - 1}g{_BLOOM_G}"
     )
-    fp = hashlib.md5(key.encode()).hexdigest()[:8]
-    return f"{corpus_path.rstrip('/')}_bandindex_{fp}"
+
+
+def _band_key_h():
+    """The Bloom key for one (band_id, band_key) row: band_id is folded
+    in so equal key strings from DIFFERENT bands stay distinct."""
+    return F.concat_ws("|", F.col("band_id").cast("string"), F.col("band_key"))
+
+
+def _bloom_words_for_bands(bands: DataFrame) -> DataFrame:
+    """Packed Bloom words (word_idx, bits) over a (doc_id, band_id,
+    band_key) frame's distinct keys — append-friendly: the reader
+    bit_or-merges words across appended row groups, so accept-time
+    appends never rewrite the store."""
+    from crypto_datalake_spark.queries.paragraphs import bloom_build
+
+    return bloom_build(bands.select(_band_key_h().alias("h")).distinct())
+
+
+def _healed_bloom(
+    spark: SparkSession, idx: DataFrame, bloom_path: str
+) -> DataFrame:
+    """The corpus band-key Bloom, bit_or-merged across appends, rebuilt
+    FROM THE INDEX when the store is missing/empty while the index is
+    not (a deleted sidecar, or a pre-Bloom corpus being upgraded).  The
+    superset invariant — Bloom bits cover every key the index holds —
+    is maintained by write ordering everywhere else (bloom append
+    BEFORE index append, in both the accept and heal paths), so an
+    under-approximating Bloom can only mean a missing store, which this
+    rebuild closes.  Over-approximation (ghost keys from trimmed
+    corpora, crash between bloom and index appends) is always safe:
+    false positives fall through to the exact band join."""
+    words = _read_store(
+        spark, bloom_path, ["word_idx", "bits"], "word_idx long, bits long"
+    )
+    if words.isEmpty():
+        ex_bands = idx.where(F.col("bands").isNotNull()).select(
+            F.explode("bands").alias("bk")
+        ).select("bk.band_id", "bk.band_key")
+        if ex_bands.isEmpty():
+            return words.groupBy("word_idx").agg(
+                F.expr("bit_or(bits)").alias("bits")
+            )
+        _bloom_words_for_bands(ex_bands).write.mode("overwrite").parquet(
+            bloom_path
+        )
+        words = _read_store(
+            spark, bloom_path, ["word_idx", "bits"], "word_idx long, bits long"
+        )
+    return words.groupBy("word_idx").agg(F.expr("bit_or(bits)").alias("bits"))
 
 
 def _index_rows_for(docs: DataFrame, sig=None, bands=None) -> DataFrame:
@@ -196,7 +297,8 @@ def _read_store(
 
 
 def _healed_index(
-    spark: SparkSession, corpus: DataFrame, index_path: str
+    spark: SparkSession, corpus: DataFrame, index_path: str,
+    bloom_path: str | None = None,
 ) -> DataFrame:
     """The band index restricted to CURRENT corpus docs, with any
     corpus doc missing from it backfilled (bootstrap over a seed
@@ -213,8 +315,21 @@ def _healed_index(
     corpus_ids = corpus.select("doc_id")
     gap_ids = corpus_ids.join(idx.select("doc_id"), "doc_id", "left_anti")
     if not gap_ids.isEmpty():
+        from crypto_datalake_spark.queries.dedup import lsh_signatures
+
         missing = corpus.join(gap_ids, "doc_id", "left_semi")
-        _index_rows_for(missing).write.mode("append").parquet(index_path)
+        sig, bands = lsh_signatures(missing)
+        bands = bands.localCheckpoint()  # bloom words + index rows
+        if bloom_path is not None:
+            # Bloom BEFORE index (the accept-path ordering): a crash
+            # between the two leaves extra Bloom bits (safe FPs), never
+            # index keys the Bloom doesn't cover (silent false accepts)
+            _bloom_words_for_bands(bands).write.mode("append").parquet(
+                bloom_path
+            )
+        _index_rows_for(missing, sig, bands).write.mode("append").parquet(
+            index_path
+        )
         idx = _read_store(
             spark, index_path, ["doc_id", "shingles", "bands"], _INDEX_SCHEMA
         )
@@ -279,15 +394,22 @@ def _read_corpus(spark: SparkSession, corpus_path: str) -> DataFrame:
 def ingest_batch(
     spark: SparkSession, batch: DataFrame, corpus_path: str, audit_path: str,
     batch_id: int, index_path: str | None = None,
+    bloom_path: str | None = None, use_bloom: bool = True,
 ) -> None:
     """Score ONE micro-batch and append: every doc to the audit table
     with its verdict, accepted docs to the corpus store AND the band
     index (``index_path``, default :func:`default_index_path` — the
-    corpus path suffixed with the LSH-family fingerprint)."""
+    corpus path suffixed with the LSH-family fingerprint) AND the band-
+    key Bloom sidecar (``bloom_path``, default
+    :func:`default_bloom_path`; ``use_bloom=False`` disables the tier —
+    verdicts are identical either way, the Bloom only prices the
+    novelty probe)."""
     if batch.isEmpty():
         return
     if index_path is None:
         index_path = default_index_path(corpus_path)
+    if bloom_path is None:
+        bloom_path = default_bloom_path(corpus_path)
     # one row per doc_id, deterministically (min text): a crawl file
     # repeating an id would otherwise multiply rows through every
     # doc_id join below and double-append to the corpus
@@ -324,15 +446,22 @@ def ingest_batch(
     )
     # novelty reference = the persisted band index (self-healed against
     # the corpus) minus this batch's own replayed copies
-    novelty_ref = _healed_index(spark, corpus, index_path).join(
-        replay_ids, "doc_id", "left_anti"
+    healed = _healed_index(
+        spark, corpus, index_path, bloom_path if use_bloom else None
     )
+    novelty_ref = healed.join(replay_ids, "doc_id", "left_anti")
+    # the Bloom covers the FULL index (it cannot exclude the replay
+    # docs — it is lossy); their keys surface as safe false positives
+    # that the exact band join against novelty_ref then drops
+    bloom = _healed_bloom(spark, healed, bloom_path) if use_bloom else None
 
     from crypto_datalake_spark.queries.dedup import lsh_signatures
 
     in_sig, in_bands = lsh_signatures(batch)
     q = _quality_verdict(batch)
-    n = _corpus_novelty(batch.select("doc_id"), in_sig, in_bands, novelty_ref)
+    n = _corpus_novelty(
+        batch.select("doc_id"), in_sig, in_bands, novelty_ref, bloom
+    )
     pre = (
         batch.join(q, "doc_id")
         .join(n, "doc_id")
@@ -424,12 +553,20 @@ def ingest_batch(
                 "on the next batch) before re-running."
             )
         accepted.write.mode("append").parquet(corpus_path)
-        # index append last: a crash here leaves corpus docs without
-        # index rows, which the NEXT batch's self-heal backfills from
-        # text (the reverse order would index text the corpus lost —
-        # a permanent false reject, not a recoverable gap); the batch's
-        # own (sig, bands) are reused — no second signature pass
-        _index_rows_for(accepted, in_sig, in_bands).write.mode(
+        # append order corpus -> bloom -> index: a crash after the
+        # corpus leaves an index gap the next batch's self-heal
+        # backfills from text; a crash after the bloom leaves extra
+        # Bloom bits (safe false positives). The reverse orders would
+        # either index text the corpus lost (permanent false reject)
+        # or index keys the Bloom misses (silent false accept).
+        acc_bands = in_bands.join(
+            accepted.select("doc_id"), "doc_id", "left_semi"
+        ).localCheckpoint()  # bloom words + index rows
+        if use_bloom:
+            _bloom_words_for_bands(acc_bands).write.mode("append").parquet(
+                bloom_path
+            )
+        _index_rows_for(accepted, in_sig, acc_bands).write.mode(
             "append"
         ).parquet(index_path)
 
@@ -442,6 +579,8 @@ def corpus_ingest_stream(
     checkpoint_dir: str,
     max_files_per_trigger: int = 1,
     index_path: str | None = None,
+    bloom_path: str | None = None,
+    use_bloom: bool = True,
 ):
     """Wire the ingest as a file-source stream; availableNow drains the
     incoming directory one file per micro-batch (so acceptance order is
@@ -455,7 +594,8 @@ def corpus_ingest_stream(
         incoming.writeStream.foreachBatch(
             lambda df, bid: ingest_batch(
                 spark, df, corpus_path, audit_path, bid,
-                index_path=index_path,
+                index_path=index_path, bloom_path=bloom_path,
+                use_bloom=use_bloom,
             )
         )
         .option("checkpointLocation", checkpoint_dir)

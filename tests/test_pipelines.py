@@ -1352,3 +1352,82 @@ def test_corpus_ingest_batch_invariants_random(spark, tmp_path):
         for r in spark.read.parquet(audit).collect():
             if r["batch_id"] == bid and r["doc_id"] in accepted:
                 assert r["accepted"] is True
+
+
+def test_corpus_ingest_bloom_prefilter_prices_not_changes(spark, tmp_path):
+    """The Bloom tier is a pure pricing layer: verdicts with the Bloom
+    on are bit-identical to the Bloom-off run, the probe set SHRINKS
+    (novel batch keys are rejected map-side before the index join), and
+    a deleted sidecar rebuilds from the index and still rejects."""
+    import shutil
+
+    from crypto_datalake_spark.pipelines.corpus_ingest import (
+        _band_key_h,
+        _healed_bloom,
+        _healed_index,
+        default_bloom_path,
+        ingest_batch,
+    )
+    from crypto_datalake_spark.queries.dedup import lsh_signatures
+    from crypto_datalake_spark.queries.paragraphs import bloom_candidates
+
+    seed_docs = [(i, " ".join(f"s{i}w{j}" for j in range(20)))
+                 for i in range(1, 6)]
+    batch_rows = (
+        [(10, seed_docs[0][1] + " tail")]                    # near-dup
+        + [(20 + i, " ".join(f"n{i}x{j}" for j in range(20)))
+           for i in range(8)]                                # 8 novel
+    )
+
+    def run(root, use_bloom):
+        corpus = str(root / "corpus")
+        audit = str(root / "audit")
+        spark.createDataFrame(
+            seed_docs, "doc_id long, text string"
+        ).write.parquet(corpus)
+        batch = spark.createDataFrame(batch_rows, "doc_id long, text string")
+        ingest_batch(spark, batch, corpus, audit, 0, use_bloom=use_bloom)
+        return corpus, sorted(
+            tuple(r) for r in spark.read.parquet(audit)
+            .select("doc_id", "accepted", "reject_reason", "n_dup_existing")
+            .collect()
+        )
+
+    (tmp_path / "on").mkdir(); (tmp_path / "off").mkdir()
+    corpus_on, audit_on = run(tmp_path / "on", True)
+    _, audit_off = run(tmp_path / "off", False)
+    assert audit_on == audit_off                       # bit-identical
+    assert any(r[1] is False and r[2] == "near_duplicate" for r in audit_on)
+
+    # probe shrinkage AGAINST THE SEED-ONLY CORPUS (before any accept):
+    # the 8 novel docs' band keys are Bloom-rejected map-side; only the
+    # near-dup's keys (plus any FPs) survive
+    probe = str(tmp_path / "probe" / "corpus")
+    spark.createDataFrame(
+        seed_docs, "doc_id long, text string"
+    ).write.parquet(probe)
+    bloom_path = default_bloom_path(probe)
+    healed = _healed_index(
+        spark, spark.read.parquet(probe), probe + "_idx", bloom_path
+    )
+    bloom = _healed_bloom(spark, healed, bloom_path)
+    _, in_bands = lsh_signatures(
+        spark.createDataFrame(batch_rows, "doc_id long, text string")
+    )
+    keys = in_bands.select(_band_key_h().alias("h")).distinct()
+    n_keys, n_cand = keys.count(), bloom_candidates(keys, bloom).count()
+    assert n_cand < n_keys / 2, (n_cand, n_keys)
+
+    # deleted sidecar: rebuilds from the index, near-dups still rejected
+    shutil.rmtree(bloom_path, ignore_errors=True)
+    batch2 = spark.createDataFrame(
+        [(40, seed_docs[1][1] + " tail2"),
+         (41, " ".join(f"z{j}" for j in range(20)))],
+        "doc_id long, text string",
+    )
+    ingest_batch(spark, batch2, corpus_on, str(tmp_path / "on" / "audit"), 1)
+    got = {r["doc_id"]: (r["accepted"], r["reject_reason"])
+           for r in spark.read.parquet(str(tmp_path / "on" / "audit"))
+           .where(F.col("batch_id") == 1).collect()}
+    assert got[40] == (False, "near_duplicate")
+    assert got[41][0] is True
