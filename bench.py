@@ -75,6 +75,7 @@ BENCH_QUERIES = [
     "layout_zorder_key",             # Morton key, no shuffle (full oracle)
     "sample_domain_mixture",
     "sample_dsir",                   # DSIR importance resample (full oracle)
+    "sample_dsir_served",            # frozen-fit scoring, broadcast-only
     "sample_token_budget_plan",      # token-budget data recipe (full oracle)
     "dedup_ngram_jaccard",
     "doc_fingerprints",
@@ -102,6 +103,7 @@ BENCH_QUERIES = [
     "ann_ivf_probe",
     "ann_ivf_kmeans",
     "ann_ivf_pq",
+    "ann_ivf_pca",                   # probe in PCA space, full-dim re-rank
     "dq_expectations",               # one-scan declarative DQ rule gate
     "feature_quantile_bins",         # exact nearest-rank discretization
     "feature_target_encode",         # leave-one-out categorical encoding

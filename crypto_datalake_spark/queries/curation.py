@@ -1685,6 +1685,62 @@ def _dsir_gumbel_sql() -> str:
     )
 
 
+def _dsir_ex(docs, n_buckets: int = _DSIR_B):
+    """(doc_id, lang, b): one row per hashed unigram/bigram feature
+    occurrence.  CASE-guarded like repetition_signals so the inlined
+    sequence() stays total if pushed past the size check."""
+    base = docs.select("doc_id", "lang", F.split(F.col("text"), " ").alias("tok"))
+    feats = F.expr(
+        "concat("
+        "transform(tok, t -> concat('u:', t)), "
+        "CASE WHEN size(tok) >= 2 THEN transform(sequence(0, size(tok) - 2), "
+        "i -> concat('b:', tok[i], ' ', tok[i + 1])) "
+        "ELSE CAST(array() AS array<string>) END)"
+    )
+    return base.select("doc_id", "lang", F.explode(feats).alias("f")).select(
+        "doc_id",
+        "lang",
+        (F.expr(_SP_H.format(x="f")) % n_buckets).alias("b"),
+    )
+
+
+def _dsir_ratio_tot(ex, n_buckets: int = _DSIR_B, target_lang: str = _DSIR_TARGET):
+    """(b, r, tr, tt) per fit-seen bucket: the add-one-smoothed log
+    probability ratio (decimal-rounded so per-doc sums are engine-exact,
+    the _lm discipline) plus the corpus totals — ONE corpus pass fits
+    BOTH bucket LMs (raw = count, target = the lang slice)."""
+    cnt = ex.groupBy("b").agg(
+        F.count(F.lit(1)).alias("cr"),
+        F.count(F.when(F.col("lang") == target_lang, 1)).alias("ct"),
+    )
+    # totals via a window over the ALREADY-AGGREGATED <=B-row frame
+    # (sample_domain_mixture precedent) — the corpus is counted once
+    w = Window.partitionBy()
+    tot = cnt.withColumn("tr", F.sum("cr").over(w)).withColumn(
+        "tt", F.sum("ct").over(w)
+    )
+    arg = (
+        (F.col("ct") + F.lit(1.0)) / (F.col("tt") + F.lit(float(n_buckets)))
+    ) * (
+        (F.col("tr") + F.lit(float(n_buckets))) / (F.col("cr") + F.lit(1.0))
+    )
+    return tot.select(
+        "b",
+        F.round(F.log(arg), 7).cast("decimal(20,7)").alias("r"),
+        "tr",
+        "tt",
+    )
+
+
+def _dsir_gumbel_col():
+    """Spark Gumbel key over a ``dsir_logw`` column: logw − ln(−ln(u))
+    with u a seeded-md5 uniform of the doc key (the SQL twin is
+    :func:`_dsir_gumbel_sql`)."""
+    hv = F.expr(_SP_H.format(x="concat('g1:', CAST(doc_id AS STRING))"))
+    u = (hv.cast("double") + F.lit(0.5)) / F.lit(float(1 << 60))
+    return F.round(F.col("dsir_logw") - F.log(-F.log(u)), 7)
+
+
 def dsir_frame(
     docs,
     n_buckets: int = _DSIR_B,
@@ -1696,57 +1752,16 @@ def dsir_frame(
     log-weight, Gumbel key, and selection rank."""
     from crypto_datalake_spark.ops.rank import global_row_number
 
-    base = docs.select("doc_id", "lang", F.split(F.col("text"), " ").alias("tok"))
-    # unigram + bigram features; CASE-guarded like repetition_signals so
-    # the inlined sequence() stays total if pushed past the size check
-    feats = F.expr(
-        "concat("
-        "transform(tok, t -> concat('u:', t)), "
-        "CASE WHEN size(tok) >= 2 THEN transform(sequence(0, size(tok) - 2), "
-        "i -> concat('b:', tok[i], ' ', tok[i + 1])) "
-        "ELSE CAST(array() AS array<string>) END)"
-    )
-    ex = (
-        base.select("doc_id", "lang", F.explode(feats).alias("f"))
-        .select(
-            "doc_id",
-            "lang",
-            (F.expr(_SP_H.format(x="f")) % n_buckets).alias("b"),
-        )
-        .localCheckpoint()  # consumers: bucket fit + per-doc scoring
-    )
-    # ONE corpus pass fits BOTH bucket LMs (raw = count, target = the
-    # lang slice); only raw-supported buckets matter because every doc
-    # feature is by construction raw-supported.
-    cnt = ex.groupBy("b").agg(
-        F.count(F.lit(1)).alias("cr"),
-        F.count(F.when(F.col("lang") == target_lang, 1)).alias("ct"),
-    )
-    # totals via a window over the ALREADY-AGGREGATED <=B-row frame
-    # (sample_domain_mixture precedent) — the corpus is counted once
-    w = Window.partitionBy()
-    tot = cnt.withColumn("tr", F.sum("cr").over(w)).withColumn(
-        "tt", F.sum("ct").over(w)
-    )
-    # add-one-smoothed log probability ratio per bucket, rounded to a
-    # decimal so the per-doc sum is engine-exact (the _lm discipline)
-    arg = (
-        (F.col("ct") + F.lit(1.0)) / (F.col("tt") + F.lit(float(n_buckets)))
-    ) * (
-        (F.col("tr") + F.lit(float(n_buckets))) / (F.col("cr") + F.lit(1.0))
-    )
-    ratio = tot.select("b", F.round(F.log(arg), 7).cast("decimal(20,7)").alias("r"))
+    # consumers: bucket fit + per-doc scoring
+    ex = _dsir_ex(docs, n_buckets).localCheckpoint()
+    ratio = _dsir_ratio_tot(ex, n_buckets, target_lang).select("b", "r")
     sc = (
         ex.join(F.broadcast(ratio), "b")
         .groupBy("doc_id", "lang")
         .agg(F.sum("r").alias("s"))
         .select("doc_id", "lang", F.col("s").cast("double").alias("dsir_logw"))
     )
-    hv = F.expr(_SP_H.format(x="concat('g1:', CAST(doc_id AS STRING))"))
-    u = (hv.cast("double") + F.lit(0.5)) / F.lit(float(1 << 60))
-    scored = sc.withColumn(
-        "gumbel_key", F.round(F.col("dsir_logw") - F.log(-F.log(u)), 7)
-    )
+    scored = sc.withColumn("gumbel_key", _dsir_gumbel_col())
     ranked = global_row_number(
         scored,
         [F.col("gumbel_key").desc(), F.col("doc_id").asc()],
@@ -1835,3 +1850,161 @@ def dsir_frame(
 )
 def sample_dsir(spark, sf_dir):
     return dsir_frame(t(spark, sf_dir, "documents"))
+
+
+_DSIR_SUFFIX = f"b{_DSIR_B}_{_DSIR_TARGET}_d{_DSIR_KEEP_DEN}"
+
+
+def dsir_model_tables(spark, sf_dir):
+    """The persisted DSIR fit — the seam sample_dsir's doc promises —
+    as two warehouse tables trained once per source fingerprint:
+
+    - ``dsir_ratio``: the B-row (b, r) bucket log-probability-ratio
+      table (broadcast-sized forever: B is a constant of the fit).
+    - ``dsir_meta``: 1 row (tr, tt, r_oov, key_cut) — the corpus
+      totals, the smoothed ratio an UNSEEN bucket scores at serve time
+      (cr = ct = 0 ⇒ ln((tr+B)/(tt+B)); new batches hash features to
+      buckets the fit never saw), and the FROZEN acceptance threshold:
+      the minimum Gumbel key the training resample kept, so serving is
+      a per-doc comparison instead of a global re-rank."""
+    from crypto_datalake_spark.queries.llm import _served_model_table
+
+    def mk(prefix, build):
+        return _served_model_table(
+            spark, sf_dir, prefix, _DSIR_SUFFIX, build,
+            source="documents.parquet",
+        )
+
+    def build_ratio():
+        return (
+            _dsir_ratio_tot(_dsir_ex(t(spark, sf_dir, "documents")))
+            .select("b", "r")
+            .coalesce(1)
+        )
+
+    ratio = mk("dsir_ratio", build_ratio)
+
+    def build_meta():
+        docs = t(spark, sf_dir, "documents")
+        tots = (
+            _dsir_ratio_tot(_dsir_ex(docs))
+            .select("tr", "tt")
+            .limit(1)
+        )
+        r_oov = F.round(
+            F.log(
+                (F.col("tr").cast("double") + F.lit(float(_DSIR_B)))
+                / (F.col("tt").cast("double") + F.lit(float(_DSIR_B)))
+            ),
+            7,
+        ).cast("decimal(20,7)")
+        cut = dsir_frame(docs).agg(F.min("gumbel_key").alias("key_cut"))
+        return (
+            tots.select("tr", "tt", r_oov.alias("r_oov"))
+            .crossJoin(cut)
+            .coalesce(1)
+        )
+
+    return ratio, mk("dsir_meta", build_meta)
+
+
+def dsir_model_paths(sf_dir: str) -> list[str]:
+    """Where :func:`dsir_model_tables` persists its fits — feeds the
+    driver's oracle-first pre-build guard (llm.model_artifact_paths)."""
+    from crypto_datalake_spark.queries.llm import _served_model_path
+
+    return [
+        _served_model_path(sf_dir, pre, _DSIR_SUFFIX, source="documents.parquet")
+        for pre in ("dsir_ratio", "dsir_meta")
+    ]
+
+
+def dsir_serve(docs, ratio, meta):
+    """Score a (doc_id, lang, text) batch against the FROZEN DSIR fit:
+    per-doc importance log-weight from the persisted bucket ratios
+    (unseen buckets coalesce to the persisted r_oov — real OOV
+    handling, the lm-served precedent), Gumbel key from the doc id, and
+    ``keep`` = key ≥ the persisted training cutoff.  Shuffle shape: one
+    feature explode + one doc_id aggregation; both fit tables broadcast
+    — no refit, no corpus recount, no global rank."""
+    ex = _dsir_ex(docs)
+    sc = (
+        ex.join(F.broadcast(ratio), "b", "left")
+        .crossJoin(F.broadcast(meta.select("r_oov")))
+        .groupBy("doc_id", "lang")
+        .agg(F.sum(F.coalesce("r", "r_oov")).alias("s"))
+        .select("doc_id", "lang", F.col("s").cast("double").alias("dsir_logw"))
+    )
+    return (
+        sc.withColumn("gumbel_key", _dsir_gumbel_col())
+        .crossJoin(F.broadcast(meta.select("key_cut")))
+        .select(
+            "doc_id",
+            "lang",
+            "dsir_logw",
+            "gumbel_key",
+            (F.col("gumbel_key") >= F.col("key_cut")).alias("keep"),
+        )
+    )
+
+
+def _dsir_served_sql(sf_dir: str) -> str:
+    """Surrogate oracle: DuckDB recomputes the serving policy
+    CONDITIONAL on the persisted fit (ratios, OOV ratio, frozen cutoff)
+    — the quality_lm_perplexity_served precedent."""
+    rp, mp = dsir_model_paths(sf_dir)
+    return f"""
+    WITH tokd AS (
+      SELECT doc_id, lang, string_split(text, ' ') AS tok FROM documents
+    ),
+    feats AS (
+      SELECT doc_id, lang,
+             unnest(list_concat(
+               list_transform(tok, tk -> 'u:' || tk),
+               CASE WHEN len(tok) >= 2
+                 THEN [('b:' || tok[i] || ' ' || tok[i + 1])
+                       for i in range(1, len(tok))]
+                 ELSE [] END)) AS f
+      FROM tokd
+    ),
+    fb AS (
+      SELECT doc_id, lang, ({_DK_H.format(x="f")}) % {_DSIR_B} AS b FROM feats
+    ),
+    ratio AS (SELECT b, r FROM read_parquet('{rp}/*.parquet')),
+    m AS (SELECT r_oov, key_cut FROM read_parquet('{mp}/*.parquet')),
+    sc AS (
+      SELECT doc_id, lang,
+             CAST(sum(coalesce(ratio.r, m.r_oov)) AS DOUBLE) AS dsir_logw
+      FROM fb LEFT JOIN ratio USING (b) CROSS JOIN m
+      GROUP BY doc_id, lang
+    ),
+    g AS (
+      SELECT doc_id, lang, dsir_logw, {_dsir_gumbel_sql()} AS gumbel_key
+      FROM sc
+    )
+    SELECT doc_id, lang, dsir_logw, gumbel_key,
+           gumbel_key >= m.key_cut AS keep
+    FROM g CROSS JOIN m
+    """
+
+
+@register(
+    "sample_dsir_served",
+    sql=_dsir_served_sql,
+    doc="The persisted-fit serving path of sample_dsir: the B-row "
+    "bucket-ratio table and a 1-row meta (corpus totals, the smoothed "
+    "OOV-bucket ratio, and the FROZEN acceptance threshold = the "
+    "minimum Gumbel key the training resample kept) are trained once "
+    "per source fingerprint; serving a new batch is one feature "
+    "explode, a broadcast ratio join with OOV coalesce, one doc_id "
+    "aggregation, and a broadcast threshold comparison — no refit, no "
+    "corpus recount, no global rank (the production shape: score "
+    "incoming crawls against the frozen target/raw importance model). "
+    "On the training corpus the kept set equals sample_dsir's resample "
+    "exactly (pinned in tests, modulo Gumbel-key ties at the cut — "
+    "none exist at 7-dp keys here). SURROGATE oracle: DuckDB "
+    "recomputes the serving policy conditional on the persisted fit.",
+)
+def sample_dsir_served(spark, sf_dir):
+    ratio, meta = dsir_model_tables(spark, sf_dir)
+    return dsir_serve(t(spark, sf_dir, "documents"), ratio, meta)

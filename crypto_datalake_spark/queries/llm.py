@@ -1937,6 +1937,12 @@ def _model_artifact_specs(sf_dir: str):
         # two paths, one shared eigenfit (components + mean)
         (lambda: pca.pca_model_paths(sf_dir),
          lambda spark: pca.pca_model_tables(spark, sf_dir)),
+        # KMeans centroids in PCA space (build pulls the eigenfit first)
+        (lambda: [pca.ivf_pca_centroid_path(sf_dir)],
+         lambda spark: pca.ivf_pca_centroid_table(spark, sf_dir)),
+        # two paths, one ordered build (ratio table + totals/cutoff meta)
+        (lambda: curation.dsir_model_paths(sf_dir),
+         lambda spark: curation.dsir_model_tables(spark, sf_dir)),
     ]
 
 
