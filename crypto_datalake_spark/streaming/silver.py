@@ -80,6 +80,90 @@ def foreach_batch_upsert(
     return _sink
 
 
+def foreach_batch_upsert_maintained(
+    spark: SparkSession,
+    path: str,
+    view_path: str,
+    keys: Sequence[str],
+    order_cols: Sequence[str],
+    partition_cols: Sequence[str],
+    group_keys: Sequence[str],
+    measures: dict[str, str],
+    derive_partitions: Callable[[DataFrame], DataFrame] | None = None,
+    stats_cols: Sequence[str] = (),
+) -> Callable[[DataFrame, int], None]:
+    """:func:`foreach_batch_upsert` (atomic) plus streaming IVM: after
+    each micro-batch's manifest commit, the materialized ``GROUP BY
+    group_keys`` sum/count/avg view at ``view_path`` catches up by
+    folding ``txn.table_diff`` as signed decimal deltas (ops/ivm) —
+    BIT-IDENTICAL to a recompute at every commit, priced at the churn.
+
+    Crash/replay discipline (the at-least-once contract): the view's
+    manifest records ``view_of`` = the BASE-table version it reflects,
+    and each tick diffs from THAT recorded version to the new head —
+    never from "the version before this batch" — so a crash between the
+    table commit and the view commit just widens the next tick's diff
+    window instead of silently losing a delta, and a checkpoint replay
+    (content-idempotent upsert ⇒ empty diff ⇒ ``view_of`` already at
+    head) is a no-op.  If the recorded base has been vacuumed out of the
+    table's history, maintenance degrades to one full recompute and
+    resumes incrementally from the new head."""
+    from crypto_datalake_spark import txn
+    from crypto_datalake_spark.ops.ivm import apply_delta, grouped_agg_state
+    from crypto_datalake_spark.sinks import frame_schema_hash
+
+    base_sink = foreach_batch_upsert(
+        spark, path, keys, order_cols, partition_cols,
+        derive_partitions=derive_partitions, atomic=True,
+        stats_cols=stats_cols,
+    )
+    gk, ms = list(group_keys), dict(measures)
+
+    def _commit_view(state: DataFrame, head: int, base_version):
+        import json as _json
+
+        gid = txn.write_generation(state, view_path, [])
+        txn.commit_manifest(
+            spark,
+            view_path,
+            {txn.ROOT_PART: gid},
+            base_version=base_version,
+            schema_hash=frame_schema_hash(state),
+            table_schema=_json.loads(state.schema.json()),
+            view_of=head,
+        )
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        base_sink(batch_df, batch_id)
+        m = txn.current_manifest(spark, path)
+        if m is None:
+            return  # empty batch on an empty table: nothing to maintain
+        head = m["version"]
+        vm = txn.current_manifest(spark, view_path)
+        if vm is not None and vm.get("view_of") == head:
+            return  # replay: the table commit was content-idempotent
+        if vm is None:
+            state = grouped_agg_state(
+                txn.read_table(spark, path, at_version=head), gk, ms
+            )
+            _commit_view(state, head, base_version=None)
+            return
+        try:
+            diff = txn.table_diff(spark, path, vm["view_of"], head)
+        except ValueError:
+            # recorded base vacuumed out of history: one full recompute,
+            # then incremental again from the new head
+            state = grouped_agg_state(
+                txn.read_table(spark, path, at_version=head), gk, ms
+            )
+            _commit_view(state, head, base_version=vm["version"])
+            return
+        state = apply_delta(txn.read_table(spark, view_path), diff, gk, ms)
+        _commit_view(state, head, base_version=vm["version"])
+
+    return _sink
+
+
 def retention_delete(path: str, partition_col: str, keep_values: set) -> int:
     """Drop partition directories whose ``partition_col=value`` is not in
     ``keep_values`` (ref: 12-hour event retention, websocket.py:798-899).

@@ -352,3 +352,89 @@ def test_wide_sum_keeps_widened_decimal_no_overflow(spark, tmp_path):
     assert _rows(state) == _rows(want)
     (row,) = state.collect()
     assert row["v_sum"] is not None and float(row["v_sum"]) == 2 * big
+
+
+# ------------------------------------------------------ streaming IVM
+
+def test_streaming_maintained_view_bit_identical(spark, tmp_path):
+    """availableNow stream through foreach_batch_upsert_maintained: after
+    N micro-batches the maintained GROUP BY view is BIT-IDENTICAL to a
+    recompute — including the all-NULL-measure group — and a crash
+    window between the table commit and the view commit self-heals on
+    the next tick (the view diffs from ITS recorded base, not from
+    'the version before this batch')."""
+    import time
+
+    from crypto_datalake_spark.streaming.silver import (
+        foreach_batch_upsert_maintained,
+    )
+
+    path = str(tmp_path / "lake")
+    view = str(tmp_path / "view")
+    incoming = tmp_path / "incoming"
+    incoming.mkdir()
+    batches = [
+        [("A", _T(0), 1.25, "d1"), ("B", _T(0), 3.0, "d2")],
+        [("A", _T(1), 20.0, "d1"), ("C", _T(2), 5.0, "d3"),
+         ("A", _T(0), 2.0, "d1")],                       # update A@t0
+        [("D", _T(3), None, "d1"), ("D", _T(4), None, "d1")],  # NULL group
+    ]
+    for i, rows in enumerate(batches):
+        _df(spark, rows).coalesce(1).write.parquet(str(incoming / f"f{i}"))
+        time.sleep(1.05)  # file source orders batches by mod time
+
+    sink = foreach_batch_upsert_maintained(
+        spark, path, view,
+        keys=["sym", "ts"], order_cols=["ts"], partition_cols=["day"],
+        group_keys=KEYS, measures=MEAS,
+    )
+    q = (
+        spark.readStream.schema("sym string, ts timestamp_ntz, v double, day string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(incoming) + "/*")
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+
+    def check():
+        got = txn.read_table(spark, view)
+        want = grouped_agg_state(txn.read_table(spark, path), KEYS, MEAS)
+        assert dict(got.dtypes) == dict(want.dtypes)
+        assert _rows(got.select(*want.columns)) == _rows(want)
+        view_rows = {r["sym"]: r for r in state_view(got, MEAS).collect()}
+        return view_rows
+
+    vr = check()
+    assert vr["A"]["v_sum"] == 22.0 and vr["A"]["n_rows"] == 2
+    assert vr["D"]["v_sum"] is None          # NULL, never 0.0
+
+    # crash window: the TABLE moves without the view (exactly the state
+    # a crash between the two commits leaves) — the next tick, even an
+    # EMPTY batch, catches the view up from its recorded base
+    txn.atomic_upsert_partitioned(
+        spark, _df(spark, [("B", _T(9), 7.0, "d2")]), path, **KW
+    )
+    sink(spark.createDataFrame([], "sym string, ts timestamp_ntz, v double, day string"), 99)
+    vr = check()
+    assert vr["B"]["v_sum"] == 10.0
+
+    # replay of an already-applied batch: content-idempotent upsert ->
+    # empty diff -> view untouched (no double-count)
+    sink(_df(spark, batches[1]), 1)
+    vr = check()
+    assert vr["A"]["v_sum"] == 22.0
+
+    # vacuumed base: history truncated under the recorded view_of ->
+    # one full recompute, then incremental again
+    for i in range(4):  # push head far ahead, view left behind
+        txn.atomic_upsert_partitioned(
+            spark, _df(spark, [("E", _T(10 + i), float(i), "d4")]), path, **KW
+        )
+    txn.vacuum(spark, path, keep_manifests=1)
+    sink(_df(spark, [("F", _T(20), 1.0, "d5")]), 100)
+    vr = check()
+    assert vr["E"]["v_sum"] == 0.0 + 1.0 + 2.0 + 3.0
+    assert vr["F"]["v_sum"] == 1.0
