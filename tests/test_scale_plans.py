@@ -229,3 +229,69 @@ def test_bm25_plan_topk_pushdown_and_bounded_exchanges(spark, sf_dir):
     assert "WindowGroupLimit" in p
     assert "CartesianProduct" not in p
     assert p.count("Exchange hashpartitioning") <= 5
+
+
+def test_aqe_splits_hot_key_join(spark):
+    """SCALE.md leans on 'AQE skew territory' for hot-key joins; this
+    MEASURES it under the session's own knobs (adaptive + skewJoin
+    enabled in session.get_spark): a 90%-hot-key fact joined to a
+    per-key dim as a forced sort-merge join gets its hot partition
+    SPLIT — the final adaptive plan marks SortMergeJoin(skew=true).
+
+    Two real-world conditions are pinned because each silently disables
+    the split: (a) the dim must not broadcast (skew handling only
+    applies to shuffled joins — broadcast is AQE's own better answer
+    when the dim fits), and (b) the join output must not feed an
+    aggregation on the SAME key — splitting a partition breaks that
+    downstream distribution requirement, so AQE refuses (the negative
+    arm below). At 100 TB that means: let hot aggregations re-shuffle
+    after a skewed join rather than pinning them to the join key."""
+    conf = spark.conf
+    keys = [
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+    ]
+    saved = {k: conf.get(k, None) for k in keys}
+    try:
+        conf.set(keys[0], "-1")       # force SMJ: the skewed-join regime
+        conf.set(keys[1], "-1")
+        conf.set(keys[2], "65536")    # test-sized thresholds (defaults
+        conf.set(keys[3], "262144")   # need a 256 MB hot partition)
+        n_hot, n_cold, n_keys = 300_000, 30_000, 300
+        # md5 payload defeats shuffle compression so partition bytes
+        # track rows; 90% of rows land on key 0
+        fact = spark.range(n_hot + n_cold).select(
+            F.when(F.col("id") < n_hot, F.lit(0))
+            .otherwise(F.col("id") % n_keys)
+            .alias("k"),
+            F.md5(F.col("id").cast("string")).alias("payload"),
+        )
+        dim = spark.range(n_keys).select(
+            F.col("id").alias("k"), (F.col("id") * 10).alias("w")
+        )
+        j = fact.join(dim, "k").agg(
+            F.sum(F.length("payload") + F.col("w")).alias("s")
+        )
+        (total,) = j.collect()[0]
+        assert total > 0
+        p = plan_text(j)
+        assert "isFinalPlan=true" in p
+        assert "SortMergeJoin(skew=true)" in p, p[:2000]
+
+        # negative arm: a same-key aggregate downstream reuses the join
+        # partitioning, so AQE must NOT split (splitting would violate
+        # the aggregate's required distribution) — correct, and the
+        # reason skew-sensitive pipelines re-shuffle after the join
+        g = fact.join(dim, "k").groupBy("k").agg(F.count(F.lit(1)).alias("c"))
+        g.collect()
+        pg = plan_text(g)
+        assert "isFinalPlan=true" in pg
+        assert "SortMergeJoin(skew=true)" not in pg
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                conf.unset(k)
+            else:
+                conf.set(k, v)
