@@ -378,9 +378,17 @@ def ngram_jaccard_pairs(d, cap: int = _NGJ_DF_CAP, threshold: float = 0.3):
     gexp = g.select(
         "lang", "len_bucket", "doc_id", F.explode("grams").alias("gh")
     )
+    # checkpointed: the pairing arm and the capped-gram arm both read
+    # the posting lists, and Catalyst does NOT recognize them as a
+    # reusable exchange (measured) — without the checkpoint the gram
+    # shuffle runs twice (1.77 -> 1.97 s at sf0.1, fresh process).
+    # Priced against the pre-cap r7 join plan under identical
+    # conditions this whole form is 1.19x (1.49 -> 1.77 s) — the cost
+    # of the df computation + true-jaccard restoration, bought against
+    # the quadratic stop-gram bound.
     pl = gexp.groupBy("lang", "len_bucket", "gh").agg(
         F.collect_list("doc_id").alias("dl")
-    ).localCheckpoint()  # reused by the pairing AND the capped-gram arm
+    ).localCheckpoint()
     pairs = F.filter(
         F.flatten(
             F.transform(
