@@ -1,0 +1,292 @@
+"""Runnable HTTP serving surface: the engine-side analogue of the
+reference's API service (live_data_api_service/app.py:194-222 route →
+service.fetch_perpetual_data, service.py:2080-2197), on the stdlib
+``http.server`` only — the container ships no web framework, and the
+serving layer needs none: every piece of the request flow already
+exists as a tested engine component, this module just composes them.
+
+Request flow (reference stage → engine component):
+
+1. parse    — per-tf inline limits + aliases (timeframes.py:70-104) →
+              ``functions.timeframes.parse_timeframe_requests``;
+              symbol normalization → ``normalize_symbol``.
+2. end time — ISO parse → floor to minute → clamp to the local
+              watermark within tolerance (service.py:944-966) →
+              ``functions.fetch_planner.resolve_end_time`` over
+              ``latest_watermarks`` (the write-audit ledger) or the 1m
+              lake's max timestamp.
+3. plan     — direct HTF table vs aggregate-from-1m vs unavailable
+              (capabilities.py:48-95) → ``plan_timeframe_fetch``.
+4. execute  — per timeframe CONCURRENTLY (service.py:2174-2182's
+              thread-per-timeframe) → ``serve_timeframe`` (coverage
+              probe + 1m-aggregation fallback), Spark actions are
+              thread-safe and the local scheduler interleaves jobs.
+5. cache    — TTL'd LRU with exact/superset/partial hits and
+              single-flight in-flight dedup (service.py:348-550) →
+              ``serving_cache.ServingCache``.
+
+Scale note: the HTTP layer is driver-side glue around bounded results
+(every response is ≤ limit bars per timeframe — the per-symbol tail and
+coverage probe inside ``serve_timeframe`` do the bounding IN the plan,
+so a request can never collect an unbounded frame to the driver).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from dataclasses import asdict
+from decimal import Decimal
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import parse_qs, urlparse
+
+from crypto_datalake_spark.functions.fetch_planner import (
+    FetchPlannerConfig,
+    latest_watermarks,
+    resolve_end_time,
+    serve_timeframe,
+)
+from crypto_datalake_spark.functions.timeframes import (
+    DEFAULT_LIMIT,
+    MAX_LIMIT,
+    normalize_symbol,
+    parse_timeframe_requests,
+)
+from crypto_datalake_spark.serving_cache import ServingCache
+
+_EPOCH = dt.datetime(1970, 1, 1)
+
+
+def _to_epoch(ts: dt.datetime) -> float:
+    return (ts - _EPOCH).total_seconds()
+
+
+def _jsonable(v):
+    if isinstance(v, dt.datetime):
+        return v.isoformat(sep=" ")
+    if isinstance(v, Decimal):
+        return float(v)
+    return v
+
+
+class RequestError(ValueError):
+    """Client-side validation failure → HTTP 400 (the FastAPI 422/400
+    analogue)."""
+
+
+class PerpetualDataService:
+    """The engine behind the endpoint: composes planner + lake reads +
+    cache for one (symbol, timeframes, limit, end_time) request.
+
+    ``tables``: timeframe token → parquet path (the materialized lake;
+    must include "1m" for any aggregate/coverage fallback to exist).
+    ``ledger_path``: optional write-audit ledger — when present the
+    watermark clamp reads committed per-symbol high-water marks from it
+    (functions.fetch_planner.latest_watermarks); otherwise the 1m
+    lake's max timestamp stands in.
+    """
+
+    def __init__(
+        self,
+        spark,
+        tables: dict[str, str],
+        ledger_path: str | None = None,
+        config: FetchPlannerConfig = FetchPlannerConfig(),
+        cache: ServingCache | None = None,
+        now=dt.datetime.utcnow,
+        watermark_tolerance_minutes: int = 3,
+    ) -> None:
+        self._spark = spark
+        self._tables = dict(tables)
+        self._ledger_path = ledger_path
+        self._config = config
+        self._cache = cache if cache is not None else ServingCache()
+        self._now = now
+        self._tol = watermark_tolerance_minutes
+
+    # ------------------------------------------------------------ lake
+
+    def _load_table(self, tf: str, symbol: str):
+        from pyspark.sql import functions as F
+
+        path = self._tables.get(tf)
+        if path is None:
+            return None
+        try:
+            df = self._spark.read.parquet(path)
+        except Exception:
+            return None  # missing/empty store: planner treats as absent
+        return df.where(F.col("symbol") == symbol)
+
+    def _watermark(self, symbol: str):
+        from pyspark.sql import functions as F
+
+        if self._ledger_path is not None:
+            wm = (
+                latest_watermarks(self._spark, self._ledger_path, ["symbol"])
+                .where(F.col("symbol") == symbol)
+                .agg(F.max("watermark"))
+                .collect()[0][0]
+            )
+            return wm
+        base = self._load_table("1m", symbol)
+        if base is None:
+            return None
+        return base.agg(F.max("timestamp")).collect()[0][0]
+
+    # --------------------------------------------------------- request
+
+    def fetch(
+        self,
+        symbol: str,
+        timeframes: str,
+        default_limit: int = DEFAULT_LIMIT,
+        end_time: str | None = None,
+    ) -> dict:
+        try:
+            sym = normalize_symbol(symbol)
+            reqs = parse_timeframe_requests(
+                timeframes, default_limit=default_limit, max_limit=MAX_LIMIT
+            )
+        except ValueError as e:
+            raise RequestError(str(e)) from e
+        requested_end = None
+        if end_time:
+            try:
+                requested_end = dt.datetime.fromisoformat(end_time).replace(
+                    second=0, microsecond=0, tzinfo=None
+                )
+            except ValueError as e:
+                raise RequestError(f"bad end_time: {end_time!r}") from e
+
+        end, from_watermark = resolve_end_time(
+            requested_end, self._watermark(sym), self._now(), self._tol
+        )
+
+        def one(req) -> tuple[str, dict]:
+            key = (sym, req.timeframe, req.limit)
+            end_epoch = _to_epoch(end)
+            kind, rows = self._cache.get(key, end_epoch, req.limit)
+            if kind in ("exact", "superset"):
+                return req.timeframe, {
+                    "bars": [d for _, d in rows],
+                    "plan": {"mode": "cache", "cache": kind},
+                }
+            with self._cache.single_flight(key):
+                kind, rows = self._cache.get(key, end_epoch, req.limit)
+                if kind in ("exact", "superset"):  # a racer filled it
+                    return req.timeframe, {
+                        "bars": [d for _, d in rows],
+                        "plan": {"mode": "cache", "cache": kind},
+                    }
+                try:
+                    bars, plan = serve_timeframe(
+                        req.timeframe,
+                        req.limit,
+                        lambda tf: self._load_table(tf, sym),
+                        set(self._tables),
+                        self._config,
+                        end_time=end,
+                    )
+                except ValueError as e:
+                    return req.timeframe, {"error": str(e)}
+                ts_col = (
+                    "timestamp" if plan.mode == "direct_1m" else "bucket_ts"
+                )
+                out = sorted(
+                    (
+                        {k: _jsonable(v) for k, v in r.asDict().items()}
+                        for r in bars.collect()
+                    ),
+                    key=lambda d: d[ts_col],
+                )
+                self._cache.put(
+                    key,
+                    end_epoch,
+                    [
+                        (_to_epoch(dt.datetime.fromisoformat(d[ts_col])), d)
+                        for d in out
+                    ],
+                )
+                return req.timeframe, {
+                    "bars": out,
+                    "plan": {**asdict(plan), "cache": kind},
+                }
+
+        # thread-per-timeframe (the reference's executor shape); Spark
+        # actions are thread-safe and jobs interleave on local[n]
+        with ThreadPoolExecutor(max_workers=max(1, len(reqs))) as ex:
+            results = dict(ex.map(one, reqs))
+        return {
+            "symbol": sym,
+            "end_time": end.isoformat(sep=" "),
+            "end_time_from_watermark": bool(from_watermark),
+            "timeframes": results,
+        }
+
+
+# ------------------------------------------------------------- server
+
+
+class _Handler(BaseHTTPRequestHandler):
+    service: PerpetualDataService  # injected by make_server
+
+    def log_message(self, *a):  # tests don't want stderr chatter
+        pass
+
+    def _reply(self, code: int, payload: dict) -> None:
+        body = json.dumps(payload).encode()
+        self.send_response(code)
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def do_GET(self) -> None:  # noqa: N802 (http.server API)
+        url = urlparse(self.path)
+        if url.path == "/health":
+            self._reply(200, {"status": "ok"})
+            return
+        if url.path != "/perpetual-data":
+            self._reply(404, {"error": f"no such route: {url.path}"})
+            return
+        q = {k: v[-1] for k, v in parse_qs(url.query).items()}
+        try:
+            limit = int(q.get("limit", DEFAULT_LIMIT))
+        except ValueError:
+            self._reply(400, {"error": f"bad limit: {q.get('limit')!r}"})
+            return
+        try:
+            out = self.service.fetch(
+                symbol=q.get("symbol", "BTC"),
+                timeframes=q.get("timeframes", "1m"),
+                default_limit=limit,
+                end_time=q.get("end_time"),
+            )
+        except RequestError as e:
+            self._reply(400, {"error": str(e)})
+            return
+        self._reply(200, out)
+
+
+def make_server(
+    service: PerpetualDataService, host: str = "127.0.0.1", port: int = 0
+) -> ThreadingHTTPServer:
+    """Bind (port 0 = ephemeral) and return the server; callers drive it
+    with ``serve_forever`` on a thread (see ``serve_background``)."""
+    handler = type("BoundHandler", (_Handler,), {"service": service})
+    return ThreadingHTTPServer((host, port), handler)
+
+
+def serve_background(
+    service: PerpetualDataService, host: str = "127.0.0.1", port: int = 0
+) -> tuple[ThreadingHTTPServer, threading.Thread]:
+    """Start the API on a daemon thread; returns (server, thread) — the
+    bound port is ``server.server_address[1]``.  Shut down with
+    ``server.shutdown()``."""
+    srv = make_server(service, host, port)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    return srv, t

@@ -1,0 +1,171 @@
+"""The runnable HTTP serving surface (http_api.py): the engine-side
+analogue of the reference's API service, driven END TO END over real
+sockets — request parse, watermark clamp, per-timeframe plan/execute,
+cache hits, and validation errors, all against a real parquet lake.
+
+Reference behaviors mirrored: FastAPI TestClient end-to-end responses
+(test_live_data_api_service.py:996,:1066,:1134), planner decisions
+(:174,:187), watermark end-time clamp (:774), cache exact hits
+(:1482-1755).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+import urllib.request
+
+import pytest
+
+from crypto_datalake_spark.functions.fetch_planner import (
+    MODE_AGGREGATE,
+    MODE_DIRECT,
+    MODE_DIRECT_1M,
+    FetchPlannerConfig,
+)
+from crypto_datalake_spark.http_api import (
+    PerpetualDataService,
+    RequestError,
+    serve_background,
+)
+
+
+def _get(port, path):
+    with urllib.request.urlopen(f"http://127.0.0.1:{port}{path}") as r:
+        return r.status, json.loads(r.read())
+
+
+def _get_err(port, path):
+    try:
+        urllib.request.urlopen(f"http://127.0.0.1:{port}{path}")
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+    raise AssertionError("expected HTTPError")
+
+
+@pytest.fixture(scope="module")
+def api(spark, tmp_path_factory):
+    from tests.test_pipelines import _minute_frame, _minute_row, _ts
+    from crypto_datalake_spark.pipelines.serving import (
+        aggregate_canonical_frame,
+    )
+
+    root = tmp_path_factory.mktemp("api_lake")
+    minutes = _minute_frame(
+        spark, [_minute_row(_ts(m), close=100.0 + m) for m in range(12)]
+    )
+    minutes.write.parquet(str(root / "m1"))
+    aggregate_canonical_frame(minutes, "3m").write.parquet(str(root / "m3"))
+    tables = {"1m": str(root / "m1"), "3m": str(root / "m3")}
+    svc = PerpetualDataService(
+        spark, tables, now=lambda: dt.datetime(2024, 1, 1, 0, 12)
+    )
+    srv, _ = serve_background(svc)
+    yield svc, srv.server_address[1], tables
+    srv.shutdown()
+
+
+def test_health_and_unknown_route(api):
+    _, port, _ = api
+    assert _get(port, "/health") == (200, {"status": "ok"})
+    code, body = _get_err(port, "/nope")
+    assert code == 404 and "no such route" in body["error"]
+
+
+def test_direct_htf_read_over_http(api):
+    _, port, _ = api
+    code, body = _get(
+        port, "/perpetual-data?symbol=BTC&timeframes=3m=2"
+    )
+    assert code == 200
+    assert body["symbol"] == "BTCUSDT"          # normalized
+    tf = body["timeframes"]["3m"]
+    assert tf["plan"]["mode"] == MODE_DIRECT
+    assert tf["plan"]["fallback_used"] is False
+    got = [b["bucket_ts"] for b in tf["bars"]]
+    assert got == ["2024-01-01 00:06:00", "2024-01-01 00:09:00"]
+    # last 3m bucket (00:09) closes over minutes 9-11: close = last = 111
+    assert tf["bars"][-1]["close"] == 111.0
+
+
+def test_aggregate_fallback_and_multi_tf_request(api):
+    _, port, _ = api
+    code, body = _get(
+        port, "/perpetual-data?symbol=BTCUSDT&timeframes=1m=3,5m,2h"
+    )
+    assert code == 200
+    one = body["timeframes"]["1m"]
+    assert one["plan"]["mode"] == MODE_DIRECT_1M
+    assert [b["close"] for b in one["bars"]] == [109.0, 110.0, 111.0]
+    five = body["timeframes"]["5m"]
+    assert five["plan"]["mode"] == MODE_AGGREGATE  # not materialized
+    assert "timeframe_not_materialized" in five["plan"]["notes"]
+    # 12 minutes → two COMPLETE 5m buckets (00:00, 00:05); 00:10 is
+    # partial and the canonical aggregation is complete-only (P5)
+    assert [b["close"] for b in five["bars"]] == [104.0, 109.0]
+    two = body["timeframes"]["2h"]
+    assert two["plan"]["mode"] == MODE_AGGREGATE
+    assert two["bars"] == []                       # no complete 2h bucket
+
+
+def test_watermark_clamp_and_explicit_end_time(api):
+    svc, port, _ = api
+    # omitted end_time, fresh watermark (lake max 00:11, "now" 00:12,
+    # tolerance 3m) → clamp to the watermark
+    code, body = _get(port, "/perpetual-data?timeframes=1m=2")
+    assert code == 200
+    assert body["end_time_from_watermark"] is True
+    assert body["end_time"] == "2024-01-01 00:11:00"
+    # explicit end_time wins and bounds the window
+    code, body = _get(
+        port,
+        "/perpetual-data?timeframes=1m=2&end_time=2024-01-01T00:05:30",
+    )
+    assert body["end_time"] == "2024-01-01 00:05:00"  # minute floor
+    assert [b["close"] for b in body["timeframes"]["1m"]["bars"]] == [
+        104.0, 105.0,
+    ]
+
+
+def test_cache_exact_hit_on_repeat(api):
+    svc, port, _ = api
+    path = "/perpetual-data?timeframes=3m=3&end_time=2024-01-01T00:11:00"
+    _, first = _get(port, path)
+    before = svc._cache.stats.exact
+    _, second = _get(port, path)
+    assert svc._cache.stats.exact == before + 1
+    assert second["timeframes"]["3m"]["plan"]["mode"] == "cache"
+    assert second["timeframes"]["3m"]["plan"]["cache"] == "exact"
+    assert second["timeframes"]["3m"]["bars"] == first["timeframes"]["3m"]["bars"]
+
+
+def test_validation_errors_are_400(api):
+    _, port, _ = api
+    code, body = _get_err(port, "/perpetual-data?timeframes=17q")
+    assert code == 400 and "unknown timeframe" in body["error"]
+    code, body = _get_err(
+        port, "/perpetual-data?timeframes=1m&end_time=not-a-time"
+    )
+    assert code == 400 and "bad end_time" in body["error"]
+    code, body = _get_err(port, "/perpetual-data?timeframes=1m&limit=abc")
+    assert code == 400 and "bad limit" in body["error"]
+
+
+def test_unavailable_timeframe_is_per_tf_error(spark, api):
+    svc, _, tables = api
+    strict = PerpetualDataService(
+        spark, tables,
+        config=FetchPlannerConfig(allow_1m_fallback=False),
+        now=lambda: dt.datetime(2024, 1, 1, 0, 12),
+    )
+    out = strict.fetch("BTC", "2h,3m=2")
+    assert "unavailable" in out["timeframes"]["2h"]["error"]
+    assert out["timeframes"]["3m"]["plan"]["mode"] == MODE_DIRECT
+
+
+def test_service_rejects_bad_symbol_and_empty_spec(spark, api):
+    svc, _, _ = api
+    with pytest.raises(RequestError):
+        svc.fetch("BTC", "")
+    with pytest.raises(RequestError):
+        svc.fetch("BTC", "1m", end_time="nope")
