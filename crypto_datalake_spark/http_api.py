@@ -290,3 +290,37 @@ def serve_background(
     t = threading.Thread(target=srv.serve_forever, daemon=True)
     t.start()
     return srv, t
+
+
+def main(argv=None) -> None:
+    """``python -m crypto_datalake_spark.http_api 1m=/lake/minute
+    3m=/lake/htf3m --port 8080`` — stand up the API over a parquet
+    lake.  Each positional arg maps a timeframe token to its table."""
+    import argparse
+
+    from crypto_datalake_spark.session import get_spark
+
+    ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    ap.add_argument("tables", nargs="+", metavar="TF=PATH",
+                    help="timeframe=parquet-path (include 1m=... for "
+                         "aggregation/coverage fallbacks)")
+    ap.add_argument("--port", type=int, default=8000)
+    ap.add_argument("--host", default="127.0.0.1")
+    ap.add_argument("--ledger", default=None,
+                    help="write-audit ledger path for the watermark clamp")
+    args = ap.parse_args(argv)
+    tables = dict(t.split("=", 1) for t in args.tables)
+    spark = get_spark("cds-http-api")
+    spark.sparkContext.setLogLevel("ERROR")
+    svc = PerpetualDataService(spark, tables, ledger_path=args.ledger)
+    srv = make_server(svc, args.host, args.port)
+    print(f"serving on http://{args.host}:{srv.server_address[1]}  "
+          f"(tables: {', '.join(sorted(tables))})")
+    try:
+        srv.serve_forever()
+    except KeyboardInterrupt:
+        srv.shutdown()
+
+
+if __name__ == "__main__":
+    main()

@@ -222,6 +222,36 @@ def _bloom_words_for_bands(bands: DataFrame) -> DataFrame:
     return bloom_build(bands.select(_band_key_h().alias("h")).distinct())
 
 
+def compact_bloom(spark: SparkSession, bloom_path: str) -> int:
+    """Fold the append-only Bloom sidecar back to ≤ m/64 rows (one per
+    populated word): each accepted batch appends its own pre-aggregated
+    words, so reads pay a growing bit_or-merge until someone compacts.
+    Single-writer discipline (the ingest stream IS single-writer by its
+    checkpoint): write the merged words to a tmp directory, then swap —
+    a crash between the two leaves either the old rows or the compacted
+    ones, both of which carry the full bit set.  Returns the compacted
+    row count; no-op (0) when the store doesn't exist."""
+    import uuid
+
+    words = _read_store(
+        spark, bloom_path, ["word_idx", "bits"], "word_idx long, bits long"
+    )
+    if words.isEmpty():
+        return 0
+    merged = words.groupBy("word_idx").agg(
+        F.expr("bit_or(bits)").alias("bits")
+    ).coalesce(1).localCheckpoint()  # read fully BEFORE touching the store
+    tmp = f"{bloom_path.rstrip('/')}__compact_{uuid.uuid4().hex[:8]}"
+    merged.write.parquet(tmp)
+    import shutil
+
+    shutil.rmtree(bloom_path)
+    import os
+
+    os.rename(tmp, bloom_path)
+    return merged.count()
+
+
 def _healed_bloom(
     spark: SparkSession, idx: DataFrame, bloom_path: str
 ) -> DataFrame:

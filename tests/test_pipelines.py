@@ -1431,3 +1431,63 @@ def test_corpus_ingest_bloom_prefilter_prices_not_changes(spark, tmp_path):
            .where(F.col("batch_id") == 1).collect()}
     assert got[40] == (False, "near_duplicate")
     assert got[41][0] is True
+
+
+def test_compact_bloom_preserves_bits(spark, tmp_path):
+    """Compaction folds the append-only Bloom words to one row per
+    populated word with the IDENTICAL merged bit set — membership
+    verdicts cannot change — and is a no-op on a missing store."""
+    from crypto_datalake_spark.pipelines.corpus_ingest import (
+        _healed_bloom,
+        _read_store,
+        compact_bloom,
+        default_bloom_path,
+        ingest_batch,
+    )
+
+    corpus = str(tmp_path / "corpus")
+    audit = str(tmp_path / "audit")
+    bloom_path = default_bloom_path(corpus)
+    assert compact_bloom(spark, bloom_path) == 0  # missing store: no-op
+
+    for b in range(3):  # three accept batches -> three appended row sets
+        ingest_batch(
+            spark,
+            spark.createDataFrame(
+                [(100 * b + i, " ".join(f"w{b}x{i}y{j}" for j in range(20)))
+                 for i in range(3)],
+                "doc_id long, text string",
+            ),
+            corpus, audit, b,
+        )
+    raw = _read_store(
+        spark, bloom_path, ["word_idx", "bits"], "word_idx long, bits long"
+    )
+    n_raw = raw.count()
+    idx = spark.createDataFrame([], "doc_id long, shingles array<string>, "
+                                "bands array<struct<band_id:int,band_key:string>>")
+    before = {r["word_idx"]: r["bits"]
+              for r in _healed_bloom(spark, idx, bloom_path).collect()}
+
+    n_compact = compact_bloom(spark, bloom_path)
+    assert 0 < n_compact <= n_raw
+    after_raw = _read_store(
+        spark, bloom_path, ["word_idx", "bits"], "word_idx long, bits long"
+    )
+    assert after_raw.count() == n_compact  # physically folded
+    after = {r["word_idx"]: r["bits"]
+             for r in _healed_bloom(spark, idx, bloom_path).collect()}
+    assert after == before                 # identical bit set
+
+    # and the pipeline still rejects near-dups through the compacted bloom
+    ingest_batch(
+        spark,
+        spark.createDataFrame(
+            [(900, " ".join(f"w0x0y{j}" for j in range(20)) + " tail")],
+            "doc_id long, text string",
+        ),
+        corpus, audit, 9,
+    )
+    got = {r["doc_id"]: r["accepted"]
+           for r in spark.read.parquet(audit).where(F.col("batch_id") == 9).collect()}
+    assert got[900] is False

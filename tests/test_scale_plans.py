@@ -295,3 +295,17 @@ def test_aqe_splits_hot_key_join(spark):
                 conf.unset(k)
             else:
                 conf.set(k, v)
+
+
+def test_ann_ivf_pca_plan_is_broadcast_fold(spark, sf_dir):
+    """The PCA-space IVF composition must keep the ANN family's plan
+    contract: projection + cell assignment are per-row folds over
+    broadcast literals/centroids (the corpus NEVER hash-shuffles), the
+    probe and re-rank sides broadcast, and no Python reaches the plan —
+    at 100 TB the whole query is one map pass over the corpus plus a
+    top-k."""
+    p = plan_text(REGISTRY["ann_ivf_pca"].fn(spark, sf_dir))
+    assert "SortMergeJoin" not in p
+    assert "Exchange hashpartitioning" not in p   # no corpus shuffle
+    assert "BatchEvalPython" not in p             # no Python in the plan
+    assert "BroadcastExchange" in p               # centroids/query broadcast
