@@ -166,6 +166,10 @@ class PerpetualDataService:
         )
 
         def one(req) -> tuple[str, dict]:
+            # cache windows are STRICTLY-before-end (ServingCache.get's
+            # r[0] < end_time): a bar stamped exactly at end_time is the
+            # still-open bar and is recomputed rather than cache-served
+            # (the reference's closed-bars-only cache discipline)
             key = (sym, req.timeframe, req.limit)
             end_epoch = _to_epoch(end)
             kind, rows = self._cache.get(key, end_epoch, req.limit)

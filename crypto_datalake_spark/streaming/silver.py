@@ -148,11 +148,16 @@ def foreach_batch_upsert_maintained(
             )
             _commit_view(state, head, base_version=None)
             return
-        try:
-            diff = txn.table_diff(spark, path, vm["view_of"], head)
-        except ValueError:
-            # recorded base vacuumed out of history: one full recompute,
-            # then incremental again from the new head
+        base = vm.get("view_of")
+        if base is not None:
+            try:
+                diff = txn.table_diff(spark, path, base, head)
+            except ValueError:
+                base = None  # recorded base vacuumed out of history
+        if base is None:
+            # no usable base (vacuumed, or a foreign manifest at
+            # view_path that never recorded view_of): one full
+            # recompute, then incremental again from the new head
             state = grouped_agg_state(
                 txn.read_table(spark, path, at_version=head), gk, ms
             )

@@ -438,3 +438,36 @@ def test_streaming_maintained_view_bit_identical(spark, tmp_path):
     vr = check()
     assert vr["E"]["v_sum"] == 0.0 + 1.0 + 2.0 + 3.0
     assert vr["F"]["v_sum"] == 1.0
+
+
+def test_maintained_view_foreign_manifest_recomputes(spark, tmp_path):
+    """A manifest at view_path that never recorded view_of (manual
+    write, or a pre-IVM table being adopted) must trigger one full
+    recompute — not a KeyError, not a stale serve."""
+    from crypto_datalake_spark.streaming.silver import (
+        foreach_batch_upsert_maintained,
+    )
+
+    path = str(tmp_path / "lake")
+    view = str(tmp_path / "view")
+    # a foreign (no view_of) manifest at the view path
+    txn.atomic_overwrite(
+        spark,
+        spark.createDataFrame([("Z", 1)], "sym string, junk int"),
+        view,
+    )
+    sink = foreach_batch_upsert_maintained(
+        spark, path, view,
+        keys=["sym", "ts"], order_cols=["ts"], partition_cols=["day"],
+        group_keys=KEYS, measures=MEAS,
+    )
+    sink(_df(spark, [("A", _T(0), 2.5, "d1"), ("B", _T(1), 4.0, "d2")]), 0)
+    got = txn.read_table(spark, view)
+    want = grouped_agg_state(txn.read_table(spark, path), KEYS, MEAS)
+    assert _rows(got.select(*want.columns)) == _rows(want)
+    assert txn.current_manifest(spark, view)["view_of"] == 1
+    # and maintenance is incremental again from here
+    sink(_df(spark, [("A", _T(2), 1.5, "d1")]), 1)
+    got = txn.read_table(spark, view)
+    want = grouped_agg_state(txn.read_table(spark, path), KEYS, MEAS)
+    assert _rows(got.select(*want.columns)) == _rows(want)

@@ -652,3 +652,57 @@ def test_rollinghash_equals_horner_recompute(lens, n, seed):
     for k in range(len(h1)):
         s = offsets[doc_idx[k]] + pos[k] - 1
         assert direct(th[s : s + n]) == (int(h1[k]), int(h2[k]))
+
+
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from(["a", "b", "c", "d", "e"]),
+            min_size=2, max_size=8,
+        ),
+        min_size=2, max_size=10,
+    ),
+    cap=st.integers(min_value=1, max_value=12),
+)
+@settings(**_SETTINGS)
+def test_ngram_jaccard_cap_semantics_match_setmath(spark, docs, cap):
+    """Capped blocked-bigram Jaccard against brute-force set math on a
+    tiny 5-token vocabulary (dense enough that the df-cap genuinely
+    binds): every emitted pair carries the EXACT true Jaccard of the
+    full bigram sets, and the emitted pair set is exactly {true-jaccard
+    >= 0.3 pairs that share at least one gram with per-block df <= cap}
+    — the documented recall contract of the stop-gram policy."""
+    from crypto_datalake_spark.queries.dedup import ngram_jaccard_pairs
+
+    rows = [(i, "en", 50, " ".join(toks)) for i, toks in enumerate(docs)]
+    d = spark.createDataFrame(
+        rows, "doc_id long, lang string, n_chars long, text string"
+    )
+    got = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(d, cap=cap).collect()
+    }
+
+    grams = {
+        i: {(toks[j], toks[j + 1]) for j in range(len(toks) - 1)}
+        for i, toks in enumerate(docs)
+    }
+    from collections import Counter
+
+    df_count = Counter(g for gs in grams.values() for g in gs)
+    want = {}
+    for a in grams:
+        for b in grams:
+            if a >= b:
+                continue
+            inter = grams[a] & grams[b]
+            if not inter:
+                continue
+            if all(df_count[g] > cap for g in inter):
+                continue  # candidate-stage recall loss, by contract
+            j = len(inter) / len(grams[a] | grams[b])
+            if j >= 0.3:
+                want[(a, b)] = j
+    assert set(got) == set(want)
+    for k, v in want.items():
+        assert abs(got[k] - v) < 1e-12, (k, got[k], v)
