@@ -109,15 +109,24 @@ class PerpetualDataService:
     # ------------------------------------------------------------ lake
 
     def _load_table(self, tf: str, symbol: str):
+        from pyspark.errors import AnalysisException
         from pyspark.sql import functions as F
+
+        from crypto_datalake_spark.sinks import is_missing_target_error
 
         path = self._tables.get(tf)
         if path is None:
             return None
         try:
             df = self._spark.read.parquet(path)
-        except Exception:
-            return None  # missing/empty store: planner treats as absent
+        except AnalysisException as e:
+            # ONLY a not-yet-written store reads as "table absent";
+            # transient storage errors / corrupt footers must fail the
+            # request, not silently degrade the plan (the corpus_ingest
+            # _read_store discipline)
+            if is_missing_target_error(e):
+                return None
+            raise
         return df.where(F.col("symbol") == symbol)
 
     def _watermark(self, symbol: str):

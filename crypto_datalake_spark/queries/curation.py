@@ -1943,7 +1943,12 @@ def dsir_serve(docs, ratio, meta):
             "lang",
             "dsir_logw",
             "gumbel_key",
-            (F.col("gumbel_key") >= F.col("key_cut")).alias("keep"),
+            # NULL cut = the training resample kept nothing (corpus
+            # smaller than keep_den): serve keeps nothing, a definite
+            # False — not a NULL verdict (oracle mirrors the coalesce)
+            F.coalesce(
+                F.col("gumbel_key") >= F.col("key_cut"), F.lit(False)
+            ).alias("keep"),
         )
     )
 
@@ -1983,7 +1988,7 @@ def _dsir_served_sql(sf_dir: str) -> str:
       FROM sc
     )
     SELECT doc_id, lang, dsir_logw, gumbel_key,
-           gumbel_key >= m.key_cut AS keep
+           coalesce(gumbel_key >= m.key_cut, FALSE) AS keep
     FROM g CROSS JOIN m
     """
 

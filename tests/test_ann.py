@@ -561,3 +561,25 @@ def test_sample_dsir_served_training_parity_and_oov(spark, sf_dir):
     for r in got.values():
         assert r["dsir_logw"] is not None       # OOV buckets scored
         assert r["keep"] in (True, False)       # threshold applied
+
+
+def test_dsir_serve_null_cut_keeps_nothing(spark, sf_dir):
+    """A fit whose training resample kept nothing (corpus smaller than
+    keep_den) persists a NULL cutoff; serving against it must return a
+    definite keep=False for every doc — never a NULL verdict."""
+    from crypto_datalake_spark.queries.curation import dsir_serve
+
+    ratio = spark.createDataFrame([(0, None)], "b long, r decimal(20,7)").where("b < 0")
+    meta = spark.createDataFrame(
+        [(0, 0, None, None)],
+        "tr long, tt long, r_oov decimal(20,7), key_cut double",
+    )
+    docs = spark.createDataFrame(
+        [(1, "en", "aa bb cc dd")], "doc_id long, lang string, text string"
+    )
+    # r_oov NULL would NULL the logw: give the degenerate fit a real
+    # OOV ratio (ln((0+B)/(0+B)) = 0), as build_meta does for tr=tt=0
+    meta = meta.withColumn("r_oov", F.lit(0).cast("decimal(20,7)"))
+    (row,) = dsir_serve(docs, ratio, meta).collect()
+    assert row["keep"] is False            # definite, not NULL
+    assert row["dsir_logw"] == 0.0
