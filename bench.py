@@ -109,6 +109,7 @@ BENCH_QUERIES = [
     "feature_target_encode",         # leave-one-out categorical encoding
     "funnel_conversion",             # one-shuffle ordered-funnel walk
     "retention_cohorts",             # signup-cohort weekly retention
+    "multimodal_decode_roundtrip",  # REAL wav/bmp codec round-trip
     "st2_streaming_minute_agg",
     "st3_orderbook_replay",
 ]

@@ -3,10 +3,15 @@
 A 100 TB training-data lake carries image/audio/video as ``binary`` columns
 next to typed metadata. The Spark-side plumbing here is real — schema,
 Arrow batch transfer, ``mapInPandas`` signature, per-batch vectorization —
-while the actual media decode is stubbed (the decode libraries are not in
-this container): ``decode_media`` raises ``NotImplementedError`` and
-``extract_media_features`` computes deterministic byte-level features
-instead, so the pipeline shape is testable end-to-end.
+and ``decode_media`` performs REAL decode for the formats the standard
+library + numpy honestly cover: PCM WAV (stdlib ``wave``) and
+uncompressed 24-bit BMP (``struct`` + numpy), with matching encoders so
+the codec round-trip is oracle-gated (queries/llm.py
+``multimodal_decode_roundtrip``). Compressed formats (JPEG/PNG/MP3/MP4)
+remain a loud ``NotImplementedError`` — those codecs are not in this
+container, and ``extract_media_features`` keeps the deterministic
+byte-level stand-in path so that pipeline shape stays testable
+independently of any codec.
 
 Scale notes: mapInPandas streams Arrow batches — one Python worker per
 task, no per-row overhead; payloads never pass through the driver. For
@@ -41,11 +46,100 @@ MEDIA_FEATURE_SCHEMA = StructType(
 )
 
 
-def decode_media(payload: bytes, media_type: str):
-    """Real media decode — image/audio/video libraries are not available in
-    this environment; the deterministic feature path below stands in."""
+def encode_wav_pcm16(samples, sample_rate: int) -> bytes:
+    """Real PCM16 mono WAV encode via the stdlib ``wave`` module."""
+    import io
+    import wave
+
+    import numpy as np
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sample_rate)
+        w.writeframes(np.asarray(samples, dtype="<i2").tobytes())
+    return buf.getvalue()
+
+
+def encode_bmp24(pixels) -> bytes:
+    """Real uncompressed 24-bit BMP encode (BITMAPINFOHEADER, bottom-up
+    rows, 4-byte row padding).  ``pixels``: HxWx3 uint8 array in RGB
+    order (stored BGR per the format)."""
+    import struct
+
+    import numpy as np
+
+    px = np.asarray(pixels, dtype=np.uint8)
+    h, w, _ = px.shape
+    row = w * 3
+    pad = (-row) % 4
+    data = b"".join(
+        px[y, :, ::-1].tobytes() + b"\x00" * pad  # RGB -> BGR, pad row
+        for y in range(h - 1, -1, -1)             # bottom-up
+    )
+    size = 54 + len(data)
+    return (
+        struct.pack("<2sIHHI", b"BM", size, 0, 0, 54)
+        + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(data), 2835, 2835, 0, 0)
+        + data
+    )
+
+
+def decode_media(payload: bytes, media_type: str) -> dict:
+    """REAL media decode for the formats the standard library + numpy can
+    parse — PCM WAV (stdlib ``wave``) and uncompressed 24-bit BMP
+    (``struct`` header parse + numpy pixel view).  Compressed formats
+    (JPEG/PNG/MP3/MP4…) still raise: their codecs are not in this
+    container, and a fake decode must never masquerade as a real one.
+
+    Returns a feature dict: WAV → n_channels / sample_rate / n_samples /
+    duration_ms / peak_amp (content-derived, proving sample DATA — not
+    just the header — round-trips); BMP → width / height / blue_sum
+    (content checksum of the blue channel)."""
+    if media_type == "audio/wav":
+        import io
+        import wave
+
+        import numpy as np
+
+        with wave.open(io.BytesIO(payload), "rb") as w:
+            n = w.getnframes()
+            rate = w.getframerate()
+            ch = w.getnchannels()
+            if w.getsampwidth() != 2:
+                raise ValueError("only PCM16 wav supported")
+            samples = np.frombuffer(w.readframes(n), dtype="<i2")
+        return {
+            "n_channels": ch,
+            "sample_rate": rate,
+            "n_samples": n,
+            "duration_ms": n * 1000 // rate,
+            "peak_amp": int(np.abs(samples.astype(np.int32)).max()) if n else 0,
+        }
+    if media_type == "image/bmp":
+        import struct
+
+        import numpy as np
+
+        magic, _size, _r1, _r2, off = struct.unpack_from("<2sIHHI", payload, 0)
+        if magic != b"BM":
+            raise ValueError("not a BMP payload")
+        hdr, w, h, _planes, bpp = struct.unpack_from("<IiiHH", payload, 14)
+        if hdr < 40 or bpp != 24:
+            raise ValueError(f"only 24-bit BITMAPINFOHEADER BMPs (got bpp={bpp})")
+        row = w * 3
+        stride = row + ((-row) % 4)
+        raw = np.frombuffer(payload, dtype=np.uint8, offset=off)
+        rows = raw[: stride * abs(h)].reshape(abs(h), stride)[:, :row]
+        px = rows.reshape(abs(h), w, 3)[::-1, :, ::-1]  # bottom-up BGR -> RGB
+        return {
+            "width": w,
+            "height": abs(h),
+            "blue_sum": int(px[:, :, 2].astype(np.int64).sum()),
+        }
     raise NotImplementedError(
-        f"no decoder for {media_type!r}: image/audio libs not installed"
+        f"no decoder for {media_type!r}: compressed-format codecs not installed"
     )
 
 
@@ -83,6 +177,122 @@ def extract_media_features(
 
     cols = [id_col, payload_col, media_type_col]
     return df.select(*cols).mapInPandas(_features, MEDIA_FEATURE_SCHEMA)
+
+
+DECODED_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("media_type", StringType()),
+        StructField("n_bytes", LongType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("sample_rate", LongType()),
+        StructField("n_samples", LongType()),
+        StructField("duration_ms", LongType()),
+        StructField("peak_amp", LongType()),
+        StructField("blue_sum", LongType()),
+    ]
+)
+
+
+def synth_media_payload(doc_id: int, n_chars: int) -> tuple[str, bytes]:
+    """Deterministic REAL media payload for a document row: even doc_ids
+    become PCM16 WAVs (8 kHz mono ramp), odd ones uncompressed 24-bit
+    BMPs — parameters derive from ``n_chars`` so an analytic oracle can
+    recompute every decoded property without a decoder of its own.
+    Pixel formula stays below 256 at the bounded dims (w<=31, h<=17),
+    so the blue-channel checksum has the closed form the oracle uses."""
+    import numpy as np
+
+    if doc_id % 2 == 0:
+        k = n_chars % 50 + 1
+        n = 80 * k
+        samples = (np.arange(n, dtype=np.int64) % 1000) - 500
+        return "audio/wav", encode_wav_pcm16(samples, 8000)
+    w = n_chars % 31 + 1
+    h = n_chars % 17 + 1
+    x = np.arange(w, dtype=np.int64)[None, :]
+    y = np.arange(h, dtype=np.int64)[:, None]
+    px = np.stack(
+        [(13 * x + 17 * y) % 256, (7 * x + 11 * y) % 256, (3 * x + 5 * y) % 256],
+        axis=-1,
+    ).astype("uint8")
+    return "image/bmp", encode_bmp24(px)
+
+
+def decode_media_features(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    media_type_col: str = "media_type",
+) -> DataFrame:
+    """REAL decode over Arrow batches: each payload is parsed by
+    :func:`decode_media` (actual WAV/BMP parsing, executor-side) into
+    the typed DECODED_SCHEMA row.  Unsupported formats raise — the
+    env-gate stays loud; NULL payloads yield NULL features."""
+    fields = [f.name for f in DECODED_SCHEMA.fields if f.name not in
+              ("doc_id", "media_type", "n_bytes")]
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {f.name: [] for f in DECODED_SCHEMA.fields}
+            for doc_id, payload, mt in zip(
+                pdf[id_col].astype("int64"), pdf[payload_col],
+                pdf[media_type_col],
+            ):
+                out["doc_id"].append(doc_id)
+                out["media_type"].append(mt)
+                out["n_bytes"].append(None if payload is None else len(payload))
+                feats = {} if payload is None else decode_media(bytes(payload), mt)
+                for f in fields:
+                    out[f].append(feats.get(f))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(out["doc_id"], dtype="int64"),
+                    "media_type": out["media_type"],
+                    **{
+                        c: pd.array(out[c], dtype="Int64")
+                        for c in ("n_bytes", *fields)
+                    },
+                }
+            )
+
+    cols = [id_col, payload_col, media_type_col]
+    return df.select(*cols).mapInPandas(_decode, DECODED_SCHEMA)
+
+
+def synth_media_frame(df: DataFrame, id_col: str = "doc_id",
+                      n_chars_col: str = "n_chars") -> DataFrame:
+    """(doc_id, media_type, payload) of real synthesized WAV/BMP bytes —
+    the generator side of the codec round-trip, same Arrow batch shape
+    as any ingest of binary media columns."""
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("media_type", StringType()),
+            StructField("payload", BinaryType()),
+        ]
+    )
+
+    def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, mts, payloads = [], [], []
+            for doc_id, n_chars in zip(
+                pdf[id_col].astype("int64"), pdf[n_chars_col].astype("int64")
+            ):
+                mt, b = synth_media_payload(int(doc_id), int(n_chars))
+                ids.append(doc_id)
+                mts.append(mt)
+                payloads.append(b)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "media_type": mts,
+                    "payload": payloads,
+                }
+            )
+
+    return df.select(id_col, n_chars_col).mapInPandas(_synth, schema)
 
 
 RESIZED_SCHEMA = StructType(

@@ -612,6 +612,59 @@ def multimodal_feature_extract(spark, sf_dir):
 
 
 @register(
+    "multimodal_decode_roundtrip",
+    sql="""
+    SELECT doc_id, 'audio/wav' AS media_type,
+           CAST(44 + 160 * (n_chars % 50 + 1) AS BIGINT) AS n_bytes,
+           CAST(NULL AS BIGINT) AS width,
+           CAST(NULL AS BIGINT) AS height,
+           CAST(8000 AS BIGINT) AS sample_rate,
+           CAST(80 * (n_chars % 50 + 1) AS BIGINT) AS n_samples,
+           CAST(10 * (n_chars % 50 + 1) AS BIGINT) AS duration_ms,
+           CAST(500 AS BIGINT) AS peak_amp,
+           CAST(NULL AS BIGINT) AS blue_sum
+    FROM documents WHERE doc_id % 2 = 0
+    UNION ALL
+    SELECT doc_id, 'image/bmp',
+           CAST(54 + (n_chars % 17 + 1)
+                * (((n_chars % 31 + 1) * 3 + 3) // 4 * 4) AS BIGINT),
+           CAST(n_chars % 31 + 1 AS BIGINT),
+           CAST(n_chars % 17 + 1 AS BIGINT),
+           CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+           CAST(NULL AS BIGINT),
+           CAST(3 * (n_chars % 17 + 1) * (n_chars % 31) * (n_chars % 31 + 1) // 2
+                + 5 * (n_chars % 31 + 1) * (n_chars % 17) * (n_chars % 17 + 1) // 2
+                AS BIGINT)
+    FROM documents WHERE doc_id % 2 = 1
+    """,
+    doc="REAL media-codec round-trip, oracle-gated: every even-doc_id row "
+    "synthesizes an actual PCM16 WAV (stdlib wave encoder, 8 kHz mono "
+    "ramp) and every odd row an actual uncompressed 24-bit BMP (struct "
+    "header + bottom-up padded BGR rows), parameters derived from "
+    "n_chars — then functions.multimodal.decode_media PARSES the bytes "
+    "back executor-side (wave reader / BMP header+numpy pixel view) and "
+    "emits byte size, dimensions, sample counts, duration, a peak-"
+    "amplitude content check (sample DATA, not just headers, must "
+    "round-trip) and a blue-channel pixel checksum. The oracle "
+    "recomputes every property ANALYTICALLY from the generator "
+    "parameters, so the row only matches if encoder AND decoder are "
+    "both real and mutually consistent. Compressed formats (JPEG/MP3…) "
+    "remain a loud NotImplementedError — this closes the decode seam "
+    "for the formats the stdlib can honestly own. Plan: one Arrow-"
+    "batched mapInPandas synth + one decode, embarrassingly parallel, "
+    "payloads never touch the driver.",
+)
+def multimodal_decode_roundtrip(spark, sf_dir):
+    from crypto_datalake_spark.functions.multimodal import (
+        decode_media_features,
+        synth_media_frame,
+    )
+
+    d = t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return decode_media_features(synth_media_frame(d))
+
+
+@register(
     "ann_cosine_topk",
     sql="""
     WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),

@@ -76,3 +76,69 @@ def test_frame_sampling_composes_with_features(spark):
     feats = extract_media_features(frames)
     assert feats.count() == frames.count()
     assert {r["n_bytes"] for r in feats.collect()} <= {1000, 100, 1}
+
+
+# -------------------------------------------- REAL codecs (wav / bmp)
+
+def test_wav_roundtrip_known_values():
+    import numpy as np
+    from crypto_datalake_spark.functions.multimodal import (
+        decode_media,
+        encode_wav_pcm16,
+    )
+
+    samples = np.array([0, 100, -700, 32767, -32768], dtype="<i2")
+    b = encode_wav_pcm16(samples, 16000)
+    assert len(b) == 44 + 2 * 5                  # canonical PCM header
+    f = decode_media(b, "audio/wav")
+    assert f["n_channels"] == 1 and f["sample_rate"] == 16000
+    assert f["n_samples"] == 5
+    assert f["duration_ms"] == 5 * 1000 // 16000
+    assert f["peak_amp"] == 32768                # |-32768|, int32-safe abs
+
+
+def test_bmp_roundtrip_padding_and_checksum():
+    import numpy as np
+    from crypto_datalake_spark.functions.multimodal import (
+        decode_media,
+        encode_bmp24,
+    )
+
+    # w=3 -> row 9 bytes -> 3 pad bytes; known pixel values
+    px = np.arange(3 * 2 * 3, dtype=np.uint8).reshape(2, 3, 3)
+    b = encode_bmp24(px)
+    assert len(b) == 54 + 2 * 12                 # stride 12 = 9 + 3 pad
+    f = decode_media(b, "image/bmp")
+    assert (f["width"], f["height"]) == (3, 2)
+    assert f["blue_sum"] == int(px[:, :, 2].sum())
+    # a 4-aligned width hits the zero-pad path
+    px4 = np.zeros((1, 4, 3), dtype=np.uint8)
+    px4[0, :, 2] = [1, 2, 3, 4]
+    f4 = decode_media(encode_bmp24(px4), "image/bmp")
+    assert (f4["width"], f4["height"], f4["blue_sum"]) == (4, 1, 10)
+
+
+def test_decode_media_rejects_garbage_and_compressed_formats():
+    import pytest as _pytest
+    from crypto_datalake_spark.functions.multimodal import decode_media
+
+    with _pytest.raises(NotImplementedError):
+        decode_media(b"\xff\xd8\xff", "image/jpeg")   # still env-gated
+    with _pytest.raises(ValueError):
+        decode_media(b"XXnot a bmp at all" + b"\x00" * 60, "image/bmp")
+    with _pytest.raises(Exception):
+        decode_media(b"RIFFgarbage", "audio/wav")
+
+
+def test_decode_media_features_null_payload(spark):
+    from crypto_datalake_spark.functions.multimodal import (
+        decode_media_features,
+    )
+
+    df = spark.createDataFrame(
+        [(1, None, "audio/wav")],
+        "doc_id long, payload binary, media_type string",
+    )
+    (row,) = decode_media_features(df).collect()
+    assert row["n_bytes"] is None and row["width"] is None
+    assert row["sample_rate"] is None            # null in -> null out

@@ -19,6 +19,7 @@ from crypto_datalake_spark.queries import REGISTRY
 DESIGNED_PYTHON = {
     "u1_ema",                    # EMA recurrence (functions/ema.py)
     "multimodal_feature_extract",  # binary decode (functions/multimodal.py)
+    "multimodal_decode_roundtrip",  # REAL wav/bmp codecs (same module)
     "dedup_exact_substring",     # Karp-Rabin grams (functions/rollinghash.py)
     "scrub_exact_substrings",    # same run finder under the scrub policy
 }
