@@ -240,6 +240,91 @@ class PerpetualDataService:
         }
 
 
+    # ------------------------------------------------- indicators
+
+    def indicators(
+        self,
+        symbol: str,
+        timeframe: str,
+        ema_lengths: str = "",
+        limit: int = DEFAULT_LIMIT,
+        end_time: str | None = None,
+        pivots: bool = True,
+    ) -> dict:
+        """The reference's indicator endpoints (live_indicators/):
+        TradingView-seeded EMAs plus traditional pivots over the SAME
+        served bars the data endpoint returns.  The window is extended
+        by the EMA warmup (functions.ema.warmup_bars — U3 history
+        sizing) so the first emitted bar already carries stable EMAs,
+        then tailed back to ``limit``."""
+        from crypto_datalake_spark.functions.ema import ema_by_group, warmup_bars
+        from crypto_datalake_spark.functions.pivots import traditional_pivots
+        from crypto_datalake_spark.functions.timeframes import (
+            normalize_timeframe,
+        )
+
+        try:
+            sym = normalize_symbol(symbol)
+            tf = normalize_timeframe(timeframe)
+            lengths = sorted(
+                {int(x) for x in ema_lengths.split(",") if x.strip()}
+            )
+            if any(n < 2 or n > 500 for n in lengths):
+                raise ValueError(f"ema lengths out of [2,500]: {lengths}")
+            limit = max(1, min(int(limit), MAX_LIMIT))
+        except ValueError as e:
+            raise RequestError(str(e)) from e
+        requested_end = None
+        if end_time:
+            try:
+                requested_end = dt.datetime.fromisoformat(end_time).replace(
+                    second=0, microsecond=0, tzinfo=None
+                )
+            except ValueError as e:
+                raise RequestError(f"bad end_time: {end_time!r}") from e
+        end, from_watermark = resolve_end_time(
+            requested_end, self._watermark(sym), self._now(), self._tol
+        )
+        warm = max((warmup_bars(n) for n in lengths), default=0)
+        try:
+            bars, plan = serve_timeframe(
+                tf, limit + warm,
+                lambda t: self._load_table(t, sym),
+                set(self._tables), self._config, end_time=end,
+            )
+        except ValueError as e:
+            raise RequestError(str(e)) from e
+        ts_col = "timestamp" if plan.mode == "direct_1m" else "bucket_ts"
+        bars = bars.localCheckpoint()  # one fetch feeds every indicator
+        out = bars.select("symbol", ts_col, "open", "high", "low", "close")
+        for n in lengths:
+            # ema_by_group projects to (group, order, value, ema): join
+            # each length's frame back onto the bar spine (bounded rows)
+            e = ema_by_group(
+                bars, "close", ts_col, ["symbol"], n, out_col=f"ema_{n}"
+            ).select("symbol", ts_col, f"ema_{n}")
+            out = out.join(e, ["symbol", ts_col], "left")
+        if pivots:
+            pv = traditional_pivots(
+                bars, order_col=ts_col, partition_cols=["symbol"]
+            )
+            out = out.join(pv, ["symbol", ts_col], "left")
+        rows = sorted(
+            ({k: _jsonable(v) for k, v in r.asDict().items()}
+             for r in out.collect()),
+            key=lambda d: d[ts_col],
+        )[-limit:]
+        return {
+            "symbol": sym,
+            "timeframe": tf,
+            "end_time": end.isoformat(sep=" "),
+            "end_time_from_watermark": bool(from_watermark),
+            "plan": {**asdict(plan)},
+            "warmup_bars": warm,
+            "bars": rows,
+        }
+
+
 # ------------------------------------------------------------- server
 
 
@@ -262,7 +347,7 @@ class _Handler(BaseHTTPRequestHandler):
         if url.path == "/health":
             self._reply(200, {"status": "ok"})
             return
-        if url.path != "/perpetual-data":
+        if url.path not in ("/perpetual-data", "/indicators"):
             self._reply(404, {"error": f"no such route: {url.path}"})
             return
         q = {k: v[-1] for k, v in parse_qs(url.query).items()}
@@ -272,14 +357,27 @@ class _Handler(BaseHTTPRequestHandler):
             self._reply(400, {"error": f"bad limit: {q.get('limit')!r}"})
             return
         try:
-            out = self.service.fetch(
-                symbol=q.get("symbol", "BTC"),
-                timeframes=q.get("timeframes", "1m"),
-                default_limit=limit,
-                end_time=q.get("end_time"),
-            )
+            if url.path == "/indicators":
+                out = self.service.indicators(
+                    symbol=q.get("symbol", "BTC"),
+                    timeframe=q.get("timeframe", "1m"),
+                    ema_lengths=q.get("ema", ""),
+                    limit=limit,
+                    end_time=q.get("end_time"),
+                    pivots=q.get("pivots", "1") not in ("0", "false"),
+                )
+            else:
+                out = self.service.fetch(
+                    symbol=q.get("symbol", "BTC"),
+                    timeframes=q.get("timeframes", "1m"),
+                    default_limit=limit,
+                    end_time=q.get("end_time"),
+                )
         except RequestError as e:
             self._reply(400, {"error": str(e)})
+            return
+        except Exception as e:  # noqa: BLE001 — surface, don't drop the socket
+            self._reply(500, {"error": f"{type(e).__name__}: {e}"})
             return
         self._reply(200, out)
 

@@ -169,3 +169,39 @@ def test_service_rejects_bad_symbol_and_empty_spec(spark, api):
         svc.fetch("BTC", "")
     with pytest.raises(RequestError):
         svc.fetch("BTC", "1m", end_time="nope")
+
+
+def test_indicators_endpoint_ema_and_pivots(api):
+    """The indicator route: TradingView SMA-seeded EMA over the served
+    bars plus traditional pivots — EMA values cross-checked against the
+    direct ema_by_group computation, pivots against hand math, warmup
+    extension tailed back to the requested limit."""
+    _, port, _ = api
+    code, body = _get(
+        port,
+        "/indicators?symbol=BTC&timeframe=1m&ema=3&limit=4"
+        "&end_time=2024-01-01T00:11:00",
+    )
+    assert code == 200
+    assert body["timeframe"] == "1m" and body["warmup_bars"] == 23
+    bars = body["bars"]
+    assert len(bars) == 4                       # tailed to limit
+    assert [b["close"] for b in bars] == [108.0, 109.0, 110.0, 111.0]
+    # lake has only 12 bars (< warmup 23): ema_by_group still seeds the
+    # SMA at bar 3 — closes 100,101,102 -> 101, then alpha=0.5 recurrence
+    ema = 101.0
+    for c in [103.0 + i for i in range(9)]:
+        ema = ema + (c - ema) * (2.0 / 4.0)
+    # bars[-1] is close 111; recurrence above ends at close 111
+    assert abs(bars[-1]["ema_3"] - ema) < 1e-9
+    # pivots: previous bar H/L/C = 110,90,110 -> pivot and bands
+    p = (110.0 + 90.0 + 110.0) / 3.0
+    assert abs(bars[-1]["pivot"] - p) < 1e-9
+    assert abs(bars[-1]["r1"] - (2 * p - 90.0)) < 1e-9
+    assert abs(bars[-1]["s2"] - (p - 20.0)) < 1e-9
+
+    # validation: bad ema length and bad timeframe are 400s
+    code, body = _get_err(port, "/indicators?timeframe=1m&ema=1")
+    assert code == 400 and "out of [2,500]" in body["error"]
+    code, body = _get_err(port, "/indicators?timeframe=99x")
+    assert code == 400 and "unknown timeframe" in body["error"]
