@@ -76,6 +76,7 @@ BENCH_QUERIES = [
     "sample_domain_mixture",
     "sample_dsir",                   # DSIR importance resample (full oracle)
     "sample_dsir_served",            # frozen-fit scoring, broadcast-only
+    "sample_temperature_mixture",    # XLM-R T=2 temperature sampling
     "sample_token_budget_plan",      # token-budget data recipe (full oracle)
     "dedup_ngram_jaccard",
     "doc_fingerprints",

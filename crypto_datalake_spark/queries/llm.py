@@ -1641,6 +1641,57 @@ def sample_domain_mixture(spark, sf_dir):
     )
 
 
+_TEMP_HV_SQL = _seeded_hash_sql("t1")
+
+
+@register(
+    "sample_temperature_mixture",
+    sql=f"""
+    WITH c AS (SELECT lang, count(*) AS cnt FROM documents GROUP BY lang),
+         m AS (SELECT min(cnt) AS mn FROM c),
+         h AS (
+           SELECT doc_id, lang, {_TEMP_HV_SQL} AS hv
+           FROM documents
+         )
+    SELECT h.doc_id, h.lang,
+           round(sqrt(CAST(mn AS DOUBLE) / cnt), 9) AS accept_rate
+    FROM h JOIN c USING (lang) CROSS JOIN m
+    WHERE CAST(hv AS DOUBLE) / 1152921504606846976.0
+          < sqrt(CAST(mn AS DOUBLE) / cnt)
+    """,
+    doc="Temperature-based mixture sampling (the XLM-R / mC4 multilingual "
+    "recipe, T = 2): target share ∝ p_i^(1/T), realized filter-only "
+    "(no upsampling — duplication is the trainer's epoch knob) as "
+    "acceptance rate p_i^(1/T−1) normalized so the SCARCEST domain is "
+    "kept whole, which at T = 2 is exactly sqrt(cnt_min/cnt_i). "
+    "Flatter than uniform rebalancing: head domains keep sqrt-"
+    "proportionally more mass than sample_domain_mixture's min/cnt "
+    "while the tail is still boosted. sqrt and the count ratio are "
+    "both CORRECTLY-ROUNDED IEEE ops, so the acceptance threshold is "
+    "bit-identical across engines with no pow() cross-engine hazard "
+    "(a general-T variant would need the round-then-compare guard). "
+    "Same scale shape as sample_domain_mixture: one |domains|-row "
+    "count agg broadcast back, then a shuffle-free seeded-md5 "
+    "('t1:' prefix) hash-threshold scan filter.",
+)
+def sample_temperature_mixture(spark, sf_dir):
+    from pyspark.sql import Window
+
+    d = t(spark, sf_dir, "documents")
+    c = (
+        d.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("mn", F.min("cnt").over(Window.partitionBy()))
+    )
+    hv = _seeded_hash_col("t1")
+    rate = F.sqrt(F.col("mn").cast("double") / F.col("cnt"))
+    return (
+        d.join(F.broadcast(c), "lang")
+        .where(hv.cast("double") / F.lit(float(1 << 60)) < rate)
+        .select("doc_id", "lang", F.round(rate, 9).alias("accept_rate"))
+    )
+
+
 @register(
     "corpus_vocab_stats",
     sql="""
