@@ -188,7 +188,7 @@ def main() -> None:
         fh.write("\n")
     # Printed line: required keys only (metric/value/unit/queries/sf),
     # compact separators, per-query precision degraded just enough to
-    # fit a 1900-char budget — the capture downstream keeps a 2000-char
+    # fit a 1980-char budget — the capture downstream keeps a 2000-char
     # stdout tail and stage-noise may precede the line. Methodology
     # keys ride in the sidecar.
     line = ""
@@ -202,7 +202,7 @@ def main() -> None:
             "sf": sf,
         }
         line = json.dumps(compact, separators=(",", ":"))
-        if len(line) <= 1900:
+        if len(line) <= 1980:
             break
     print(line)
     spark.stop()
