@@ -4,10 +4,12 @@ A 100 TB training-data lake carries image/audio/video as ``binary`` columns
 next to typed metadata. The Spark-side plumbing here is real — schema,
 Arrow batch transfer, ``mapInPandas`` signature, per-batch vectorization —
 and ``decode_media`` performs REAL decode for the formats the standard
-library + numpy honestly cover: PCM WAV (stdlib ``wave``) and
-uncompressed 24-bit BMP (``struct`` + numpy), with matching encoders so
-the codec round-trip is oracle-gated (queries/llm.py
-``multimodal_decode_roundtrip``). Compressed formats (JPEG/PNG/MP3/MP4)
+library + numpy honestly cover: PCM WAV (stdlib ``wave``),
+uncompressed 24-bit BMP (``struct`` + numpy), and 8-bit RGB/RGBA PNG
+(stdlib ``zlib`` inflate + full five-filter inverse) — with matching
+encoders so the codec round-trip is oracle-gated (queries/llm.py
+``multimodal_decode_roundtrip``; the PNG encoder emits stored deflate
+blocks so even the compressed byte size is analytic). JPEG/MP3/MP4
 remain a loud ``NotImplementedError`` — those codecs are not in this
 container, and ``extract_media_features`` keeps the deterministic
 byte-level stand-in path so that pipeline shape stays testable
@@ -86,12 +88,88 @@ def encode_bmp24(pixels) -> bytes:
     )
 
 
+def encode_png_rgb(pixels) -> bytes:
+    """Real 8-bit RGB PNG encode: filter-0 rows, zlib STORED blocks
+    (level 0 — a fully valid deflate stream whose size is analytic:
+    2-byte zlib header + 5 bytes per stored block + raw + 4-byte
+    adler32; one block for rows under 64 KiB), correct CRCs.  Any PNG
+    reader opens the output; the stored-block choice exists so the
+    codec round-trip ORACLE can recompute the byte size."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    px = np.asarray(pixels, dtype=np.uint8)
+    h, w, _ = px.shape
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + tag
+            + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)  # 8-bit RGB
+    raw = b"".join(b"\x00" + px[y].tobytes() for y in range(h))
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw, 0))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _png_unfilter(raw: bytes, w: int, h: int, bpp: int):
+    """Invert the five PNG row filters (None/Sub/Up/Average/Paeth) —
+    the pure-Python correctness-reference tier (production swaps a C
+    codec; rows here are bounded test/ingest sizes).  Returns an
+    (h, w, bpp) uint8 array."""
+    import numpy as np
+
+    stride = w * bpp
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int32)
+    pos = 0
+    for y in range(h):
+        ftype = raw[pos]
+        pos += 1
+        cur = np.frombuffer(raw, np.uint8, stride, pos).astype(np.int32)
+        pos += stride
+        if ftype == 1:  # Sub
+            for x in range(bpp, stride):
+                cur[x] = (cur[x] + cur[x - bpp]) & 0xFF
+        elif ftype == 2:  # Up
+            cur = (cur + prev) & 0xFF
+        elif ftype == 3:  # Average
+            for x in range(stride):
+                left = cur[x - bpp] if x >= bpp else 0
+                cur[x] = (cur[x] + ((left + prev[x]) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for x in range(stride):
+                a = cur[x - bpp] if x >= bpp else 0
+                b = prev[x]
+                c = prev[x - bpp] if x >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                cur[x] = (cur[x] + pred) & 0xFF
+        elif ftype != 0:
+            raise ValueError(f"unknown PNG filter type {ftype}")
+        out[y] = cur.astype(np.uint8)
+        prev = cur
+    return out.reshape(h, w, bpp)
+
+
 def decode_media(payload: bytes, media_type: str) -> dict:
     """REAL media decode for the formats the standard library + numpy can
-    parse — PCM WAV (stdlib ``wave``) and uncompressed 24-bit BMP
-    (``struct`` header parse + numpy pixel view).  Compressed formats
-    (JPEG/PNG/MP3/MP4…) still raise: their codecs are not in this
-    container, and a fake decode must never masquerade as a real one.
+    parse — PCM WAV (stdlib ``wave``), uncompressed 24-bit BMP
+    (``struct`` header parse + numpy pixel view), and 8-bit RGB/RGBA
+    PNG (chunk walk + stdlib ``zlib`` inflate + all five row filters
+    inverted).  Formats needing codecs this container lacks (JPEG,
+    MP3, MP4…) still raise: a fake decode must never masquerade as a
+    real one.
 
     Returns a feature dict: WAV → n_channels / sample_rate / n_samples /
     duration_ms / peak_amp (content-derived, proving sample DATA — not
@@ -138,8 +216,43 @@ def decode_media(payload: bytes, media_type: str) -> dict:
             "height": abs(h),
             "blue_sum": int(px[:, :, 2].astype(np.int64).sum()),
         }
+    if media_type == "image/png":
+        import struct
+        import zlib
+
+        if payload[:8] != b"\x89PNG\r\n\x1a\n":
+            raise ValueError("not a PNG payload")
+        pos, w = 8, None
+        idat = b""
+        while pos < len(payload):
+            (length,) = struct.unpack_from(">I", payload, pos)
+            tag = payload[pos + 4 : pos + 8]
+            data = payload[pos + 8 : pos + 8 + length]
+            if tag == b"IHDR":
+                w, h, depth, color, _comp, _filt, interlace = struct.unpack(
+                    ">IIBBBBB", data
+                )
+                if depth != 8 or color not in (2, 6) or interlace:
+                    raise ValueError(
+                        "only 8-bit non-interlaced RGB/RGBA PNGs "
+                        f"(depth={depth}, color={color})"
+                    )
+                bpp = 3 if color == 2 else 4
+            elif tag == b"IDAT":
+                idat += data
+            elif tag == b"IEND":
+                break
+            pos += 12 + length
+        if w is None:
+            raise ValueError("PNG without IHDR")
+        px = _png_unfilter(zlib.decompress(idat), w, h, bpp)
+        return {
+            "width": w,
+            "height": h,
+            "blue_sum": int(px[:, :, 2].astype("int64").sum()),
+        }
     raise NotImplementedError(
-        f"no decoder for {media_type!r}: compressed-format codecs not installed"
+        f"no decoder for {media_type!r}: codec not installed"
     )
 
 
@@ -196,15 +309,17 @@ DECODED_SCHEMA = StructType(
 
 
 def synth_media_payload(doc_id: int, n_chars: int) -> tuple[str, bytes]:
-    """Deterministic REAL media payload for a document row: even doc_ids
-    become PCM16 WAVs (8 kHz mono ramp), odd ones uncompressed 24-bit
-    BMPs — parameters derive from ``n_chars`` so an analytic oracle can
-    recompute every decoded property without a decoder of its own.
-    Pixel formula stays below 256 at the bounded dims (w<=31, h<=17),
-    so the blue-channel checksum has the closed form the oracle uses."""
+    """Deterministic REAL media payload for a document row — doc_id % 3
+    picks the format: 0 → PCM16 WAV (8 kHz mono ramp), 1 → uncompressed
+    24-bit BMP, 2 → 8-bit RGB PNG (stored-block deflate).  Parameters
+    derive from ``n_chars`` so an analytic oracle can recompute every
+    decoded property without a decoder of its own.  The pixel formula
+    stays below 256 at the bounded dims (w<=31, h<=17), so the
+    blue-channel checksum has the closed form the oracle uses; the
+    stored-block PNG keeps even the compressed size analytic."""
     import numpy as np
 
-    if doc_id % 2 == 0:
+    if doc_id % 3 == 0:
         k = n_chars % 50 + 1
         n = 80 * k
         samples = (np.arange(n, dtype=np.int64) % 1000) - 500
@@ -217,7 +332,9 @@ def synth_media_payload(doc_id: int, n_chars: int) -> tuple[str, bytes]:
         [(13 * x + 17 * y) % 256, (7 * x + 11 * y) % 256, (3 * x + 5 * y) % 256],
         axis=-1,
     ).astype("uint8")
-    return "image/bmp", encode_bmp24(px)
+    if doc_id % 3 == 1:
+        return "image/bmp", encode_bmp24(px)
+    return "image/png", encode_png_rgb(px)
 
 
 def decode_media_features(

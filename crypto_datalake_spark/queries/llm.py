@@ -623,7 +623,7 @@ def multimodal_feature_extract(spark, sf_dir):
            CAST(10 * (n_chars % 50 + 1) AS BIGINT) AS duration_ms,
            CAST(500 AS BIGINT) AS peak_amp,
            CAST(NULL AS BIGINT) AS blue_sum
-    FROM documents WHERE doc_id % 2 = 0
+    FROM documents WHERE doc_id % 3 = 0
     UNION ALL
     SELECT doc_id, 'image/bmp',
            CAST(54 + (n_chars % 17 + 1)
@@ -635,20 +635,36 @@ def multimodal_feature_extract(spark, sf_dir):
            CAST(3 * (n_chars % 17 + 1) * (n_chars % 31) * (n_chars % 31 + 1) // 2
                 + 5 * (n_chars % 31 + 1) * (n_chars % 17) * (n_chars % 17 + 1) // 2
                 AS BIGINT)
-    FROM documents WHERE doc_id % 2 = 1
+    FROM documents WHERE doc_id % 3 = 1
+    UNION ALL
+    -- PNG: sig 8 + IHDR 25 + IDAT (12 + zlib stored: 2 hdr + 5 block
+    -- + raw + 4 adler, raw = h*(1 + 3w)) + IEND 12 = raw + 68
+    SELECT doc_id, 'image/png',
+           CAST((n_chars % 17 + 1) * (1 + 3 * (n_chars % 31 + 1)) + 68
+                AS BIGINT),
+           CAST(n_chars % 31 + 1 AS BIGINT),
+           CAST(n_chars % 17 + 1 AS BIGINT),
+           CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+           CAST(NULL AS BIGINT),
+           CAST(3 * (n_chars % 17 + 1) * (n_chars % 31) * (n_chars % 31 + 1) // 2
+                + 5 * (n_chars % 31 + 1) * (n_chars % 17) * (n_chars % 17 + 1) // 2
+                AS BIGINT)
+    FROM documents WHERE doc_id % 3 = 2
     """,
-    doc="REAL media-codec round-trip, oracle-gated: every even-doc_id row "
-    "synthesizes an actual PCM16 WAV (stdlib wave encoder, 8 kHz mono "
-    "ramp) and every odd row an actual uncompressed 24-bit BMP (struct "
-    "header + bottom-up padded BGR rows), parameters derived from "
-    "n_chars — then functions.multimodal.decode_media PARSES the bytes "
-    "back executor-side (wave reader / BMP header+numpy pixel view) and "
-    "emits byte size, dimensions, sample counts, duration, a peak-"
-    "amplitude content check (sample DATA, not just headers, must "
-    "round-trip) and a blue-channel pixel checksum. The oracle "
-    "recomputes every property ANALYTICALLY from the generator "
-    "parameters, so the row only matches if encoder AND decoder are "
-    "both real and mutually consistent. Compressed formats (JPEG/MP3…) "
+    doc="REAL media-codec round-trip, oracle-gated: doc_id % 3 picks the "
+    "format — an actual PCM16 WAV (stdlib wave encoder, 8 kHz mono "
+    "ramp), an actual uncompressed 24-bit BMP (struct header + "
+    "bottom-up padded BGR rows), or an actual 8-bit RGB PNG (chunked "
+    "with correct CRCs, stored-block deflate so even the compressed "
+    "size is analytic) — parameters derived from n_chars. "
+    "functions.multimodal.decode_media then PARSES the bytes back "
+    "executor-side (wave reader / BMP pixel view / zlib inflate + full "
+    "five-filter PNG inverse) and emits byte size, dimensions, sample "
+    "counts, duration, a peak-amplitude content check (sample DATA, "
+    "not just headers, must round-trip) and a blue-channel pixel "
+    "checksum. The oracle recomputes every property ANALYTICALLY from "
+    "the generator parameters, so a row only matches if encoder AND "
+    "decoder are both real and mutually consistent. JPEG/MP3/MP4 "
     "remain a loud NotImplementedError — this closes the decode seam "
     "for the formats the stdlib can honestly own. Plan: one Arrow-"
     "batched mapInPandas synth + one decode, embarrassingly parallel, "

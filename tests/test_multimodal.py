@@ -27,8 +27,10 @@ def _media(spark):
 
 
 def test_decode_stub_raises(spark):
+    # JPEG stays env-gated (no codec in the container); PNG/BMP/WAV are
+    # real decoders now and raise ValueError on garbage instead
     with pytest.raises(NotImplementedError, match="image"):
-        decode_media(b"\x00", "image/png")
+        decode_media(b"\x00", "image/jpeg")
 
 
 def test_extract_features_schema_and_values(spark):
@@ -142,3 +144,59 @@ def test_decode_media_features_null_payload(spark):
     (row,) = decode_media_features(df).collect()
     assert row["n_bytes"] is None and row["width"] is None
     assert row["sample_rate"] is None            # null in -> null out
+
+
+def test_png_roundtrip_and_size():
+    import numpy as np
+    from crypto_datalake_spark.functions.multimodal import (
+        decode_media,
+        encode_png_rgb,
+    )
+
+    px = np.arange(4 * 3 * 3, dtype=np.uint8).reshape(3, 4, 3)
+    b = encode_png_rgb(px)
+    raw = 3 * (1 + 3 * 4)
+    assert len(b) == raw + 68                    # stored-block analytic size
+    f = decode_media(b, "image/png")
+    assert (f["width"], f["height"]) == (4, 3)
+    assert f["blue_sum"] == int(px[:, :, 2].sum())
+    # stdlib zlib agrees it is a valid stream end-to-end by construction;
+    # corrupt magic must be rejected
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        decode_media(b"\x89PNX" + b[4:], "image/png")
+
+
+def test_png_unfilter_inverts_all_five_filters():
+    """The decoder must invert every PNG row filter, not just the
+    filter-0 rows our encoder emits: apply each forward filter to known
+    pixels per the spec, then _png_unfilter must recover them exactly."""
+    import numpy as np
+    from crypto_datalake_spark.functions.multimodal import _png_unfilter
+
+    rng = np.random.RandomState(7)
+    w, h, bpp = 5, 5, 3
+    px = rng.randint(0, 256, size=(h, w * bpp), dtype=np.int32)
+
+    def paeth(a, b, c):
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        return a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+
+    raw = bytearray()
+    prev = np.zeros(w * bpp, dtype=np.int32)
+    for y in range(h):
+        ftype = y % 5            # one row per filter type
+        raw.append(ftype)
+        cur = px[y]
+        for x in range(w * bpp):
+            left = cur[x - bpp] if x >= bpp else 0
+            up = prev[x]
+            ul = prev[x - bpp] if x >= bpp else 0
+            pred = {0: 0, 1: left, 2: up,
+                    3: (left + up) >> 1, 4: paeth(left, up, ul)}[ftype]
+            raw.append((int(cur[x]) - pred) & 0xFF)
+        prev = cur
+    got = _png_unfilter(bytes(raw), w, h, bpp)
+    assert (got.reshape(h, w * bpp).astype(np.int32) == px).all()
