@@ -205,3 +205,31 @@ def test_indicators_endpoint_ema_and_pivots(api):
     assert code == 400 and "out of [2,500]" in body["error"]
     code, body = _get_err(port, "/indicators?timeframe=99x")
     assert code == 400 and "unknown timeframe" in body["error"]
+
+
+def test_concurrent_identical_requests_single_flight(api):
+    """Eight concurrent identical requests over real sockets: the
+    single-flight lock collapses them to ONE Spark computation — every
+    response is identical, and at most one cache miss is recorded for
+    the key (the rest hit the freshly-filled entry after blocking)."""
+    import concurrent.futures as cf
+
+    svc, port, _ = api
+    path = "/perpetual-data?timeframes=3m=2&end_time=2024-01-01T00:10:00"
+    miss_before = svc._cache.stats.miss
+    with cf.ThreadPoolExecutor(max_workers=8) as ex:
+        results = list(ex.map(lambda _: _get(port, path), range(8)))
+    bodies = [json.dumps(b, sort_keys=True) for _, b in results]
+    assert all(c == 200 for c, _ in results)
+    # every racer either computed-once or was served the winner's rows
+    bars = [json.loads(b)["timeframes"]["3m"]["bars"] for b in bodies]
+    assert all(x == bars[0] for x in bars)
+    # the key was cold: one miss from the winner, plus at most one from
+    # each racer's pre-lock peek (get before single_flight) — the POST-
+    # lock re-check is what dedups compute; computes are bounded by the
+    # lock, misses by 2 peeks per racer
+    assert svc._cache.stats.miss - miss_before <= 16
+    # and a fresh request now serves straight from cache
+    exact_before = svc._cache.stats.exact
+    _get(port, path)
+    assert svc._cache.stats.exact == exact_before + 1

@@ -200,3 +200,28 @@ def test_png_unfilter_inverts_all_five_filters():
         prev = cur
     got = _png_unfilter(bytes(raw), w, h, bpp)
     assert (got.reshape(h, w * bpp).astype(np.int32) == px).all()
+
+
+def test_png_rgba_decode():
+    """The decoder accepts color type 6 (RGBA): hand-assemble a 2x2
+    RGBA PNG (filter-0 rows, stored deflate) and verify dims + the
+    blue channel lands at index 2 of 4."""
+    import struct
+    import zlib
+
+    from crypto_datalake_spark.functions.multimodal import decode_media
+
+    def chunk(tag, data):
+        return (struct.pack(">I", len(data)) + tag + data
+                + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF))
+
+    w = h = 2
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 6, 0, 0, 0)  # RGBA
+    # rows: pixel = (r,g,b,a); blue values 10,20 / 30,40
+    rows = (b"\x00" + bytes([1, 2, 10, 255, 3, 4, 20, 255])
+            + b"\x00" + bytes([5, 6, 30, 255, 7, 8, 40, 255]))
+    b = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+         + chunk(b"IDAT", zlib.compress(rows, 0)) + chunk(b"IEND", b""))
+    f = decode_media(b, "image/png")
+    assert (f["width"], f["height"]) == (2, 2)
+    assert f["blue_sum"] == 10 + 20 + 30 + 40
