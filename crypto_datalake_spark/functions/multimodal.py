@@ -162,6 +162,32 @@ def _png_unfilter(raw: bytes, w: int, h: int, bpp: int):
     return out.reshape(h, w, bpp)
 
 
+def decode_bmp24_pixels(payload: bytes):
+    """Parse an uncompressed 24-bit BITMAPINFOHEADER BMP into an
+    (h, w, 3) uint8 RGB array in TOP-DOWN raster order regardless of
+    the file's row order: positive biHeight means bottom-up rows (the
+    BMP default) and is flipped; negative biHeight means top-down rows
+    already in raster order and is NOT flipped — flipping both would
+    silently mis-orient top-down files the moment any
+    pixel-order-sensitive feature reads the array."""
+    import struct
+
+    import numpy as np
+
+    magic, _size, _r1, _r2, off = struct.unpack_from("<2sIHHI", payload, 0)
+    if magic != b"BM":
+        raise ValueError("not a BMP payload")
+    hdr, w, h, _planes, bpp = struct.unpack_from("<IiiHH", payload, 14)
+    if hdr < 40 or bpp != 24:
+        raise ValueError(f"only 24-bit BITMAPINFOHEADER BMPs (got bpp={bpp})")
+    row = w * 3
+    stride = row + ((-row) % 4)
+    raw = np.frombuffer(payload, dtype=np.uint8, offset=off)
+    rows = raw[: stride * abs(h)].reshape(abs(h), stride)[:, :row]
+    px = rows.reshape(abs(h), w, 3)[:, :, ::-1]  # BGR -> RGB
+    return px[::-1] if h > 0 else px
+
+
 def decode_media(payload: bytes, media_type: str) -> dict:
     """REAL media decode for the formats the standard library + numpy can
     parse — PCM WAV (stdlib ``wave``), uncompressed 24-bit BMP
@@ -196,25 +222,11 @@ def decode_media(payload: bytes, media_type: str) -> dict:
             "peak_amp": int(np.abs(samples.astype(np.int32)).max()) if n else 0,
         }
     if media_type == "image/bmp":
-        import struct
-
-        import numpy as np
-
-        magic, _size, _r1, _r2, off = struct.unpack_from("<2sIHHI", payload, 0)
-        if magic != b"BM":
-            raise ValueError("not a BMP payload")
-        hdr, w, h, _planes, bpp = struct.unpack_from("<IiiHH", payload, 14)
-        if hdr < 40 or bpp != 24:
-            raise ValueError(f"only 24-bit BITMAPINFOHEADER BMPs (got bpp={bpp})")
-        row = w * 3
-        stride = row + ((-row) % 4)
-        raw = np.frombuffer(payload, dtype=np.uint8, offset=off)
-        rows = raw[: stride * abs(h)].reshape(abs(h), stride)[:, :row]
-        px = rows.reshape(abs(h), w, 3)[::-1, :, ::-1]  # bottom-up BGR -> RGB
+        px = decode_bmp24_pixels(payload)
         return {
-            "width": w,
-            "height": abs(h),
-            "blue_sum": int(px[:, :, 2].astype(np.int64).sum()),
+            "width": px.shape[1],
+            "height": px.shape[0],
+            "blue_sum": int(px[:, :, 2].astype("int64").sum()),
         }
     if media_type == "image/png":
         import struct

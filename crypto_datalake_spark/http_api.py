@@ -170,15 +170,22 @@ class PerpetualDataService:
             except ValueError as e:
                 raise RequestError(f"bad end_time: {end_time!r}") from e
 
+        # an explicit end_time wins unconditionally (resolve_end_time
+        # ignores the watermark then) — don't pay one or two Spark
+        # collect() jobs per request just to discard the result; the
+        # reference consults the watermark only when end_time is omitted
         end, from_watermark = resolve_end_time(
-            requested_end, self._watermark(sym), self._now(), self._tol
+            requested_end,
+            None if requested_end is not None else self._watermark(sym),
+            self._now(),
+            self._tol,
         )
 
         def one(req) -> tuple[str, dict]:
-            # cache windows are STRICTLY-before-end (ServingCache.get's
-            # r[0] < end_time): a bar stamped exactly at end_time is the
-            # still-open bar and is recomputed rather than cache-served
-            # (the reference's closed-bars-only cache discipline)
+            # cache windows clip INCLUSIVELY (r[0] <= end), matching
+            # serve_timeframe's ts <= end_time — the default watermark
+            # path ends exactly on the last committed (closed) bar, so
+            # a hit returns precisely what a recompute would
             key = (sym, req.timeframe, req.limit)
             end_epoch = _to_epoch(end)
             kind, rows = self._cache.get(key, end_epoch, req.limit)
@@ -283,7 +290,10 @@ class PerpetualDataService:
             except ValueError as e:
                 raise RequestError(f"bad end_time: {end_time!r}") from e
         end, from_watermark = resolve_end_time(
-            requested_end, self._watermark(sym), self._now(), self._tol
+            requested_end,
+            None if requested_end is not None else self._watermark(sym),
+            self._now(),
+            self._tol,
         )
         warm = max((warmup_bars(n) for n in lengths), default=0)
         try:
@@ -296,6 +306,19 @@ class PerpetualDataService:
             raise RequestError(str(e)) from e
         ts_col = "timestamp" if plan.mode == "direct_1m" else "bucket_ts"
         bars = bars.localCheckpoint()  # one fetch feeds every indicator
+        if lengths:
+            # reference live_indicators/service.py:174-186: an EMA(n)
+            # over fewer than n completed bars is an error, not a null
+            # column — the count is one action on the checkpointed,
+            # bounded (≤ limit+warmup rows) frame
+            n_bars = bars.count()
+            need = max(lengths)
+            if n_bars < need:
+                raise RequestError(
+                    f"not enough completed {tf} bars to calculate "
+                    f"EMA({need}): need at least {need} completed bars, "
+                    f"have {n_bars}"
+                )
         out = bars.select("symbol", ts_col, "open", "high", "low", "close")
         for n in lengths:
             # ema_by_group projects to (group, order, value, ema): join

@@ -227,11 +227,32 @@ def compact_bloom(spark: SparkSession, bloom_path: str) -> int:
     populated word): each accepted batch appends its own pre-aggregated
     words, so reads pay a growing bit_or-merge until someone compacts.
     Single-writer discipline (the ingest stream IS single-writer by its
-    checkpoint): write the merged words to a tmp directory, then swap —
-    a crash between the two leaves either the old rows or the compacted
-    ones, both of which carry the full bit set.  Returns the compacted
-    row count; no-op (0) when the store doesn't exist."""
+    checkpoint): write the merged words to a tmp directory, rename the
+    old store ASIDE, rename the tmp into place, then delete the aside —
+    every step leaves at least one full copy of the bit set on disk
+    (old, aside, or compacted), and the only non-atomic window is
+    between the two renames, which the recovery sweep below closes by
+    restoring the aside copy on the next call (a deleted-store window
+    would otherwise be recoverable only via _healed_bloom's index
+    rebuild).  Returns the compacted row count; no-op (0) when the
+    store doesn't exist."""
+    import glob
+    import os
+    import shutil
     import uuid
+
+    base = bloom_path.rstrip("/")
+    # crash recovery: a previous compaction that died between its two
+    # renames left no live store but a full aside copy — restore it
+    retired = sorted(glob.glob(base + "__retired_*"))
+    if retired and not os.path.exists(base):
+        os.rename(retired[0], base)
+    # sweep strays from any earlier crash (tmp dirs never swapped in,
+    # aside dirs never deleted) — the live store is intact past here
+    for stray in glob.glob(base + "__compact_*") + glob.glob(
+        base + "__retired_*"
+    ):
+        shutil.rmtree(stray, ignore_errors=True)
 
     words = _read_store(
         spark, bloom_path, ["word_idx", "bits"], "word_idx long, bits long"
@@ -241,14 +262,12 @@ def compact_bloom(spark: SparkSession, bloom_path: str) -> int:
     merged = words.groupBy("word_idx").agg(
         F.expr("bit_or(bits)").alias("bits")
     ).coalesce(1).localCheckpoint()  # read fully BEFORE touching the store
-    tmp = f"{bloom_path.rstrip('/')}__compact_{uuid.uuid4().hex[:8]}"
+    tmp = f"{base}__compact_{uuid.uuid4().hex[:8]}"
     merged.write.parquet(tmp)
-    import shutil
-
-    shutil.rmtree(bloom_path)
-    import os
-
-    os.rename(tmp, bloom_path)
+    aside = f"{base}__retired_{uuid.uuid4().hex[:8]}"
+    os.rename(base, aside)
+    os.rename(tmp, base)
+    shutil.rmtree(aside)
     return merged.count()
 
 

@@ -3,10 +3,18 @@
 Reference (/root/reference/src/live_data_api_service/service.py:348-550,
 1902-1959): timeframe results are cached with a two-tier TTL (stable
 windows 21,600 s, recent windows 15 s), bounded LRU, and three hit kinds —
-exact, superset (``tail(limit)`` of a larger cached frame ending at the
-same instant), and partial (reuse the cached tail, fetch only the missing
-newer head, concat-dedup). In-flight identical requests are deduplicated
-(single-flight).
+exact, superset (``tail(limit)`` of a larger cached frame — same end with
+more rows, OR a newer end whose gap-free rows cover the older requested
+sub-window, service.py:358-474), and partial (reuse the cached tail,
+fetch only the missing newer head, concat-dedup). In-flight identical
+requests are deduplicated (single-flight).
+
+Window clips are INCLUSIVE (``row time <= end``), matching the compute
+path's ``ts <= end_time`` — a hit returns exactly what a recompute at
+that end would, and the default watermark-resolved request (whose newest
+bar is stamped AT the end) stays cacheable. Each entry tracks the
+gap-free ``segments`` its merged rows certify, so sub-window serves
+never assemble a tail across the hole left by merging disjoint windows.
 
 This is a SERVING concern, deliberately outside the Spark plan: entries
 hold small materialized bar lists (≤ max_limit rows), never DataFrames —
@@ -109,6 +117,13 @@ class _Entry:
     end_time: float          # epoch seconds of the window end
     rows: list               # bars ascending by time; row[0] = bar epoch secs
     cached_at: float
+    # sorted disjoint [start, end] intervals over which the rows are
+    # guaranteed gap-free (every put's rows cover EVERY bar of a window
+    # ending at its end_time).  Merges of DISJOINT windows keep all the
+    # rows for equal-end reuse, but a sub-window serve must stay inside
+    # one segment — a tail assembled across the hole between two
+    # segments is not what a fresh compute at that end would return.
+    segments: list = field(default_factory=list)
     hits: int = 0
 
 
@@ -167,8 +182,15 @@ class ServingCache:
                 return ("miss", None)
             self._entries.move_to_end(key)
             entry.hits += 1
+            # the window clip is INCLUSIVE (r[0] <= end) to match
+            # serve_timeframe's ``ts <= end_time`` exactly — a hit must
+            # return precisely what a recompute at this end would; a
+            # strict clip would drop a bar stamped AT the end (the
+            # default watermark-resolved path always ends on the last
+            # committed bar) and turn every repeat request into a
+            # permanent miss.
             if entry.end_time == end_time:
-                window = [r for r in entry.rows if r[0] < end_time]
+                window = [r for r in entry.rows if r[0] <= end_time]
                 if len(window) == limit:
                     self.stats.exact += 1
                     return ("exact", window)
@@ -177,12 +199,34 @@ class ServingCache:
                     return ("superset", window[-limit:])
                 self.stats.miss += 1
                 return ("miss", None)
-            if entry.end_time < end_time:
-                # partial: cached window is a reusable older tail
-                self.stats.partial += 1
-                return ("partial", list(entry.rows))
-            self.stats.miss += 1
-            return ("miss", None)
+            if entry.end_time > end_time:
+                # sub-window reuse (the reference's superset serve,
+                # service.py:358-474): a cached window ending at a NEWER
+                # instant already holds every bar of the older window —
+                # but only inside the gap-free segment CONTAINING the
+                # requested end; a tail assembled across a merge hole,
+                # or anchored in a segment that stops short of the end,
+                # is not what a fresh compute at that end would return.
+                seg = next(
+                    (
+                        (s, e)
+                        for s, e in entry.segments
+                        if s <= end_time <= e
+                    ),
+                    None,
+                )
+                if seg is not None:
+                    window = [
+                        r for r in entry.rows if seg[0] <= r[0] <= end_time
+                    ]
+                    if len(window) >= limit:
+                        self.stats.superset += 1
+                        return ("superset", window[-limit:])
+                self.stats.miss += 1
+                return ("miss", None)
+            # partial: cached window is a reusable older tail
+            self.stats.partial += 1
+            return ("partial", list(entry.rows))
 
     def put(self, key: tuple, end_time: float, rows: Sequence) -> None:
         """Insert/extend; merging dedups on bar time keep-last (J9)."""
@@ -205,10 +249,31 @@ class ServingCache:
             new_end = (
                 max(end_time, old.end_time) if old_live else end_time
             )
+            # gap-free segments: a put's rows cover EVERY bar in
+            # [min(rows), end_time], so that interval joins the union;
+            # two segments merge iff they overlap or touch (we cannot
+            # verify bar-grid adjacency across a strict gap here).
+            # Keeping DISJOINT segments — rather than only the newest —
+            # is what lets an older window computed after a newer one
+            # still be cached and served under its own end_time.
+            segs = list(old.segments) if old_live else []
+            if rows:
+                segs.append((min(r[0] for r in rows), end_time))
+            segs.sort()
+            merged_segs: list = []
+            for s, e in segs:
+                if merged_segs and s <= merged_segs[-1][1]:
+                    merged_segs[-1] = (
+                        merged_segs[-1][0],
+                        max(merged_segs[-1][1], e),
+                    )
+                else:
+                    merged_segs.append((s, e))
             self._entries[key] = _Entry(
                 end_time=new_end,
                 rows=out,
                 cached_at=now,
+                segments=merged_segs,
             )
             while len(self._entries) > self._max:  # LRU evict
                 evicted, _ = self._entries.popitem(last=False)

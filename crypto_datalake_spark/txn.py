@@ -1081,14 +1081,23 @@ def purge_rows(
 
 # ------------------------------------------------------- data skipping
 
-def _stat_scalar(v):
+def _stat_scalar(v, round_toward: int = 0):
     """JSON-safe, order-preserving rendering of a stats value: ISO
     strings for datetimes (lexicographically ordered), native numbers
     and strings as-is.  The SAME normalization applies to recorded
     stats and to pruning bounds, so comparisons always happen in one
-    domain."""
+    domain.
+
+    ``round_toward`` (-1 toward -inf, +1 toward +inf) makes Decimal →
+    float conversion DIRECTED: above 2**53 nearest-rounding can move a
+    recorded min UP past the true min (or a max DOWN), and a pruning
+    decision made on such a bound would wrongly drop a partition that
+    contains matching rows.  Min-like values (recorded mins, query
+    lower bounds) round toward -inf; max-like toward +inf — pruning
+    stays sound even where it goes imprecise."""
     import datetime as _dt
     import decimal as _decimal
+    import math as _math
 
     if isinstance(v, _dt.datetime):
         return v.isoformat(sep=" ")
@@ -1098,7 +1107,12 @@ def _stat_scalar(v):
         # JSON can't carry Decimal; float keeps numeric ordering so
         # recorded bounds stay comparable with numeric pruning bounds
         # (a stats column is a pruning hint, not an exactness contract)
-        return float(v)
+        f = float(v)
+        if round_toward < 0 and _decimal.Decimal(f) > v:
+            f = _math.nextafter(f, -_math.inf)
+        elif round_toward > 0 and _decimal.Decimal(f) < v:
+            f = _math.nextafter(f, _math.inf)
+        return f
     if isinstance(v, (bytes, bytearray)):
         # binary stats are not orderable in the JSON domain: record as
         # None so the partition is never (wrongly) pruned on them
@@ -1132,7 +1146,10 @@ def partition_stats(
     for r in rows:
         ppath = _hive_partition_path(esc, r, partition_cols)
         out[ppath] = {
-            c: [_stat_scalar(r[f"__mn_{c}"]), _stat_scalar(r[f"__mx_{c}"])]
+            c: [
+                _stat_scalar(r[f"__mn_{c}"], round_toward=-1),
+                _stat_scalar(r[f"__mx_{c}"], round_toward=1),
+            ]
             for c in stats_cols
         }
     return out
@@ -1192,8 +1209,12 @@ def read_table_skipping(
             if not rng or rng[0] is None or rng[1] is None:
                 continue  # no usable stats: must read
             try:
-                if (hi is not None and _stat_scalar(hi) < rng[0]) or (
-                    lo is not None and _stat_scalar(lo) > rng[1]
+                if (
+                    hi is not None
+                    and _stat_scalar(hi, round_toward=1) < rng[0]
+                ) or (
+                    lo is not None
+                    and _stat_scalar(lo, round_toward=-1) > rng[1]
                 ):
                     drop = True
                     break

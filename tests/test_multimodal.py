@@ -120,6 +120,44 @@ def test_bmp_roundtrip_padding_and_checksum():
     assert (f4["width"], f4["height"], f4["blue_sum"]) == (4, 1, 10)
 
 
+def test_bmp_topdown_negative_height_orientation():
+    """Negative biHeight = top-down row order: the decoder must NOT
+    apply the bottom-up flip to it (ADVICE r8) — both orientations of
+    the same image decode to the identical top-down raster array."""
+    import struct
+
+    import numpy as np
+    from crypto_datalake_spark.functions.multimodal import (
+        decode_bmp24_pixels,
+        decode_media,
+        encode_bmp24,
+    )
+
+    px = np.arange(3 * 2 * 3, dtype=np.uint8).reshape(2, 3, 3)
+    bottom_up = encode_bmp24(px)
+
+    # hand-build the top-down twin: same header with h -> -h, pixel
+    # rows in raster (top-down) order instead of bottom-up
+    row, pad = 3 * 3, (-(3 * 3)) % 4
+    data = b"".join(
+        px[y, :, ::-1].tobytes() + b"\x00" * pad for y in range(2)
+    )
+    top_down = (
+        bottom_up[:14]
+        + struct.pack(
+            "<IiiHHIIiiII", 40, 3, -2, 1, 24, 0, len(data), 2835, 2835, 0, 0
+        )
+        + data
+    )
+    got_bu = decode_bmp24_pixels(bottom_up)
+    got_td = decode_bmp24_pixels(top_down)
+    assert np.array_equal(got_bu, px)
+    assert np.array_equal(got_td, px)  # pre-fix this came out row-flipped
+    f = decode_media(top_down, "image/bmp")
+    assert (f["width"], f["height"]) == (3, 2)
+    assert f["blue_sum"] == int(px[:, :, 2].sum())
+
+
 def test_decode_media_rejects_garbage_and_compressed_formats():
     import pytest as _pytest
     from crypto_datalake_spark.functions.multimodal import decode_media

@@ -1491,3 +1491,61 @@ def test_compact_bloom_preserves_bits(spark, tmp_path):
     got = {r["doc_id"]: r["accepted"]
            for r in spark.read.parquet(audit).where(F.col("batch_id") == 9).collect()}
     assert got[900] is False
+
+
+def test_compact_bloom_crash_recovery_and_stray_sweep(spark, tmp_path):
+    """The compaction swap is rename-aside -> rename-in -> delete-aside
+    (ADVICE r8: rmtree-then-rename left a window with NO store at all).
+    A crash between the two renames leaves a full aside copy that the
+    next call must restore; strays from any earlier crash (tmp dirs
+    never swapped in, aside dirs never deleted) are swept."""
+    import os
+    import shutil
+
+    from crypto_datalake_spark.pipelines.corpus_ingest import (
+        _read_store,
+        compact_bloom,
+        default_bloom_path,
+        ingest_batch,
+    )
+
+    corpus = str(tmp_path / "corpus")
+    audit = str(tmp_path / "audit")
+    bloom_path = default_bloom_path(corpus)
+    ingest_batch(
+        spark,
+        spark.createDataFrame(
+            [(i, " ".join(f"w{i}z{j}" for j in range(20))) for i in range(3)],
+            "doc_id long, text string",
+        ),
+        corpus, audit, 0,
+    )
+    bits = lambda: {  # noqa: E731
+        r["word_idx"]: r["bits"]
+        for r in _read_store(
+            spark, bloom_path, ["word_idx", "bits"],
+            "word_idx long, bits long",
+        ).groupBy("word_idx").agg(F.expr("bit_or(bits)").alias("bits"))
+        .collect()
+    }
+    before = bits()
+
+    # simulate the crash window between the two renames: live store
+    # moved aside, compacted tmp never swapped in
+    os.rename(bloom_path, bloom_path + "__retired_deadbeef")
+    shutil.copytree(
+        bloom_path + "__retired_deadbeef", bloom_path + "__compact_feedface"
+    )
+    assert not os.path.exists(bloom_path)
+
+    n = compact_bloom(spark, bloom_path)
+    assert n > 0
+    assert bits() == before                     # full bit set restored
+    assert os.path.exists(bloom_path)
+    # strays swept, no aside left behind by the completed swap
+    parent = os.path.dirname(bloom_path.rstrip("/"))
+    leftovers = [
+        p for p in os.listdir(parent)
+        if "__retired_" in p or "__compact_" in p
+    ]
+    assert leftovers == []

@@ -125,6 +125,104 @@ def test_cache_merge_keeps_last():
     assert rows[1] == (1.0, 99.0)  # new row won
 
 
+def test_cache_subwindow_superset_reuse():
+    """A cached entry whose end_time is NEWER than the requested one
+    serves the older sub-window (reference service.py:358-474 superset
+    reuse) — the r8 regression was a permanent miss + uncacheable state
+    for exactly this shape (put's max-end merge kept the newer end, so
+    the older window could never self-heal)."""
+    c = ServingCache(clock=lambda: 0.0)
+    key = ("BTCUSDT", "3m", 2)
+    c.put(key, end_time=11.0, rows=[(6.0, "a"), (9.0, "b")])
+    # older end, both bars inside it → superset hit, tail(limit)
+    kind, rows = c.get(key, end_time=10.0, limit=2)
+    assert kind == "superset" and rows == [(6.0, "a"), (9.0, "b")]
+    # older end cutting off the newest bar → only 1 row survives → miss
+    kind, rows = c.get(key, end_time=8.0, limit=2)
+    assert kind == "miss"
+    # inclusive clip: a bar stamped exactly AT the requested end counts
+    kind, rows = c.get(key, end_time=9.0, limit=2)
+    assert kind == "superset" and rows == [(6.0, "a"), (9.0, "b")]
+
+
+def test_cache_subwindow_never_crosses_merge_gap():
+    """Merging two DISJOINT windows (an old tail plus a much newer one)
+    keeps the old rows, but a sub-window serve must not assemble a tail
+    that silently crosses the hole between them — those rows are not
+    the bars a fresh compute at that end would return."""
+    c = ServingCache(clock=lambda: 0.0)
+    key = ("X", "1m", 2)
+    c.put(key, end_time=2.0, rows=[(1.0, "o1"), (2.0, "o2")])
+    # bars 3..8 exist in the lake but were never cached
+    c.put(key, end_time=10.0, rows=[(9.0, "n1"), (10.0, "n2")])
+    # end 9: a fresh compute returns bars (8, 9); the cache holds
+    # (1, 2, 9) ≤ 9 but only 9 is inside the gap-free segment → miss
+    kind, rows = c.get(key, end_time=9.0, limit=2)
+    assert kind == "miss", (kind, rows)
+    # equal-end reuse off the newest tail is still served (superset:
+    # 4 merged rows ≤ end, tail(2) — the newest tail never crosses the
+    # hole because the put at this end carried a full limit-sized tail)
+    kind, rows = c.get(key, end_time=10.0, limit=2)
+    assert kind == "superset" and rows == [(9.0, "n1"), (10.0, "n2")]
+    # overlapping merge EXTENDS the gap-free segment instead
+    c2 = ServingCache(clock=lambda: 0.0)
+    c2.put(key, end_time=8.0, rows=[(7.0, "a"), (8.0, "b")])
+    c2.put(key, end_time=10.0, rows=[(8.0, "b"), (9.0, "c"), (10.0, "d")])
+    kind, rows = c2.get(key, end_time=9.0, limit=2)
+    assert kind == "superset" and rows == [(8.0, "b"), (9.0, "c")]
+
+
+def test_cache_multi_end_property():
+    """Property test for the r8 bug class (state-dependent miss/serve
+    across mixed end_times per key): against a fixed bar universe, run
+    randomized get-else-compute-and-put sequences at ≥3 distinct
+    end_times per key and assert EVERY hit returns exactly what a fresh
+    compute at that end would — regardless of the order in which the
+    ends were cached."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    bars = [(float(t), 1000.0 + t) for t in range(0, 200)]
+
+    def compute(end: float, limit: int):
+        return [r for r in bars if r[0] <= end][-limit:]
+
+    ends = [5.0, 17.0, 60.0, 61.0, 150.0, 199.0]
+
+    @settings(deadline=None, max_examples=60)
+    @given(
+        seq=st.lists(
+            st.tuples(st.sampled_from(ends), st.sampled_from([1, 3, 7])),
+            min_size=4,
+            max_size=25,
+        )
+    )
+    def run(seq):
+        c = ServingCache(clock=lambda: 0.0)
+        for end, limit in seq:
+            key = ("S", "1m", limit)  # real keys include the limit
+            kind, rows = c.get(key, end, limit)
+            expected = compute(end, limit)
+            if kind in ("exact", "superset"):
+                assert rows == expected, (kind, end, limit, rows, expected)
+            else:  # miss/partial → the caller computes and caches
+                c.put(key, end, compute(end, limit))
+                kind2, rows2 = c.get(key, end, limit)
+                if len(expected) >= limit:
+                    # self-heal: the window just cached is servable even
+                    # when the entry already held a NEWER end (the r8
+                    # bug made this state permanently uncacheable)
+                    assert kind2 in ("exact", "superset"), (kind2, end, limit)
+                    assert rows2 == expected
+                else:
+                    # short windows (lake has < limit bars ≤ end) always
+                    # recompute — the cache cannot distinguish "short"
+                    # from "incomplete"
+                    assert kind2 == "miss"
+
+    run()
+
+
 def test_cache_single_flight_is_per_key():
     c = ServingCache()
     l1 = c.single_flight(("A", "1m"))

@@ -989,3 +989,72 @@ def test_upsert_without_stats_cols_preserves_skipping(spark, tmp_path):
     assert txn.read_table_skipping(spark, path, {"v": (200.0, None)}) is None
     df = txn.read_table_skipping(spark, path, {"v": (60.0, None)})
     assert all("day=d1" in f for f in df.inputFiles())
+
+
+def test_stat_scalar_directed_rounding_keeps_pruning_sound():
+    """Decimal stats above 2**53 (possible with decimal(38,6) sums) must
+    round DIRECTEDLY into the float domain (ADVICE r8): nearest-rounding
+    can move a recorded min UP past the true min (or a max DOWN), and a
+    pruning decision on such a bound would wrongly drop a partition that
+    contains matching rows."""
+    import math
+    from decimal import Decimal
+
+    # 2**53 + 3 = 9007199254740995: float() nearest-rounds UP to ...996
+    v = Decimal(2**53 + 3)
+    assert float(v) == float(2**53 + 4)  # the hazard is real
+    lo = txn._stat_scalar(v, round_toward=-1)
+    hi = txn._stat_scalar(v, round_toward=1)
+    assert Decimal(lo) <= v <= Decimal(hi)
+    assert hi == float(2**53 + 4) and lo == float(2**53 + 2)
+    # 2**53 + 1 nearest-rounds DOWN — the max side needs the nudge there
+    w = Decimal(2**53 + 1)
+    assert Decimal(txn._stat_scalar(w, round_toward=-1)) <= w
+    assert Decimal(txn._stat_scalar(w, round_toward=1)) >= w
+    # exactly-representable values pass through untouched in both modes
+    x = Decimal("123.5")
+    assert txn._stat_scalar(x, round_toward=-1) == 123.5
+    assert txn._stat_scalar(x, round_toward=1) == 123.5
+    # fuzz: bounds always bracket the true value in the Decimal domain
+    import random
+
+    rng = random.Random(7)
+    for _ in range(200):
+        d = Decimal(rng.randrange(-(10**30), 10**30)) / Decimal(10**6)
+        assert (
+            Decimal(txn._stat_scalar(d, round_toward=-1))
+            <= d
+            <= Decimal(txn._stat_scalar(d, round_toward=1))
+        )
+        nxt = math.nextafter  # and the nudge is at most one ulp
+        f = float(d)
+        assert txn._stat_scalar(d, round_toward=-1) in (f, nxt(f, -math.inf))
+        assert txn._stat_scalar(d, round_toward=1) in (f, nxt(f, math.inf))
+
+
+def test_read_table_skipping_decimal_bounds_above_2_53(spark, tmp_path):
+    """End-to-end: a decimal(38,6) stats column whose per-partition min
+    is not float-representable must still be readable at a query bound
+    equal to the true min — pruning stays sound where it goes imprecise."""
+    from decimal import Decimal
+
+    big = Decimal(2**53 + 3)  # nearest-rounds UP in the float domain
+    df = spark.createDataFrame(
+        [("A", big, "d1"), ("B", Decimal(5), "d2")],
+        "sym string, v decimal(38,6), day string",
+    )
+    path = str(tmp_path / "lake")
+    txn.atomic_upsert_partitioned(
+        spark, df, path,
+        keys=["sym"], order_cols=["sym"], partition_cols=["day"],
+        stats_cols=["v"],
+    )
+    # query bound exactly at the true (non-representable) min: the
+    # partition holds a matching row and MUST be read
+    out = txn.read_table_skipping(spark, path, {"v": (big, big)})
+    assert out is not None
+    assert [r["sym"] for r in out.collect() if r["v"] == big] == ["A"]
+    # and pruning still prunes where it can
+    assert txn.read_table_skipping(
+        spark, path, {"v": (Decimal(10**20), None)}
+    ) is None
