@@ -1103,3 +1103,71 @@ def test_bm25_stop_term_cut_witness(spark):
     got = _bm25_scored(tf, qterms, stop_df_pct=100)
     assert got.count() == 18
     assert all(r["n_hit_terms"] == 1 for r in got.collect())
+
+
+def test_bm25_stop_term_cut_fires_in_band(spark):
+    """The 90%-df stop-term cut on a corpus whose true stopword df is IN
+    the 85-95% band (the sf-testdata vocabulary maxes at 0.8N, so the
+    driver parity rows never exercise the cut): a term in 92% of
+    documents must be cut from scoring — docs sharing ONLY it vanish,
+    shared-real-term hits lose one n_hit_term — the DuckDB oracle still
+    matches bit-for-bit with the cut firing, and the knob is honest:
+    every pct value below the df keeps identical output, every value at
+    or above it readmits the stop term."""
+    import duckdb
+
+    from crypto_datalake_spark.queries.curation import _tfidf_tf_frame
+    from crypto_datalake_spark.queries.retrieval import (
+        _bm25_scored,
+        _bm25_sql,
+        bm25_topk,
+    )
+    from tests.oracle import compare
+
+    # 25 docs; "the" appears in 23 of them (df = 92%, inside 85-95)
+    rows = [
+        (0, "the alpha beta"),       # the query bag (0 % 101 == 0)
+        (1, "the alpha gamma"),      # shares alpha -> real hit
+        (2, "the delta epsilon"),    # shares ONLY the stop term
+        (3, "beta zeta the"),        # shares beta -> real hit
+    ]
+    rows += [(i, f"the filler{i}a filler{i}b") for i in range(4, 23)]
+    rows += [(23, "omega psi chi"), (24, "rho sigma tau")]  # no "the"
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+
+    got = {r["doc_id"]: r for r in bm25_topk(d).collect()}
+    # cut FIRED: only the real-term sharers remain, each with the stop
+    # term excluded from its hit count
+    assert set(got) == {1, 3}
+    assert got[1]["n_hit_terms"] == 1 and got[3]["n_hit_terms"] == 1
+
+    # oracle parity ON the firing corpus (same cut in the SQL)
+    con = duckdb.connect()
+    con.register(
+        "documents", d.toPandas()
+    )
+    ok, msg = compare(bm25_topk(d), con, _bm25_sql())
+    assert ok, msg
+
+    # knob honesty: the cut depends only on (df, pct) — identical output
+    # for every pct below the 92% df, stop term readmitted at/above it
+    tf = _tfidf_tf_frame(d).localCheckpoint()
+    qterms = tf.where(F.col("doc_id") % 101 == 0).select(
+        F.col("doc_id").alias("qid"), "term"
+    )
+
+    def hits(pct):
+        return {
+            (r["qid"], r["doc_id"]): r["n_hit_terms"]
+            for r in _bm25_scored(tf, qterms, stop_df_pct=pct).collect()
+        }
+
+    firing = hits(85)
+    assert hits(90) == firing and hits(91) == firing
+    assert set(firing) == {(0, 1), (0, 3)}
+    readmitted = hits(92)
+    assert hits(100) == readmitted
+    # stop term back in: every "the"-sharing doc scores, counts grow by 1
+    assert readmitted[(0, 1)] == 2 and readmitted[(0, 3)] == 2
+    assert (0, 2) in readmitted and readmitted[(0, 2)] == 1
+    assert len(readmitted) == 22  # docs 1..22 (23/24 share nothing)
