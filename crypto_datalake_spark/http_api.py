@@ -296,29 +296,94 @@ class PerpetualDataService:
             self._tol,
         )
         warm = max((warmup_bars(n) for n in lengths), default=0)
+        # SHARED bar cache with the data endpoint (the reference's
+        # shared_bar_cache, live_indicators/service.py:134-169): the
+        # cached representation is identical to fetch()'s — full
+        # JSON-able row dicts keyed by bar epoch under (sym, tf, limit)
+        # — so a window served for /perpetual-data is reused here and
+        # vice versa; indicators themselves recompute per request over
+        # the (bounded, driver-side) cached bars
+        key = (sym, tf, limit + warm)
+        end_epoch = _to_epoch(end)
+
+        def load_bars() -> tuple[list[dict], dict]:
+            kind, cached = self._cache.get(key, end_epoch, limit + warm)
+            if kind in ("exact", "superset"):
+                return [d for _, d in cached], {"mode": "cache", "cache": kind}
+            with self._cache.single_flight(key):
+                kind, cached = self._cache.get(key, end_epoch, limit + warm)
+                if kind in ("exact", "superset"):
+                    return (
+                        [d for _, d in cached],
+                        {"mode": "cache", "cache": kind},
+                    )
+                bars, plan = serve_timeframe(
+                    tf, limit + warm,
+                    lambda t: self._load_table(t, sym),
+                    set(self._tables), self._config, end_time=end,
+                )
+                tcol = (
+                    "timestamp" if plan.mode == "direct_1m" else "bucket_ts"
+                )
+                out = sorted(
+                    (
+                        {k: _jsonable(v) for k, v in r.asDict().items()}
+                        for r in bars.collect()
+                    ),
+                    key=lambda d: d[tcol],
+                )
+                self._cache.put(
+                    key,
+                    end_epoch,
+                    [
+                        (_to_epoch(dt.datetime.fromisoformat(d[tcol])), d)
+                        for d in out
+                    ],
+                )
+                return out, {**asdict(plan), "cache": kind}
+
         try:
-            bars, plan = serve_timeframe(
-                tf, limit + warm,
-                lambda t: self._load_table(t, sym),
-                set(self._tables), self._config, end_time=end,
-            )
+            dicts, plan_info = load_bars()
         except ValueError as e:
             raise RequestError(str(e)) from e
-        ts_col = "timestamp" if plan.mode == "direct_1m" else "bucket_ts"
-        bars = bars.localCheckpoint()  # one fetch feeds every indicator
         if lengths:
             # reference live_indicators/service.py:174-186: an EMA(n)
             # over fewer than n completed bars is an error, not a null
-            # column — the count is one action on the checkpointed,
-            # bounded (≤ limit+warmup rows) frame
-            n_bars = bars.count()
+            # column
             need = max(lengths)
-            if n_bars < need:
+            if len(dicts) < need:
                 raise RequestError(
                     f"not enough completed {tf} bars to calculate "
                     f"EMA({need}): need at least {need} completed bars, "
-                    f"have {n_bars}"
+                    f"have {len(dicts)}"
                 )
+        base = {
+            "symbol": sym,
+            "timeframe": tf,
+            "end_time": end.isoformat(sep=" "),
+            "end_time_from_watermark": bool(from_watermark),
+            "plan": plan_info,
+            "warmup_bars": warm,
+        }
+        if not dicts:
+            return {**base, "bars": []}
+        ts_col = "timestamp" if "timestamp" in dicts[0] else "bucket_ts"
+        # rebuild the (bounded: ≤ limit+warmup rows) bar spine as a
+        # frame so the EMA/pivot operators run their tested Spark form
+        fnum = lambda v: None if v is None else float(v)  # noqa: E731
+        bars = self._spark.createDataFrame(
+            [
+                (
+                    d["symbol"],
+                    dt.datetime.fromisoformat(d[ts_col]),
+                    fnum(d["open"]), fnum(d["high"]),
+                    fnum(d["low"]), fnum(d["close"]),
+                )
+                for d in dicts
+            ],
+            f"symbol string, {ts_col} timestamp_ntz, open double, "
+            "high double, low double, close double",
+        )
         out = bars.select("symbol", ts_col, "open", "high", "low", "close")
         for n in lengths:
             # ema_by_group projects to (group, order, value, ema): join
@@ -337,15 +402,7 @@ class PerpetualDataService:
              for r in out.collect()),
             key=lambda d: d[ts_col],
         )[-limit:]
-        return {
-            "symbol": sym,
-            "timeframe": tf,
-            "end_time": end.isoformat(sep=" "),
-            "end_time_from_watermark": bool(from_watermark),
-            "plan": {**asdict(plan)},
-            "warmup_bars": warm,
-            "bars": rows,
-        }
+        return {**base, "bars": rows}
 
 
 # ------------------------------------------------------------- server

@@ -37,6 +37,11 @@ STABLE_TTL_S = 21_600.0  # windows ending well in the past (service.py:195)
 RECENT_TTL_S = 15.0      # windows near now (service.py:196)
 STABLE_AGE_S = 3_600.0   # end_time older than this → stable tier
 LEASE_GRACE_S = 600.0    # handed-out-but-never-acquired locks reap after
+# per-entry merged-row bound: a hot key polled at ever-advancing end
+# times gains ~1 bar per put forever under keep-last merging — trim to
+# the newest rows (always safe: old rows only enable sub-window serves,
+# and a clipped window short of `limit` just recomputes)
+MAX_ROWS_PER_ENTRY = 8_192
 
 
 class _KeyLock:
@@ -269,6 +274,16 @@ class ServingCache:
                     )
                 else:
                     merged_segs.append((s, e))
+            if len(out) > MAX_ROWS_PER_ENTRY:
+                out = out[-MAX_ROWS_PER_ENTRY:]
+                cutoff = out[0][0]
+                # segments wholly below the cutoff are gone; a segment
+                # straddling it keeps only its surviving upper part
+                merged_segs = [
+                    (max(s, cutoff), e)
+                    for s, e in merged_segs
+                    if e >= cutoff
+                ]
             self._entries[key] = _Entry(
                 end_time=new_end,
                 rows=out,

@@ -207,6 +207,53 @@ def test_indicators_endpoint_ema_and_pivots(api):
     assert code == 400 and "unknown timeframe" in body["error"]
 
 
+def test_indicators_share_bar_cache_with_data_endpoint(api, monkeypatch):
+    """The reference shares one bar cache between the data and indicator
+    endpoints (live_indicators/service.py:134-169 shared_bar_cache):
+    bars cached by an /indicators request are reused by /perpetual-data
+    for the same (symbol, timeframe, limit) window and vice versa, and a
+    repeat /indicators request recomputes no Spark window at all."""
+    import crypto_datalake_spark.http_api as http_api_mod
+    from crypto_datalake_spark.functions import fetch_planner
+
+    svc, port, _ = api
+    computes = []
+    real = fetch_planner.serve_timeframe
+
+    def counting(*a, **kw):
+        computes.append(1)
+        return real(*a, **kw)
+
+    monkeypatch.setattr(http_api_mod, "serve_timeframe", counting)
+
+    # pivots-only (EMA warmup would need 22+ bars; the lake holds 12):
+    # warm = 0, limit 4 -> bar window key (BTCUSDT, 1m, 4)
+    ind_path = (
+        "/indicators?symbol=BTC&timeframe=1m&limit=4"
+        "&end_time=2024-01-01T00:11:00"
+    )
+    code, first = _get(port, ind_path)
+    assert code == 200 and first["warmup_bars"] == 0
+    assert first["bars"][-1]["pivot"] is not None
+    assert len(computes) == 1
+    code, second = _get(port, ind_path)          # repeat: bars from cache
+    assert code == 200 and len(computes) == 1
+    assert second["plan"]["mode"] == "cache"
+    assert second["bars"] == first["bars"]
+    # cross-endpoint: /perpetual-data for the same 4-bar window reuses
+    # the entry the indicator request cached
+    code, body = _get(
+        port,
+        "/perpetual-data?symbol=BTC&timeframes=1m=4"
+        "&end_time=2024-01-01T00:11:00",
+    )
+    assert code == 200 and len(computes) == 1
+    assert body["timeframes"]["1m"]["plan"]["mode"] == "cache"
+    assert [b["close"] for b in body["timeframes"]["1m"]["bars"]] == [
+        108.0, 109.0, 110.0, 111.0,
+    ]
+
+
 def test_indicators_warmup_error_when_too_few_bars(api):
     """Reference live_indicators/service.py:174-186: an EMA(n) request
     against fewer than n completed bars is an explicit 400, not a null

@@ -223,6 +223,34 @@ def test_cache_multi_end_property():
     run()
 
 
+def test_cache_entry_rows_bounded():
+    """A hot key polled at ever-advancing end times must not grow its
+    merged row list forever: entries trim to the newest
+    MAX_ROWS_PER_ENTRY rows, segments clamp to the surviving range, and
+    serves inside the kept range still work."""
+    from crypto_datalake_spark.serving_cache import MAX_ROWS_PER_ENTRY
+
+    c = ServingCache(clock=lambda: 0.0)
+    key = ("HOT", "1m", 3)
+    step = 1024
+    for start in range(0, MAX_ROWS_PER_ENTRY * 2, step):
+        c.put(
+            key,
+            float(start + step),
+            [(float(t), "r") for t in range(start, start + step)],
+        )
+    entry = c._entries[key]
+    assert len(entry.rows) == MAX_ROWS_PER_ENTRY
+    assert entry.rows[0][0] == float(MAX_ROWS_PER_ENTRY)  # oldest trimmed
+    assert all(s >= entry.rows[0][0] for s, _ in entry.segments)
+    # a sub-window inside the kept range still serves
+    kind, rows = c.get(key, float(MAX_ROWS_PER_ENTRY * 2 - 100), limit=3)
+    assert kind == "superset" and len(rows) == 3
+    # below the trim line: miss (recompute), never wrong rows
+    kind, _ = c.get(key, 100.0, limit=3)
+    assert kind == "miss"
+
+
 def test_cache_single_flight_is_per_key():
     c = ServingCache()
     l1 = c.single_flight(("A", "1m"))
