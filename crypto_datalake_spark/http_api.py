@@ -201,10 +201,32 @@ class PerpetualDataService:
                         "bars": [d for _, d in rows],
                         "plan": {"mode": "cache", "cache": kind},
                     }
+                # partial reuse (reference service.py:358-474 third
+                # tier): the cached window ends OLDER than the request —
+                # fetch only the missing newer head, sized from the last
+                # cached bar on the tf grid, and let put()'s keep-last
+                # merge assemble the full window.  A head as large as
+                # the full window (or a gridless calendar tf) degrades
+                # to the plain full fetch.
+                fetch_limit = req.limit
+                if kind == "partial" and rows:
+                    from crypto_datalake_spark.ops.time import (
+                        TIMEFRAME_MINUTES,
+                    )
+
+                    tf_min = TIMEFRAME_MINUTES.get(req.timeframe)
+                    if tf_min:
+                        gap_bars = int(
+                            (end_epoch - rows[-1][0]) // (60.0 * tf_min)
+                        )
+                        # +1: a bucket excluded at the old end as
+                        # incomplete may have completed since
+                        if 0 <= gap_bars + 1 < req.limit:
+                            fetch_limit = gap_bars + 1
                 try:
                     bars, plan = serve_timeframe(
                         req.timeframe,
-                        req.limit,
+                        fetch_limit,
                         lambda tf: self._load_table(tf, sym),
                         set(self._tables),
                         self._config,
@@ -230,6 +252,52 @@ class PerpetualDataService:
                         for d in out
                     ],
                 )
+                if fetch_limit < req.limit:
+                    # head-only fetch: the response is the cached tail +
+                    # head, merged keep-last by put() — serve the merged
+                    # window back out of the cache (equal-end hit)
+                    kind2, merged = self._cache.get(
+                        key, end_epoch, req.limit
+                    )
+                    if kind2 in ("exact", "superset"):
+                        return req.timeframe, {
+                            "bars": [d for _, d in merged],
+                            "plan": {
+                                **asdict(plan),
+                                "cache": "partial",
+                                "head_bars_fetched": fetch_limit,
+                            },
+                        }
+                    # merge came up short (bars vanished / short lake):
+                    # degrade to a full fetch rather than serve short
+                    bars, plan = serve_timeframe(
+                        req.timeframe,
+                        req.limit,
+                        lambda tf: self._load_table(tf, sym),
+                        set(self._tables),
+                        self._config,
+                        end_time=end,
+                    )
+                    out = sorted(
+                        (
+                            {k: _jsonable(v) for k, v in r.asDict().items()}
+                            for r in bars.collect()
+                        ),
+                        key=lambda d: d[ts_col],
+                    )
+                    self._cache.put(
+                        key,
+                        end_epoch,
+                        [
+                            (
+                                _to_epoch(
+                                    dt.datetime.fromisoformat(d[ts_col])
+                                ),
+                                d,
+                            )
+                            for d in out
+                        ],
+                    )
                 return req.timeframe, {
                     "bars": out,
                     "plan": {**asdict(plan), "cache": kind},

@@ -321,6 +321,58 @@ def test_concurrent_identical_requests_single_flight(api, monkeypatch):
     assert body["timeframes"]["3m"]["plan"]["mode"] == "cache"
 
 
+def test_partial_hit_fetches_only_missing_head(api, monkeypatch):
+    """The cache's third reuse tier (reference service.py:358-474): when
+    the cached window ends OLDER than the request, only the missing
+    newer head is fetched — sized on the timeframe grid from the last
+    cached bar — and the response is the keep-last merge of cached tail
+    + head, identical to a full recompute."""
+    import crypto_datalake_spark.http_api as http_api_mod
+    from crypto_datalake_spark.functions import fetch_planner
+
+    svc, port, _ = api
+    limits_seen = []
+    real = fetch_planner.serve_timeframe
+
+    def capture(tf, limit, *a, **kw):
+        limits_seen.append(limit)
+        return real(tf, limit, *a, **kw)
+
+    monkeypatch.setattr(http_api_mod, "serve_timeframe", capture)
+
+    # cold fill at the OLDER end: full window fetch (limit 6)
+    code, first = _get(
+        port,
+        "/perpetual-data?timeframes=1m=6&end_time=2024-01-01T00:08:00",
+    )
+    assert code == 200 and limits_seen == [6]
+    assert [b["close"] for b in first["timeframes"]["1m"]["bars"]] == [
+        103.0, 104.0, 105.0, 106.0, 107.0, 108.0,
+    ]
+    # same key, newer end: gap is 3 bars -> head fetch of 4, not 6
+    code, body = _get(
+        port,
+        "/perpetual-data?timeframes=1m=6&end_time=2024-01-01T00:11:00",
+    )
+    assert code == 200 and limits_seen == [6, 4]
+    tf = body["timeframes"]["1m"]
+    assert tf["plan"]["cache"] == "partial"
+    assert tf["plan"]["head_bars_fetched"] == 4
+    assert [b["close"] for b in tf["bars"]] == [
+        106.0, 107.0, 108.0, 109.0, 110.0, 111.0,
+    ]
+    # the merged window is now a plain hit — no further Spark fetches
+    code, body = _get(
+        port,
+        "/perpetual-data?timeframes=1m=6&end_time=2024-01-01T00:11:00",
+    )
+    assert code == 200 and limits_seen == [6, 4]
+    assert body["timeframes"]["1m"]["plan"]["mode"] == "cache"
+    assert [b["close"] for b in body["timeframes"]["1m"]["bars"]] == [
+        106.0, 107.0, 108.0, 109.0, 110.0, 111.0,
+    ]
+
+
 def test_watermark_path_repeat_request_hits_cache(api):
     """The DEFAULT request shape — end_time omitted, resolved to the
     watermark, which equals the last committed bar: the newest served

@@ -206,6 +206,16 @@ def test_cache_multi_end_property():
             if kind in ("exact", "superset"):
                 assert rows == expected, (kind, end, limit, rows, expected)
             else:  # miss/partial → the caller computes and caches
+                if kind == "partial" and rows:
+                    # mirror http_api's head-only fetch: size the head
+                    # from the last cached bar on the grid (step 1.0)
+                    gap = int(end - rows[-1][0])
+                    if 0 <= gap + 1 < limit:
+                        c.put(key, end, compute(end, gap + 1))
+                        kind_h, rows_h = c.get(key, end, limit)
+                        if kind_h in ("exact", "superset"):
+                            assert rows_h == expected, (end, limit, gap)
+                            continue
                 c.put(key, end, compute(end, limit))
                 kind2, rows2 = c.get(key, end, limit)
                 if len(expected) >= limit:
@@ -249,6 +259,55 @@ def test_cache_entry_rows_bounded():
     # below the trim line: miss (recompute), never wrong rows
     kind, _ = c.get(key, 100.0, limit=3)
     assert kind == "miss"
+
+
+def test_cache_concurrent_stress_invariants():
+    """8 threads hammer get/single_flight/put across overlapping keys
+    and mixed end_times against one bar universe: every hit must equal
+    a fresh compute at that end, no deadlock, and entries stay inside
+    the LRU/row bounds.  The r8 bug class was state-dependent — only
+    interleaving exercises the lock/merge seams together."""
+    import random
+    import threading
+
+    bars = [(float(t), 1000.0 + t) for t in range(0, 500)]
+
+    def compute(end, limit):
+        return [r for r in bars if r[0] <= end][-limit:]
+
+    c = ServingCache(max_entries=4, clock=lambda: 0.0)
+    ends = [50.0, 120.0, 121.0, 340.0, 499.0]
+    keys = [("S", "1m", 3), ("S", "1m", 7), ("T", "5m", 3)]
+    errors: list = []
+
+    def worker(seed):
+        rng = random.Random(seed)
+        for _ in range(150):
+            key = rng.choice(keys)
+            limit = key[2]
+            end = rng.choice(ends)
+            kind, rows = c.get(key, end, limit)
+            if kind in ("exact", "superset"):
+                if rows != compute(end, limit):
+                    errors.append((key, end, kind, rows))
+            else:
+                with c.single_flight(key):
+                    kind2, rows2 = c.get(key, end, limit)
+                    if kind2 in ("exact", "superset"):
+                        if rows2 != compute(end, limit):
+                            errors.append((key, end, kind2, rows2))
+                    else:
+                        c.put(key, end, compute(end, limit))
+
+    threads = [threading.Thread(target=worker, args=(i,)) for i in range(8)]
+    for t_ in threads:
+        t_.start()
+    for t_ in threads:
+        t_.join(timeout=60)
+    assert not any(t_.is_alive() for t_ in threads), "deadlock"
+    assert errors == []
+    assert len(c._entries) <= 4
+    assert len(c._locks) <= 2 * 4 + len(keys)
 
 
 def test_cache_single_flight_is_per_key():
