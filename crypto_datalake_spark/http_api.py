@@ -129,6 +129,76 @@ class PerpetualDataService:
             raise
         return df.where(F.col("symbol") == symbol)
 
+    # ------------------------------------------------ cache semantics
+
+    @staticmethod
+    def _row_lag(tf: str, mode: str) -> float | None:
+        """End-sensitivity of computed rows, recorded on the cache entry
+        (serving_cache._Entry.bar_close_lag): complete-only AGGREGATED
+        buckets exist relative to the window end — a bucket complete at
+        the cached end may not exist in a fresh compute at an older end
+        — so they carry (tf_minutes-1)*60; point bars and materialized
+        bucket reads carry 0; gridless calendar buckets disable
+        sub-window serves entirely (None)."""
+        from crypto_datalake_spark.functions.fetch_planner import (
+            MODE_AGGREGATE,
+        )
+        from crypto_datalake_spark.ops.time import TIMEFRAME_MINUTES
+
+        if mode != MODE_AGGREGATE:
+            return 0.0
+        tf_min = TIMEFRAME_MINUTES.get(tf)
+        return None if tf_min is None else (tf_min - 1) * 60.0
+
+    def _anchor_span(self, tf: str, limit: int) -> float | None:
+        """Sub-window serves for a planner-DIRECT timeframe must honor
+        the coverage probe's anchored window (a tail reaching further
+        back than limit·tf means a fresh compute would have fallen back
+        to 1m aggregation); aggregate/1m computes have no probe."""
+        from crypto_datalake_spark.functions.fetch_planner import (
+            MODE_DIRECT,
+            plan_timeframe_fetch,
+        )
+        from crypto_datalake_spark.ops.time import TIMEFRAME_MINUTES
+
+        plan = plan_timeframe_fetch(tf, set(self._tables), self._config)
+        if plan.mode != MODE_DIRECT:
+            return None
+        tf_min = TIMEFRAME_MINUTES.get(tf)
+        return None if tf_min is None else limit * tf_min * 60.0
+
+    def _compute_window(self, sym, tf, limit, end, end_epoch, key):
+        """One window compute: serve_timeframe → sorted JSON dicts →
+        cache put (epoch-keyed, lag-tagged).  The single shared body
+        behind the data endpoint's cold/degrade paths and the indicator
+        endpoint's bar load.  Returns (dicts, plan, ts_col)."""
+        bars, plan = serve_timeframe(
+            tf,
+            limit,
+            lambda t: self._load_table(t, sym),
+            set(self._tables),
+            self._config,
+            end_time=end,
+        )
+        ts_col = "timestamp" if plan.mode == "direct_1m" else "bucket_ts"
+        out = sorted(
+            (
+                {k: _jsonable(v) for k, v in r.asDict().items()}
+                for r in bars.collect()
+            ),
+            key=lambda d: d[ts_col],
+        )
+        self._cache.put(
+            key,
+            end_epoch,
+            [
+                (_to_epoch(dt.datetime.fromisoformat(d[ts_col])), d)
+                for d in out
+            ],
+            bar_close_lag=self._row_lag(tf, plan.mode),
+        )
+        return out, plan, ts_col
+
     def _watermark(self, symbol: str):
         from pyspark.sql import functions as F
 
@@ -188,14 +258,19 @@ class PerpetualDataService:
             # a hit returns precisely what a recompute would
             key = (sym, req.timeframe, req.limit)
             end_epoch = _to_epoch(end)
-            kind, rows = self._cache.get(key, end_epoch, req.limit)
+            anchor = self._anchor_span(req.timeframe, req.limit)
+            kind, rows = self._cache.get(
+                key, end_epoch, req.limit, anchor_span=anchor
+            )
             if kind in ("exact", "superset"):
                 return req.timeframe, {
                     "bars": [d for _, d in rows],
                     "plan": {"mode": "cache", "cache": kind},
                 }
             with self._cache.single_flight(key):
-                kind, rows = self._cache.get(key, end_epoch, req.limit)
+                kind, rows = self._cache.get(
+                    key, end_epoch, req.limit, anchor_span=anchor
+                )
                 if kind in ("exact", "superset"):  # a racer filled it
                     return req.timeframe, {
                         "bars": [d for _, d in rows],
@@ -224,40 +299,18 @@ class PerpetualDataService:
                         if 0 <= gap_bars + 1 < req.limit:
                             fetch_limit = gap_bars + 1
                 try:
-                    bars, plan = serve_timeframe(
-                        req.timeframe,
-                        fetch_limit,
-                        lambda tf: self._load_table(tf, sym),
-                        set(self._tables),
-                        self._config,
-                        end_time=end,
+                    out, plan, _ = self._compute_window(
+                        sym, req.timeframe, fetch_limit, end, end_epoch,
+                        key,
                     )
                 except ValueError as e:
                     return req.timeframe, {"error": str(e)}
-                ts_col = (
-                    "timestamp" if plan.mode == "direct_1m" else "bucket_ts"
-                )
-                out = sorted(
-                    (
-                        {k: _jsonable(v) for k, v in r.asDict().items()}
-                        for r in bars.collect()
-                    ),
-                    key=lambda d: d[ts_col],
-                )
-                self._cache.put(
-                    key,
-                    end_epoch,
-                    [
-                        (_to_epoch(dt.datetime.fromisoformat(d[ts_col])), d)
-                        for d in out
-                    ],
-                )
                 if fetch_limit < req.limit:
                     # head-only fetch: the response is the cached tail +
                     # head, merged keep-last by put() — serve the merged
                     # window back out of the cache (equal-end hit)
                     kind2, merged = self._cache.get(
-                        key, end_epoch, req.limit
+                        key, end_epoch, req.limit, anchor_span=anchor
                     )
                     if kind2 in ("exact", "superset"):
                         return req.timeframe, {
@@ -269,38 +322,21 @@ class PerpetualDataService:
                             },
                         }
                     # merge came up short (bars vanished / short lake):
-                    # degrade to a full fetch rather than serve short
-                    bars, plan = serve_timeframe(
-                        req.timeframe,
-                        req.limit,
-                        lambda tf: self._load_table(tf, sym),
-                        set(self._tables),
-                        self._config,
-                        end_time=end,
-                    )
-                    out = sorted(
-                        (
-                            {k: _jsonable(v) for k, v in r.asDict().items()}
-                            for r in bars.collect()
-                        ),
-                        key=lambda d: d[ts_col],
-                    )
-                    self._cache.put(
+                    # degrade to a full fetch rather than serve short —
+                    # and report the recompute honestly, not as reuse
+                    out, plan, _ = self._compute_window(
+                        sym, req.timeframe, req.limit, end, end_epoch,
                         key,
-                        end_epoch,
-                        [
-                            (
-                                _to_epoch(
-                                    dt.datetime.fromisoformat(d[ts_col])
-                                ),
-                                d,
-                            )
-                            for d in out
-                        ],
                     )
+                    kind = "miss"
                 return req.timeframe, {
                     "bars": out,
-                    "plan": {**asdict(plan), "cache": kind},
+                    "plan": {
+                        **asdict(plan),
+                        # a partial peek whose head fetch degraded into
+                        # the full window is a miss for cache accounting
+                        "cache": "miss" if kind == "partial" else kind,
+                    },
                 }
 
         # thread-per-timeframe (the reference's executor shape); Spark
@@ -374,41 +410,30 @@ class PerpetualDataService:
         key = (sym, tf, limit + warm)
         end_epoch = _to_epoch(end)
 
+        anchor = self._anchor_span(tf, limit + warm)
+
         def load_bars() -> tuple[list[dict], dict]:
-            kind, cached = self._cache.get(key, end_epoch, limit + warm)
+            kind, cached = self._cache.get(
+                key, end_epoch, limit + warm, anchor_span=anchor
+            )
             if kind in ("exact", "superset"):
                 return [d for _, d in cached], {"mode": "cache", "cache": kind}
             with self._cache.single_flight(key):
-                kind, cached = self._cache.get(key, end_epoch, limit + warm)
+                kind, cached = self._cache.get(
+                    key, end_epoch, limit + warm, anchor_span=anchor
+                )
                 if kind in ("exact", "superset"):
                     return (
                         [d for _, d in cached],
                         {"mode": "cache", "cache": kind},
                     )
-                bars, plan = serve_timeframe(
-                    tf, limit + warm,
-                    lambda t: self._load_table(t, sym),
-                    set(self._tables), self._config, end_time=end,
+                out, plan, _ = self._compute_window(
+                    sym, tf, limit + warm, end, end_epoch, key
                 )
-                tcol = (
-                    "timestamp" if plan.mode == "direct_1m" else "bucket_ts"
-                )
-                out = sorted(
-                    (
-                        {k: _jsonable(v) for k, v in r.asDict().items()}
-                        for r in bars.collect()
-                    ),
-                    key=lambda d: d[tcol],
-                )
-                self._cache.put(
-                    key,
-                    end_epoch,
-                    [
-                        (_to_epoch(dt.datetime.fromisoformat(d[tcol])), d)
-                        for d in out
-                    ],
-                )
-                return out, {**asdict(plan), "cache": kind}
+                return out, {
+                    **asdict(plan),
+                    "cache": "miss" if kind == "partial" else kind,
+                }
 
         try:
             dicts, plan_info = load_bars()

@@ -242,15 +242,19 @@ def compact_bloom(spark: SparkSession, bloom_path: str) -> int:
     import uuid
 
     base = bloom_path.rstrip("/")
+    # glob.escape: a store path containing glob metacharacters ([, ?, *)
+    # would otherwise silently match nothing — disabling BOTH the crash
+    # restore and the stray sweep for exactly the stores that need them
+    pat = glob.escape(base)
     # crash recovery: a previous compaction that died between its two
     # renames left no live store but a full aside copy — restore it
-    retired = sorted(glob.glob(base + "__retired_*"))
+    retired = sorted(glob.glob(pat + "__retired_*"))
     if retired and not os.path.exists(base):
         os.rename(retired[0], base)
     # sweep strays from any earlier crash (tmp dirs never swapped in,
     # aside dirs never deleted) — the live store is intact past here
-    for stray in glob.glob(base + "__compact_*") + glob.glob(
-        base + "__retired_*"
+    for stray in glob.glob(pat + "__compact_*") + glob.glob(
+        pat + "__retired_*"
     ):
         shutil.rmtree(stray, ignore_errors=True)
 

@@ -129,6 +129,15 @@ class _Entry:
     # one segment — a tail assembled across the hole between two
     # segments is not what a fresh compute at that end would return.
     segments: list = field(default_factory=list)
+    # end-sensitivity of the rows, recorded by the caller at put time: a
+    # bar qualifies for a SUB-window serve only when bar_time + lag <=
+    # the requested end.  0 for point bars and materialized-bucket
+    # reads; (tf_minutes-1)*60 for complete-only aggregated buckets
+    # (a bucket complete at the cached end may not be complete — and
+    # would not exist in a fresh compute — at an older end); None
+    # disables sub-window serves (gridless calendar buckets).  Merges
+    # keep the most conservative value seen.
+    bar_close_lag: float | None = 0.0
     hits: int = 0
 
 
@@ -174,11 +183,27 @@ class ServingCache:
         return (now - entry.cached_at) <= self._ttl(entry, now)
 
     def get(
-        self, key: tuple, end_time: float, limit: int
+        self,
+        key: tuple,
+        end_time: float,
+        limit: int,
+        *,
+        anchor_span: float | None = None,
     ) -> tuple[str, list | None]:
         """Return (hit_kind, rows or None). Kinds: exact | superset |
         partial | miss. ``partial`` returns the reusable cached tail —
         the caller fetches only the missing newer head and calls ``put``.
+
+        SUB-window serves (cached end newer than requested) honor the
+        compute path's end-dependent semantics; equal-end hits are
+        exempt (the cached rows came from a compute at exactly that
+        end).  The entry's own ``bar_close_lag`` (recorded at put time,
+        see ``_Entry``) filters bars not yet closed at the requested
+        end; ``anchor_span`` additionally requires the served tail to
+        start inside ``(end_time - anchor_span, end_time]`` — the
+        direct-HTF coverage probe's anchored-window condition, since a
+        tail reaching further back means a fresh compute would have
+        REJECTED the direct read and fallen back to 1m aggregation.
         """
         with self._global:
             entry = self._entries.get(key)
@@ -220,11 +245,15 @@ class ServingCache:
                     ),
                     None,
                 )
-                if seg is not None:
+                if seg is not None and entry.bar_close_lag is not None:
+                    cutoff = end_time - entry.bar_close_lag
                     window = [
-                        r for r in entry.rows if seg[0] <= r[0] <= end_time
+                        r for r in entry.rows if seg[0] <= r[0] <= cutoff
                     ]
-                    if len(window) >= limit:
+                    if len(window) >= limit and (
+                        anchor_span is None
+                        or window[-limit][0] > end_time - anchor_span
+                    ):
                         self.stats.superset += 1
                         return ("superset", window[-limit:])
                 self.stats.miss += 1
@@ -233,8 +262,18 @@ class ServingCache:
             self.stats.partial += 1
             return ("partial", list(entry.rows))
 
-    def put(self, key: tuple, end_time: float, rows: Sequence) -> None:
-        """Insert/extend; merging dedups on bar time keep-last (J9)."""
+    def put(
+        self,
+        key: tuple,
+        end_time: float,
+        rows: Sequence,
+        *,
+        bar_close_lag: float | None = 0.0,
+    ) -> None:
+        """Insert/extend; merging dedups on bar time keep-last (J9).
+        ``bar_close_lag`` records the rows' end-sensitivity for
+        sub-window serves (see ``_Entry``); merges keep the most
+        conservative value (``None`` dominates)."""
         with self._global:
             now = self._clock()
             old = self._entries.pop(key, None)
@@ -274,6 +313,11 @@ class ServingCache:
                     )
                 else:
                     merged_segs.append((s, e))
+            if old_live:
+                if old.bar_close_lag is None or bar_close_lag is None:
+                    bar_close_lag = None
+                else:
+                    bar_close_lag = max(old.bar_close_lag, bar_close_lag)
             if len(out) > MAX_ROWS_PER_ENTRY:
                 out = out[-MAX_ROWS_PER_ENTRY:]
                 cutoff = out[0][0]
@@ -289,6 +333,7 @@ class ServingCache:
                 rows=out,
                 cached_at=now,
                 segments=merged_segs,
+                bar_close_lag=bar_close_lag,
             )
             while len(self._entries) > self._max:  # LRU evict
                 evicted, _ = self._entries.popitem(last=False)

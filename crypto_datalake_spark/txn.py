@@ -1090,11 +1090,15 @@ def _stat_scalar(v, round_toward: int = 0):
 
     ``round_toward`` (-1 toward -inf, +1 toward +inf) makes Decimal →
     float conversion DIRECTED: above 2**53 nearest-rounding can move a
-    recorded min UP past the true min (or a max DOWN), and a pruning
-    decision made on such a bound would wrongly drop a partition that
-    contains matching rows.  Min-like values (recorded mins, query
-    lower bounds) round toward -inf; max-like toward +inf — pruning
-    stays sound even where it goes imprecise."""
+    recorded min UP past the true min (or a max DOWN).  Because
+    correctly-rounded conversion is monotone, even a nearest-rounded
+    bound cannot be wrongly pruned against (see the read_table_skipping
+    comparison note) — the directed form keeps the stronger, locally
+    checkable invariant that recorded bounds BRACKET the true values
+    ([lo, hi] ⊇ the exact Decimal range), so soundness never rests on a
+    cross-site rounding-mode agreement.  Min-like values (recorded
+    mins, query lower bounds) round toward -inf; max-like toward
+    +inf."""
     import datetime as _dt
     import decimal as _decimal
     import math as _math
@@ -1209,6 +1213,15 @@ def read_table_skipping(
             if not rng or rng[0] is None or rng[1] is None:
                 continue  # no usable stats: must read
             try:
+                # soundness note for bounds recorded BEFORE directed
+                # rounding existed (plain nearest float()): correctly-
+                # rounded conversion is MONOTONE, so a query hi >= the
+                # partition's true min always converts to >= the
+                # nearest-rounded recorded min — the strict < below can
+                # never wrongly prune legacy bounds either; directed
+                # rounding keeps the invariant legible (recorded bounds
+                # BRACKET the true values) rather than fixing a reachable
+                # wrong-prune
                 if (
                     hi is not None
                     and _stat_scalar(hi, round_toward=1) < rng[0]

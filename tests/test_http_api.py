@@ -321,6 +321,41 @@ def test_concurrent_identical_requests_single_flight(api, monkeypatch):
     assert body["timeframes"]["3m"]["plan"]["mode"] == "cache"
 
 
+def test_subwindow_never_serves_bucket_incomplete_at_requested_end(api):
+    """Aggregate-mode buckets exist relative to the window END: a 5m
+    bucket complete at the cached end (00:11) is NOT complete at an
+    older requested end (00:07), and a fresh compute drops it — the
+    cached sub-window serve must refuse it too (bar_close_lag), not
+    hand back a bucket containing minutes after the requested end."""
+    _, port, _ = api
+    code, first = _get(
+        port, "/perpetual-data?timeframes=5m=2&end_time=2024-01-01T00:11:00"
+    )
+    assert code == 200
+    assert [b["close"] for b in first["timeframes"]["5m"]["bars"]] == [
+        104.0, 109.0,   # buckets 00:00 and 00:05, complete at 00:11
+    ]
+    # older end INSIDE bucket 00:05's span: the bucket has only 3 of 5
+    # minutes at 00:07 — a fresh compute returns bucket 00:00 alone
+    code, body = _get(
+        port, "/perpetual-data?timeframes=5m=2&end_time=2024-01-01T00:07:00"
+    )
+    assert code == 200
+    tf = body["timeframes"]["5m"]
+    assert [b["close"] for b in tf["bars"]] == [104.0]
+    assert tf["plan"]["mode"] != "cache"  # recomputed, not mis-served
+    # an older end where BOTH cached buckets are closed serves from
+    # cache (00:09 ≥ bucket 00:05's last minute) — the lag filter
+    # refuses only what a fresh compute would refuse
+    code, body = _get(
+        port, "/perpetual-data?timeframes=5m=2&end_time=2024-01-01T00:09:00"
+    )
+    assert code == 200
+    tf = body["timeframes"]["5m"]
+    assert [b["close"] for b in tf["bars"]] == [104.0, 109.0]
+    assert tf["plan"]["mode"] == "cache" and tf["plan"]["cache"] == "superset"
+
+
 def test_partial_hit_fetches_only_missing_head(api, monkeypatch):
     """The cache's third reuse tier (reference service.py:358-474): when
     the cached window ends OLDER than the request, only the missing

@@ -1549,3 +1549,35 @@ def test_compact_bloom_crash_recovery_and_stray_sweep(spark, tmp_path):
         if "__retired_" in p or "__compact_" in p
     ]
     assert leftovers == []
+
+
+def test_compact_bloom_glob_metachar_path(spark, tmp_path):
+    """Store paths containing glob metacharacters ([, ], *) must not
+    silently disable the crash restore or the stray sweep — the
+    recovery globs escape the base path.  (Spark itself cannot READ
+    through such a path — its loaders glob too — so this pins only the
+    filesystem recovery mechanics: the aside copy is restored and the
+    strays are swept, instead of the un-escaped glob matching nothing
+    and leaving the store lost.)"""
+    import os
+
+    from crypto_datalake_spark.pipelines.corpus_ingest import compact_bloom
+
+    bloom_path = str(tmp_path / "corpus[v2]_bandbloom")
+    # crash window on disk: a full aside copy, no live store, plus a
+    # never-swapped compaction tmp
+    os.makedirs(bloom_path + "__retired_cafe0000")
+    with open(bloom_path + "__retired_cafe0000/marker.parquet", "w") as fh:
+        fh.write("sentinel")
+    os.makedirs(bloom_path + "__compact_feedface")
+    assert not os.path.exists(bloom_path)
+
+    compact_bloom(spark, bloom_path)  # return value is Spark-read-bound
+
+    # the aside copy was RESTORED as the live store (contents intact)…
+    assert os.path.exists(bloom_path + "/marker.parquet")
+    # …and every stray is swept
+    assert [
+        p for p in os.listdir(tmp_path)
+        if "__retired_" in p or "__compact_" in p
+    ] == []
