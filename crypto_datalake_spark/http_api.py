@@ -199,6 +199,35 @@ class PerpetualDataService:
         )
         return out, plan, ts_col
 
+    def _cached_window(
+        self, sym, tf, limit, end, end_epoch, key
+    ) -> tuple[list[dict], dict]:
+        """Cache-backed bar window: exact/superset hit, else single-flight
+        compute through :meth:`_compute_window`.  Returns (row dicts
+        ascending by time, plan-info dict)."""
+        anchor = self._anchor_span(tf, limit)
+        kind, cached = self._cache.get(
+            key, end_epoch, limit, anchor_span=anchor
+        )
+        if kind in ("exact", "superset"):
+            return [d for _, d in cached], {"mode": "cache", "cache": kind}
+        with self._cache.single_flight(key):
+            kind, cached = self._cache.get(
+                key, end_epoch, limit, anchor_span=anchor
+            )
+            if kind in ("exact", "superset"):
+                return (
+                    [d for _, d in cached],
+                    {"mode": "cache", "cache": kind},
+                )
+            out, plan, _ = self._compute_window(
+                sym, tf, limit, end, end_epoch, key
+            )
+            return out, {
+                **asdict(plan),
+                "cache": "miss" if kind == "partial" else kind,
+            }
+
     def _watermark(self, symbol: str):
         from pyspark.sql import functions as F
 
@@ -410,33 +439,10 @@ class PerpetualDataService:
         key = (sym, tf, limit + warm)
         end_epoch = _to_epoch(end)
 
-        anchor = self._anchor_span(tf, limit + warm)
-
-        def load_bars() -> tuple[list[dict], dict]:
-            kind, cached = self._cache.get(
-                key, end_epoch, limit + warm, anchor_span=anchor
-            )
-            if kind in ("exact", "superset"):
-                return [d for _, d in cached], {"mode": "cache", "cache": kind}
-            with self._cache.single_flight(key):
-                kind, cached = self._cache.get(
-                    key, end_epoch, limit + warm, anchor_span=anchor
-                )
-                if kind in ("exact", "superset"):
-                    return (
-                        [d for _, d in cached],
-                        {"mode": "cache", "cache": kind},
-                    )
-                out, plan, _ = self._compute_window(
-                    sym, tf, limit + warm, end, end_epoch, key
-                )
-                return out, {
-                    **asdict(plan),
-                    "cache": "miss" if kind == "partial" else kind,
-                }
-
         try:
-            dicts, plan_info = load_bars()
+            dicts, plan_info = self._cached_window(
+                sym, tf, limit + warm, end, end_epoch, key
+            )
         except ValueError as e:
             raise RequestError(str(e)) from e
         if lengths:
@@ -498,6 +504,160 @@ class PerpetualDataService:
         return {**base, "bars": rows}
 
 
+    # -------------------------------------------- live indicators
+
+    def live_indicators(
+        self,
+        symbol: str,
+        ema_tf: str,
+        ema_length: int,
+        pivot_tf: str,
+        end_time: str | None = None,
+    ) -> dict:
+        """The reference's current-value indicator endpoint
+        (app.py:224-249 → live_indicators/service.py:32-231): ONE
+        TradingView EMA over ``ema_tf`` plus ONE traditional pivot set
+        anchored to the PREVIOUS full ``pivot_tf`` period — independent
+        timeframes, the two arms computed concurrently over the shared
+        bar cache.  Distinct from :meth:`indicators`, which returns a
+        per-bar series on a single timeframe."""
+        from crypto_datalake_spark.functions.ema import (
+            _ema_series,
+            warmup_bars,
+        )
+        from crypto_datalake_spark.functions.timeframes import (
+            normalize_timeframe,
+        )
+
+        try:
+            sym = normalize_symbol(symbol)
+            etf = normalize_timeframe(ema_tf)
+            ptf = normalize_timeframe(pivot_tf)
+            n = int(ema_length)
+            if n < 1:
+                raise ValueError("ema_length must be at least 1")
+        except ValueError as e:
+            raise RequestError(str(e)) from e
+        requested_end = None
+        if end_time:
+            try:
+                requested_end = dt.datetime.fromisoformat(end_time).replace(
+                    second=0, microsecond=0, tzinfo=None
+                )
+            except ValueError as e:
+                raise RequestError(f"bad end_time: {end_time!r}") from e
+        end, from_watermark = resolve_end_time(
+            requested_end,
+            None if requested_end is not None else self._watermark(sym),
+            self._now(),
+            self._tol,
+        )
+        warm = warmup_bars(n)
+
+        def ema_arm():
+            limit = warm + 1
+            key = (sym, etf, limit)
+            dicts, plan_info = self._cached_window(
+                sym, etf, limit, end, _to_epoch(end), key
+            )
+            # the reference drops price-incomplete bars before counting
+            bars = [d for d in dicts if d.get("close") is not None]
+            if len(bars) < n:
+                raise RequestError(
+                    f"Not enough completed {etf} bars to calculate "
+                    f"EMA({n}). Need at least {n} completed bars."
+                )
+            series = _ema_series([float(d["close"]) for d in bars], n)
+            if series[-1] is None:
+                raise RequestError(
+                    f"Not enough completed {etf} bars to calculate "
+                    f"EMA({n}). Need at least {n} completed bars."
+                )
+            ts_col = "timestamp" if "timestamp" in bars[-1] else "bucket_ts"
+            return {
+                "timeframe": etf,
+                "length": n,
+                "warmup_bars_requested": warm,
+                "bars_used": len(bars),
+                "bar_timestamp": bars[-1][ts_col],
+                "bar_close": float(bars[-1]["close"]),
+                "value": series[-1],
+                "metadata": plan_info,
+            }
+
+        def pivot_arm():
+            period_start = _floor_period(end, ptf)
+            reference_end = period_start - dt.timedelta(minutes=1)
+            key = (sym, ptf, 1)
+            dicts, plan_info = self._cached_window(
+                sym, ptf, 1, reference_end, _to_epoch(reference_end), key
+            )
+            bars = [
+                d
+                for d in dicts
+                if all(d.get(c) is not None for c in ("high", "low", "close"))
+            ]
+            if not bars:
+                raise RequestError(
+                    f"Not enough completed {ptf} bars to calculate "
+                    "traditional pivots."
+                )
+            bar = bars[-1]
+            h, lo, c = (float(bar[k]) for k in ("high", "low", "close"))
+            p = (h + lo + c) / 3.0  # reference pivots.py:4-12
+            ts_col = "timestamp" if "timestamp" in bar else "bucket_ts"
+            return {
+                "type": "traditional",
+                "timeframe": ptf,
+                "reference_timestamp": bar[ts_col],
+                "reference_ohlc": {
+                    "open": None if bar.get("open") is None else float(bar["open"]),
+                    "high": h,
+                    "low": lo,
+                    "close": c,
+                },
+                "metadata": plan_info,
+                "p": p,
+                "r1": 2.0 * p - lo,
+                "r2": p + (h - lo),
+                "s1": 2.0 * p - h,
+                "s2": p - (h - lo),
+            }
+
+        # both arms concurrently, like the reference's executor pair
+        with ThreadPoolExecutor(max_workers=2) as ex:
+            ema_f = ex.submit(ema_arm)
+            piv_f = ex.submit(pivot_arm)
+            ema = ema_f.result()
+            pivots = piv_f.result()
+        return {
+            "symbol": sym,
+            "end_time": end.isoformat(sep=" "),
+            "end_time_from_watermark": bool(from_watermark),
+            "ema": ema,
+            "pivots": pivots,
+        }
+
+
+def _floor_period(ts: dt.datetime, tf: str) -> dt.datetime:
+    """Driver-side twin of ops.time.timeframe_floor: epoch-anchored
+    minute grid for fixed timeframes, Monday week / first-of-month for
+    the calendar ones — the pivot arm anchors on the PREVIOUS full
+    period (reference service.py:56-58)."""
+    from crypto_datalake_spark.ops.time import TIMEFRAME_MINUTES
+
+    m = TIMEFRAME_MINUTES.get(tf)
+    if m:
+        mins = int((ts - _EPOCH).total_seconds() // 60)
+        return _EPOCH + dt.timedelta(minutes=(mins // m) * m)
+    if tf == "1w":
+        d0 = ts.date() - dt.timedelta(days=ts.weekday())
+        return dt.datetime(d0.year, d0.month, d0.day)
+    if tf == "1M":
+        return dt.datetime(ts.year, ts.month, 1)
+    raise RequestError(f"unsupported pivot timeframe: {tf}")
+
+
 # ------------------------------------------------------------- server
 
 
@@ -508,19 +668,38 @@ class _Handler(BaseHTTPRequestHandler):
         pass
 
     def _reply(self, code: int, payload: dict) -> None:
+        # the reference's response-time middleware (app.py:172-188):
+        # every response carries X-Response-Time-Secs, successful API
+        # payloads additionally embed response_time_secs
+        import time as _time
+
+        elapsed = _time.perf_counter() - getattr(
+            self, "_started_at", _time.perf_counter()
+        )
+        if code == 200 and isinstance(payload, dict) and "status" not in payload:
+            payload = {**payload, "response_time_secs": elapsed}
         body = json.dumps(payload).encode()
         self.send_response(code)
         self.send_header("Content-Type", "application/json")
+        self.send_header("X-Response-Time-Secs", f"{elapsed:.6f}")
         self.send_header("Content-Length", str(len(body)))
         self.end_headers()
         self.wfile.write(body)
 
     def do_GET(self) -> None:  # noqa: N802 (http.server API)
+        import time as _time
+
+        self._started_at = _time.perf_counter()
         url = urlparse(self.path)
-        if url.path == "/health":
+        # the reference mounts under /api/v1 (app.py:194,224) and probes
+        # /healthz — accept both spellings of every route
+        path = url.path
+        if path.startswith("/api/v1/"):
+            path = path[len("/api/v1"):]
+        if path in ("/health", "/healthz"):
             self._reply(200, {"status": "ok"})
             return
-        if url.path not in ("/perpetual-data", "/indicators"):
+        if path not in ("/perpetual-data", "/indicators", "/live-indicators"):
             self._reply(404, {"error": f"no such route: {url.path}"})
             return
         q = {k: v[-1] for k, v in parse_qs(url.query).items()}
@@ -530,7 +709,21 @@ class _Handler(BaseHTTPRequestHandler):
             self._reply(400, {"error": f"bad limit: {q.get('limit')!r}"})
             return
         try:
-            if url.path == "/indicators":
+            if path == "/live-indicators":
+                try:
+                    ema_length = int(q.get("ema_length", "0"))
+                except ValueError:
+                    raise RequestError(
+                        f"bad ema_length: {q.get('ema_length')!r}"
+                    ) from None
+                out = self.service.live_indicators(
+                    symbol=q.get("symbol", q.get("coin", "BTC")),
+                    ema_tf=q.get("ema_tf", "1m"),
+                    ema_length=ema_length,
+                    pivot_tf=q.get("pivot_tf", "1d"),
+                    end_time=q.get("end_time"),
+                )
+            elif path == "/indicators":
                 out = self.service.indicators(
                     symbol=q.get("symbol", "BTC"),
                     timeframe=q.get("timeframe", "1m"),
@@ -541,8 +734,8 @@ class _Handler(BaseHTTPRequestHandler):
                 )
             else:
                 out = self.service.fetch(
-                    symbol=q.get("symbol", "BTC"),
-                    timeframes=q.get("timeframes", "1m"),
+                    symbol=q.get("symbol", q.get("coin", "BTC")),
+                    timeframes=q.get("timeframes", q.get("tfs", "1m")),
                     default_limit=limit,
                     end_time=q.get("end_time"),
                 )

@@ -450,3 +450,96 @@ def test_explicit_end_time_skips_watermark_lookup(api, monkeypatch):
     # omitted end_time still consults it
     code, _ = _get(port, "/perpetual-data?timeframes=1m=2")
     assert code == 200 and calls == ["BTCUSDT"]
+
+
+def test_live_indicators_endpoint_reference_shape(api):
+    """The reference's current-value indicator route (app.py:224-249):
+    independent EMA and pivot timeframes, EMA over ema_tf with warmup
+    history, pivots from the PREVIOUS full pivot_tf period's bar —
+    values hand-checked against the fixture lake."""
+    _, port, _ = api
+    code, body = _get(
+        port,
+        "/live-indicators?symbol=BTC&ema_tf=1m&ema_length=3&pivot_tf=3m"
+        "&end_time=2024-01-01T00:11:00",
+    )
+    assert code == 200
+    assert body["symbol"] == "BTCUSDT"
+    ema = body["ema"]
+    assert ema["timeframe"] == "1m" and ema["length"] == 3
+    assert ema["warmup_bars_requested"] == 23
+    assert ema["bars_used"] == 12
+    assert ema["bar_timestamp"] == "2024-01-01 00:11:00"
+    assert ema["bar_close"] == 111.0
+    # SMA(100,101,102)=101 seed, alpha=.5 over 103..111 -> 110.0
+    assert abs(ema["value"] - 110.0) < 1e-9
+    piv = body["pivots"]
+    # end 00:11 floors to 3m period 00:09; previous full period is the
+    # 00:06 bucket (minutes 6-8): H=110 L=90 C=108
+    assert piv["timeframe"] == "3m" and piv["type"] == "traditional"
+    assert piv["reference_timestamp"] == "2024-01-01 00:06:00"
+    assert piv["reference_ohlc"] == {
+        "open": 100.0, "high": 110.0, "low": 90.0, "close": 108.0,
+    }
+    p = (110.0 + 90.0 + 108.0) / 3.0
+    assert abs(piv["p"] - p) < 1e-9
+    assert abs(piv["r1"] - (2 * p - 90.0)) < 1e-9
+    assert abs(piv["s1"] - (2 * p - 110.0)) < 1e-9
+    assert abs(piv["r2"] - (p + 20.0)) < 1e-9
+    assert abs(piv["s2"] - (p - 20.0)) < 1e-9
+    # reference middleware parity: payload + header carry response time
+    assert body["response_time_secs"] > 0
+
+
+def test_live_indicators_errors_and_aliases(api):
+    _, port, _ = api
+    # EMA over more bars than the lake holds -> reference error text
+    code, body = _get_err(
+        port,
+        "/live-indicators?ema_tf=1m&ema_length=13&pivot_tf=3m"
+        "&end_time=2024-01-01T00:11:00",
+    )
+    assert code == 400 and "Not enough completed 1m bars" in body["error"]
+    # no prior full pivot period before the lake start
+    code, body = _get_err(
+        port,
+        "/live-indicators?ema_tf=1m&ema_length=2&pivot_tf=3m"
+        "&end_time=2024-01-01T00:02:00",
+    )
+    assert code == 400 and "traditional pivots" in body["error"]
+    # validation
+    code, body = _get_err(port, "/live-indicators?ema_length=0")
+    assert code == 400 and "at least 1" in body["error"]
+    code, body = _get_err(port, "/live-indicators?ema_length=abc")
+    assert code == 400 and "bad ema_length" in body["error"]
+    # the reference's /api/v1 prefix, /healthz, and coin=/tfs= aliases
+    assert _get(port, "/healthz")[0] == 200
+    code, body = _get(
+        port,
+        "/api/v1/live-indicators?coin=BTC&ema_tf=1m&ema_length=3"
+        "&pivot_tf=3m&end_time=2024-01-01T00:11:00",
+    )
+    assert code == 200 and abs(body["ema"]["value"] - 110.0) < 1e-9
+    code, body = _get(
+        port,
+        "/api/v1/perpetual-data?coin=BTC&tfs=3m=2&end_time=2024-01-01T00:11:00",
+    )
+    assert code == 200
+    assert [b["close"] for b in body["timeframes"]["3m"]["bars"]] == [
+        108.0, 111.0,
+    ]
+
+
+def test_response_time_header_on_all_routes(api):
+    import urllib.request
+
+    _, port, _ = api
+    with urllib.request.urlopen(f"http://127.0.0.1:{port}/health") as r:
+        assert float(r.headers["X-Response-Time-Secs"]) >= 0
+    with urllib.request.urlopen(
+        f"http://127.0.0.1:{port}/perpetual-data?timeframes=1m=2"
+        "&end_time=2024-01-01T00:11:00"
+    ) as r:
+        assert float(r.headers["X-Response-Time-Secs"]) > 0
+        body = json.loads(r.read())
+        assert body["response_time_secs"] > 0
