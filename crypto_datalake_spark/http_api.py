@@ -202,9 +202,15 @@ class PerpetualDataService:
     def _cached_window(
         self, sym, tf, limit, end, end_epoch, key
     ) -> tuple[list[dict], dict]:
-        """Cache-backed bar window: exact/superset hit, else single-flight
-        compute through :meth:`_compute_window`.  Returns (row dicts
-        ascending by time, plan-info dict)."""
+        """Cache-backed bar window, all reuse tiers: exact/superset hit;
+        else, under the single-flight lock, a PARTIAL hit fetches only
+        the missing newer head (sized on the tf grid from the last
+        cached bar, +1 for a bucket that closed since; reference
+        service.py:358-474 third tier) and serves the keep-last merge;
+        else a full compute through :meth:`_compute_window`.  A head
+        merge that comes up short degrades to the full fetch — and is
+        reported as a miss, not reuse.  Returns (row dicts ascending by
+        time, plan-info dict)."""
         anchor = self._anchor_span(tf, limit)
         kind, cached = self._cache.get(
             key, end_epoch, limit, anchor_span=anchor
@@ -220,9 +226,34 @@ class PerpetualDataService:
                     [d for _, d in cached],
                     {"mode": "cache", "cache": kind},
                 )
+            fetch_limit = limit
+            if kind == "partial" and cached:
+                from crypto_datalake_spark.ops.time import TIMEFRAME_MINUTES
+
+                tf_min = TIMEFRAME_MINUTES.get(tf)
+                if tf_min:
+                    gap_bars = int(
+                        (end_epoch - cached[-1][0]) // (60.0 * tf_min)
+                    )
+                    if 0 <= gap_bars + 1 < limit:
+                        fetch_limit = gap_bars + 1
             out, plan, _ = self._compute_window(
-                sym, tf, limit, end, end_epoch, key
+                sym, tf, fetch_limit, end, end_epoch, key
             )
+            if fetch_limit < limit:
+                kind2, merged = self._cache.get(
+                    key, end_epoch, limit, anchor_span=anchor
+                )
+                if kind2 in ("exact", "superset"):
+                    return [d for _, d in merged], {
+                        **asdict(plan),
+                        "cache": "partial",
+                        "head_bars_fetched": fetch_limit,
+                    }
+                out, plan, _ = self._compute_window(
+                    sym, tf, limit, end, end_epoch, key
+                )
+                return out, {**asdict(plan), "cache": "miss"}
             return out, {
                 **asdict(plan),
                 "cache": "miss" if kind == "partial" else kind,
@@ -284,89 +315,17 @@ class PerpetualDataService:
             # cache windows clip INCLUSIVELY (r[0] <= end), matching
             # serve_timeframe's ts <= end_time — the default watermark
             # path ends exactly on the last committed (closed) bar, so
-            # a hit returns precisely what a recompute would
+            # a hit returns precisely what a recompute would; all reuse
+            # tiers (exact / superset / head-only partial) live in
+            # _cached_window, shared with the indicator routes
             key = (sym, req.timeframe, req.limit)
-            end_epoch = _to_epoch(end)
-            anchor = self._anchor_span(req.timeframe, req.limit)
-            kind, rows = self._cache.get(
-                key, end_epoch, req.limit, anchor_span=anchor
-            )
-            if kind in ("exact", "superset"):
-                return req.timeframe, {
-                    "bars": [d for _, d in rows],
-                    "plan": {"mode": "cache", "cache": kind},
-                }
-            with self._cache.single_flight(key):
-                kind, rows = self._cache.get(
-                    key, end_epoch, req.limit, anchor_span=anchor
+            try:
+                dicts, plan_info = self._cached_window(
+                    sym, req.timeframe, req.limit, end, _to_epoch(end), key
                 )
-                if kind in ("exact", "superset"):  # a racer filled it
-                    return req.timeframe, {
-                        "bars": [d for _, d in rows],
-                        "plan": {"mode": "cache", "cache": kind},
-                    }
-                # partial reuse (reference service.py:358-474 third
-                # tier): the cached window ends OLDER than the request —
-                # fetch only the missing newer head, sized from the last
-                # cached bar on the tf grid, and let put()'s keep-last
-                # merge assemble the full window.  A head as large as
-                # the full window (or a gridless calendar tf) degrades
-                # to the plain full fetch.
-                fetch_limit = req.limit
-                if kind == "partial" and rows:
-                    from crypto_datalake_spark.ops.time import (
-                        TIMEFRAME_MINUTES,
-                    )
-
-                    tf_min = TIMEFRAME_MINUTES.get(req.timeframe)
-                    if tf_min:
-                        gap_bars = int(
-                            (end_epoch - rows[-1][0]) // (60.0 * tf_min)
-                        )
-                        # +1: a bucket excluded at the old end as
-                        # incomplete may have completed since
-                        if 0 <= gap_bars + 1 < req.limit:
-                            fetch_limit = gap_bars + 1
-                try:
-                    out, plan, _ = self._compute_window(
-                        sym, req.timeframe, fetch_limit, end, end_epoch,
-                        key,
-                    )
-                except ValueError as e:
-                    return req.timeframe, {"error": str(e)}
-                if fetch_limit < req.limit:
-                    # head-only fetch: the response is the cached tail +
-                    # head, merged keep-last by put() — serve the merged
-                    # window back out of the cache (equal-end hit)
-                    kind2, merged = self._cache.get(
-                        key, end_epoch, req.limit, anchor_span=anchor
-                    )
-                    if kind2 in ("exact", "superset"):
-                        return req.timeframe, {
-                            "bars": [d for _, d in merged],
-                            "plan": {
-                                **asdict(plan),
-                                "cache": "partial",
-                                "head_bars_fetched": fetch_limit,
-                            },
-                        }
-                    # merge came up short (bars vanished / short lake):
-                    # degrade to a full fetch rather than serve short —
-                    # and report the recompute honestly, not as reuse
-                    out, plan, _ = self._compute_window(
-                        sym, req.timeframe, req.limit, end, end_epoch,
-                        key,
-                    )
-                    kind = "miss"
-                return req.timeframe, {
-                    "bars": out,
-                    "plan": {
-                        **asdict(plan),
-                        # a partial peek whose head fetch degraded into
-                        # the full window is a miss for cache accounting
-                        "cache": "miss" if kind == "partial" else kind,
-                    },
-                }
+            except ValueError as e:
+                return req.timeframe, {"error": str(e)}
+            return req.timeframe, {"bars": dicts, "plan": plan_info}
 
         # thread-per-timeframe (the reference's executor shape); Spark
         # actions are thread-safe and jobs interleave on local[n]
