@@ -275,6 +275,31 @@ class PerpetualDataService:
             return None
         return base.agg(F.max("timestamp")).collect()[0][0]
 
+    def _resolve_request_end(
+        self, sym: str, end_time: str | None
+    ) -> tuple[dt.datetime, bool]:
+        """ISO-parse + minute-floor an optional explicit end, then
+        resolve it against the watermark.  An explicit end_time wins
+        unconditionally (resolve_end_time ignores the watermark then) —
+        don't pay one or two Spark collect() jobs per request just to
+        discard the result; the reference consults the watermark only
+        when end_time is omitted.  The single shared end-time block for
+        every route (bad input → RequestError/400)."""
+        requested_end = None
+        if end_time:
+            try:
+                requested_end = dt.datetime.fromisoformat(end_time).replace(
+                    second=0, microsecond=0, tzinfo=None
+                )
+            except ValueError as e:
+                raise RequestError(f"bad end_time: {end_time!r}") from e
+        return resolve_end_time(
+            requested_end,
+            None if requested_end is not None else self._watermark(sym),
+            self._now(),
+            self._tol,
+        )
+
     # --------------------------------------------------------- request
 
     def fetch(
@@ -291,25 +316,7 @@ class PerpetualDataService:
             )
         except ValueError as e:
             raise RequestError(str(e)) from e
-        requested_end = None
-        if end_time:
-            try:
-                requested_end = dt.datetime.fromisoformat(end_time).replace(
-                    second=0, microsecond=0, tzinfo=None
-                )
-            except ValueError as e:
-                raise RequestError(f"bad end_time: {end_time!r}") from e
-
-        # an explicit end_time wins unconditionally (resolve_end_time
-        # ignores the watermark then) — don't pay one or two Spark
-        # collect() jobs per request just to discard the result; the
-        # reference consults the watermark only when end_time is omitted
-        end, from_watermark = resolve_end_time(
-            requested_end,
-            None if requested_end is not None else self._watermark(sym),
-            self._now(),
-            self._tol,
-        )
+        end, from_watermark = self._resolve_request_end(sym, end_time)
 
         def one(req) -> tuple[str, dict]:
             # cache windows clip INCLUSIVELY (r[0] <= end), matching
@@ -373,20 +380,7 @@ class PerpetualDataService:
             limit = max(1, min(int(limit), MAX_LIMIT))
         except ValueError as e:
             raise RequestError(str(e)) from e
-        requested_end = None
-        if end_time:
-            try:
-                requested_end = dt.datetime.fromisoformat(end_time).replace(
-                    second=0, microsecond=0, tzinfo=None
-                )
-            except ValueError as e:
-                raise RequestError(f"bad end_time: {end_time!r}") from e
-        end, from_watermark = resolve_end_time(
-            requested_end,
-            None if requested_end is not None else self._watermark(sym),
-            self._now(),
-            self._tol,
-        )
+        end, from_watermark = self._resolve_request_end(sym, end_time)
         warm = max((warmup_bars(n) for n in lengths), default=0)
         # SHARED bar cache with the data endpoint (the reference's
         # shared_bar_cache, live_indicators/service.py:134-169): the
@@ -495,30 +489,28 @@ class PerpetualDataService:
             n = int(ema_length)
             if n < 1:
                 raise ValueError("ema_length must be at least 1")
+            if n > MAX_LIMIT:
+                # one request must not demand an unbounded bar window:
+                # warmup is 3n+1 bars, and the module's contract is that
+                # every response is bounded driver-side (the /indicators
+                # route enforces the same ceiling)
+                raise ValueError(
+                    f"ema_length above the {MAX_LIMIT} ceiling: {n}"
+                )
         except ValueError as e:
             raise RequestError(str(e)) from e
-        requested_end = None
-        if end_time:
-            try:
-                requested_end = dt.datetime.fromisoformat(end_time).replace(
-                    second=0, microsecond=0, tzinfo=None
-                )
-            except ValueError as e:
-                raise RequestError(f"bad end_time: {end_time!r}") from e
-        end, from_watermark = resolve_end_time(
-            requested_end,
-            None if requested_end is not None else self._watermark(sym),
-            self._now(),
-            self._tol,
-        )
+        end, from_watermark = self._resolve_request_end(sym, end_time)
         warm = warmup_bars(n)
 
         def ema_arm():
             limit = warm + 1
             key = (sym, etf, limit)
-            dicts, plan_info = self._cached_window(
-                sym, etf, limit, end, _to_epoch(end), key
-            )
+            try:
+                dicts, plan_info = self._cached_window(
+                    sym, etf, limit, end, _to_epoch(end), key
+                )
+            except ValueError as e:  # unavailable timeframe etc. → 400
+                raise RequestError(str(e)) from e
             # the reference drops price-incomplete bars before counting
             bars = [d for d in dicts if d.get("close") is not None]
             if len(bars) < n:
@@ -548,9 +540,12 @@ class PerpetualDataService:
             period_start = _floor_period(end, ptf)
             reference_end = period_start - dt.timedelta(minutes=1)
             key = (sym, ptf, 1)
-            dicts, plan_info = self._cached_window(
-                sym, ptf, 1, reference_end, _to_epoch(reference_end), key
-            )
+            try:
+                dicts, plan_info = self._cached_window(
+                    sym, ptf, 1, reference_end, _to_epoch(reference_end), key
+                )
+            except ValueError as e:  # unavailable timeframe etc. → 400
+                raise RequestError(str(e)) from e
             bars = [
                 d
                 for d in dicts
@@ -626,16 +621,19 @@ class _Handler(BaseHTTPRequestHandler):
     def log_message(self, *a):  # tests don't want stderr chatter
         pass
 
-    def _reply(self, code: int, payload: dict) -> None:
+    def _reply(self, code: int, payload: dict, timed: bool = True) -> None:
         # the reference's response-time middleware (app.py:172-188):
         # every response carries X-Response-Time-Secs, successful API
-        # payloads additionally embed response_time_secs
+        # payloads additionally embed response_time_secs.  ``timed`` is
+        # an explicit caller decision (health probes opt out) — sniffing
+        # the payload for sentinel keys would silently misfire the day a
+        # successful API payload carries one
         import time as _time
 
         elapsed = _time.perf_counter() - getattr(
             self, "_started_at", _time.perf_counter()
         )
-        if code == 200 and isinstance(payload, dict) and "status" not in payload:
+        if timed and code == 200 and isinstance(payload, dict):
             payload = {**payload, "response_time_secs": elapsed}
         body = json.dumps(payload).encode()
         self.send_response(code)
@@ -656,7 +654,7 @@ class _Handler(BaseHTTPRequestHandler):
         if path.startswith("/api/v1/"):
             path = path[len("/api/v1"):]
         if path in ("/health", "/healthz"):
-            self._reply(200, {"status": "ok"})
+            self._reply(200, {"status": "ok"}, timed=False)
             return
         if path not in ("/perpetual-data", "/indicators", "/live-indicators"):
             self._reply(404, {"error": f"no such route: {url.path}"})
@@ -684,7 +682,7 @@ class _Handler(BaseHTTPRequestHandler):
                 )
             elif path == "/indicators":
                 out = self.service.indicators(
-                    symbol=q.get("symbol", "BTC"),
+                    symbol=q.get("symbol", q.get("coin", "BTC")),
                     timeframe=q.get("timeframe", "1m"),
                     ema_lengths=q.get("ema", ""),
                     limit=limit,

@@ -543,3 +543,37 @@ def test_response_time_header_on_all_routes(api):
         assert float(r.headers["X-Response-Time-Secs"]) > 0
         body = json.loads(r.read())
         assert body["response_time_secs"] > 0
+
+
+def test_live_indicators_unavailable_tf_and_length_ceiling(spark, api):
+    """Review regressions: an unavailable timeframe inside an indicator
+    arm must surface as a 400 (reference maps every ValueError to 400),
+    not a 500 through the executor; ema_length is bounded by the same
+    MAX_LIMIT ceiling as every other window so one request can never
+    demand an unbounded bar window."""
+    svc, port, tables = api
+    strict = PerpetualDataService(
+        spark, tables,
+        config=FetchPlannerConfig(allow_1m_fallback=False),
+        now=lambda: dt.datetime(2024, 1, 1, 0, 12),
+    )
+    with pytest.raises(RequestError, match="unavailable"):
+        strict.live_indicators(
+            "BTC", ema_tf="5m", ema_length=2, pivot_tf="3m",
+            end_time="2024-01-01T00:11:00",
+        )
+    code, body = _get_err(
+        port,
+        "/live-indicators?ema_tf=1m&ema_length=501&pivot_tf=3m",
+    )
+    assert code == 400 and "ceiling" in body["error"]
+    # /indicators honors the reference's coin= alias like its siblings
+    code, body = _get(
+        port,
+        "/api/v1/indicators?coin=BTC&timeframe=1m&limit=2"
+        "&end_time=2024-01-01T00:11:00",
+    )
+    assert code == 200 and body["symbol"] == "BTCUSDT"
+    # health probes are untimed; API payloads embed the elapsed time
+    _, health = _get(port, "/healthz")
+    assert "response_time_secs" not in health
