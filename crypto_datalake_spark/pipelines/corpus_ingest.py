@@ -226,38 +226,70 @@ def compact_bloom(spark: SparkSession, bloom_path: str) -> int:
     """Fold the append-only Bloom sidecar back to ≤ m/64 rows (one per
     populated word): each accepted batch appends its own pre-aggregated
     words, so reads pay a growing bit_or-merge until someone compacts.
-    Single-writer discipline (the ingest stream IS single-writer by its
-    checkpoint): write the merged words to a tmp directory, rename the
-    old store ASIDE, rename the tmp into place, then delete the aside —
-    every step leaves at least one full copy of the bit set on disk
-    (old, aside, or compacted), and the only non-atomic window is
-    between the two renames, which the recovery sweep below closes by
-    restoring the aside copy on the next call (a deleted-store window
-    would otherwise be recoverable only via _healed_bloom's index
-    rebuild).  Returns the compacted row count; no-op (0) when the
-    store doesn't exist."""
-    import glob
-    import os
-    import shutil
+
+    Loss-proof by construction rather than by mutual exclusion: write
+    the merged words to a tmp directory, rename the old store ASIDE,
+    rename the tmp into place, move any file that was APPENDED to the
+    store after the merge's snapshot from the aside into the new store
+    (Bloom rows bit_or-merge at read, so a duplicated append is
+    harmless while a dropped one is a silent-false-accept hole), then
+    delete the aside.  Crash recovery on the next call: a missing store
+    with an aside restores the aside; an aside left beside a LIVE store
+    folds its files back in (superset-safe duplicates) instead of being
+    deleted — no crash point or interleaved append loses bits.  All
+    filesystem steps go through the Hadoop FileSystem (txn._fs), so the
+    same code serves local, HDFS, and object-store paths, and the
+    name-prefix listing sweep needs no glob (metachar-proof).  Returns
+    the compacted row count; no-op (0) when the store doesn't exist."""
     import uuid
 
-    base = bloom_path.rstrip("/")
-    # glob.escape: a store path containing glob metacharacters ([, ?, *)
-    # would otherwise silently match nothing — disabling BOTH the crash
-    # restore and the stray sweep for exactly the stores that need them
-    pat = glob.escape(base)
-    # crash recovery: a previous compaction that died between its two
-    # renames left no live store but a full aside copy — restore it
-    retired = sorted(glob.glob(pat + "__retired_*"))
-    if retired and not os.path.exists(base):
-        os.rename(retired[0], base)
-    # sweep strays from any earlier crash (tmp dirs never swapped in,
-    # aside dirs never deleted) — the live store is intact past here
-    for stray in glob.glob(pat + "__compact_*") + glob.glob(
-        pat + "__retired_*"
-    ):
-        shutil.rmtree(stray, ignore_errors=True)
+    from crypto_datalake_spark.txn import _fs
 
+    base = bloom_path.rstrip("/")
+    jvm, fs, base_p = _fs(spark, base)
+    hpath = jvm.org.apache.hadoop.fs.Path
+    name = base_p.getName()
+    parent = base_p.getParent()
+
+    def _fold_files_into_base(src_dir) -> None:
+        # parquet part names carry write-uuids, so collisions are
+        # practically impossible; skip-if-exists guards regardless
+        for st in fs.listStatus(src_dir):
+            fn = st.getPath().getName()
+            if not fn.endswith(".parquet"):
+                continue
+            dst = hpath(f"{base}/{fn}")
+            if not fs.exists(dst):
+                fs.rename(st.getPath(), dst)
+
+    retired, compact_tmps = [], []
+    if parent is not None and fs.exists(parent):
+        for st in fs.listStatus(parent):
+            nm = st.getPath().getName()
+            if nm.startswith(name + "__retired_"):
+                retired.append(st.getPath())
+            elif nm.startswith(name + "__compact_"):
+                compact_tmps.append(st.getPath())
+    retired.sort(key=lambda p: p.getName())
+    if retired and not fs.exists(base_p):
+        # crash between the two renames: the aside IS the full store
+        fs.rename(retired.pop(0), base_p)
+    for p in retired:
+        # an aside beside a live store may hold appends the swap window
+        # parked there — fold them back (duplicate bits are safe, lost
+        # bits are not), then drop the dir
+        if fs.exists(base_p):
+            _fold_files_into_base(p)
+        fs.delete(p, True)
+    for p in compact_tmps:
+        fs.delete(p, True)  # never swapped in: derived content only
+
+    if not fs.exists(base_p):
+        return 0
+    # snapshot BEFORE the read: a file that lands between snapshot and
+    # read is both read and preserved (duplicate-safe); the reverse
+    # order could mark an unread file as merged and lose it
+    snapshot = {st.getPath().getName() for st in fs.listStatus(base_p)}
     words = _read_store(
         spark, bloom_path, ["word_idx", "bits"], "word_idx long, bits long"
     )
@@ -268,10 +300,22 @@ def compact_bloom(spark: SparkSession, bloom_path: str) -> int:
     ).coalesce(1).localCheckpoint()  # read fully BEFORE touching the store
     tmp = f"{base}__compact_{uuid.uuid4().hex[:8]}"
     merged.write.parquet(tmp)
-    aside = f"{base}__retired_{uuid.uuid4().hex[:8]}"
-    os.rename(base, aside)
-    os.rename(tmp, base)
-    shutil.rmtree(aside)
+    aside_p = hpath(f"{base}__retired_{uuid.uuid4().hex[:8]}")
+    if not fs.rename(base_p, aside_p):
+        raise IOError(f"compact_bloom: rename {base} aside failed")
+    if not fs.rename(hpath(tmp), base_p):
+        # put the store back before surfacing — never leave it missing
+        fs.rename(aside_p, base_p)
+        raise IOError(f"compact_bloom: rename {tmp} into place failed")
+    # preserve any append that landed after the snapshot (it moved with
+    # the aside): fold those files into the compacted store
+    for st in fs.listStatus(aside_p):
+        fn = st.getPath().getName()
+        if fn not in snapshot and fn.endswith(".parquet"):
+            dst = hpath(f"{base}/{fn}")
+            if not fs.exists(dst):
+                fs.rename(st.getPath(), dst)
+    fs.delete(aside_p, True)
     return merged.count()
 
 
@@ -331,6 +375,16 @@ def _index_rows_for(docs: DataFrame, sig=None, bands=None) -> DataFrame:
     )
 
 
+def _store_exists(spark: SparkSession, path: str) -> bool:
+    """Hadoop-FS existence probe (no Spark job, any filesystem) — the
+    bloom maintenance decisions below depend on whether a store EXISTS,
+    not on whether this run's prefilter flag is set."""
+    from crypto_datalake_spark.txn import _fs
+
+    _, fs, p = _fs(spark, path.rstrip("/"))
+    return bool(fs.exists(p))
+
+
 def _read_store(
     spark: SparkSession, path: str, cols: list[str], empty_schema: str
 ) -> DataFrame:
@@ -373,10 +427,16 @@ def _healed_index(
         missing = corpus.join(gap_ids, "doc_id", "left_semi")
         sig, bands = lsh_signatures(missing)
         bands = bands.localCheckpoint()  # bloom words + index rows
-        if bloom_path is not None:
+        if bloom_path is not None and _store_exists(spark, bloom_path):
             # Bloom BEFORE index (the accept-path ordering): a crash
             # between the two leaves extra Bloom bits (safe FPs), never
-            # index keys the Bloom doesn't cover (silent false accepts)
+            # index keys the Bloom doesn't cover (silent false accepts).
+            # Gap words append only into an EXISTING store: creating the
+            # store here with gap-only words would make _healed_bloom
+            # see it as non-empty and skip the full rebuild, leaving
+            # every PRE-EXISTING index key uncovered forever (silent
+            # false accepts) — a missing store stays missing so the
+            # rebuild covers the whole healed index.
             _bloom_words_for_bands(bands).write.mode("append").parquet(
                 bloom_path
             )
@@ -497,10 +557,16 @@ def ingest_batch(
         .select("doc_id")
         .withColumn("id_conflict", F.lit(True))
     )
+    # the Bloom tier is MAINTAINED whenever its store exists, even with
+    # use_bloom=False (which gates only the prefilter): skipping
+    # maintenance for some batches would leave index rows the Bloom
+    # never covers, so a later re-enable silently false-accepts their
+    # near-dups forever — the toggle must be safe in both directions
+    maintain_bloom = use_bloom or _store_exists(spark, bloom_path)
     # novelty reference = the persisted band index (self-healed against
     # the corpus) minus this batch's own replayed copies
     healed = _healed_index(
-        spark, corpus, index_path, bloom_path if use_bloom else None
+        spark, corpus, index_path, bloom_path if maintain_bloom else None
     )
     novelty_ref = healed.join(replay_ids, "doc_id", "left_anti")
     # the Bloom covers the FULL index (it cannot exclude the replay
@@ -615,7 +681,7 @@ def ingest_batch(
         acc_bands = in_bands.join(
             accepted.select("doc_id"), "doc_id", "left_semi"
         ).localCheckpoint()  # bloom words + index rows
-        if use_bloom:
+        if maintain_bloom:
             _bloom_words_for_bands(acc_bands).write.mode("append").parquet(
                 bloom_path
             )

@@ -41,7 +41,7 @@ import json
 import uuid
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 MANIFEST_DIR = "_manifest"
@@ -724,19 +724,34 @@ def atomic_upsert_partitioned(
         upsert_ledger,
     )
 
-    cols = incoming.columns
     manifest = current_manifest(spark, path)
     if manifest is None:
         guard_unmanaged_data(spark, path)
+    # the touched partition set, rendered once driver-side (reused for
+    # the manifest update below)
+    touched = set(_partition_path_strings(spark, incoming, partition_cols))
     existing = None
     if manifest is not None and manifest["partitions"]:
-        from crypto_datalake_spark.sinks import semi_join_null_safe
-
-        existing = _guard_and_align_evolution(
-            manifest, incoming, read_table(spark, path)
-        )
-        touched_dirs = incoming.select(*partition_cols).distinct()
-        existing = semi_join_null_safe(existing, touched_dirs, partition_cols)
+        # read ONLY the touched partitions' live generations, resolved
+        # driver-side against the manifest — a full-table read filtered
+        # by a null-safe semi-join would LIST and plan every partition's
+        # generation directory per upsert (and Catalyst cannot statically
+        # prune an eqNullSafe join condition), turning a one-partition
+        # incremental batch into an O(table) metadata pass at 100k
+        # partitions
+        touched_live = {
+            p: g for p, g in manifest["partitions"].items() if p in touched
+        }
+        if touched_live:
+            existing = _guard_and_align_evolution(
+                manifest,
+                incoming,
+                _read_generation_dirs(spark, path, manifest, touched_live),
+            )
+        else:
+            # no touched partition exists yet — still enforce the
+            # add-only evolution guard against the recorded schema
+            _guard_and_align_evolution(manifest, incoming, None)
     # an emptied-but-versioned table holds no data a narrowed schema
     # could hide, so the add-only guard applies only when rows exist
 
@@ -744,10 +759,6 @@ def atomic_upsert_partitioned(
     out = out.persist()
     try:
         gid = write_generation(out, path, partition_cols)
-
-        touched = set(
-            _partition_path_strings(spark, incoming, partition_cols)
-        )
         extra: dict = {}
         if stats_cols:
             # the stats aggregate groups the SAME frame by the SAME

@@ -1581,3 +1581,188 @@ def test_compact_bloom_glob_metachar_path(spark, tmp_path):
         p for p in os.listdir(tmp_path)
         if "__retired_" in p or "__compact_" in p
     ] == []
+
+
+def _bloom_words_count(spark, bloom_path):
+    from crypto_datalake_spark.pipelines.corpus_ingest import _read_store
+
+    return _read_store(
+        spark, bloom_path, ["word_idx", "bits"], "word_idx long, bits long"
+    ).count()
+
+
+def test_healed_bloom_full_rebuild_despite_index_gap(spark, tmp_path):
+    """Review regression: a deleted Bloom store must rebuild from the
+    WHOLE index even when the same batch also backfills an index gap —
+    pre-fix, the gap heal appended gap-only words into the missing
+    store first, _healed_bloom then saw it non-empty and skipped the
+    rebuild, and near-dups of every pre-existing corpus doc were
+    silently accepted forever."""
+    import shutil
+
+    from crypto_datalake_spark.pipelines.corpus_ingest import (
+        default_bloom_path,
+        ingest_batch,
+    )
+
+    corpus = str(tmp_path / "corpus")
+    audit = str(tmp_path / "audit")
+    bloom_path = default_bloom_path(corpus)
+    base_text = " ".join(f"alpha{j} beta{j}" for j in range(15))
+    ingest_batch(
+        spark,
+        spark.createDataFrame(
+            [(1, base_text), (2, " ".join(f"unrelated{j}" for j in range(30)))],
+            "doc_id long, text string",
+        ),
+        corpus, audit, 0,
+    )
+    # simulate the crash window: doc 3 reaches the corpus but not the
+    # index (its gap row is what the next batch's self-heal backfills)
+    spark.createDataFrame(
+        [(3, " ".join(f"gapdoc{j}" for j in range(30)))],
+        "doc_id long, text string",
+    ).write.mode("append").parquet(corpus)
+    shutil.rmtree(bloom_path)  # and the sidecar is lost
+
+    # next batch: a near-dup of doc 1 (one tail token differs) — the
+    # rebuilt Bloom must cover doc 1's PRE-GAP index keys so the exact
+    # band join sees it and rejects
+    ingest_batch(
+        spark,
+        spark.createDataFrame(
+            [(9, base_text + " tail")], "doc_id long, text string"
+        ),
+        corpus, audit, 1,
+    )
+    got = {
+        r["doc_id"]: r["accepted"]
+        for r in spark.read.parquet(audit)
+        .where(F.col("batch_id") == 1)
+        .collect()
+    }
+    assert got[9] is False, "near-dup of a pre-gap doc must be rejected"
+
+
+def test_use_bloom_toggle_keeps_store_covering(spark, tmp_path):
+    """Review regression: batches run with use_bloom=False against a
+    corpus that already HAS a Bloom store must keep maintaining it
+    (the flag gates only the prefilter) — otherwise re-enabling the
+    tier later bloom-rejects near-dups of the docs accepted during the
+    disabled window and silently admits them."""
+    from crypto_datalake_spark.pipelines.corpus_ingest import (
+        default_bloom_path,
+        ingest_batch,
+    )
+
+    corpus = str(tmp_path / "corpus")
+    audit = str(tmp_path / "audit")
+    bloom_path = default_bloom_path(corpus)
+    ingest_batch(
+        spark,
+        spark.createDataFrame(
+            [(1, " ".join(f"first{j}" for j in range(30)))],
+            "doc_id long, text string",
+        ),
+        corpus, audit, 0, use_bloom=True,   # store now exists
+    )
+    words_before = _bloom_words_count(spark, bloom_path)
+    window_text = " ".join(f"window{j} tok{j}" for j in range(15))
+    ingest_batch(
+        spark,
+        spark.createDataFrame(
+            [(2, window_text)], "doc_id long, text string"
+        ),
+        corpus, audit, 1, use_bloom=False,  # prefilter off, store live
+    )
+    # the disabled-window batch still appended its words
+    assert _bloom_words_count(spark, bloom_path) > words_before
+    # re-enable: a near-dup of the disabled-window doc must be rejected
+    ingest_batch(
+        spark,
+        spark.createDataFrame(
+            [(9, window_text + " tail")], "doc_id long, text string"
+        ),
+        corpus, audit, 2, use_bloom=True,
+    )
+    got = {
+        r["doc_id"]: r["accepted"]
+        for r in spark.read.parquet(audit)
+        .where(F.col("batch_id") == 2)
+        .collect()
+    }
+    assert got[9] is False
+    # and with NO store, use_bloom=False creates nothing (tier truly off)
+    corpus2 = str(tmp_path / "corpus2")
+    ingest_batch(
+        spark,
+        spark.createDataFrame([(1, "x y z")], "doc_id long, text string"),
+        corpus2, str(tmp_path / "audit2"), 0, use_bloom=False,
+    )
+    import os
+
+    assert not os.path.exists(default_bloom_path(corpus2))
+
+
+def test_compact_bloom_preserves_interleaved_append(spark, tmp_path):
+    """Review regression: a Bloom append landing between compaction's
+    read snapshot and its directory swap must survive — the file moves
+    with the aside dir and is folded back into the compacted store
+    (duplicate bits are safe; dropped bits are silent false accepts)."""
+    from crypto_datalake_spark.pipelines.corpus_ingest import (
+        _read_store,
+        compact_bloom,
+        default_bloom_path,
+        ingest_batch,
+    )
+    import crypto_datalake_spark.pipelines.corpus_ingest as ci
+
+    corpus = str(tmp_path / "corpus")
+    audit = str(tmp_path / "audit")
+    bloom_path = default_bloom_path(corpus)
+    ingest_batch(
+        spark,
+        spark.createDataFrame(
+            [(i, " ".join(f"c{i}w{j}" for j in range(20))) for i in range(2)],
+            "doc_id long, text string",
+        ),
+        corpus, audit, 0,
+    )
+
+    def merged_bits():
+        return {
+            r["word_idx"]: r["bits"]
+            for r in _read_store(
+                spark, bloom_path, ["word_idx", "bits"],
+                "word_idx long, bits long",
+            ).groupBy("word_idx").agg(F.expr("bit_or(bits)").alias("bits"))
+            .collect()
+        }
+
+    # interleave: inject an append AFTER compact's snapshot+read by
+    # wrapping _read_store for the compaction call only
+    real_read = ci._read_store
+    injected = {}
+
+    def read_then_append(spark_, path, cols, schema):
+        df = real_read(spark_, path, cols, schema)
+        if path == bloom_path and not injected:
+            injected["done"] = True
+            df = df.localCheckpoint()   # materialize the merge input NOW
+            spark_.createDataFrame(
+                [(7, 1 << 63 - 1)], "word_idx long, bits long"
+            ).write.mode("append").parquet(path)
+        return df
+
+    before = merged_bits()
+    ci._read_store = read_then_append
+    try:
+        assert compact_bloom(spark, bloom_path) > 0
+    finally:
+        ci._read_store = real_read
+    after = merged_bits()
+    # every pre-compact bit survives AND the interleaved append's bit
+    # is present in the post-compact store
+    for w, bits in before.items():
+        assert after.get(w, 0) & bits == bits
+    assert after.get(7, 0) & (1 << 63 - 1) == (1 << 63 - 1)

@@ -1058,3 +1058,56 @@ def test_read_table_skipping_decimal_bounds_above_2_53(spark, tmp_path):
     assert txn.read_table_skipping(
         spark, path, {"v": (Decimal(10**20), None)}
     ) is None
+
+
+def test_upsert_reads_only_touched_partitions(spark, tmp_path, monkeypatch):
+    """Review regression (scale): an incremental upsert must resolve and
+    read ONLY the touched partitions' live generations — the previous
+    full-table read + null-safe semi-join listed and planned every
+    partition per upsert (O(table) metadata at 100k partitions) and
+    Catalyst cannot statically prune an eqNullSafe join condition."""
+    path = str(tmp_path / "lake")
+    txn.atomic_upsert_partitioned(
+        spark,
+        _df(spark, [
+            ("A", _T(0), 1.0, "d1"), ("B", _T(1), 2.0, "d2"),
+            ("C", _T(2), 3.0, "d3"),
+        ]),
+        path, **KW,
+    )
+    read_parts: list = []
+    real = txn._read_generation_dirs
+
+    def capture(spark_, table_path, manifest, parts=None):
+        if parts is not None:
+            read_parts.append(sorted(parts))
+        return real(spark_, table_path, manifest, parts)
+
+    monkeypatch.setattr(txn, "_read_generation_dirs", capture)
+    monkeypatch.setattr(
+        txn, "read_table",
+        lambda *a, **k: (_ for _ in ()).throw(
+            AssertionError("upsert must not read the whole table")
+        ),
+    )
+    m = txn.atomic_upsert_partitioned(
+        spark, _df(spark, [("A", _T(3), 9.0, "d1")]), path, **KW
+    )
+    assert m["version"] == 2
+    assert read_parts == [["day=d1"]]       # only the touched partition
+    monkeypatch.undo()
+    # merge semantics intact: the new (A, T3) row joined the old d1 rows
+    # (distinct key → both live), d2/d3 untouched
+    rows = {
+        (r["sym"], r["ts"]): r["v"]
+        for r in txn.read_table(spark, path).collect()
+    }
+    assert rows[("A", _T(3))] == 9.0 and rows[("A", _T(0))] == 1.0
+    assert rows[("B", _T(1))] == 2.0 and rows[("C", _T(2))] == 3.0
+    # an upsert into a brand-new partition reads nothing at all
+    read_parts.clear()
+    monkeypatch.setattr(txn, "_read_generation_dirs", capture)
+    txn.atomic_upsert_partitioned(
+        spark, _df(spark, [("D", _T(4), 4.0, "d4")]), path, **KW
+    )
+    assert read_parts == []
