@@ -85,9 +85,12 @@ def apply_delta(
         *delta_aggs, F.sum(F.when(ins, 1).otherwise(-1)).alias(_N)
     )
     s, d = state.alias("s"), delta.alias("d")
+    # initial lit(True): a GLOBAL view (keys=[]) joins its single state
+    # row to its single delta row — an empty reduce() would raise
     cond = reduce(
         lambda a, b: a & b,
         [F.col(f"s.{k}").eqNullSafe(F.col(f"d.{k}")) for k in keys],
+        F.lit(True),
     )
     cols = [
         F.coalesce(F.col(f"s.{k}"), F.col(f"d.{k}")).alias(k) for k in keys

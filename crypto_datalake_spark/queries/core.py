@@ -237,7 +237,9 @@ def j9_union_dedup_priority(spark, sf_dir):
            min(minute_ts) AS min_ts,
            max(minute_ts) AS max_ts,
            bit_xor(CAST(concat('0x', substr(
-             md5(event_type || '|' || CAST(minute_ts AS VARCHAR)), 1, 15)) AS BIGINT))
+             md5(coalesce(md5(event_type), '__NULL__') || '|' ||
+                 coalesce(md5(CAST(minute_ts AS VARCHAR)), '__NULL__')),
+             1, 15)) AS BIGINT))
              AS content_hash
     FROM m GROUP BY 1, 2
     """,

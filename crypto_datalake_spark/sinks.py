@@ -87,10 +87,18 @@ def _drop_emptied_partitions(
     persisted by the caller (it was just written, so this recompute is a
     cache hit). Partition counts are repair-sized, so the collects are
     tiny driver-side lists.
+
+    ``touched_vals`` holds partition values PRE-RENDERED by Spark's
+    cast-to-string (the caller collects them that way), matching the
+    directory names ``partitionBy`` wrote.
     """
     present = {
         tuple(r[c] for c in partition_cols)
-        for r in out.select(*partition_cols).distinct().collect()
+        for r in out.select(
+            *[F.col(c).cast("string").alias(c) for c in partition_cols]
+        )
+        .distinct()
+        .collect()
     }
     stale = [v for v in touched_vals if tuple(v) not in present]
     if not stale:
@@ -101,16 +109,48 @@ def _drop_emptied_partitions(
     esc = jvm.org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
     for vals in stale:
         # build the directory name with Spark's OWN partition-path escaping
-        # (':' → '%3A', NULL → __HIVE_DEFAULT_PARTITION__, …) — a hand-built
-        # f"{c}={v}" misses the dir for timestamps/NULLs and the delete
-        # silently no-ops, resurrecting removed rows on the next read
+        # (':' → '%3A', NULL → __HIVE_DEFAULT_PARTITION__, …) from values
+        # rendered by SPARK's cast-to-string (``touched_vals`` arrives
+        # pre-rendered) — Python str() diverges exactly where it breaks
+        # the delete: booleans ('True' vs the directory's 'true') and
+        # fractional-second timestamps ('.5' vs '.500000'); a mis-rendered
+        # name misses the dir, the delete silently no-ops, and removed
+        # rows resurrect on the next read
         sub = "/".join(
-            esc.getPartitionPathString(c, "" if v is None else str(v))
+            esc.getPartitionPathString(c, "" if v is None else v)
             for c, v in zip(partition_cols, vals)
         )
         p = jvm.org.apache.hadoop.fs.Path(f"{path}/{sub}")
         fs = p.getFileSystem(conf)
         fs.delete(p, True)
+
+
+def _filter_to_partitions(
+    df: DataFrame,
+    touched: DataFrame,
+    partition_cols: Sequence[str],
+    max_partitions: int = 512,
+) -> DataFrame:
+    """Statically-prunable partition filter: collect the touched
+    partition values driver-side and apply an OR-of-ANDs predicate of
+    plain equality / isNull terms — the forms Catalyst pushes into the
+    parquet source as partition pruning.  Degrades to a no-op (the
+    caller's null-safe semi-join still bounds the rows) when the batch
+    touches more partitions than ``max_partitions``, where the literal
+    predicate would bloat the plan for little pruning gain."""
+    rows = touched.limit(max_partitions + 1).collect()
+    if len(rows) > max_partitions:
+        return df
+    pred = None
+    for r in rows:
+        conj = None
+        for c in partition_cols:
+            v = r[c]
+            term = F.col(c).isNull() if v is None else (F.col(c) == F.lit(v))
+            conj = term if conj is None else conj & term
+        if conj is not None:
+            pred = conj if pred is None else pred | conj
+    return df if pred is None else df.where(pred)
 
 
 def semi_join_null_safe(
@@ -162,9 +202,20 @@ def ledger_entries(
     rewritten partition), and engine-portable (md5 → 60-bit int bridge,
     same as the dedup family). Digest columns must stringify identically
     across engines — use integer/string keys, not floats.
+
+    Each column is md5-hashed BEFORE the join, with NULL mapped to a
+    sentinel no hex digest can collide with: a raw ``concat_ws`` both
+    SKIPS null columns and has no separator escaping, so distinct rows
+    like (NULL, '5') vs ('5', NULL) or ('a|b', 'c') vs ('a', 'b|c')
+    would digest identically — and such a pair XORs to zero, exactly
+    the divergence the ledger exists to detect.
     """
+    col_digests = [
+        F.coalesce(F.md5(F.col(c).cast("string")), F.lit("__NULL__"))
+        for c in digest_cols
+    ]
     digest = F.conv(
-        F.substring(F.md5(F.concat_ws("|", *[F.col(c).cast("string") for c in digest_cols])), 1, 15),
+        F.substring(F.md5(F.concat_ws("|", *col_digests)), 1, 15),
         16,
         10,
     ).cast("long")
@@ -219,6 +270,18 @@ def upsert_ledger(
     newer row for the same partition, which supersedes the old one at read
     time — same visible semantics as the previous in-place replace."""
     import uuid
+
+    # read_ledger infers the partition-identity columns as "everything
+    # not in _LEDGER_META" — a partition column NAMED like a meta column
+    # would silently vanish from the dedup key and collapse the ledger
+    # across those partitions; refuse loudly at write time instead
+    clash = set(partition_cols) & set(_LEDGER_META)
+    if clash:
+        raise ValueError(
+            f"partition column(s) {sorted(clash)} collide with reserved "
+            f"ledger audit columns {sorted(_LEDGER_META)} — rename the "
+            "partition column(s); read_ledger could not tell them apart"
+        )
 
     # commit_token breaks commit_seq ties DETERMINISTICALLY: two writers
     # racing _next_commit_seq can stamp the same seq (read-max-then-+1 is
@@ -342,10 +405,21 @@ def merge_frames(
         return incoming
     if preserve_cols or flag_cols:
         old = existing.select(
-            *keys,
+            *[F.col(k).alias(f"__k_{k}") for k in keys],
             *[F.col(c).alias(f"__old_{c}") for c in (*preserve_cols, *flag_cols)],
         )
-        merged = incoming.join(old, list(keys), "left")
+        # eqNullSafe, not plain equality: the keep-last dedup below
+        # treats NULL keys as one group, so the preserve/flag lookup
+        # must match the same rows — a plain equi-join never matches a
+        # NULL-keyed incoming row, silently resetting its LIVE_ONLY
+        # values while the dedup still lets it replace the stored row
+        cond = None
+        for k in keys:
+            eq = F.col(k).eqNullSafe(F.col(f"__k_{k}"))
+            cond = eq if cond is None else cond & eq
+        merged = incoming.join(old, cond, "left").drop(
+            *[f"__k_{k}" for k in keys]
+        )
         for c in preserve_cols:
             merged = merged.withColumn(c, F.coalesce(F.col(c), F.col(f"__old_{c}")))
         for c in flag_cols:
@@ -402,6 +476,14 @@ def upsert_partitioned(
     existing = _read_existing(spark, path, cols)
     if existing is not None:
         touched = incoming.select(*partition_cols).distinct()
+        # pushable coarse filter FIRST: an eqNullSafe join condition is
+        # excluded from both static partition pruning and dynamic
+        # partition pruning, so the semi-join alone would list and scan
+        # EVERY partition per incremental batch — O(table) I/O where the
+        # module promises repair-proportional cost.  Plain equality (and
+        # isNull) predicates prune at the source; the null-safe semi-join
+        # stays as the exactness layer on the survivors.
+        existing = _filter_to_partitions(existing, touched, partition_cols)
         existing = semi_join_null_safe(existing, touched, partition_cols)
     out = merge_frames(incoming, existing, keys, order_cols, preserve_cols, flag_cols)
 
@@ -530,8 +612,13 @@ def merge_into(
         track_key_moves=track_key_moves,
     )
 
+    # rendered by Spark's cast-to-string so the emptied-partition delete
+    # below matches the directory names partitionBy actually wrote
     touched_vals = [
-        tuple(r[c] for c in partition_cols) for r in touched.collect()
+        tuple(r[c] for c in partition_cols)
+        for r in touched.select(
+            *[F.col(c).cast("string").alias(c) for c in partition_cols]
+        ).collect()
     ]
     out = out.persist()
     try:
@@ -650,10 +737,16 @@ def merge_scd2(
 
     vf, vt, cur = "valid_from", "valid_to", "is_current"
     out_cols = [*keys, *tracked_cols, vf, vt, cur]
+    # intra-batch dedup of same-(key, valid_from) rows: the order column
+    # must NOT be only the dedup key itself (a constant within the
+    # window — the winner would be partition luck, flapping the SCD2
+    # chain across re-runs of the same input); tracked columns break the
+    # tie deterministically, mirroring the __prio fix for
+    # incoming-vs-stored ties below
     incoming = keep_last(
         source.select(*keys, *tracked_cols, F.col(ts_col).alias(vf)),
         [*keys, vf],
-        [vf],
+        [vf, *tracked_cols],
     )
 
     # pin the base: read the manifest version first, read the table AS OF

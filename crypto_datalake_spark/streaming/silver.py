@@ -19,9 +19,7 @@ Spark realization:
 
 from __future__ import annotations
 
-import shutil
 from collections.abc import Callable, Sequence
-from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -122,16 +120,39 @@ def foreach_batch_upsert_maintained(
     def _commit_view(state: DataFrame, head: int, base_version):
         import json as _json
 
-        gid = txn.write_generation(state, view_path, [])
-        txn.commit_manifest(
-            spark,
-            view_path,
-            {txn.ROOT_PART: gid},
+        state = state.localCheckpoint()  # isEmpty + write share one run
+        extra = dict(
             base_version=base_version,
             schema_hash=frame_schema_hash(state),
             table_schema=_json.loads(state.schema.json()),
             view_of=head,
         )
+        if state.isEmpty():
+            # an EMPTY view (emptied base, or all groups retired) commits
+            # an empty partition map — writing a zero-row generation
+            # would publish a directory the manifest points at but the
+            # writer never materialized (PATH_NOT_FOUND on read)
+            txn.commit_manifest(spark, view_path, {}, **extra)
+            return
+        gid = txn.write_generation(state, view_path, [])
+        txn.commit_manifest(spark, view_path, {txn.ROOT_PART: gid}, **extra)
+
+    def _base_frame(head: int) -> DataFrame:
+        """The base table as of ``head`` — including the EMPTIED case
+        (a manifest committed with no partitions, e.g. after an external
+        purge): the view must recompute to empty rather than crash on
+        read_table's None, so the zero-row frame is built from the
+        manifest's recorded schema."""
+        df = txn.read_table(spark, path, at_version=head)
+        if df is not None:
+            return df
+        st = txn._manifest_struct(txn._manifest_at(spark, path, head))
+        if st is None:  # pre-schema manifest AND no partitions
+            raise ValueError(
+                f"{path} v{head} is empty and records no table schema — "
+                "cannot materialize an empty view shape"
+            )
+        return spark.createDataFrame([], st)
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         base_sink(batch_df, batch_id)
@@ -143,9 +164,7 @@ def foreach_batch_upsert_maintained(
         if vm is not None and vm.get("view_of") == head:
             return  # replay: the table commit was content-idempotent
         if vm is None:
-            state = grouped_agg_state(
-                txn.read_table(spark, path, at_version=head), gk, ms
-            )
+            state = grouped_agg_state(_base_frame(head), gk, ms)
             _commit_view(state, head, base_version=None)
             return
         base = vm.get("view_of")
@@ -158,9 +177,7 @@ def foreach_batch_upsert_maintained(
             # no usable base (vacuumed, or a foreign manifest at
             # view_path that never recorded view_of): one full
             # recompute, then incremental again from the new head
-            state = grouped_agg_state(
-                txn.read_table(spark, path, at_version=head), gk, ms
-            )
+            state = grouped_agg_state(_base_frame(head), gk, ms)
             _commit_view(state, head, base_version=vm["version"])
             return
         state = apply_delta(txn.read_table(spark, view_path), diff, gk, ms)
@@ -169,39 +186,64 @@ def foreach_batch_upsert_maintained(
     return _sink
 
 
-def retention_delete(path: str, partition_col: str, keep_values: set) -> int:
+def retention_delete(
+    spark, path: str, partition_col: str, keep_values: set
+) -> int:
     """Drop partition directories whose ``partition_col=value`` is not in
     ``keep_values`` (ref: 12-hour event retention, websocket.py:798-899).
 
     Returns the number of partitions removed. Partition-granular — no file
-    rewrite, O(partitions to drop) filesystem ops.
+    rewrite, O(partitions to drop) filesystem ops, through the Hadoop
+    FileSystem so the same code serves local, HDFS, and object-store
+    lakes (a pathlib walk silently returns 0 on any non-local path —
+    retention would never run exactly where it matters).
 
     Directory names are Hive-ESCAPED (``:`` → ``%3A``, null →
     ``__HIVE_DEFAULT_PARTITION__``), so values are unescaped before the
     keep check — raw string comparison would never match a timestamp
     partition and silently delete every partition, kept or not.  Null
-    partitions are kept iff ``None`` is in ``keep_values``.  (Fractional
-    -second timestamp partitions would still mismatch str() rendering —
-    partition on truncated/formatted columns, as every caller here does.)
+    partitions are kept iff ``None`` is in ``keep_values``.  Booleans
+    render in Spark's lowercase form (``True`` → ``true`` — Python
+    ``str()`` would mismatch the directory and DELETE a kept
+    partition).  Fractional-second timestamps and sci-notation floats
+    still mismatch ``str()`` rendering — partition on
+    truncated/formatted STRING columns, as every caller here does.
     """
     from urllib.parse import unquote
 
-    removed = 0
-    root = Path(path)
-    if not root.exists():
+    from crypto_datalake_spark.txn import _fs
+
+    _, fs, root = _fs(spark, path)
+    if not fs.exists(root):
         return 0
-    keep = {str(v) for v in keep_values if v is not None}
+
+    def _render(v):
+        if isinstance(v, bool):
+            return "true" if v else "false"
+        return str(v)
+
+    keep = {_render(v) for v in keep_values if v is not None}
     keep_null = any(v is None for v in keep_values)
-    for child in root.glob(f"**/{partition_col}=*"):
-        raw = child.name.split("=", 1)[1]
-        if raw == "__HIVE_DEFAULT_PARTITION__":
-            if not keep_null:
-                shutil.rmtree(child)
+    prefix = partition_col + "="
+    removed = 0
+    stack = [root]
+    while stack:
+        cur = stack.pop()
+        for st in fs.listStatus(cur):
+            if not st.isDirectory():
+                continue
+            nm = st.getPath().getName()
+            if not nm.startswith(prefix):
+                stack.append(st.getPath())  # e.g. symbol=X above hour=
+                continue
+            raw = nm.split("=", 1)[1]
+            if raw == "__HIVE_DEFAULT_PARTITION__":
+                if not keep_null:
+                    fs.delete(st.getPath(), True)
+                    removed += 1
+            elif unquote(raw) not in keep:
+                fs.delete(st.getPath(), True)
                 removed += 1
-            continue
-        if unquote(raw) not in keep:
-            shutil.rmtree(child)
-            removed += 1
     return removed
 
 

@@ -231,7 +231,7 @@ def test_retention_delete_partition_granular(spark, tmp_path):
         "day string, event_id int, value double",
     )
     df.write.partitionBy("day").parquet(lake)
-    removed = retention_delete(lake, "day", keep_values={"2024-01-02", "2024-01-03"})
+    removed = retention_delete(spark, lake, "day", keep_values={"2024-01-02", "2024-01-03"})
     assert removed == 1
     remaining = spark.read.parquet(lake).select("day").distinct().collect()
     assert sorted(str(r["day"]) for r in remaining) == ["2024-01-02", "2024-01-03"]

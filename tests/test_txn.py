@@ -1111,3 +1111,206 @@ def test_upsert_reads_only_touched_partitions(spark, tmp_path, monkeypatch):
         spark, _df(spark, [("D", _T(4), 4.0, "d4")]), path, **KW
     )
     assert read_parts == []
+
+
+# ---- review regressions: sinks/silver/ivm hardening (r9) ----
+
+
+def test_merge_into_drops_emptied_boolean_partition(spark, tmp_path):
+    """Review regression: the emptied-partition delete rendered values
+    with Python str() (True vs the directory's true), so the delete
+    silently no-op'd and deleted rows resurrected on the next read —
+    values now render through Spark's own cast-to-string."""
+    from crypto_datalake_spark.sinks import merge_into
+
+    path = str(tmp_path / "flags")
+    spark.createDataFrame(
+        [(1, True, 1.0), (2, False, 2.0)], "k long, live boolean, v double"
+    ).write.partitionBy("live").parquet(path)
+    # delete the only row of live=true -> that partition must VANISH
+    merge_into(
+        spark,
+        spark.createDataFrame([(1, True, 1.0)], "k long, live boolean, v double"),
+        path,
+        on=["k"],
+        partition_cols=["live"],
+        delete_condition=F.lit(True),
+        insert=False,
+    )
+    import os
+
+    # partition-col type inference reads bools back as strings; the
+    # on-disk directory set is the ground truth the fix targets
+    assert sorted(
+        d for d in os.listdir(path) if d.startswith("live=")
+    ) == ["live=false"]
+    got = spark.read.parquet(path).collect()
+    assert [r["k"] for r in got] == [2]
+
+
+def test_merge_frames_null_key_preserves_live_only(spark):
+    """Review regression: the preserve/flag lookup joined on plain
+    equality, so a NULL-keyed incoming row never matched existing and
+    lost its LIVE_ONLY value — while the keep-last dedup DID group the
+    rows as one key and let the incoming row replace the stored one.
+    The lookup now joins null-safely, consistent with the dedup."""
+    from crypto_datalake_spark.sinks import merge_frames
+
+    existing = spark.createDataFrame(
+        [(None, dt.datetime(2024, 1, 1), 5.0)],
+        "sym string, ts timestamp_ntz, oi double",
+    )
+    incoming = spark.createDataFrame(
+        [(None, dt.datetime(2024, 1, 1, 0, 1), None)],
+        "sym string, ts timestamp_ntz, oi double",
+    )
+    out = merge_frames(
+        incoming, existing, keys=["sym"], order_cols=["ts"],
+        preserve_cols=["oi"],
+    )
+    rows = out.collect()
+    assert len(rows) == 1
+    assert rows[0]["oi"] == 5.0          # preserved across the NULL key
+    assert rows[0]["ts"] == dt.datetime(2024, 1, 1, 0, 1)  # incoming won
+
+
+def test_ledger_digest_null_and_separator_unambiguous(spark):
+    """Review regression: concat_ws skips NULLs and has no separator
+    escaping, so (NULL,'5') vs ('5',NULL) and ('a|b','c') vs ('a','b|c')
+    digested identically — and such a pair XORs to zero, defeating the
+    divergence detection the content hash exists for."""
+    from crypto_datalake_spark.sinks import ledger_entries
+
+    def digest_of(rows):
+        df = spark.createDataFrame(
+            rows, "a string, b string, ts timestamp_ntz, day string"
+        )
+        return ledger_entries(df, ["day"], "ts", ["a", "b"]).collect()[0][
+            "content_hash"
+        ]
+
+    t = dt.datetime(2024, 1, 1)
+    assert digest_of([(None, "5", t, "d")]) != digest_of([("5", None, t, "d")])
+    assert digest_of([("a|b", "c", t, "d")]) != digest_of([("a", "b|c", t, "d")])
+
+
+def test_ledger_rejects_meta_named_partition_col(spark, tmp_path):
+    """Review regression: read_ledger infers partition identity as
+    'everything not in _LEDGER_META', so a partition column named like
+    a meta column (e.g. 'status') silently vanished from the dedup key
+    — now rejected loudly at write time."""
+    from crypto_datalake_spark.sinks import (
+        frame_schema_hash,
+        ledger_entries,
+        upsert_ledger,
+    )
+
+    df = spark.createDataFrame(
+        [("A", "live", dt.datetime(2024, 1, 1), 1.0)],
+        "sym string, status string, ts timestamp_ntz, v double",
+    )
+    entries = ledger_entries(df, ["sym", "status"], "ts", ["sym", "ts"])
+    with pytest.raises(ValueError, match="status.*reserved|reserved.*status"):
+        upsert_ledger(
+            spark, str(tmp_path / "ledger"), entries, ["sym", "status"],
+            frame_schema_hash(df),
+        )
+
+
+def test_upsert_partition_filter_prunes_at_source(spark, tmp_path):
+    """Review regression: the non-atomic upsert's existing-read is now
+    coarse-filtered by a statically-prunable predicate before the
+    null-safe semi-join — the read must touch only the touched
+    partitions' files (the eqNullSafe join alone prunes nothing)."""
+    from crypto_datalake_spark.sinks import _filter_to_partitions
+
+    path = str(tmp_path / "lake")
+    spark.createDataFrame(
+        [(1, "d1", 1.0), (2, "d2", 2.0), (3, "d3", 3.0), (4, None, 4.0)],
+        "k long, day string, v double",
+    ).write.partitionBy("day").parquet(path)
+    df = spark.read.parquet(path)
+    touched = spark.createDataFrame([("d1",), (None,)], "day string")
+    pruned = _filter_to_partitions(df, touched, ["day"])
+    # inputFiles() ignores filter pushdown — the physical plan's
+    # PartitionFilters line is the pruning ground truth
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    pf = next(l for l in plan.splitlines() if "PartitionFilters" in l)
+    assert "isnull(day" in pf and "= d1" in pf, pf
+    got = sorted(r["k"] for r in pruned.collect())
+    assert got == [1, 4]                 # NULL partition included
+    # over-limit batches degrade to the unfiltered frame (still correct
+    # through the caller's semi-join)
+    assert (
+        _filter_to_partitions(df, touched, ["day"], max_partitions=1) is df
+    )
+
+
+def test_scd2_intra_batch_tie_is_deterministic(spark, tmp_path):
+    """Review regression: same-(key, valid_from) source duplicates used
+    the dedup key itself as the order column — partition-luck winner.
+    The tracked columns now break the tie, so re-runs of the same input
+    produce the same chain."""
+    from crypto_datalake_spark import txn
+    from crypto_datalake_spark.sinks import merge_scd2
+
+    path = str(tmp_path / "dim")
+    src = spark.createDataFrame(
+        [("A", "tier1", dt.datetime(2024, 1, 1)),
+         ("A", "tier9", dt.datetime(2024, 1, 1))],   # same key+ts, two values
+        "k string, tier string, ts timestamp_ntz",
+    )
+    merge_scd2(spark, src, path, keys=["k"], tracked_cols=["tier"], ts_col="ts")
+    rows = txn.read_table(spark, path).collect()
+    assert len(rows) == 1
+    assert rows[0]["tier"] == "tier9"    # max tracked value, every run
+
+
+def test_maintained_view_survives_emptied_base(spark, tmp_path):
+    """Review regression: an externally purged-then-vacuumed base table
+    made the maintained view's full-recompute path crash on
+    read_table's None — it now recomputes to an EMPTY view from the
+    manifest's recorded schema."""
+    from crypto_datalake_spark.streaming.silver import (
+        foreach_batch_upsert_maintained,
+    )
+
+    path, view = str(tmp_path / "base"), str(tmp_path / "view")
+    sink = foreach_batch_upsert_maintained(
+        spark, path, view,
+        keys=["k"], order_cols=["ts"], partition_cols=["day"],
+        group_keys=["day"], measures={"sv": "v"},
+    )
+    df = _df(spark, [("A", _T(0), 1.0, "d1"), ("B", _T(1), 2.0, "d2")])
+    sink(df.withColumnRenamed("sym", "k"), 0)
+    assert txn.read_table(spark, view).count() == 2
+    # external purge empties the base, vacuum drops the old history so
+    # the incremental diff window is gone
+    txn.purge_rows(
+        spark, path, F.lit(True),
+        partition_cols=["day"], vacuum_history=True,
+    )
+    txn.vacuum(spark, path, keep_manifests=1)
+    sink(df.limit(0).withColumnRenamed("sym", "k"), 1)  # next (empty) tick
+    v = txn.read_table(spark, view)
+    assert v is None or v.count() == 0   # empty view, no crash
+
+
+def test_ivm_global_view_empty_keys(spark):
+    """Review regression: apply_delta crashed on keys=[] (reduce of an
+    empty iterable) — a GLOBAL aggregate view now maintains and stays
+    bit-identical to a recompute."""
+    from crypto_datalake_spark.ops.ivm import apply_delta, grouped_agg_state
+
+    df = spark.createDataFrame([(1, 10.0), (2, 20.0)], "k int, v double")
+    st = grouped_agg_state(df, [], {"sv": "v"})
+    diff = spark.createDataFrame(
+        [(3, 5.0, "insert"), (1, 10.0, "delete")],
+        "k int, v double, __change string",
+    )
+    out = apply_delta(st, diff, [], {"sv": "v"})
+    rec = grouped_agg_state(
+        spark.createDataFrame([(2, 20.0), (3, 5.0)], "k int, v double"),
+        [], {"sv": "v"},
+    )
+    assert [tuple(r) for r in out.collect()] == [tuple(r) for r in rec.collect()]
