@@ -227,7 +227,14 @@ def load_zip_csv(
                     ]
                     for m in members:
                         with zf.open(m) as fh:
-                            raw = pd.read_csv(fh, dtype=str)
+                            try:
+                                raw = pd.read_csv(fh, dtype=str)
+                            except pd.errors.EmptyDataError:
+                                # a zero-byte/header-less member is "no
+                                # rows", not an error — same tolerance as
+                                # load_csv_with_variants; one empty member
+                                # must not kill a thousand-archive load
+                                continue
                         yield _coalesce_variants(raw, names, variants)
 
     raw = (

@@ -125,32 +125,74 @@ def _apply_delta(st: dict, ev: dict) -> None:
             # of letting the chained comparison hit `int <= None`
             st["synced"] = False  # gap between snapshot and first delta
             return
-    elif st["last_u"] is not None and ev["pu"] is not None and ev["pu"] != st["last_u"]:
-        st["synced"] = False  # sequence break → resync required
-        return
+    else:
+        if (
+            st["last_u"] is not None
+            and ev["u"] is not None
+            and ev["u"] <= st["last_u"]
+        ):
+            # stale redelivery (at-least-once transport): already applied
+            # — the reference silently skips BEFORE the pu check
+            # (websocket.py:305); falling through would hit pu != last_u
+            # and falsely desync a perfectly intact book
+            return
+        if st["last_u"] is not None and ev["pu"] is not None and ev["pu"] != st["last_u"]:
+            st["synced"] = False  # sequence break → resync required
+            return
+        if (
+            st["last_u"] is not None
+            and ev["pu"] is None
+            and ev["U"] is not None
+            and ev["U"] > st["last_u"] + 1
+        ):
+            # pu-less feed: continuity falls back to the U check
+            # (websocket.py:316-321) — without it a dropped delta
+            # silently corrupts the book while it reports synced
+            st["synced"] = False
+            return
     _apply_levels(st["bids"], ev["bids"])
     _apply_levels(st["asks"], ev["asks"])
     st["last_u"] = ev["u"]
+    # book-spread invariant after every apply (websocket.py:336-345 →
+    # mark_degraded): a crossed book proves missed/corrupt state — keep
+    # applying deltas to it and a later uncrossing delta would let
+    # degraded=False rows flow from a book that was never resynced
+    if st["bids"] and st["asks"]:
+        if max(map(float, st["bids"])) >= min(map(float, st["asks"])):
+            st["synced"] = False
 
 
 def _sync_from_snapshot(st: dict, snap: dict) -> None:
     """Snapshot + buffered-delta bridge (websocket.py:262-299)."""
+    last_id = snap["u"]
+    if last_id is None:
+        # a snapshot without lastUpdateId cannot anchor the bridge or
+        # any later continuity check — unusable; wait for the next one
+        # (comparing buffered u's against None would crash the task
+        # into a replay loop instead)
+        st["synced"] = False
+        st["buffer"] = []
+        st.pop("await_bridge", None)
+        return
     st["bids"] = {}
     st["asks"] = {}
     _apply_levels(st["bids"], snap["bids"])
     _apply_levels(st["asks"], snap["asks"])
-    last_id = snap["u"]
     st["last_u"] = last_id
     st["synced"] = True
     st.pop("await_bridge", None)
-    pending = [e for e in st["buffer"] if e["u"] > last_id]
+    # null-u deltas can neither bridge nor order — drop them here (the
+    # fold's own null-u guards cover the live path)
+    pending = [
+        e for e in st["buffer"] if e["u"] is not None and e["u"] > last_id
+    ]
     if not pending:
         # no buffered delta to bridge with: the NEXT live delta must be
         # admitted by the bridge rule, not pu-continuity (_apply_delta)
         st["await_bridge"] = True
     if pending:
         first = pending[0]
-        if not (first["U"] <= last_id + 1 <= first["u"]):
+        if first["U"] is None or not (first["U"] <= last_id + 1 <= first["u"]):
             st["synced"] = False  # bridge check failed — wait for next snapshot
             st["buffer"] = []
             return
@@ -227,7 +269,14 @@ def book_state_stream(depth_events: DataFrame) -> DataFrame:
     """Depth event stream → per-minute book metrics with per-symbol state.
 
     Accepts streaming or batch input (batch replays through the same fold —
-    the recovery-from-event-store path, websocket.py:239)."""
+    the recovery-from-event-store path, websocket.py:239).
+
+    Output contract: UPDATE semantics per (symbol, minute_ts).  A minute
+    whose events straddle micro-batches is re-emitted each batch with
+    the then-current end-of-batch book state; the LATEST emission is the
+    one to keep.  Consume through a keep-last upsert keyed on
+    (symbol, minute_ts) — ``silver.foreach_batch_upsert`` is exactly
+    that — never a blind append that would double-count the minute."""
     if depth_events.isStreaming:
         return depth_events.groupBy("symbol").applyInPandasWithState(
             _process,
@@ -390,7 +439,18 @@ def replay_book_batch(depth_events: DataFrame) -> DataFrame:
     )
     live = depth_events.join(
         F.broadcast(snaps.where(F.col("__snap_u").isNotNull())), "symbol"
-    ).where(F.col("final_update_id") >= F.col("__snap_u"))
+    ).where(
+        # deltas STRICTLY after the snapshot (the fold's bridge rule):
+        # a pre-snapshot delta sharing the snapshot's update id ties
+        # with it in the (u, pos) last-write ordering and could override
+        # snapshot levels; the snapshot row itself is the u == __snap_u
+        # base the book rebuilds from
+        (F.col("final_update_id") > F.col("__snap_u"))
+        | (
+            (F.col("kind") == "snapshot")
+            & (F.col("final_update_id") == F.col("__snap_u"))
+        )
+    )
 
     # ONE explode over both sides (DataFrame reuse re-evaluates the whole
     # subplan per consumer in Spark — a bids/asks union would parse every

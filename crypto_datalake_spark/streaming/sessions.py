@@ -52,9 +52,13 @@ def _us(ts: pd.Series) -> np.ndarray:
 
 
 def _session_pdf(user_id, start_us, last_us, n, total) -> pd.DataFrame:
+    # Int64 (nullable), not int64: a NULL-keyed group's closing/timeout
+    # emission must carry user_id NULL — pd.array([None], dtype="int64")
+    # raises TypeError in the executor and crash-loops the query on
+    # checkpoint replay
     return pd.DataFrame(
         {
-            "user_id": pd.array([user_id], dtype="int64"),
+            "user_id": pd.array([user_id], dtype="Int64"),
             "session_start": np.array([start_us], dtype="datetime64[us]"),
             "session_end": np.array([last_us], dtype="datetime64[us]"),
             "n_events": pd.array([n], dtype="int64"),

@@ -207,6 +207,13 @@ def kafka_event_stream(
             .load()
         )
     except Exception as e:  # pragma: no cover - container has no connector
+        # rebrand ONLY the missing-connector failure — a genuine config
+        # error (bad offsets JSON, malformed bootstrap string) must
+        # surface as itself, not send the operator chasing the classpath
+        if "Failed to find data source" not in str(
+            e
+        ) and "ClassNotFoundException" not in str(e):
+            raise
         raise RuntimeError(
             "Kafka source unavailable: the spark-sql-kafka connector must be "
             "on the classpath (spark.jars.packages="

@@ -754,3 +754,146 @@ def test_stream_resume_same_checkpoint_is_incremental(spark, tmp_path, bronze_ev
     assert got.where(
         F.col("minute_ts") == dt.datetime(2024, 1, 1, 0, 0)
     ).head()["liq_long_notional"] == 200.0  # prior state intact
+
+
+# ---- review regressions: order-book state machine (r9) ----
+
+
+def test_book_stale_redelivery_does_not_desync(spark):
+    """At-least-once transport redelivers an already-applied delta: the
+    reference silently skips it BEFORE the pu check (websocket.py:305);
+    pre-fix, the normal path hit pu != last_u and falsely desynced an
+    intact book."""
+    dup_bridge = _BRIDGE  # identical u=103 re-delivered after _NEXT
+    out = book_state_stream(
+        _depth_rows(spark, [_SNAP, _BRIDGE, _NEXT, dup_bridge])
+    ).collect()
+    assert len(out) == 1 and out[0]["synced"]
+    assert out[0]["best_bid"] == 100.0 and out[0]["best_ask"] == 101.0
+
+
+def test_book_puless_gap_desyncs(spark):
+    """A pu-less feed's continuity falls back to the U check
+    (websocket.py:316-321): a dropped delta must desync, not silently
+    corrupt a book that reports healthy."""
+    gapped = (  # U=120 > last_u(110)+1, pu ABSENT
+        "BTC", _t(8), "delta", 120, 125, None,
+        json.dumps([[100.0, 1.0]]), json.dumps([]),
+    )
+    out = book_state_stream(
+        _depth_rows(spark, [_SNAP, _BRIDGE, _NEXT, gapped])
+    ).collect()
+    assert len(out) == 1 and not out[0]["synced"]
+    # and a CONTIGUOUS pu-less delta still applies
+    contiguous = (
+        "BTC", _t(8), "delta", 111, 112, None,
+        json.dumps([[100.0, 1.0]]), json.dumps([]),
+    )
+    out2 = book_state_stream(
+        _depth_rows(spark, [_SNAP, _BRIDGE, _NEXT, contiguous])
+    ).collect()
+    assert len(out2) == 1 and out2[0]["synced"]
+
+
+def test_book_crossed_by_deltas_desyncs(spark):
+    """A delta sequence that CROSSES the book (bid >= ask) proves missed
+    state: the reference marks the book unsynchronized
+    (websocket.py:336-345) — pre-fix the fold kept synced=True and a
+    later uncrossing delta would resume healthy-looking output from a
+    never-resynced book."""
+    crossing = (  # bid at 103 > best ask 101
+        "BTC", _t(8), "delta", 111, 112, 110,
+        json.dumps([[103.0, 5.0]]), json.dumps([]),
+    )
+    out = book_state_stream(
+        _depth_rows(spark, [_SNAP, _BRIDGE, _NEXT, crossing])
+    ).collect()
+    assert len(out) == 1 and not out[0]["synced"]
+
+
+def test_book_null_id_snapshot_and_buffered_delta_no_crash(spark):
+    """Null final_update_id on a snapshot (cannot anchor the bridge) or
+    on a buffered delta must degrade/skip, never TypeError the task into
+    a checkpoint-replay crash loop."""
+    null_snap = (
+        "BTC", _t(5), "snapshot", None, None, None,
+        json.dumps([[100.0, 1.0]]), json.dumps([[101.0, 1.0]]),
+    )
+    out = book_state_stream(_depth_rows(spark, [null_snap])).collect()
+    assert len(out) == 1 and not out[0]["synced"]
+    # a null-u DELTA buffered before a valid snapshot is dropped by the
+    # bridge filter instead of crashing the u > last_id comparison
+    null_delta = (
+        "BTC", _t(4), "delta", None, None, None,
+        json.dumps([[99.5, 9.0]]), json.dumps([]),
+    )
+    out2 = book_state_stream(
+        _depth_rows(spark, [null_delta, _SNAP, _BRIDGE])
+    ).collect()
+    assert len(out2) == 1 and out2[0]["synced"]
+    assert out2[0]["best_bid"] == 100.0
+
+
+def test_replay_presnapshot_tie_cannot_override_snapshot(spark):
+    """replay_book_batch keeps only deltas STRICTLY after the snapshot's
+    lastUpdateId: a stale pre-snapshot delta sharing that id tied with
+    the snapshot in the (u, pos) last-write ordering and could override
+    snapshot levels the fold would never let it touch."""
+    from crypto_datalake_spark.streaming.orderbook import replay_book_batch
+
+    stale_tie = (  # same u=100 as the snapshot, carries a WRONG bid qty
+        "BTC", _t(4), "delta", 95, 100, None,
+        json.dumps([[100.0, 999.0]]), json.dumps([]),
+    )
+    out = {
+        r["symbol"]: r
+        for r in replay_book_batch(
+            _depth_rows(spark, [stale_tie, _SNAP, _BRIDGE, _NEXT])
+        ).collect()
+    }
+    fold = {
+        r["symbol"]: r
+        for r in book_state_stream(
+            _depth_rows(spark, [stale_tie, _SNAP, _BRIDGE, _NEXT])
+        ).collect()
+    }
+    assert out["BTC"]["avg_bid_qty_top10"] == fold["BTC"]["avg_bid_qty_top10"]
+    assert out["BTC"]["best_bid"] == 100.0
+
+
+def test_session_stream_null_user_id_no_crash(spark, tmp_path):
+    """A NULL-keyed session group must close/emit with user_id NULL —
+    pd.array([None], dtype='int64') raised TypeError in the executor
+    and crash-looped the query on checkpoint replay."""
+    from crypto_datalake_spark.streaming.sessions import _session_pdf
+
+    pdf = _session_pdf(None, 1_000_000, 2_000_000, 3, 4.5)
+    assert pdf["user_id"].isna().all()
+    assert pdf["n_events"].iloc[0] == 3
+
+
+def test_load_zip_csv_skips_empty_member(spark, tmp_path):
+    """One zero-byte CSV member inside an archive is 'no rows', not an
+    error — same tolerance as load_csv_with_variants; pre-fix it killed
+    the whole multi-archive load."""
+    import io as _io
+    import zipfile
+
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+    from crypto_datalake_spark.io import load_zip_csv
+
+    buf = _io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        zf.writestr("a.csv", "open_time,open\n1,10.5\n")
+        zf.writestr("empty.csv", "")
+    (tmp_path / "day1.zip").write_bytes(buf.getvalue())
+    schema = StructType(
+        [StructField("ts", LongType()), StructField("open", DoubleType())]
+    )
+    out = load_zip_csv(
+        spark, str(tmp_path), schema,
+        column_variants={"ts": ["open_time"]},
+    )
+    rows = out.collect()
+    assert len(rows) == 1 and rows[0]["open"] == 10.5
