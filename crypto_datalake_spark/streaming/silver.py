@@ -154,6 +154,26 @@ def foreach_batch_upsert_maintained(
             )
         return spark.createDataFrame([], st)
 
+    def _view_frame(vm: dict) -> DataFrame:
+        """The committed view state — including the EMPTY case (a view
+        committed with ``{}`` partitions after its base was purged):
+        ``read_table`` returns None there, and handing None to
+        ``apply_delta`` would raise on every restart (the streaming
+        query crash-loops because ``view_of`` never advances).  The
+        zero-row state frame is rebuilt from the view manifest's own
+        recorded ``table_schema`` — `_commit_view` always records it,
+        even for empty commits."""
+        df = txn.read_table(spark, view_path)
+        if df is not None:
+            return df
+        st = txn._manifest_struct(vm)
+        if st is None:
+            raise ValueError(
+                f"{view_path} v{vm['version']} is empty and records no "
+                "table schema — cannot materialize the view state shape"
+            )
+        return spark.createDataFrame([], st)
+
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         base_sink(batch_df, batch_id)
         m = txn.current_manifest(spark, path)
@@ -180,7 +200,7 @@ def foreach_batch_upsert_maintained(
             state = grouped_agg_state(_base_frame(head), gk, ms)
             _commit_view(state, head, base_version=vm["version"])
             return
-        state = apply_delta(txn.read_table(spark, view_path), diff, gk, ms)
+        state = apply_delta(_view_frame(vm), diff, gk, ms)
         _commit_view(state, head, base_version=vm["version"])
 
     return _sink

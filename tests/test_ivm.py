@@ -471,3 +471,54 @@ def test_maintained_view_foreign_manifest_recomputes(spark, tmp_path):
     got = txn.read_table(spark, view)
     want = grouped_agg_state(txn.read_table(spark, path), KEYS, MEAS)
     assert _rows(got.select(*want.columns)) == _rows(want)
+
+
+def test_maintained_view_recovers_after_empty_view_commit(spark, tmp_path):
+    """An EMPTY committed view ({} partition map — base purged, every
+    group retired) must keep maintaining when later non-empty batches
+    arrive.  Pre-fix, the incremental path handed ``read_table``'s None
+    straight to ``apply_delta`` (AttributeError on '.alias'), and since
+    ``view_of`` never advanced the streaming query crash-looped on
+    every restart.  Repro from round-9 ADVICE: sink(data) →
+    purge_rows(everything) → sink(empty) → sink(new data)."""
+    from crypto_datalake_spark.streaming.silver import (
+        foreach_batch_upsert_maintained,
+    )
+
+    path = str(tmp_path / "lake")
+    view = str(tmp_path / "view")
+    sink = foreach_batch_upsert_maintained(
+        spark, path, view,
+        keys=["sym", "ts"], order_cols=["ts"], partition_cols=["day"],
+        group_keys=KEYS, measures=MEAS,
+    )
+    sink(_df(spark, [("A", _T(0), 2.0, "d1"), ("B", _T(1), 3.0, "d2")]), 0)
+
+    # purge EVERYTHING out-of-band: base manifest becomes {} partitions
+    txn.purge_rows(spark, path, F.lit(True), ["day"])
+    assert txn.current_manifest(spark, path)["partitions"] == {}
+
+    # the next tick (empty batch) folds the view down to empty and
+    # commits a {}-partition view manifest
+    sink(_df(spark, []), 1)
+    vm = txn.current_manifest(spark, view)
+    assert vm["partitions"] == {}
+    assert vm["view_of"] == txn.current_manifest(spark, path)["version"]
+
+    # new data after the empty view commit: pre-fix this raised
+    # AttributeError and crash-looped; post-fix the view catches up
+    sink(_df(spark, [("C", _T(2), 5.0, "d3"), ("C", _T(3), 7.0, "d3")]), 2)
+    got = txn.read_table(spark, view)
+    assert got is not None
+    want = grouped_agg_state(txn.read_table(spark, path), KEYS, MEAS)
+    assert _rows(got.select(*want.columns)) == _rows(want)
+    assert (
+        txn.current_manifest(spark, view)["view_of"]
+        == txn.current_manifest(spark, path)["version"]
+    )
+
+    # and incremental again from here (no recompute-only recovery)
+    sink(_df(spark, [("C", _T(4), 1.0, "d3"), ("D", _T(5), 9.0, "d4")]), 3)
+    got = txn.read_table(spark, view)
+    want = grouped_agg_state(txn.read_table(spark, path), KEYS, MEAS)
+    assert _rows(got.select(*want.columns)) == _rows(want)
