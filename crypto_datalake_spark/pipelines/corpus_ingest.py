@@ -233,7 +233,12 @@ def compact_bloom(spark: SparkSession, bloom_path: str) -> int:
     store after the merge's snapshot from the aside into the new store
     (Bloom rows bit_or-merge at read, so a duplicated append is
     harmless while a dropped one is a silent-false-accept hole), then
-    delete the aside.  Crash recovery on the next call: a missing store
+    delete the aside.  If an interleaved append RECREATES the store dir
+    inside the swap window (``mode('append')`` creates it), the
+    directory rename is abandoned — it would nest on HDFS or fail on
+    local FS — and the swap degrades to file-by-file folds of the
+    compacted file plus the aside's post-snapshot appends into the
+    recreated store.  Crash recovery on the next call: a missing store
     with an aside restores the aside; an aside left beside a LIVE store
     folds its files back in (superset-safe duplicates) instead of being
     deleted — no crash point or interleaved append loses bits.  All
@@ -300,21 +305,48 @@ def compact_bloom(spark: SparkSession, bloom_path: str) -> int:
     ).coalesce(1).localCheckpoint()  # read fully BEFORE touching the store
     tmp = f"{base}__compact_{uuid.uuid4().hex[:8]}"
     merged.write.parquet(tmp)
+    tmp_p = hpath(tmp)
     aside_p = hpath(f"{base}__retired_{uuid.uuid4().hex[:8]}")
     if not fs.rename(base_p, aside_p):
         raise IOError(f"compact_bloom: rename {base} aside failed")
-    if not fs.rename(hpath(tmp), base_p):
-        # put the store back before surfacing — never leave it missing
-        fs.rename(aside_p, base_p)
-        raise IOError(f"compact_bloom: rename {tmp} into place failed")
-    # preserve any append that landed after the snapshot (it moved with
-    # the aside): fold those files into the compacted store
-    for st in fs.listStatus(aside_p):
-        fn = st.getPath().getName()
-        if fn not in snapshot and fn.endswith(".parquet"):
-            dst = hpath(f"{base}/{fn}")
-            if not fs.exists(dst):
-                fs.rename(st.getPath(), dst)
+
+    def _fold_aside_appends() -> None:
+        # preserve any append that landed after the snapshot (it moved
+        # with the aside): fold those files into the compacted store
+        for st in fs.listStatus(aside_p):
+            fn = st.getPath().getName()
+            if fn not in snapshot and fn.endswith(".parquet"):
+                dst = hpath(f"{base}/{fn}")
+                if not fs.exists(dst):
+                    fs.rename(st.getPath(), dst)
+
+    def _degraded_fold() -> None:
+        # an ingest append landed in the swap window and RECREATED the
+        # store dir (``mode('append')`` creates it) — a directory
+        # rename there nests tmp inside base on HDFS (compacted bits
+        # unreadable, a silent false-accept hole once the aside is
+        # deleted) or fails on local FS.  Degrade to file-by-file
+        # folds, which are append-safe: the compacted file covers the
+        # snapshot; post-snapshot aside files are the pre-aside
+        # appends; the recreated base already holds the in-window ones.
+        if not fs.exists(base_p):
+            fs.mkdirs(base_p)
+        _fold_files_into_base(tmp_p)
+        _fold_aside_appends()
+        fs.delete(tmp_p, True)
+        fs.delete(aside_p, True)
+
+    if fs.exists(base_p) or not fs.rename(tmp_p, base_p):
+        _degraded_fold()
+        return merged.count()
+    nested = hpath(f"{base}/{tmp_p.getName()}")
+    if fs.exists(nested) and fs.getFileStatus(nested).isDirectory():
+        # HDFS renames onto an existing dir by nesting src INSIDE dst:
+        # an append recreated base between the exists check and the
+        # rename.  Un-nest the compacted files so they stay readable.
+        _fold_files_into_base(nested)
+        fs.delete(nested, True)
+    _fold_aside_appends()
     fs.delete(aside_p, True)
     return merged.count()
 

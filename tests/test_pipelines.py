@@ -1766,3 +1766,167 @@ def test_compact_bloom_preserves_interleaved_append(spark, tmp_path):
     for w, bits in before.items():
         assert after.get(w, 0) & bits == bits
     assert after.get(7, 0) & (1 << 63 - 1) == (1 << 63 - 1)
+
+
+class _RaceFS:
+    """Hadoop-FS proxy that fires a one-shot interleaved-append
+    simulation around a chosen rename call; everything else delegates
+    to the real (JVM) FileSystem."""
+
+    def __init__(self, real, trigger, on_trigger):
+        self._real = real
+        self._trigger = trigger
+        self._on = on_trigger
+        self.fired = False
+
+    def rename(self, src, dst):
+        if not self.fired and self._trigger(src, dst):
+            self.fired = True
+            return self._on(self._real, src, dst)
+        return self._real.rename(src, dst)
+
+    def __getattr__(self, name):
+        return getattr(self._real, name)
+
+
+def _race_setup(spark, tmp_path, trigger, on_trigger, monkeypatch):
+    """Shared rig: a real bloom store, a bit snapshot, and compact_bloom
+    run under an FS proxy that injects an append mid-swap."""
+    from crypto_datalake_spark import txn as txn_mod
+    from crypto_datalake_spark.pipelines.corpus_ingest import (
+        _read_store,
+        compact_bloom,
+        default_bloom_path,
+        ingest_batch,
+    )
+
+    corpus = str(tmp_path / "corpus")
+    audit = str(tmp_path / "audit")
+    bloom_path = default_bloom_path(corpus)
+    ingest_batch(
+        spark,
+        spark.createDataFrame(
+            [(i, " ".join(f"w{i}r{j}" for j in range(20))) for i in range(3)],
+            "doc_id long, text string",
+        ),
+        corpus, audit, 0,
+    )
+
+    def bits():
+        return {
+            r["word_idx"]: r["bits"]
+            for r in _read_store(
+                spark, bloom_path, ["word_idx", "bits"],
+                "word_idx long, bits long",
+            ).groupBy("word_idx").agg(F.expr("bit_or(bits)").alias("bits"))
+            .collect()
+        }
+
+    before = bits()
+
+    real_fs = txn_mod._fs
+
+    def fake_fs(spark_, path):
+        jvm, fs, p = real_fs(spark_, path)
+        return jvm, _RaceFS(fs, trigger, on_trigger), p
+
+    monkeypatch.setattr(txn_mod, "_fs", fake_fs)
+    n = compact_bloom(spark, bloom_path)
+    monkeypatch.undo()
+    return bloom_path, before, bits, n
+
+
+def _drop_race_parquet(base: str) -> None:
+    """Simulate an ingest append recreating the store dir mid-swap."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(base, exist_ok=True)
+    pq.write_table(
+        pa.table({
+            "word_idx": pa.array([999_999], pa.int64()),
+            "bits": pa.array([1 << 5], pa.int64()),
+        }),
+        os.path.join(base, "part-race-append.parquet"),
+    )
+
+
+def test_compact_bloom_interleaved_append_after_aside(
+    spark, tmp_path, monkeypatch
+):
+    """ADVICE r9: an append landing between rename-aside and
+    rename-into-place recreates the store dir; the old swap renamed the
+    compacted tmp ONTO it (nesting on HDFS / failing locally) and then
+    deleted the aside holding every pre-compaction bit — a silent
+    false-accept hole.  The swap must detect the recreated dir and fold
+    file-by-file: no bit lost, appended bits kept, no strays."""
+    import os
+
+    from crypto_datalake_spark.pipelines.corpus_ingest import (
+        default_bloom_path,
+    )
+
+    base = default_bloom_path(str(tmp_path / "corpus"))
+
+    def trigger(src, dst):
+        return "__retired_" in dst.getName()
+
+    def on_trigger(real, src, dst):
+        ok = real.rename(src, dst)
+        _drop_race_parquet(base)          # append lands right after aside
+        return ok
+
+    bloom_path, before, bits, n = _race_setup(
+        spark, tmp_path, trigger, on_trigger, monkeypatch
+    )
+    assert n > 0
+    want = dict(before)
+    want[999_999] = 1 << 5
+    assert bits() == want                      # nothing lost, append kept
+    parent = os.path.dirname(bloom_path.rstrip("/"))
+    assert [p for p in os.listdir(parent)
+            if "__retired_" in p or "__compact_" in p] == []
+    # no nested directory — every surviving file is directly readable
+    assert all(
+        not os.path.isdir(os.path.join(bloom_path, p))
+        for p in os.listdir(bloom_path)
+    )
+
+
+def test_compact_bloom_interleaved_append_after_exists_check(
+    spark, tmp_path, monkeypatch
+):
+    """Same race, later window: the store dir reappears AFTER the
+    pre-rename exists check — the rename-into-place itself fails (local
+    FS) and the degraded fold must still preserve every bit."""
+    import os
+
+    from crypto_datalake_spark.pipelines.corpus_ingest import (
+        default_bloom_path,
+    )
+
+    base = default_bloom_path(str(tmp_path / "corpus"))
+
+    def trigger(src, dst):
+        return str(dst).rstrip("/").endswith(os.path.basename(base))
+
+    def on_trigger(real, src, dst):
+        _drop_race_parquet(base)          # dir reappears post-check
+        return real.rename(src, dst)      # local FS: fails, returns False
+
+    bloom_path, before, bits, n = _race_setup(
+        spark, tmp_path, trigger, on_trigger, monkeypatch
+    )
+    assert n > 0
+    want = dict(before)
+    want[999_999] = 1 << 5
+    assert bits() == want
+    parent = os.path.dirname(bloom_path.rstrip("/"))
+    assert [p for p in os.listdir(parent)
+            if "__retired_" in p or "__compact_" in p] == []
+    assert all(
+        not os.path.isdir(os.path.join(bloom_path, p))
+        for p in os.listdir(bloom_path)
+    )
