@@ -220,7 +220,27 @@ class ServingCache:
             # committed bar) and turn every repeat request into a
             # permanent miss.
             if entry.end_time == end_time:
-                window = [r for r in entry.rows if r[0] <= end_time]
+                # same containing-segment rule as the sub-window serve
+                # below: a merged entry can hold rows BELOW a hole
+                # (an older disjoint put), and a tail assembled across
+                # that hole is not what a recompute at this end would
+                # return.  end_time is the max of put ends, so it is
+                # always inside the newest segment — single-segment
+                # entries (every non-merged put) are unaffected.
+                seg = next(
+                    (
+                        (s, e)
+                        for s, e in entry.segments
+                        if s <= end_time <= e
+                    ),
+                    None,
+                )
+                if seg is None:  # defensive: no segment claims this end
+                    self.stats.miss += 1
+                    return ("miss", None)
+                window = [
+                    r for r in entry.rows if seg[0] <= r[0] <= end_time
+                ]
                 if len(window) == limit:
                     self.stats.exact += 1
                     return ("exact", window)

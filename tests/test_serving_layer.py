@@ -159,11 +159,34 @@ def test_cache_subwindow_never_crosses_merge_gap():
     # (1, 2, 9) ≤ 9 but only 9 is inside the gap-free segment → miss
     kind, rows = c.get(key, end_time=9.0, limit=2)
     assert kind == "miss", (kind, rows)
-    # equal-end reuse off the newest tail is still served (superset:
-    # 4 merged rows ≤ end, tail(2) — the newest tail never crosses the
-    # hole because the put at this end carried a full limit-sized tail)
+    # equal-end reuse off the newest tail is still served — and since
+    # r10 the equal-end window is clipped to the containing segment
+    # (exactly the put's 2 rows → "exact", not a superset of all 4
+    # merged rows), so the serve provably never crosses the hole
     kind, rows = c.get(key, end_time=10.0, limit=2)
-    assert kind == "superset" and rows == [(9.0, "n1"), (10.0, "n2")]
+    assert kind == "exact" and rows == [(9.0, "n1"), (10.0, "n2")]
+
+
+def test_cache_equal_end_never_crosses_merge_gap():
+    """ADVICE r9 (low): the equal-end hit path served ``window[-limit:]``
+    without consulting ``entry.segments``, so a merged entry whose
+    newest put holds FEWER than ``limit`` rows assembled a tail across
+    the hole below it — rows a fresh compute at that end would never
+    return.  Callers dodged it only by put-discipline (head fetches
+    sized gap+1); the invariant now lives where the serve happens."""
+    c = ServingCache(clock=lambda: 0.0)
+    key = ("X", "1m", 2)
+    c.put(key, end_time=2.0, rows=[(1.0, "o1"), (2.0, "o2")])
+    # bars 3..9 exist in the lake but were never cached; a single
+    # newer bar merges in as a DISJOINT segment
+    c.put(key, end_time=10.0, rows=[(10.0, "n1")])
+    # a fresh compute at end 10 returns bars (9, 10); the cached tail
+    # (2.0, 10.0) crosses the hole → must MISS, not serve
+    kind, rows = c.get(key, end_time=10.0, limit=2)
+    assert kind == "miss", (kind, rows)
+    # limit 1 fits inside the newest gap-free segment → served
+    kind, rows = c.get(key, end_time=10.0, limit=1)
+    assert kind == "exact" and rows == [(10.0, "n1")]
     # overlapping merge EXTENDS the gap-free segment instead
     c2 = ServingCache(clock=lambda: 0.0)
     c2.put(key, end_time=8.0, rows=[(7.0, "a"), (8.0, "b")])
