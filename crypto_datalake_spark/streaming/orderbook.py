@@ -110,7 +110,19 @@ def _apply_delta(st: dict, ev: dict) -> None:
     perfectly bridged book whenever the snapshot and its first following
     delta land in different micro-batches (the buffered-delta bridge in
     ``_sync_from_snapshot`` only covers deltas that arrived BEFORE the
-    snapshot was processed)."""
+    snapshot was processed).
+
+    DELIBERATE divergence from the reference (websocket.py:289-294),
+    which requires OVERLAP — ``U <= lastUpdateId <= u`` (the Binance
+    USDS-futures spec, where REST snapshot ids align with the stream
+    sequence).  This engine uses the Binance SPOT spec's
+    ``U <= lastUpdateId+1 <= u``, which additionally admits an
+    EXACTLY-CONTIGUOUS first delta (``U == lastUpdateId+1``) — a
+    contiguous delta provably misses nothing, so desyncing on it would
+    force a needless re-snapshot.  On that one edge the two engines
+    report different ``synced``/``degraded`` flags; the book CONTENT is
+    identical in every accepted case.  Pinned by
+    test_streaming.py::test_bridge_rule_first_delta_edges."""
     if st.pop("await_bridge", False):
         if ev["u"] is not None and st["last_u"] is not None and ev["u"] <= st["last_u"]:
             st["await_bridge"] = True  # stale pre-snapshot delta: skip, keep waiting
@@ -135,6 +147,18 @@ def _apply_delta(st: dict, ev: dict) -> None:
             # — the reference silently skips BEFORE the pu check
             # (websocket.py:305); falling through would hit pu != last_u
             # and falsely desync a perfectly intact book
+            return
+        if ev["u"] is None or (ev["pu"] is None and ev["U"] is None):
+            # a null-u delta cannot anchor the NEXT continuity check
+            # (last_u would become None and every later pu/U/stale
+            # check short-circuits — continuity silently dead while
+            # synced stays True); a delta with neither pu nor U cannot
+            # prove continuity INTO the book either.  The reference's
+            # event schema forbids these (websocket.py ints); on a
+            # malformed feed it crashes into resync — degrading is the
+            # flag-level analogue, consistent with the bridge path's
+            # null-u rule above.
+            st["synced"] = False
             return
         if st["last_u"] is not None and ev["pu"] is not None and ev["pu"] != st["last_u"]:
             st["synced"] = False  # sequence break → resync required
@@ -182,16 +206,37 @@ def _sync_from_snapshot(st: dict, snap: dict) -> None:
     st["synced"] = True
     st.pop("await_bridge", None)
     # null-u deltas can neither bridge nor order — drop them here (the
-    # fold's own null-u guards cover the live path)
-    pending = [
-        e for e in st["buffer"] if e["u"] is not None and e["u"] > last_id
-    ]
+    # fold's own null-u guards cover the live path).  The strict
+    # ``u > last_id`` filter (vs the reference's ``u >= lastUpdateId``,
+    # websocket.py:283) is internally consistent with the spot-spec
+    # bridge below: a delta with ``u == lastUpdateId`` is fully covered
+    # by the snapshot, and the reference itself skips it as stale right
+    # after admitting it through the filter.
+    pending = sorted(
+        (e for e in st["buffer"] if e["u"] is not None and e["u"] > last_id),
+        key=lambda e: e["u"],
+    )
     if not pending:
+        # the reference validates the book spread on the snapshot itself
+        # when no buffered delta applies (websocket.py:279-288,
+        # _validate_book_spread → mark_degraded): a crossed snapshot is
+        # corrupt data and must not serve synced rows.  With pending
+        # deltas the validation happens after each apply instead —
+        # same as the reference's apply_event path.
+        if st["bids"] and st["asks"]:
+            if max(map(float, st["bids"])) >= min(map(float, st["asks"])):
+                st["synced"] = False
+                st["buffer"] = []
+                return
         # no buffered delta to bridge with: the NEXT live delta must be
         # admitted by the bridge rule, not pu-continuity (_apply_delta)
         st["await_bridge"] = True
     if pending:
         first = pending[0]
+        # spot-spec bridge (U <= lastUpdateId+1 <= u) — deliberately one
+        # update-id more permissive than the reference's futures-spec
+        # overlap rule (U <= lastUpdateId <= u, websocket.py:289-294);
+        # see the _apply_delta docstring for the full rationale
         if first["U"] is None or not (first["U"] <= last_id + 1 <= first["u"]):
             st["synced"] = False  # bridge check failed — wait for next snapshot
             st["buffer"] = []

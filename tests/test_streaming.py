@@ -687,6 +687,47 @@ def test_unfilled_ratio_uses_raw_executed_qty(spark):
     assert got2["liq_unfilled_ratio"] is None  # any unsupported row -> NULL
 
 
+@pytest.mark.parametrize(
+    ("u_first", "want_synced"),
+    [
+        (100, True),   # overlap (U <= lastUpdateId): both engines sync
+        (101, True),   # exactly contiguous (U == lastUpdateId+1): this
+                       # engine syncs (spot spec) — the REFERENCE
+                       # degrades here (futures overlap rule,
+                       # websocket.py:289-294); deliberate, documented
+                       # divergence (same book content, different flag)
+        (102, False),  # true gap (U > lastUpdateId+1): both degrade
+    ],
+)
+def test_bridge_rule_first_delta_edges(spark, u_first, want_synced):
+    """Pin the chosen first-delta bridge rule — spot-spec
+    ``U <= lastUpdateId+1 <= u`` — at its decision boundary, on BOTH
+    admission paths: the buffered bridge (delta arrived before the
+    snapshot was processed, _sync_from_snapshot) and the live
+    await_bridge path (snapshot arrived alone, _apply_delta)."""
+    snap_t5 = ("BTC", _t(5), "snapshot", None, 100, None,
+               json.dumps([[100.0, 5.0]]), json.dumps([[101.0, 5.0]]))
+    snap_t3 = ("BTC", _t(3), "snapshot", None, 100, None,
+               json.dumps([[100.0, 5.0]]), json.dumps([[101.0, 5.0]]))
+    delta = ("BTC", _t(6), "delta", u_first, 105, 99,
+             json.dumps([[100.0, 7.0]]), json.dumps([]))
+    # live path: snapshot processed first (empty buffer -> await_bridge),
+    # the delta admitted/rejected by the bridge rule
+    live = book_state_stream(_depth_rows(spark, [snap_t5, delta])).collect()
+    assert len(live) == 1
+    assert live[0]["synced"] is want_synced, ("live", u_first)
+    # buffered path: the delta pre-dates the snapshot in event order, so
+    # it is buffered unsynced and bridged inside _sync_from_snapshot
+    early_delta = ("BTC", _t(2), "delta", u_first, 105, 99,
+                   json.dumps([[100.0, 7.0]]), json.dumps([]))
+    buf = book_state_stream(_depth_rows(spark, [early_delta, snap_t3])).collect()
+    assert len(buf) == 1
+    assert buf[0]["synced"] is want_synced, ("buffered", u_first)
+    if want_synced:  # the bridged delta was APPLIED, not just admitted
+        assert live[0]["best_bid"] == 100.0
+        assert buf[0]["best_bid"] == 100.0
+
+
 def test_book_null_u_delta_degrades_not_crashes(spark):
     """A delta with NULL final_update_id arriving while the bridge is
     pending can never prove continuity — the book must degrade to
@@ -897,3 +938,246 @@ def test_load_zip_csv_skips_empty_member(spark, tmp_path):
     )
     rows = out.collect()
     assert len(rows) == 1 and rows[0]["open"] == 10.5
+
+
+# --- property test: fold vs reference-fidelity model ------------------------
+
+class _RefFidelityBook:
+    """Direct port of the reference ``DepthOrderBook`` decision table
+    (websocket.py:234-345) — buffer-until-snapshot, snapshot rebuild,
+    buffered-bridge, stale-skip, pu continuity, pu-less U continuity,
+    spread validation — with its ``DepthSyncError`` raises mapped to
+    flags and exactly the engine's PINNED spot-spec substitutions
+    (streaming/orderbook.py, _apply_delta docstring):
+
+      1. buffered filter ``u > lastUpdateId`` (ref ``>=``, :283)
+      2. bridge predicate ``U <= lastUpdateId+1 <= u``
+         (ref ``U <= lastUpdateId <= u``, :289-294)
+      3. the bridge rule also admits the first LIVE delta after an
+         unbuffered snapshot (spot pu-chains don't align with REST
+         snapshot ids, so the ref's plain pu check would desync), and
+         the bridged event's pu is exempt for the same reason
+      4. null-id tolerance: the reference's event schema forbids null
+         ids — a malformed feed crashes it into resync; the flag-level
+         analogue is degrade (synced=False)
+
+    Everything NOT listed above follows the reference verbatim, so any
+    fold/model disagreement is a continuity bug in the engine."""
+
+    def __init__(self):
+        self.bids: dict = {}
+        self.asks: dict = {}
+        self.buffer: list = []
+        self.last_u = None
+        self.synced = False
+        self.await_bridge = False
+
+    @staticmethod
+    def _apply_levels(side: dict, levels: list) -> None:
+        for price, qty in levels:
+            key = f"{float(price):.10g}"
+            if float(qty) <= 0:
+                side.pop(key, None)
+            else:
+                side[key] = float(qty)
+
+    def _crossed(self) -> bool:
+        return bool(
+            self.bids
+            and self.asks
+            and max(map(float, self.bids)) >= min(map(float, self.asks))
+        )
+
+    def snapshot(self, ev: dict) -> None:
+        last_id = ev["u"]
+        if last_id is None:                      # substitution 4
+            self.synced = False
+            self.buffer = []
+            self.await_bridge = False
+            return
+        self.bids, self.asks = {}, {}
+        self._apply_levels(self.bids, ev["bids"])
+        self._apply_levels(self.asks, ev["asks"])
+        self.last_u = last_id
+        self.synced = True
+        self.await_bridge = False
+        pending = sorted(                        # ref sorts buffer by u (:266)
+            (e for e in self.buffer
+             if e["u"] is not None and e["u"] > last_id),  # substitution 1
+            key=lambda e: e["u"],
+        )
+        self.buffer = []
+        if not pending:
+            if self._crossed():                  # ref :279 _validate_book_spread
+                self.synced = False
+                return
+            self.await_bridge = True             # substitution 3
+            return
+        first = pending[0]
+        if first["U"] is None or not (
+            first["U"] <= last_id + 1 <= first["u"]  # substitution 2
+        ):
+            self.synced = False                  # ref :289 DepthSyncError
+            return
+        self._apply_event(dict(first, pu=None))  # substitution 3 (pu exempt)
+        for e in pending[1:]:
+            if not self.synced:
+                break
+            self._apply_event(e)
+
+    def delta(self, ev: dict) -> None:
+        if not self.synced:                      # ref :301 buffer_event
+            self.buffer.append(ev)
+            return
+        if self.await_bridge:
+            self.await_bridge = False
+            if (
+                ev["u"] is not None
+                and self.last_u is not None
+                and ev["u"] <= self.last_u
+            ):
+                self.await_bridge = True         # stale: keep waiting
+                return
+            if not (
+                ev["U"] is not None
+                and ev["u"] is not None
+                and self.last_u is not None
+                and ev["U"] <= self.last_u + 1 <= ev["u"]
+            ):
+                self.synced = False
+                return
+            self._apply_raw(ev)
+            return
+        self._apply_event(ev)
+
+    def _apply_event(self, ev: dict) -> None:
+        # ref apply_event :300-325 decision order
+        if (
+            self.last_u is not None
+            and ev["u"] is not None
+            and ev["u"] <= self.last_u
+        ):
+            return                               # stale skip (:305)
+        if ev["u"] is None or (ev["pu"] is None and ev["U"] is None):
+            self.synced = False                  # substitution 4
+            return
+        if ev["pu"] is not None and ev["pu"] != self.last_u:
+            self.synced = False                  # pu check (:309)
+            return
+        if (
+            ev["pu"] is None
+            and ev["U"] is not None
+            and ev["U"] > self.last_u + 1
+        ):
+            self.synced = False                  # pu-less U check (:316)
+            return
+        self._apply_raw(ev)
+
+    def _apply_raw(self, ev: dict) -> None:
+        self._apply_levels(self.bids, ev["bids"])
+        self._apply_levels(self.asks, ev["asks"])
+        self.last_u = ev["u"]
+        if self._crossed():                      # ref :336 _validate_book_spread
+            self.synced = False
+
+
+def test_book_fold_matches_reference_model_property():
+    """VERDICT r9 item 2: hypothesis sweep of the whole fold against the
+    reference-fidelity model — snapshots at random ids (incl. null),
+    deltas with contiguous/overlapping/gapped U, pu/pu-less/null-id,
+    stale redeliveries, crossing levels — under RANDOM micro-batch
+    splits with the production JSON state round-trip between batches.
+    Asserts synced flag, last_u, and full book content after every
+    batch.  ≥200 generated sequences."""
+    import pandas as pd
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from crypto_datalake_spark.streaming.orderbook import _EMPTY, _fold_batch
+
+    BID_PRICES = [99.0, 100.0, 100.5]
+    ASK_PRICES = [100.5, 101.0, 102.0]   # 100.5 shared -> crossings happen
+    QTYS = [0.0, 1.0, 2.5]
+
+    levels = lambda prices: st.lists(  # noqa: E731
+        st.tuples(st.sampled_from(prices), st.sampled_from(QTYS)),
+        max_size=2,
+    )
+
+    op = st.one_of(
+        st.tuples(st.just("snap"),
+                  st.one_of(st.none(), st.integers(-3, 3)),
+                  levels(BID_PRICES), levels(ASK_PRICES)),
+        st.tuples(st.just("delta"),
+                  st.tuples(
+                      st.integers(-2, 3),            # U offset from last+1
+                      st.integers(0, 2),             # span: u - U
+                      st.sampled_from(["chain", "wrong", "none"]),  # pu
+                      st.booleans(),                 # null out u
+                      st.booleans(),                 # null out U
+                  ),
+                  levels(BID_PRICES), levels(ASK_PRICES)),
+    )
+
+    @settings(deadline=None, max_examples=400)
+    @given(
+        ops=st.lists(op, min_size=1, max_size=18),
+        cuts=st.lists(st.integers(0, 17), max_size=4),
+    )
+    def run(ops, cuts):
+        # materialize a realistic id stream from the op list
+        gen_last = 10
+        events = []
+        for i, (kind, arg, bids, asks) in enumerate(ops):
+            ts = pd.Timestamp("2024-01-01") + pd.Timedelta(minutes=i)
+            if kind == "snap":
+                sid = None if arg is None else gen_last + arg
+                events.append(("S", ts, "snapshot", None, sid, None,
+                               json.dumps(bids), json.dumps(asks)))
+                if sid is not None:
+                    gen_last = max(gen_last, sid)
+                continue
+            u_off, span, pu_kind, null_u, null_U = arg
+            U = gen_last + 1 + u_off
+            u = U + span
+            pu = {"chain": gen_last, "wrong": gen_last + 7, "none": None}[pu_kind]
+            if u > gen_last:
+                gen_last = u
+            events.append((
+                "S", ts, "delta",
+                None if null_U else U,
+                None if null_u else u,
+                pu,
+                json.dumps(bids), json.dumps(asks),
+            ))
+
+        cols = ["symbol", "event_time", "kind", "first_update_id",
+                "final_update_id", "prev_final_update_id", "bids", "asks"]
+
+        model = _RefFidelityBook()
+        st_fold = dict(_EMPTY, buffer=[])
+        bounds = sorted({c for c in cuts if c < len(events)} | {len(events)})
+        lo = 0
+        for hi in bounds:
+            batch = events[lo:hi]
+            lo = hi
+            if not batch:
+                continue
+            _fold_batch("S", st_fold, pd.DataFrame(batch, columns=cols))
+            # production JSON state round-trip between micro-batches
+            st_fold = json.loads(json.dumps(st_fold, default=str))
+            for row in batch:
+                ev = dict(U=row[3], u=row[4], pu=row[5],
+                          bids=json.loads(row[6]), asks=json.loads(row[7]))
+                if row[2] == "snapshot":
+                    model.snapshot(ev)
+                else:
+                    model.delta(ev)
+            assert st_fold["synced"] == model.synced, (events, st_fold, vars(model))
+            if st_fold["synced"]:
+                assert st_fold["last_u"] == model.last_u, (events,)
+                assert st_fold["bids"] == model.bids, (events,)
+                assert st_fold["asks"] == model.asks, (events,)
+            assert st_fold.get("await_bridge", False) == model.await_bridge, (events,)
+
+    run()
