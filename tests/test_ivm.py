@@ -522,3 +522,95 @@ def test_maintained_view_recovers_after_empty_view_commit(spark, tmp_path):
     got = txn.read_table(spark, view)
     want = grouped_agg_state(txn.read_table(spark, path), KEYS, MEAS)
     assert _rows(got.select(*want.columns)) == _rows(want)
+
+
+def test_maintained_view_random_ops_property(spark, tmp_path):
+    """Generalize the r9-ADVICE empty-view crash class: under RANDOM
+    interleavings of maintained-sink ticks (incl. empty batches and
+    null group keys), out-of-band purges (partial, full), and history
+    vacuums, every sink tick must leave the view BIT-EQUAL to a full
+    recompute of the then-current base table, with ``view_of`` at the
+    base head — no crash, no stale serve, no lost delta."""
+    from hypothesis import HealthCheck, example, given, settings
+    from hypothesis import strategies as st
+
+    from crypto_datalake_spark.streaming.silver import (
+        foreach_batch_upsert_maintained,
+    )
+
+    row = st.tuples(
+        st.sampled_from(["A", "B", None]),        # group key (null included)
+        st.integers(0, 5),                        # minute -> ts (dup keys ok)
+        st.sampled_from([1.25, 2.5, -3.0, 0.0]),  # value
+        st.sampled_from(["d1", "d2"]),            # partition
+    )
+    # sink weighted 2x (the tick that must self-heal), purge_all 2x (the
+    # r9 crash class lives downstream of a full purge)
+    op = st.one_of(
+        st.tuples(st.just("sink"), st.just([])),  # empty tick: the empty-
+        # view-commit edge (r9 crash) needs one right after a full purge
+        st.tuples(st.just("sink"), st.lists(row, min_size=1, max_size=4)),
+        st.tuples(st.just("sink"), st.lists(row, min_size=1, max_size=4)),
+        st.tuples(st.just("purge_sym"), st.sampled_from(["A", "B"])),
+        st.tuples(st.just("purge_all"), st.none()),
+        st.tuples(st.just("purge_all"), st.none()),
+        st.tuples(st.just("vacuum"), st.none()),
+    )
+    counter = {"n": 0}
+
+    @settings(
+        deadline=None,
+        max_examples=15,
+        suppress_health_check=list(HealthCheck),
+    )
+    @given(ops=st.lists(op, min_size=3, max_size=7))
+    # the r9 crash sequence, pinned so every run covers it (random draws
+    # reach this 4-op ordered pattern only ~25% of the time per example)
+    @example(ops=[
+        ("sink", [("A", 0, 2.5, "d1")]),
+        ("purge_all", None),
+        ("sink", []),
+        ("sink", [("B", 1, 1.25, "d2")]),
+    ])
+    def run(ops):
+        counter["n"] += 1
+        path = str(tmp_path / f"lake{counter['n']}")
+        view = str(tmp_path / f"view{counter['n']}")
+        sink = foreach_batch_upsert_maintained(
+            spark, path, view,
+            keys=["sym", "ts"], order_cols=["ts"], partition_cols=["day"],
+            group_keys=KEYS, measures=MEAS,
+        )
+        batch_id = 0
+        for kind, arg in ops:
+            if kind == "sink":
+                rows = [(s, _T(m), v, d) for s, m, v, d in arg]
+                sink(_df(spark, rows), batch_id)
+                batch_id += 1
+            elif txn.current_manifest(spark, path) is None:
+                continue  # nothing to purge/vacuum yet
+            elif kind == "purge_sym":
+                txn.purge_rows(spark, path, F.col("sym") == arg, ["day"])
+            elif kind == "purge_all":
+                txn.purge_rows(spark, path, F.lit(True), ["day"])
+            else:
+                txn.vacuum(spark, path, keep_manifests=1)
+            if kind != "sink":
+                continue
+            # invariant after EVERY sink tick: view == full recompute
+            m = txn.current_manifest(spark, path)
+            if m is None:
+                assert txn.current_manifest(spark, view) is None
+                continue
+            vm = txn.current_manifest(spark, view)
+            assert vm is not None and vm["view_of"] == m["version"], ops
+            got = txn.read_table(spark, view)
+            base = txn.read_table(spark, path)
+            if base is None:  # base purged empty -> view must be empty
+                assert got is None or got.isEmpty(), ops
+                continue
+            want = grouped_agg_state(base, KEYS, MEAS)
+            assert got is not None, ops
+            assert _rows(got.select(*want.columns)) == _rows(want), ops
+
+    run()
