@@ -646,3 +646,60 @@ def test_cache_abandoned_lease_reaps_after_grace():
     t[0] = LEASE_GRACE_S + 1.0
     c.put(("x", 0), t[0], [(t[0], "r")])
     assert len(c._locks) <= 2 * c._max + 1
+
+
+def test_cache_adversarial_put_property():
+    """Stronger than test_cache_multi_end_property: puts are ARBITRARY
+    correct windows (random end, random size — short newest segments,
+    disjoint merges, holes), not the get-else-compute discipline the
+    callers follow.  The cache's own invariant must hold regardless:
+    any exact/superset hit returns exactly what a fresh compute at that
+    end would (the r9 equal-end hole-crossing fix moved this from
+    caller put-discipline to the serve itself)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    bars = [(float(t), 1000.0 + t) for t in range(0, 120)]
+
+    def compute(end: float, n: int):
+        return [r for r in bars if r[0] <= end][-n:]
+
+    action = st.one_of(
+        st.tuples(st.just("put"), st.integers(0, 119), st.integers(1, 8)),
+        st.tuples(st.just("get"), st.integers(0, 119), st.integers(1, 8)),
+    )
+
+    @settings(deadline=None, max_examples=300)
+    @given(seq=st.lists(action, min_size=2, max_size=30))
+    def run(seq):
+        c = ServingCache(clock=lambda: 0.0)
+        key = ("S", "1m")
+        for kind, end_i, n in seq:
+            end = float(end_i)
+            if kind == "put":
+                c.put(key, end, compute(end, n))
+                continue
+            hit, rows = c.get(key, end, n)
+            expected = compute(end, n)
+            if hit in ("exact", "superset"):
+                assert rows == expected, (seq, hit, end, n, rows, expected)
+            elif hit == "partial":
+                # advisory tail: the caller sizes a head fetch from the
+                # last cached bar, and — like http_api's partial path —
+                # falls back to a FULL compute when the head-only put
+                # still doesn't yield a hit (an adversarial short tail
+                # can leave the merged segment under-sized; serving
+                # wrong rows would be the bug, a miss is just a recompute)
+                gap = int(end - rows[-1][0])
+                if 0 <= gap + 1 < n and len(expected) >= n:
+                    c.put(key, end, compute(end, gap + 1))
+                    hit2, rows2 = c.get(key, end, n)
+                    if hit2 in ("exact", "superset"):
+                        assert rows2 == expected, (seq, end, n)
+                    else:  # full-compute fallback always self-heals
+                        c.put(key, end, compute(end, n))
+                        hit3, rows3 = c.get(key, end, n)
+                        assert hit3 in ("exact", "superset"), (seq, end, n)
+                        assert rows3 == expected, (seq, end, n)
+
+    run()
