@@ -1314,3 +1314,124 @@ def test_ivm_global_view_empty_keys(spark):
         [], {"sv": "v"},
     )
     assert [tuple(r) for r in out.collect()] == [tuple(r) for r in rec.collect()]
+
+
+def test_txn_random_ops_match_model_property(spark, tmp_path):
+    """Model-based sweep of the manifest layer: random interleavings of
+    keep-last upserts (inserts + same-key updates), compliance purges
+    (history kept), small-file compactions, and history vacuums, against
+    a plain Python dict keyed (sym, ts).  After every op the live table
+    must equal the model, and the CDC feed between consecutive versions
+    must equal the model's delete/insert delta (compactions diff to
+    zero).  Generalizes the directed test_txn cases the way the r10
+    order-book/IVM/cache property sweeps generalize theirs."""
+    import datetime as _dt
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    _T = lambda m: _dt.datetime(2024, 1, 1, 0, m)  # noqa: E731
+    SCHEMA = "sym string, ts timestamp_ntz, v double, day string"
+
+    row = st.tuples(
+        st.sampled_from(["A", "B", None]),
+        st.integers(0, 4),
+        st.sampled_from([1.25, 2.5, -3.0]),
+    )
+    op = st.one_of(
+        st.tuples(st.just("upsert"), st.lists(row, min_size=1, max_size=4)),
+        st.tuples(st.just("upsert"), st.lists(row, min_size=1, max_size=4)),
+        st.tuples(st.just("purge_sym"), st.sampled_from(["A", "B"])),
+        st.tuples(st.just("compact"), st.none()),
+        st.tuples(st.just("vacuum"), st.none()),
+    )
+    counter = {"n": 0}
+
+    def _day(sym):  # partition is a function of the key: no key moves
+        return f"d{sym or 'N'}"
+
+    def _live_rows(path):
+        df = txn.read_table(spark, path)
+        if df is None:
+            return []
+        return sorted(
+            ((r["sym"], r["ts"], r["v"], r["day"]) for r in df.collect()),
+            key=lambda t: [(x is None, str(x)) for x in t],
+        )
+
+    @settings(
+        deadline=None, max_examples=10,
+        suppress_health_check=list(HealthCheck),
+    )
+    @given(ops=st.lists(op, min_size=2, max_size=6))
+    def run(ops):
+        counter["n"] += 1
+        path = str(tmp_path / f"t{counter['n']}")
+        model: dict = {}
+        snapshots: list = []  # (version, frozenset(rows)) while history intact
+
+        def _check():
+            m = txn.current_manifest(spark, path)
+            if m is None:
+                assert not model, ops
+                return
+            want = sorted(
+                ((s, _T(mi), v, _day(s)) for (s, mi), v in model.items()),
+                key=lambda t: [(x is None, str(x)) for x in t],
+            )
+            assert _live_rows(path) == want, ops
+            if snapshots and snapshots[-1][0] != m["version"]:
+                pv, prows = snapshots[-1]
+                cur = {(s, _T(mi), v, _day(s)) for (s, mi), v in model.items()}
+                changes = txn.table_diff(
+                    spark, path, pv, m["version"]
+                ).collect()
+                got_del = {tuple(r)[:-1] for r in changes
+                           if r["__change"] == "delete"}
+                got_ins = {tuple(r)[:-1] for r in changes
+                           if r["__change"] == "insert"}
+                assert got_del == prows - cur, ops
+                assert got_ins == cur - prows, ops
+            snapshots.append((
+                m["version"],
+                {(s, _T(mi), v, _day(s)) for (s, mi), v in model.items()},
+            ))
+
+        for kind, arg in ops:
+            if kind == "upsert":
+                # keep-last WITHIN the batch too: later tuple wins a key
+                batch = {}
+                for s, mi, v in arg:
+                    batch[(s, mi)] = v
+                rows = [(s, _T(mi), v, _day(s)) for (s, mi), v in batch.items()]
+                txn.atomic_upsert_partitioned(
+                    spark, spark.createDataFrame(rows, SCHEMA), path,
+                    keys=["sym", "ts"], order_cols=["ts"],
+                    partition_cols=["day"],
+                )
+                model.update(batch)
+                _check()
+            elif txn.current_manifest(spark, path) is None:
+                continue
+            elif kind == "purge_sym":
+                txn.purge_rows(
+                    spark, path, F.col("sym") == arg, ["day"],
+                    vacuum_history=False,
+                )
+                for k in [k for k in model if k[0] == arg]:
+                    del model[k]
+                _check()
+            elif kind == "compact":
+                before = txn.current_manifest(spark, path)["version"]
+                txn.compact_partitions(spark, path)
+                after = txn.current_manifest(spark, path)["version"]
+                if after != before:  # non-empty table: compaction committed
+                    diff = txn.table_diff(spark, path, before, after)
+                    assert diff.isEmpty(), ops  # pure rewrite: zero CDC
+                _check()
+            else:
+                txn.vacuum(spark, path, keep_manifests=1)
+                snapshots.clear()  # history gone: diff no longer checkable
+                _check()
+
+    run()
