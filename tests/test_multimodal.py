@@ -263,3 +263,53 @@ def test_png_rgba_decode():
     f = decode_media(b, "image/png")
     assert (f["width"], f["height"]) == (2, 2)
     assert f["blue_sum"] == 10 + 20 + 30 + 40
+
+
+def test_codec_roundtrip_property():
+    """Fuzz the hand-rolled codecs across random shapes and content:
+    WAV at random sample counts/rates, BMP at every width mod-4 class
+    (the row-padding classes) and both orientations via the encoder,
+    PNG at random dims — decode features must equal numpy ground truth
+    exactly.  Generalizes the directed known-value roundtrips the same
+    way the r10 fold/cache/txn property sweeps generalize theirs."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from crypto_datalake_spark.functions.multimodal import (
+        decode_media,
+        encode_bmp24,
+        encode_png_rgb,
+        encode_wav_pcm16,
+    )
+
+    @settings(deadline=None, max_examples=120)
+    @given(
+        kind=st.sampled_from(["wav", "bmp", "png"]),
+        w=st.integers(1, 9),
+        h=st.integers(1, 6),
+        seed=st.integers(0, 2**31 - 1),
+        rate=st.sampled_from([8000, 16000, 44100]),
+    )
+    def run(kind, w, h, seed, rate):
+        rng = np.random.RandomState(seed)
+        if kind == "wav":
+            n = w * h
+            samples = rng.randint(-32768, 32768, size=n).astype("<i2")
+            f = decode_media(encode_wav_pcm16(samples, rate), "audio/wav")
+            assert f["n_samples"] == n
+            assert f["sample_rate"] == rate
+            assert f["duration_ms"] == n * 1000 // rate
+            assert f["peak_amp"] == int(
+                np.abs(samples.astype(np.int32)).max()
+            )
+            return
+        px = rng.randint(0, 256, size=(h, w, 3)).astype(np.uint8)
+        if kind == "bmp":
+            f = decode_media(encode_bmp24(px), "image/bmp")
+        else:
+            f = decode_media(encode_png_rgb(px), "image/png")
+        assert (f["width"], f["height"]) == (w, h)
+        assert f["blue_sum"] == int(px[:, :, 2].astype("int64").sum())
+
+    run()
