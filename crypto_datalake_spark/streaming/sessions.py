@@ -73,16 +73,25 @@ def _fold_events(user_id, pdf: pd.DataFrame, start, last, n, total, gap_us):
 
     All arithmetic is in MICROSECONDS (matching `ops.gaps.sessionize` and
     the lake's µs timestamps) so sub-second excess over the gap breaks the
-    session exactly like the batch twin."""
+    session exactly like the batch twin.
+
+    A LATE row (t <= last: a prior micro-batch already advanced the open
+    session past it, but the row is inside the watermark) extends the
+    session's counts and may pull ``session_start`` back, but must never
+    REWIND ``last`` — a rewound end both mis-stamps the eventual emission
+    and shrinks the gap window so the next on-time row can spuriously
+    split a session the batch twin keeps whole.  (A late row older than
+    ``start - gap`` still folds into the open session rather than
+    reconstructing an already-missed earlier one — the same
+    once-emitted-is-final caveat every watermark streaming agg has.)"""
     closed = []
     for t, v in zip(_us(pdf["ts"]), pdf["value"].astype("float64").to_numpy()):
         t = int(t)
         if last is not None and t - last > gap_us:
             closed.append(_session_pdf(user_id, start, last, n, total))
             start, n, total = None, 0, 0.0
-        if start is None:
-            start = t
-        last = t
+        start = t if start is None else min(start, t)
+        last = t if last is None else max(last, t)
         n += 1
         total += float(v)
     return closed, (start, last, n, total)

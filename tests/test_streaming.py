@@ -1181,3 +1181,126 @@ def test_book_fold_matches_reference_model_property():
             assert st_fold.get("await_bridge", False) == model.await_bridge, (events,)
 
     run()
+
+
+def test_session_late_row_never_rewinds_open_session(spark, tmp_path):
+    """A late-but-in-watermark row must extend the open session without
+    REWINDING its end: pre-r10 the fold set ``last = t`` unconditionally,
+    so a late row shrank the gap window and the next on-time row could
+    spuriously split (and mis-stamp) a session the batch twin keeps
+    whole.  Delivery: (m0, m10) | late m5 | m40, gap 30 — the batch twin
+    sees deltas 5/5/30 ≤ gap: ONE session (m0..m40, 4 events)."""
+    from crypto_datalake_spark.streaming import session_stream
+
+    def m(minutes):
+        return _t(minutes * 60)
+
+    src = tmp_path / "late_src"
+    src.mkdir()
+    _sess_rows(spark, [(1, 1, m(0), 1.0), (1, 2, m(10), 2.0)]) \
+        .coalesce(1).write.parquet(str(src / "f1"))
+    _sess_rows(spark, [(1, 3, m(5), 4.0)]) \
+        .coalesce(1).write.parquet(str(src / "f2"))        # late, in-watermark
+    _sess_rows(spark, [(1, 4, m(40), 8.0)]) \
+        .coalesce(1).write.parquet(str(src / "f3"))        # on-time: 40-10=30 ≤ gap
+    _sess_rows(spark, [(99, 5, m(600), 0.0)]) \
+        .coalesce(1).write.parquet(str(src / "f4"))        # watermark pusher
+    stream = (
+        spark.readStream.schema(_SESS_DDL)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    q = (
+        session_stream(stream, gap_minutes=30, watermark="1 hour")
+        .writeStream.format("memory")
+        .queryName("late_sessions")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "late_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"],
+         r["total_value"])
+        for r in spark.table("late_sessions").collect()
+    }
+    # user 1 must close as ONE session by timer — not a rewound split
+    assert (1, m(0), m(40), 4, 15.0) in got, got
+    assert all(u != 1 or (s, e) == (m(0), m(40)) for u, s, e, _, _ in got), got
+
+
+def test_session_fold_split_invariance_property():
+    """The shared fold core is micro-batch-boundary invariant on
+    in-order delivery: folding a global time-sorted event list in any
+    contiguous chunking yields the same closed sessions and the same
+    open-session tuple as a pure-Python gap-split model."""
+    import pandas as pd
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from crypto_datalake_spark.streaming.sessions import _fold_events
+
+    GAP_US = 10 * 60_000_000  # 10 minutes
+
+    @settings(deadline=None, max_examples=200)
+    @given(
+        deltas=st.lists(
+            st.sampled_from([0, 1, 5, 9, 10, 11, 25]), min_size=1, max_size=15
+        ),
+        cuts=st.lists(st.integers(0, 14), max_size=4),
+    )
+    def run(deltas, cuts):
+        times, acc = [], 0
+        for d in deltas:
+            acc += d
+            times.append(acc)  # minutes, non-decreasing (dups included)
+        values = [float(i + 1) for i in range(len(times))]
+
+        # model: split where the minute delta exceeds 10
+        sessions, cur = [], [0]
+        for i in range(1, len(times)):
+            if times[i] - times[i - 1] > 10:
+                sessions.append(cur)
+                cur = []
+            cur.append(i)
+        want_closed = [
+            (times[ix[0]], times[ix[-1]], len(ix), sum(values[i] for i in ix))
+            for ix in sessions
+        ]
+        want_open = (times[cur[0]], times[cur[-1]], len(cur),
+                     sum(values[i] for i in cur))
+
+        bounds = sorted({c for c in cuts if c < len(times)} | {len(times)})
+        state = (None, None, 0, 0.0)
+        closed = []
+        lo = 0
+        base = pd.Timestamp("2024-01-01")
+        for hi in bounds:
+            if hi == lo:
+                continue
+            chunk = pd.DataFrame({
+                "ts": [base + pd.Timedelta(minutes=t) for t in times[lo:hi]],
+                "value": values[lo:hi],
+            })
+            out, state = _fold_events(7, chunk, *state, GAP_US)
+            closed.extend(out)
+            lo = hi
+
+        def row(pdf):
+            r = pdf.iloc[0]
+            mins = lambda x: int(  # noqa: E731
+                (x - base.to_datetime64()) / pd.Timedelta(minutes=1)
+            )
+            return (mins(r["session_start"]), mins(r["session_end"]),
+                    int(r["n_events"]), float(r["total_value"]))
+
+        assert [row(p) for p in closed] == want_closed, (deltas, cuts)
+        s, l, n, tot = state
+        us = lambda mi: mi * 60_000_000  # noqa: E731
+        base_us = int(base.value // 1000)
+        assert (s - base_us, l - base_us, n, tot) == (
+            us(want_open[0]), us(want_open[1]), want_open[2], want_open[3]
+        ), (deltas, cuts, state)
+
+    run()
