@@ -621,3 +621,137 @@ def replay_book_batch(depth_events: DataFrame) -> DataFrame:
         ).alias("degraded"),
     )
     return out
+
+
+def replay_book_segmented(depth_events: DataFrame):
+    """Segment-parallel EXACT replay of the stateful fold over a batch
+    event store — the 100x mitigation for the fold's serial-within-a-
+    symbol limit (SCALE.md): each snapshot starts a new segment, and a
+    segment's book depends on earlier history ONLY through the delta
+    buffer carried into its opening snapshot, so segments fold in
+    parallel and a cheap driver pass repairs the rare chains where a
+    buffer actually crossed a boundary.
+
+    Phases:
+
+    1. (distributed) Tag every event with its segment id (running count
+       of snapshots per symbol) and fold each (symbol, segment)
+       independently from an empty entry state.  Work is O(events),
+       parallelism is O(total segments) — not O(symbols).
+    2. (driver, O(segments)) Walk each symbol's segments in order.  A
+       segment's phase-1 fold is realized iff the previous segment's
+       REALIZED exit buffer is empty — true for every boundary the book
+       crossed synced, i.e. all of them on a healthy stream.  Otherwise
+       the segment refolds with the realized entry buffer (events
+       fetched for just that segment); a repair can cascade only while
+       consecutive segments keep exiting unsynced.
+    3. The final realized state per symbol is returned as one row:
+       (symbol, synced, last_u, bids, asks, buffered_count), with the
+       books as canonical sorted-key JSON.
+
+    Equivalence with folding the whole history sequentially is exact —
+    ``tests/test_streaming.py`` pins it directly and by property sweep,
+    including desync/bridge-buffer cascades.  At 100 TB the phase-2
+    collect is one small row per segment (state JSON, book included);
+    if segment books outgrow the driver, phase 2's selection runs as a
+    keyed join instead — the phase-1 shape is unchanged.
+
+    Reference analogue: the sequential ``DepthOrderBook`` recovery walk
+    (websocket.py:234-345); the segmentation is this engine's
+    distribution strategy, not a semantic change."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import BooleanType
+
+    STATE_OUT = StructType(
+        [
+            StructField("symbol", StringType()),
+            StructField("seg", LongType()),
+            StructField("state", StringType()),
+        ]
+    )
+
+    w = (
+        Window.partitionBy("symbol")
+        .orderBy(
+            F.col("event_time"),
+            (F.col("kind") != "snapshot").cast(BooleanType()),
+            F.coalesce(F.col("final_update_id"), F.lit(0)),
+        )
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # a segment starts at a snapshot WITH a lastUpdateId: only those
+    # reset the book (a null-id snapshot merely desyncs, keeping last_u
+    # and the stale book — it cannot anchor an independent fold)
+    tagged = depth_events.withColumn(
+        "seg",
+        F.sum(
+            F.when(
+                (F.col("kind") == "snapshot")
+                & F.col("final_update_id").isNotNull(),
+                1,
+            ).otherwise(0)
+        ).over(w),
+    )
+
+    def _fold_segment(pdf: pd.DataFrame) -> pd.DataFrame:
+        sym = pdf["symbol"].iloc[0]
+        seg = int(pdf["seg"].iloc[0])
+        st = dict(_EMPTY, buffer=[])
+        _fold_batch(sym, st, pdf.drop(columns=["seg"]))
+        return pd.DataFrame(
+            {"symbol": [sym], "seg": [seg],
+             "state": [json.dumps(st, default=str)]}
+        )
+
+    phase1 = (
+        tagged.groupBy("symbol", "seg")
+        .applyInPandas(_fold_segment, STATE_OUT)
+        .collect()
+    )
+
+    by_symbol: dict = {}
+    for r in phase1:
+        by_symbol.setdefault(r["symbol"], {})[r["seg"]] = json.loads(r["state"])
+
+    tagged = tagged.persist()
+    try:
+        final_rows = []
+        for sym, segs in by_symbol.items():
+            realized = None
+            for seg_id in sorted(segs):
+                if realized is None or not realized["buffer"]:
+                    realized = segs[seg_id]  # phase-1 fold is exact here
+                    continue
+                # rare repair: a non-empty buffer crossed this boundary —
+                # refold just this segment with the realized entry buffer
+                pdf = (
+                    tagged.where(
+                        (F.col("symbol").eqNullSafe(F.lit(sym)))
+                        & (F.col("seg") == seg_id)
+                    )
+                    .drop("seg")
+                    .toPandas()
+                )
+                st = dict(_EMPTY, buffer=list(realized["buffer"]))
+                _fold_batch(sym, st, pdf)
+                realized = json.loads(json.dumps(st, default=str))
+            final_rows.append(
+                (
+                    sym,
+                    bool(realized["synced"]),
+                    realized["last_u"],
+                    json.dumps(realized["bids"], sort_keys=True),
+                    json.dumps(realized["asks"], sort_keys=True),
+                    len(realized["buffer"]),
+                )
+            )
+    finally:
+        tagged.unpersist()
+
+    spark = depth_events.sparkSession
+    return spark.createDataFrame(
+        final_rows,
+        "symbol string, synced boolean, last_u long, "
+        "bids string, asks string, buffered_count long",
+    )

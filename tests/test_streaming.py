@@ -1304,3 +1304,158 @@ def test_session_fold_split_invariance_property():
         ), (deltas, cuts, state)
 
     run()
+
+
+def _fold_whole(symbol, rows):
+    """Sequential twin: the whole history in one fold."""
+    import pandas as pd
+
+    from crypto_datalake_spark.streaming.orderbook import _EMPTY, _fold_batch
+
+    cols = ["symbol", "event_time", "kind", "first_update_id",
+            "final_update_id", "prev_final_update_id", "bids", "asks"]
+    st = dict(_EMPTY, buffer=[])
+    _fold_batch(symbol, st, pd.DataFrame(rows, columns=cols))
+    return st
+
+
+def _seg_state(df, symbol):
+    r = {x["symbol"]: x for x in df.collect()}[symbol]
+    return r
+
+
+def test_replay_segmented_matches_sequential_fold(spark):
+    """Healthy multi-segment store (every boundary crossed synced):
+    phase-1 segment folds are realized as-is and the final state equals
+    the sequential whole-history fold."""
+    from crypto_datalake_spark.streaming.orderbook import (
+        replay_book_segmented,
+    )
+
+    rows = [
+        # segment 1: snapshot@100 + bridged delta + chained delta
+        ("BTC", _t(1), "snapshot", None, 100, None,
+         json.dumps([[99.0, 1.0]]), json.dumps([[101.0, 1.0]])),
+        ("BTC", _t(2), "delta", 99, 105, None,
+         json.dumps([[99.5, 2.0]]), json.dumps([])),
+        ("BTC", _t(3), "delta", 106, 110, 105,
+         json.dumps([]), json.dumps([[102.0, 3.0]])),
+        # segment 2: fresh snapshot resets, then one chained delta
+        ("BTC", _t(4), "snapshot", None, 200, None,
+         json.dumps([[98.0, 5.0]]), json.dumps([[103.0, 5.0]])),
+        ("BTC", _t(5), "delta", 201, 205, 200,
+         json.dumps([[98.5, 1.5]]), json.dumps([])),
+    ]
+    got = _seg_state(
+        replay_book_segmented(_depth_rows(spark, rows)), "BTC"
+    )
+    want = _fold_whole("BTC", rows)
+    assert got["synced"] == want["synced"] is True
+    assert got["last_u"] == want["last_u"] == 205
+    assert json.loads(got["bids"]) == want["bids"]
+    assert json.loads(got["asks"]) == want["asks"]
+    assert got["buffered_count"] == len(want["buffer"]) == 0
+
+
+def test_replay_segmented_repairs_buffer_crossing_boundary(spark):
+    """A desynced segment leaves buffered deltas whose ids outrun the
+    NEXT snapshot — the buffered-bridge case where phase-1's empty-entry
+    fold is wrong and the driver repair must refold: the buffered
+    delta's levels apply after the second snapshot's reset."""
+    from crypto_datalake_spark.streaming.orderbook import (
+        replay_book_segmented,
+    )
+
+    rows = [
+        # segment 1: snapshot@100, then a GAP delta desyncs the book
+        ("BTC", _t(1), "snapshot", None, 100, None,
+         json.dumps([[99.0, 1.0]]), json.dumps([[101.0, 1.0]])),
+        ("BTC", _t(2), "delta", 150, 160, 149,
+         json.dumps([[99.5, 9.0]]), json.dumps([])),      # pu gap -> desync
+        # these buffer while unsynced; their u outruns the next snapshot
+        ("BTC", _t(3), "delta", 198, 205, None,
+         json.dumps([[97.0, 7.0]]), json.dumps([])),
+        ("BTC", _t(4), "delta", 206, 210, 205,
+         json.dumps([]), json.dumps([[104.0, 4.0]])),
+        # segment 2: snapshot@200 bridges from the buffer (U=198<=201<=205)
+        ("BTC", _t(5), "snapshot", None, 200, None,
+         json.dumps([[98.0, 5.0]]), json.dumps([[103.0, 5.0]])),
+    ]
+    got = _seg_state(
+        replay_book_segmented(_depth_rows(spark, rows)), "BTC"
+    )
+    want = _fold_whole("BTC", rows)
+    assert want["synced"]                       # sequential truth: bridged
+    assert want["bids"].get("97") == 7.0        # buffered level applied
+    assert got["synced"] == want["synced"]
+    assert got["last_u"] == want["last_u"]
+    assert json.loads(got["bids"]) == want["bids"], (got, want)
+    assert json.loads(got["asks"]) == want["asks"]
+    assert got["buffered_count"] == len(want["buffer"])
+
+
+def test_replay_segmented_property_equivalence(spark):
+    """Property sweep: the segment-parallel replay equals the sequential
+    whole-history fold on random event stores — same generator family
+    as the reference-model sweep (gaps, stales, null ids, crossings,
+    buffered bridges), one multi-event store per example."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from crypto_datalake_spark.streaming.orderbook import (
+        replay_book_segmented,
+    )
+
+    import pandas as pd
+
+    BIDS = [99.0, 100.0, 100.5]
+    ASKS = [100.5, 101.0, 102.0]
+    levels = lambda prices: st.lists(  # noqa: E731
+        st.tuples(st.sampled_from(prices), st.sampled_from([0.0, 1.0, 2.5])),
+        max_size=2,
+    )
+    op = st.one_of(
+        st.tuples(st.just("snap"), st.one_of(st.none(), st.integers(-3, 3)),
+                  levels(BIDS), levels(ASKS)),
+        st.tuples(st.just("delta"),
+                  st.tuples(st.integers(-2, 3), st.integers(0, 2),
+                            st.sampled_from(["chain", "wrong", "none"]),
+                            st.booleans(), st.booleans()),
+                  levels(BIDS), levels(ASKS)),
+    )
+
+    @settings(deadline=None, max_examples=10)
+    @given(ops=st.lists(op, min_size=2, max_size=14))
+    def run(ops):
+        gen_last = 10
+        rows = []
+        for i, (kind, arg, bids, asks) in enumerate(ops):
+            ts = _t(i * 60)
+            if kind == "snap":
+                sid = None if arg is None else gen_last + arg
+                rows.append(("S", ts, "snapshot", None, sid, None,
+                             json.dumps(bids), json.dumps(asks)))
+                if sid is not None:
+                    gen_last = max(gen_last, sid)
+                continue
+            u_off, span, pu_kind, null_u, null_U = arg
+            U = gen_last + 1 + u_off
+            u = U + span
+            pu = {"chain": gen_last, "wrong": gen_last + 7,
+                  "none": None}[pu_kind]
+            if u > gen_last:
+                gen_last = u
+            rows.append(("S", ts, "delta",
+                         None if null_U else U, None if null_u else u, pu,
+                         json.dumps(bids), json.dumps(asks)))
+        got = _seg_state(
+            replay_book_segmented(_depth_rows(spark, rows)), "S"
+        )
+        want = _fold_whole("S", rows)
+        assert got["synced"] == want["synced"], (ops, got, want)
+        assert got["last_u"] == want["last_u"], ops
+        assert json.loads(got["bids"]) == want["bids"], ops
+        assert json.loads(got["asks"]) == want["asks"], ops
+        assert got["buffered_count"] == len(want["buffer"]), ops
+
+    run()
