@@ -113,6 +113,7 @@ BENCH_QUERIES = [
     "multimodal_decode_roundtrip",  # REAL wav/bmp codec round-trip
     "st2_streaming_minute_agg",
     "st3_orderbook_replay",
+    "orderbook_segmented_replay",
 ]
 
 

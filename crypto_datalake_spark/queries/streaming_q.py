@@ -289,3 +289,90 @@ def st3_orderbook_replay(spark, sf_dir):
             for c in metrics.columns
         ]
     )
+
+
+@register(
+    "orderbook_segmented_replay",
+    sql="""
+    WITH ev AS (
+      SELECT event_type AS symbol, ts, value,
+             row_number() OVER (PARTITION BY event_type ORDER BY ts, event_id) AS rn
+      FROM events
+    ),
+    snapw AS (
+      SELECT symbol,
+             max(CASE WHEN (rn - 1) % 400 = 0 THEN rn END) AS last_snap,
+             max(rn) AS last_u
+      FROM ev GROUP BY 1
+    ),
+    lv AS (
+      SELECT e.symbol, e.rn, 'bid' AS side,
+             round(90 + (value - 10 * floor(value / 10)), 6) AS price,
+             round(abs(value), 6) AS qty
+      FROM ev e JOIN snapw s USING (symbol)
+      WHERE value IS NOT NULL AND e.rn >= s.last_snap
+      UNION ALL
+      SELECT e.symbol, e.rn, 'ask',
+             round(101 + (value - 10 * floor(value / 10)), 6),
+             round(abs(value), 6)
+      FROM ev e JOIN snapw s USING (symbol)
+      WHERE value IS NOT NULL AND e.rn >= s.last_snap
+    ),
+    fin AS (
+      SELECT symbol, side, price, qty FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY symbol, side, price ORDER BY rn DESC) AS rr
+        FROM lv
+      ) WHERE rr = 1 AND qty > 0
+    )
+    SELECT f.symbol, f.side, f.price, f.qty,
+           CAST(s.last_u AS BIGINT) AS last_u, TRUE AS synced
+    FROM fin f JOIN snapw s USING (symbol)
+    """,
+    doc="Segment-parallel EXACT replay of the stateful order-book fold "
+    "(streaming.orderbook.replay_book_segmented, round 10 — the 100x "
+    "mitigation for the fold's serial-within-a-symbol limit, SCALE.md). "
+    "The synthetic store re-tags every 400th event as a snapshot, so "
+    "each symbol replays as many independent segments folded in "
+    "parallel (parallelism = total segments, not symbols); the driver "
+    "pass realizes the chain and refolds only boundaries a non-empty "
+    "buffer crossed (none here — continuous ids). Output: the final "
+    "realized book exploded to one row per surviving level plus "
+    "last_u/synced. Oracle: last write per (symbol, side, price) at or "
+    "after each symbol's LAST snapshot, qty > 0 surviving — the "
+    "snapshot reset makes earlier history irrelevant to the final "
+    "state, which is exactly what makes segments independent. "
+    "Segmentation semantics (buffered-bridge cascades, null-id "
+    "snapshots, desyncs) are pinned by the test_streaming.py segmented "
+    "family incl. a property sweep vs the sequential fold.",
+)
+def orderbook_segmented_replay(spark, sf_dir):
+    from crypto_datalake_spark.streaming.orderbook import (
+        replay_book_segmented,
+    )
+
+    depth = synth_depth_events(spark, sf_dir).withColumn(
+        "kind",
+        F.when(
+            F.pmod(F.col("final_update_id") - 1, F.lit(400)) == 0,
+            F.lit("snapshot"),
+        ).otherwise(F.lit("delta")),
+    )
+    final = replay_book_segmented(depth)
+
+    def _side(col, tag):
+        return final.select(
+            "symbol", "last_u", "synced",
+            F.explode(
+                F.from_json(F.col(col), "map<string,double>")
+            ).alias("price_s", "qty"),
+        ).select(
+            "symbol",
+            F.lit(tag).alias("side"),
+            F.col("price_s").cast("double").alias("price"),
+            F.col("qty"),
+            F.col("last_u"),
+            F.col("synced"),
+        )
+
+    return _side("bids", "bid").unionByName(_side("asks", "ask"))
