@@ -23,6 +23,11 @@ DESIGNED_PYTHON = {
     "dedup_exact_substring",     # Karp-Rabin grams (functions/rollinghash.py)
     "scrub_exact_substrings",    # same run finder under the scrub policy
 }
+# orderbook_segmented_replay is ALSO designed-Python (the stateful fold
+# under applyInPandas, segment-parallel) but runs its phases eagerly
+# inside the registry fn and returns a driver-built frame, so this plan
+# check cannot see it; its Python tier is pinned by the segmented test
+# family in test_streaming.py instead.
 
 _PY_NODES = (
     "BatchEvalPython",
