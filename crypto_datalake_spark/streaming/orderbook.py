@@ -659,9 +659,7 @@ def replay_book_segmented(depth_events: DataFrame):
     Reference analogue: the sequential ``DepthOrderBook`` recovery walk
     (websocket.py:234-345); the segmentation is this engine's
     distribution strategy, not a semantic change."""
-    from pyspark.sql import Window
     from pyspark.sql import functions as F
-    from pyspark.sql.types import BooleanType
 
     STATE_OUT = StructType(
         [
@@ -671,27 +669,44 @@ def replay_book_segmented(depth_events: DataFrame):
         ]
     )
 
-    w = (
-        Window.partitionBy("symbol")
-        .orderBy(
-            F.col("event_time"),
-            (F.col("kind") != "snapshot").cast(BooleanType()),
-            F.coalesce(F.col("final_update_id"), F.lit(0)),
-        )
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    # Segment tagging WITHOUT a Window.partitionBy("symbol") running sum
+    # — that would sort each symbol's whole event history in one task
+    # (the same few-hot-symbols skew replay_book_batch documents). A
+    # segment starts at a snapshot WITH a lastUpdateId (only those reset
+    # the book — a null-id snapshot merely desyncs, keeping last_u and
+    # the stale book, so it cannot anchor an independent fold), and
+    # snapshots are RARE by construction (periodic REST fetches vs
+    # per-update deltas), so the per-symbol sorted snapshot-key arrays
+    # are a tiny broadcast and seg = |keys ≤ this event's key| is a
+    # map-side expression — fully parallel over the event scan.
+    sort_key = F.struct(
+        F.col("event_time").alias("t"),
+        (F.col("kind") != "snapshot").alias("d"),
+        F.coalesce(F.col("final_update_id"), F.lit(0)).alias("u"),
     )
-    # a segment starts at a snapshot WITH a lastUpdateId: only those
-    # reset the book (a null-id snapshot merely desyncs, keeping last_u
-    # and the stale book — it cannot anchor an independent fold)
-    tagged = depth_events.withColumn(
-        "seg",
-        F.sum(
-            F.when(
-                (F.col("kind") == "snapshot")
-                & F.col("final_update_id").isNotNull(),
-                1,
-            ).otherwise(0)
-        ).over(w),
+    snap_keys = (
+        depth_events.where(
+            (F.col("kind") == "snapshot")
+            & F.col("final_update_id").isNotNull()
+        )
+        .groupBy("symbol")
+        .agg(F.sort_array(F.collect_list(sort_key)).alias("__snap_keys"))
+    )
+    tagged = (
+        depth_events.join(F.broadcast(snap_keys), "symbol", "left")
+        .withColumn(
+            "seg",
+            F.coalesce(
+                F.size(
+                    F.filter(
+                        F.col("__snap_keys"),
+                        lambda s: s <= sort_key,
+                    )
+                ),
+                F.lit(0),
+            ).cast("long"),
+        )
+        .drop("__snap_keys")
     )
 
     def _fold_segment(pdf: pd.DataFrame) -> pd.DataFrame:
