@@ -651,10 +651,15 @@ def replay_book_segmented(depth_events: DataFrame):
 
     Equivalence with folding the whole history sequentially is exact —
     ``tests/test_streaming.py`` pins it directly and by property sweep,
-    including desync/bridge-buffer cascades.  At 100 TB the phase-2
-    collect is one small row per segment (state JSON, book included);
-    if segment books outgrow the driver, phase 2's selection runs as a
-    keyed join instead — the phase-1 shape is unchanged.
+    including desync/bridge-buffer cascades.  The driver never holds
+    every segment's book: phase 2's chain walk collects only
+    ``(symbol, seg, buffer_n)`` — the walk's realization decision needs
+    nothing but exit-buffer EMPTINESS — and full states (books +
+    buffers) are fetched from the persisted, executor-cached phase-1
+    frame in ONE batched job for the final realized segment per symbol,
+    plus one targeted job per repair boundary (zero on a healthy
+    stream).  Driver memory is O(segments) light rows + O(symbols)
+    final books, not O(total levels across all segments).
 
     Reference analogue: the sequential ``DepthOrderBook`` recovery walk
     (websocket.py:234-345); the segmentation is this engine's
@@ -665,6 +670,7 @@ def replay_book_segmented(depth_events: DataFrame):
         [
             StructField("symbol", StringType()),
             StructField("seg", LongType()),
+            StructField("buffer_n", LongType()),
             StructField("state", StringType()),
         ]
     )
@@ -716,41 +722,110 @@ def replay_book_segmented(depth_events: DataFrame):
         _fold_batch(sym, st, pdf.drop(columns=["seg"]))
         return pd.DataFrame(
             {"symbol": [sym], "seg": [seg],
+             "buffer_n": [len(st["buffer"])],
              "state": [json.dumps(st, default=str)]}
         )
 
+    # phase-1 states (books + buffers) stay DISTRIBUTED in the executor
+    # cache; the driver's chain walk needs only exit-buffer EMPTINESS,
+    # so it collects the 3-column light projection — O(segments) tiny
+    # rows, never every segment's book
     phase1 = (
         tagged.groupBy("symbol", "seg")
         .applyInPandas(_fold_segment, STATE_OUT)
-        .collect()
+        .persist()
     )
+    light = phase1.select("symbol", "seg", "buffer_n").collect()
 
     by_symbol: dict = {}
-    for r in phase1:
-        by_symbol.setdefault(r["symbol"], {})[r["seg"]] = json.loads(r["state"])
+    for r in light:
+        by_symbol.setdefault(r["symbol"], {})[r["seg"]] = r["buffer_n"]
 
+    def _fetch_states(pairs: list) -> dict:
+        """Full phase-1 states for the given (symbol, seg) pairs — one
+        filtered job over the cached phase-1 frame."""
+        if not pairs:
+            return {}
+        cond = None
+        for sym, seg_id in pairs:
+            c = F.col("symbol").eqNullSafe(F.lit(sym)) & (
+                F.col("seg") == seg_id
+            )
+            cond = c if cond is None else (cond | c)
+        return {
+            (r["symbol"], r["seg"]): json.loads(r["state"])
+            for r in phase1.where(cond).select("symbol", "seg", "state").collect()
+        }
+
+    # the walk below materializes `tagged` only if a repair fires —
+    # persist is marked AFTER phase-1 ran, so a healthy stream never
+    # pays for caching the raw event store
     tagged = tagged.persist()
     try:
+        # Pass A (no Spark jobs): per symbol, walk the chain on buffer_n
+        # alone until the first boundary a non-empty buffer crosses.
+        # Clean symbols resolve to their LAST segment; repair symbols
+        # record (repair position, the realized segment whose buffer
+        # must cross).  One batched fetch then serves every clean
+        # symbol's final book and every repair's entry state.
+        clean: dict = {}   # sym -> final seg id
+        repairs: dict = {}  # sym -> (index into order, realized seg id)
+        for sym, segs in by_symbol.items():
+            order = sorted(segs)
+            realized_seg = order[0]
+            plan = ("clean", order[-1])
+            for k in range(1, len(order)):
+                if segs[realized_seg] == 0:
+                    realized_seg = order[k]
+                    continue
+                plan = ("repair", k, realized_seg)
+                break
+            if plan[0] == "clean":
+                clean[sym] = plan[1]
+            else:
+                repairs[sym] = (plan[1], plan[2])
+
+        fetched = _fetch_states(
+            [(sym, seg_id) for sym, seg_id in clean.items()]
+            + [(sym, seg_id) for sym, (_, seg_id) in repairs.items()]
+        )
+
         final_rows = []
         for sym, segs in by_symbol.items():
-            realized = None
-            for seg_id in sorted(segs):
-                if realized is None or not realized["buffer"]:
-                    realized = segs[seg_id]  # phase-1 fold is exact here
-                    continue
-                # rare repair: a non-empty buffer crossed this boundary —
-                # refold just this segment with the realized entry buffer
-                pdf = (
-                    tagged.where(
-                        (F.col("symbol").eqNullSafe(F.lit(sym)))
-                        & (F.col("seg") == seg_id)
+            order = sorted(segs)
+            if sym in clean:
+                realized = fetched[(sym, clean[sym])]
+            else:
+                k, realized_seg = repairs[sym]
+                realized = fetched[(sym, realized_seg)]
+                for seg_id in order[k:]:
+                    if not realized["buffer"]:
+                        # back on the healthy chain: the phase-1 state's
+                        # CONTENT matters only when this segment is
+                        # final (books feed the output) or its exit
+                        # buffer is non-empty (it feeds the next
+                        # refold) — anything else is a pass-through
+                        # whose emptiness buffer_n already proves
+                        if segs[seg_id] == 0 and seg_id != order[-1]:
+                            realized = {"buffer": []}
+                            continue
+                        realized = _fetch_states([(sym, seg_id)])[
+                            (sym, seg_id)
+                        ]
+                        continue
+                    # a non-empty buffer crosses this boundary: refold
+                    # just this segment with the realized entry buffer
+                    pdf = (
+                        tagged.where(
+                            (F.col("symbol").eqNullSafe(F.lit(sym)))
+                            & (F.col("seg") == seg_id)
+                        )
+                        .drop("seg")
+                        .toPandas()
                     )
-                    .drop("seg")
-                    .toPandas()
-                )
-                st = dict(_EMPTY, buffer=list(realized["buffer"]))
-                _fold_batch(sym, st, pdf)
-                realized = json.loads(json.dumps(st, default=str))
+                    st = dict(_EMPTY, buffer=list(realized["buffer"]))
+                    _fold_batch(sym, st, pdf)
+                    realized = json.loads(json.dumps(st, default=str))
             final_rows.append(
                 (
                     sym,
@@ -763,6 +838,7 @@ def replay_book_segmented(depth_events: DataFrame):
             )
     finally:
         tagged.unpersist()
+        phase1.unpersist()
 
     spark = depth_events.sparkSession
     return spark.createDataFrame(

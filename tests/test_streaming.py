@@ -1394,6 +1394,49 @@ def test_replay_segmented_repairs_buffer_crossing_boundary(spark):
     assert got["buffered_count"] == len(want["buffer"])
 
 
+def test_replay_segmented_repair_then_passthrough_chain(spark):
+    """Repair followed by a run of healthy empty-buffer segments before
+    the final one — exercises the chain walk's lazy pass-through refs
+    (phase-1 state content is fetched only for the FINAL segment and
+    the repair's entry state, never for in-between healthy segments)."""
+    from crypto_datalake_spark.streaming.orderbook import (
+        replay_book_segmented,
+    )
+
+    rows = [
+        # segment 1: snapshot@100, a pu-gap delta desyncs, one buffers
+        ("BTC", _t(1), "snapshot", None, 100, None,
+         json.dumps([[99.0, 1.0]]), json.dumps([[101.0, 1.0]])),
+        ("BTC", _t(2), "delta", 150, 160, 149,
+         json.dumps([[99.5, 9.0]]), json.dumps([])),
+        ("BTC", _t(3), "delta", 198, 205, None,
+         json.dumps([[97.0, 7.0]]), json.dumps([])),
+        # segment 2: snapshot@200 must REFOLD with the crossed buffer
+        ("BTC", _t(4), "snapshot", None, 200, None,
+         json.dumps([[98.0, 5.0]]), json.dumps([[103.0, 5.0]])),
+        # segments 3 and 4: healthy pass-throughs (empty exit buffers)
+        ("BTC", _t(5), "snapshot", None, 300, None,
+         json.dumps([[96.0, 2.0]]), json.dumps([[105.0, 2.0]])),
+        ("BTC", _t(6), "snapshot", None, 400, None,
+         json.dumps([[95.0, 3.0]]), json.dumps([[106.0, 3.0]])),
+        # segment 5: final snapshot + one chained delta
+        ("BTC", _t(7), "snapshot", None, 500, None,
+         json.dumps([[94.0, 4.0]]), json.dumps([[107.0, 4.0]])),
+        ("BTC", _t(8), "delta", 501, 505, 500,
+         json.dumps([[94.5, 1.5]]), json.dumps([])),
+    ]
+    got = _seg_state(
+        replay_book_segmented(_depth_rows(spark, rows)), "BTC"
+    )
+    want = _fold_whole("BTC", rows)
+    assert want["synced"] and want["bids"].get("94.5") == 1.5
+    assert got["synced"] == want["synced"]
+    assert got["last_u"] == want["last_u"] == 505
+    assert json.loads(got["bids"]) == want["bids"]
+    assert json.loads(got["asks"]) == want["asks"]
+    assert got["buffered_count"] == len(want["buffer"]) == 0
+
+
 def test_replay_segmented_property_equivalence(spark):
     """Property sweep: the segment-parallel replay equals the sequential
     whole-history fold on random event stores — same generator family
