@@ -457,13 +457,20 @@ def replay_book_batch(depth_events: DataFrame) -> DataFrame:
 
     The scale path for recovery from an event store whose sequence
     integrity was validated on write (pu-chain continuous, snapshot
-    first): the final book is "last write per (symbol, side, price) at
-    or after the last snapshot, surviving qty > 0" — pure window
-    functions, fully distributed, no per-symbol sequential Python. The
-    stateful fold (``book_state_stream``) remains the general path (it
-    alone handles gaps, buffering, and bridge checks) and the streaming
-    twin; ``tests/test_streaming.py`` asserts this function matches the
-    fold on continuous input.
+    first), and whose replayed book never CROSSES mid-stream (true for
+    any real exchange feed — the matching engine clears crossed
+    orders; on a crossing the fold desyncs and buffers everything
+    after, while last-write-per-level keeps applying, so content
+    diverges — pinned by
+    test_declarative_replay_crossed_store_is_out_of_contract): the
+    final book is "last write per (symbol, side, price) at or after
+    the last snapshot, surviving qty > 0" — pure window functions,
+    fully distributed, no per-symbol sequential Python. The stateful
+    fold (``book_state_stream``) remains the general path (it alone
+    handles gaps, buffering, bridge checks, and crossed data) and the
+    streaming twin; ``tests/test_streaming.py`` asserts this function
+    matches the fold on continuous input, directly and by property
+    sweep over random contract-shaped stores.
 
     Emits the same shape as the fold's batch mode: one row per observed
     (symbol, minute) carrying the final-state metrics; symbols with no
