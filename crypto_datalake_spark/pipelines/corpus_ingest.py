@@ -241,7 +241,10 @@ def compact_bloom(spark: SparkSession, bloom_path: str) -> int:
     recreated store.  Crash recovery on the next call: a missing store
     with an aside restores the aside; an aside left beside a LIVE store
     folds its files back in (superset-safe duplicates) instead of being
-    deleted — no crash point or interleaved append loses bits.  All
+    deleted — no crash point or interleaved append loses bits.  Every
+    fold VERIFIES each file landed in the store before any source dir
+    is deleted; a shortfall keeps the aside (the only copy of those
+    bits) and raises instead of silently dropping it.  All
     filesystem steps go through the Hadoop FileSystem (txn._fs), so the
     same code serves local, HDFS, and object-store paths, and the
     name-prefix listing sweep needs no glob (metachar-proof).  Returns
@@ -256,9 +259,15 @@ def compact_bloom(spark: SparkSession, bloom_path: str) -> int:
     name = base_p.getName()
     parent = base_p.getParent()
 
-    def _fold_files_into_base(src_dir) -> None:
+    def _fold_files_into_base(src_dir) -> bool:
         # parquet part names carry write-uuids, so collisions are
-        # practically impossible; skip-if-exists guards regardless
+        # practically impossible; skip-if-exists guards regardless.
+        # Returns True only when EVERY file verifiably landed in base —
+        # rename return values are not trusted blindly, because a fold
+        # whose moves silently failed must never license deleting the
+        # source dir (the only copy of those Bloom bits: a dropped bit
+        # is a permanent silent false-accept)
+        ok = True
         for st in fs.listStatus(src_dir):
             fn = st.getPath().getName()
             if not fn.endswith(".parquet"):
@@ -266,6 +275,9 @@ def compact_bloom(spark: SparkSession, bloom_path: str) -> int:
             dst = hpath(f"{base}/{fn}")
             if not fs.exists(dst):
                 fs.rename(st.getPath(), dst)
+            if not fs.exists(dst):
+                ok = False
+        return ok
 
     retired, compact_tmps = [], []
     if parent is not None and fs.exists(parent):
@@ -278,13 +290,20 @@ def compact_bloom(spark: SparkSession, bloom_path: str) -> int:
     retired.sort(key=lambda p: p.getName())
     if retired and not fs.exists(base_p):
         # crash between the two renames: the aside IS the full store
-        fs.rename(retired.pop(0), base_p)
+        restored = retired.pop(0)
+        if not fs.rename(restored, base_p) and not fs.exists(base_p):
+            raise IOError(
+                f"compact_bloom: restoring aside {restored} failed — "
+                "store left missing, aside retained"
+            )
     for p in retired:
         # an aside beside a live store may hold appends the swap window
         # parked there — fold them back (duplicate bits are safe, lost
-        # bits are not), then drop the dir
-        if fs.exists(base_p):
-            _fold_files_into_base(p)
+        # bits are not), then drop the dir; a fold that did not fully
+        # land keeps its aside for the next call instead of deleting
+        # the only copy of those bits
+        if not fs.exists(base_p) or not _fold_files_into_base(p):
+            continue
         fs.delete(p, True)
     for p in compact_tmps:
         fs.delete(p, True)  # never swapped in: derived content only
@@ -310,15 +329,34 @@ def compact_bloom(spark: SparkSession, bloom_path: str) -> int:
     if not fs.rename(base_p, aside_p):
         raise IOError(f"compact_bloom: rename {base} aside failed")
 
-    def _fold_aside_appends() -> None:
+    def _fold_aside_appends() -> bool:
         # preserve any append that landed after the snapshot (it moved
-        # with the aside): fold those files into the compacted store
+        # with the aside): fold those files into the compacted store.
+        # Returns True only when every such file verifiably landed.
+        ok = True
         for st in fs.listStatus(aside_p):
             fn = st.getPath().getName()
             if fn not in snapshot and fn.endswith(".parquet"):
                 dst = hpath(f"{base}/{fn}")
                 if not fs.exists(dst):
                     fs.rename(st.getPath(), dst)
+                if not fs.exists(dst):
+                    ok = False
+        return ok
+
+    def _drop_aside_after(*folds_ok: bool) -> None:
+        # the aside is the ONLY copy of every pre-compaction bit until
+        # the folds land — delete it only on verified success; on any
+        # shortfall keep it and surface the failure (the next call's
+        # recovery folds a retained aside back in, so nothing is lost,
+        # while deleting here would be the silent false-accept hole)
+        if all(folds_ok):
+            fs.delete(aside_p, True)
+            return
+        raise IOError(
+            f"compact_bloom: fold into {base} incomplete — aside "
+            f"{aside_p} retained for next-call recovery"
+        )
 
     def _degraded_fold() -> None:
         # an ingest append landed in the swap window and RECREATED the
@@ -331,23 +369,34 @@ def compact_bloom(spark: SparkSession, bloom_path: str) -> int:
         # appends; the recreated base already holds the in-window ones.
         if not fs.exists(base_p):
             fs.mkdirs(base_p)
-        _fold_files_into_base(tmp_p)
-        _fold_aside_appends()
-        fs.delete(tmp_p, True)
-        fs.delete(aside_p, True)
+        tmp_ok = _fold_files_into_base(tmp_p)
+        aside_ok = _fold_aside_appends()
+        if tmp_ok:
+            # tmp is DERIVED from the snapshot (which the aside still
+            # holds), so an unfolded tmp is safe to leave for the
+            # next call's orphan sweep — but never delete it unfolded
+            # while also dropping the aside
+            fs.delete(tmp_p, True)
+        _drop_aside_after(tmp_ok, aside_ok)
 
     if fs.exists(base_p) or not fs.rename(tmp_p, base_p):
         _degraded_fold()
         return merged.count()
     nested = hpath(f"{base}/{tmp_p.getName()}")
+    nested_ok = True
     if fs.exists(nested) and fs.getFileStatus(nested).isDirectory():
         # HDFS renames onto an existing dir by nesting src INSIDE dst:
         # an append recreated base between the exists check and the
         # rename.  Un-nest the compacted files so they stay readable.
-        _fold_files_into_base(nested)
-        fs.delete(nested, True)
-    _fold_aside_appends()
-    fs.delete(aside_p, True)
+        nested_ok = _fold_files_into_base(nested)
+        if nested_ok:
+            fs.delete(nested, True)
+        else:
+            # move the unreadable nest back OUT to a __compact_ orphan
+            # so the store dir stays clean; the aside (kept below)
+            # still holds every original bit
+            fs.rename(nested, tmp_p)
+    _drop_aside_after(nested_ok, _fold_aside_appends())
     return merged.count()
 
 

@@ -750,18 +750,29 @@ def replay_book_segmented(depth_events: DataFrame):
 
     def _fetch_states(pairs: list) -> dict:
         """Full phase-1 states for the given (symbol, seg) pairs — one
-        filtered job over the cached phase-1 frame."""
+        broadcast-semi-join job over the cached phase-1 frame.  A
+        per-pair OR chain would build an O(|symbols|)-deep Catalyst
+        boolean tree (quadratic analysis, driver stack overflow at a
+        few thousand symbols); the join keeps the predicate flat at
+        any fleet size."""
         if not pairs:
             return {}
-        cond = None
-        for sym, seg_id in pairs:
-            c = F.col("symbol").eqNullSafe(F.lit(sym)) & (
-                F.col("seg") == seg_id
-            )
-            cond = c if cond is None else (cond | c)
+        spark = depth_events.sparkSession
+        want = spark.createDataFrame(
+            [(s, int(g)) for s, g in pairs], "symbol string, seg long"
+        )
         return {
             (r["symbol"], r["seg"]): json.loads(r["state"])
-            for r in phase1.where(cond).select("symbol", "seg", "state").collect()
+            for r in phase1.join(
+                F.broadcast(want),
+                on=[
+                    phase1["symbol"].eqNullSafe(want["symbol"]),
+                    phase1["seg"] == want["seg"],
+                ],
+                how="leftsemi",
+            )
+            .select("symbol", "seg", "state")
+            .collect()
         }
 
     # the walk below materializes `tagged` only if a repair fires —

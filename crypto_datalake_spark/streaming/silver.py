@@ -137,42 +137,37 @@ def foreach_batch_upsert_maintained(
         gid = txn.write_generation(state, view_path, [])
         txn.commit_manifest(spark, view_path, {txn.ROOT_PART: gid}, **extra)
 
-    def _base_frame(head: int) -> DataFrame:
-        """The base table as of ``head`` — including the EMPTIED case
-        (a manifest committed with no partitions, e.g. after an external
-        purge): the view must recompute to empty rather than crash on
-        read_table's None, so the zero-row frame is built from the
-        manifest's recorded schema."""
-        df = txn.read_table(spark, path, at_version=head)
+    def _frame_or_empty(df: DataFrame | None, manifest: dict, what: str):
+        """``read_table`` result, or a zero-row frame rebuilt from the
+        manifest's recorded ``table_schema`` when the table is EMPTY
+        ({} partition map).  Both the base (externally purged) and the
+        view (committed empty after a purge) hit this: handing
+        read_table's None onward would crash every restart — the
+        streaming query crash-loops because ``view_of`` never
+        advances."""
         if df is not None:
             return df
-        st = txn._manifest_struct(txn._manifest_at(spark, path, head))
+        st = txn._manifest_struct(manifest)
         if st is None:  # pre-schema manifest AND no partitions
             raise ValueError(
-                f"{path} v{head} is empty and records no table schema — "
-                "cannot materialize an empty view shape"
+                f"{what} is empty and records no table schema — "
+                "cannot materialize an empty frame shape"
             )
         return spark.createDataFrame([], st)
 
+    def _base_frame(head: int) -> DataFrame:
+        return _frame_or_empty(
+            txn.read_table(spark, path, at_version=head),
+            txn._manifest_at(spark, path, head),
+            f"{path} v{head}",
+        )
+
     def _view_frame(vm: dict) -> DataFrame:
-        """The committed view state — including the EMPTY case (a view
-        committed with ``{}`` partitions after its base was purged):
-        ``read_table`` returns None there, and handing None to
-        ``apply_delta`` would raise on every restart (the streaming
-        query crash-loops because ``view_of`` never advances).  The
-        zero-row state frame is rebuilt from the view manifest's own
-        recorded ``table_schema`` — `_commit_view` always records it,
-        even for empty commits."""
-        df = txn.read_table(spark, view_path)
-        if df is not None:
-            return df
-        st = txn._manifest_struct(vm)
-        if st is None:
-            raise ValueError(
-                f"{view_path} v{vm['version']} is empty and records no "
-                "table schema — cannot materialize the view state shape"
-            )
-        return spark.createDataFrame([], st)
+        # `_commit_view` always records table_schema, even for empty commits
+        return _frame_or_empty(
+            txn.read_table(spark, view_path), vm,
+            f"{view_path} v{vm['version']}",
+        )
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         base_sink(batch_df, batch_id)
