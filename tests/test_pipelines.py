@@ -1930,3 +1930,88 @@ def test_compact_bloom_interleaved_append_after_exists_check(
         not os.path.isdir(os.path.join(bloom_path, p))
         for p in os.listdir(bloom_path)
     )
+
+
+class _FailRenamesInto:
+    """Hadoop-FS proxy failing every rename whose destination is the
+    store dir or a file inside it — simulates a transient object-store
+    rename failure during the swap/fold; everything else delegates."""
+
+    def __init__(self, real, base_name):
+        self._real = real
+        self._bn = base_name
+
+    def rename(self, src, dst):
+        d = str(dst).rstrip("/")
+        if d.endswith(self._bn) or f"/{self._bn}/" in d:
+            return False
+        return self._real.rename(src, dst)
+
+    def __getattr__(self, name):
+        return getattr(self._real, name)
+
+
+def test_compact_bloom_failed_fold_keeps_aside_and_recovers(
+    spark, tmp_path, monkeypatch
+):
+    """Review regression: when the swap's folds into the store FAIL
+    (rename returns False — transient HDFS/object-store error), the
+    aside holding every pre-compaction bit must be KEPT and the failure
+    surfaced, never deleted on an unverified fold (that was a permanent
+    silent false-accept hole); the next clean call's recovery folds the
+    aside back in with no bit lost."""
+    import os
+
+    from crypto_datalake_spark import txn as txn_mod
+    from crypto_datalake_spark.pipelines.corpus_ingest import (
+        _read_store,
+        compact_bloom,
+        default_bloom_path,
+        ingest_batch,
+    )
+
+    corpus = str(tmp_path / "corpus")
+    audit = str(tmp_path / "audit")
+    bloom_path = default_bloom_path(corpus)
+    ingest_batch(
+        spark,
+        spark.createDataFrame(
+            [(i, " ".join(f"f{i}x{j}" for j in range(20))) for i in range(3)],
+            "doc_id long, text string",
+        ),
+        corpus, audit, 0,
+    )
+
+    def bits():
+        return {
+            r["word_idx"]: r["bits"]
+            for r in _read_store(
+                spark, bloom_path, ["word_idx", "bits"],
+                "word_idx long, bits long",
+            ).groupBy("word_idx").agg(F.expr("bit_or(bits)").alias("bits"))
+            .collect()
+        }
+
+    before = bits()
+    bname = os.path.basename(bloom_path.rstrip("/"))
+    real_fs = txn_mod._fs
+
+    def fake_fs(spark_, path):
+        jvm, fs, p = real_fs(spark_, path)
+        return jvm, _FailRenamesInto(fs, bname), p
+
+    monkeypatch.setattr(txn_mod, "_fs", fake_fs)
+    with pytest.raises(IOError):
+        compact_bloom(spark, bloom_path)
+    monkeypatch.undo()
+
+    parent = os.path.dirname(bloom_path.rstrip("/"))
+    assert any("__retired_" in p for p in os.listdir(parent)), (
+        "aside must survive a failed fold"
+    )
+    # clean retry: recovery folds the retained aside back in, then
+    # compacts — full membership restored, no strays left behind
+    assert compact_bloom(spark, bloom_path) > 0
+    assert bits() == before
+    assert [p for p in os.listdir(parent)
+            if "__retired_" in p or "__compact_" in p] == []
