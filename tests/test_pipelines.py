@@ -2015,3 +2015,77 @@ def test_compact_bloom_failed_fold_keeps_aside_and_recovers(
     assert bits() == before
     assert [p for p in os.listdir(parent)
             if "__retired_" in p or "__compact_" in p] == []
+
+
+def test_incremental_update_property_converges_to_full_aggregate(
+    spark, tmp_path
+):
+    """Property sweep of the late-repair contract: evolve a minute lake
+    by random appends plus random MUTATIONS of minutes still inside the
+    repair lookback, running incremental_update after every step — the
+    materialized HTF lake must equal a one-shot full aggregation of the
+    final minute state (complete buckets only).  Mutations beyond the
+    lookback are out of contract (documented: recomputing recent
+    buckets IS the repair mechanism), so the generator never emits
+    them."""
+    import uuid
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from crypto_datalake_spark.pipelines.htf_aggregator import (
+        aggregate_minutes,
+        incremental_update,
+    )
+
+    TF = "3m"
+    LOOKBACK = 6  # minutes; d <= LOOKBACK back from head stays in contract
+
+    step = st.tuples(
+        st.integers(1, 3),                          # minutes appended
+        st.lists(                                   # (offset-back, new high)
+            st.tuples(st.integers(0, LOOKBACK),
+                      st.sampled_from([3.25, 50.0, 777.0, 1234.5])),
+            max_size=2,
+        ),
+    )
+
+    @settings(deadline=None, max_examples=6)
+    @given(steps=st.lists(step, min_size=1, max_size=4))
+    def run(steps):
+        path = str(tmp_path / f"htf_prop_{uuid.uuid4().hex[:8]}")
+        highs: list[float] = []
+        for n_new, mutations in steps:
+            for _ in range(n_new):
+                highs.append(110.0 + len(highs))
+            for d, new_high in mutations:
+                idx = len(highs) - 1 - d
+                if idx >= 0:
+                    highs[idx] = new_high
+            frame = _minute_frame(
+                spark,
+                [_minute_row(_ts(i), high=h) for i, h in enumerate(highs)],
+            )
+            incremental_update(
+                spark, frame, path, TF, repair_lookback_minutes=LOOKBACK
+            )
+
+        final = _minute_frame(
+            spark, [_minute_row(_ts(i), high=h) for i, h in enumerate(highs)]
+        )
+        cols = ["bucket_start", "open", "high", "low", "close",
+                "observed_minutes"]
+        want = {
+            r["bucket_start"]: tuple(r[c] for c in cols)
+            for r in aggregate_minutes(final, TF)
+            .where(F.col("bucket_complete")).select(*cols).collect()
+        }
+        try:
+            lake = spark.read.parquet(path).select(*cols).collect()
+        except Exception:
+            # no complete bucket was ever written -> no lake dir at all
+            lake = []
+        got = {r["bucket_start"]: tuple(r[c] for c in cols) for r in lake}
+        assert got == want, steps
+
+    run()

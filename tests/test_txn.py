@@ -1435,3 +1435,70 @@ def test_txn_random_ops_match_model_property(spark, tmp_path):
                 _check()
 
     run()
+
+
+def test_atomic_merge_into_property_matches_dict_model(spark, tmp_path):
+    """Model-based sweep of the full MERGE clause set: random batches
+    with random insert / update-condition / delete-condition modes
+    against a plain-Python dict model of Delta MERGE semantics (delete
+    first, then conditional update, then not-matched insert; key moves
+    carry the row to its new partition).  The committed table must
+    match the model after every step."""
+    import uuid
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    row = st.tuples(
+        st.integers(0, 5),    # k (small pool: forces matches + moves)
+        st.integers(0, 2),    # part
+        st.integers(-5, 10),  # v (negatives can trigger delete)
+    )
+    step = st.tuples(
+        st.lists(row, min_size=1, max_size=5),
+        st.booleans(),  # insert
+        st.booleans(),  # use update_condition: s_v > t_v
+        st.booleans(),  # use delete_condition: s_v < 0
+    )
+
+    @settings(deadline=None, max_examples=6)
+    @given(steps=st.lists(step, min_size=1, max_size=4))
+    def run(steps):
+        path = str(tmp_path / f"merge_prop_{uuid.uuid4().hex[:8]}")
+        model: dict = {}
+        for rows, insert, use_upd, use_del in steps:
+            batch = {}
+            for k, part, v in rows:  # MERGE requires unique source keys
+                batch[k] = (part, v)
+            src = spark.createDataFrame(
+                [(k, p, v) for k, (p, v) in batch.items()],
+                "k long, part long, v long",
+            )
+            txn.atomic_merge_into(
+                spark, src, path, on=["k"], partition_cols=["part"],
+                insert=insert,
+                update_condition=(
+                    F.col("s_v") > F.col("t_v") if use_upd else None
+                ),
+                delete_condition=(
+                    F.col("s_v") < 0 if use_del else None
+                ),
+            )
+            for k, (part, v) in batch.items():
+                if k in model:
+                    if use_del and v < 0:
+                        del model[k]
+                        continue
+                    if (not use_upd) or v > model[k][1]:
+                        model[k] = (part, v)
+                elif insert:
+                    model[k] = (part, v)
+            t = txn.read_table(spark, path)
+            got = (
+                {}
+                if t is None
+                else {r["k"]: (r["part"], r["v"]) for r in t.collect()}
+            )
+            assert got == model, (steps, got, model)
+
+    run()
