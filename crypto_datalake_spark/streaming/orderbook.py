@@ -630,6 +630,52 @@ def replay_book_batch(depth_events: DataFrame) -> DataFrame:
     return out
 
 
+def _tag_segments(depth_events: DataFrame) -> DataFrame:
+    """Tag every depth event with its segment id — WITHOUT a
+    ``Window.partitionBy("symbol")`` running sum, which would sort each
+    symbol's whole event history in one task (the same few-hot-symbols
+    skew ``replay_book_batch`` documents).  A segment starts at a
+    snapshot WITH a lastUpdateId (only those reset the book — a null-id
+    snapshot merely desyncs, keeping last_u and the stale book, so it
+    cannot anchor an independent fold), and snapshots are RARE by
+    construction (periodic REST fetches vs per-update deltas), so the
+    per-symbol sorted snapshot-key arrays are a tiny broadcast and
+    seg = |keys ≤ this event's key| is a map-side expression — fully
+    parallel over the event scan (plan-pinned windowless/broadcast by
+    ``test_scale_plans.py``)."""
+    from pyspark.sql import functions as F
+
+    sort_key = F.struct(
+        F.col("event_time").alias("t"),
+        (F.col("kind") != "snapshot").alias("d"),
+        F.coalesce(F.col("final_update_id"), F.lit(0)).alias("u"),
+    )
+    snap_keys = (
+        depth_events.where(
+            (F.col("kind") == "snapshot")
+            & F.col("final_update_id").isNotNull()
+        )
+        .groupBy("symbol")
+        .agg(F.sort_array(F.collect_list(sort_key)).alias("__snap_keys"))
+    )
+    return (
+        depth_events.join(F.broadcast(snap_keys), "symbol", "left")
+        .withColumn(
+            "seg",
+            F.coalesce(
+                F.size(
+                    F.filter(
+                        F.col("__snap_keys"),
+                        lambda s: s <= sort_key,
+                    )
+                ),
+                F.lit(0),
+            ).cast("long"),
+        )
+        .drop("__snap_keys")
+    )
+
+
 def replay_book_segmented(depth_events: DataFrame):
     """Segment-parallel EXACT replay of the stateful fold over a batch
     event store — the 100x mitigation for the fold's serial-within-a-
@@ -682,45 +728,7 @@ def replay_book_segmented(depth_events: DataFrame):
         ]
     )
 
-    # Segment tagging WITHOUT a Window.partitionBy("symbol") running sum
-    # — that would sort each symbol's whole event history in one task
-    # (the same few-hot-symbols skew replay_book_batch documents). A
-    # segment starts at a snapshot WITH a lastUpdateId (only those reset
-    # the book — a null-id snapshot merely desyncs, keeping last_u and
-    # the stale book, so it cannot anchor an independent fold), and
-    # snapshots are RARE by construction (periodic REST fetches vs
-    # per-update deltas), so the per-symbol sorted snapshot-key arrays
-    # are a tiny broadcast and seg = |keys ≤ this event's key| is a
-    # map-side expression — fully parallel over the event scan.
-    sort_key = F.struct(
-        F.col("event_time").alias("t"),
-        (F.col("kind") != "snapshot").alias("d"),
-        F.coalesce(F.col("final_update_id"), F.lit(0)).alias("u"),
-    )
-    snap_keys = (
-        depth_events.where(
-            (F.col("kind") == "snapshot")
-            & F.col("final_update_id").isNotNull()
-        )
-        .groupBy("symbol")
-        .agg(F.sort_array(F.collect_list(sort_key)).alias("__snap_keys"))
-    )
-    tagged = (
-        depth_events.join(F.broadcast(snap_keys), "symbol", "left")
-        .withColumn(
-            "seg",
-            F.coalesce(
-                F.size(
-                    F.filter(
-                        F.col("__snap_keys"),
-                        lambda s: s <= sort_key,
-                    )
-                ),
-                F.lit(0),
-            ).cast("long"),
-        )
-        .drop("__snap_keys")
-    )
+    tagged = _tag_segments(depth_events)
 
     def _fold_segment(pdf: pd.DataFrame) -> pd.DataFrame:
         sym = pdf["symbol"].iloc[0]
