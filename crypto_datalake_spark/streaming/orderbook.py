@@ -27,6 +27,7 @@ sequential per key and tiny per event.
 
 from __future__ import annotations
 
+import heapq
 import json
 from collections.abc import Iterator
 
@@ -91,13 +92,60 @@ _EMPTY = {"bids": {}, "asks": {}, "last_u": None, "synced": False, "buffer": []}
 MAX_BUFFERED_DELTAS = 10_000
 
 
-def _apply_levels(book_side: dict, levels: list) -> None:
+def _apply_levels(book_side: dict, levels: list, heap: list | None = None, neg: bool = False) -> None:
     for price, qty in levels:
-        key = f"{float(price):.10g}"
+        fp = float(price)
+        key = f"{fp:.10g}"
         if float(qty) <= 0:
             book_side.pop(key, None)
         else:
+            if heap is not None and key not in book_side:
+                # 2-element LISTS, not tuples: callers may round-trip the
+                # whole state through JSON (which turns tuples into
+                # lists), and heapq comparisons between a pushed tuple
+                # and a reloaded list would TypeError
+                heapq.heappush(heap, [(-fp if neg else fp), key])
             book_side[key] = float(qty)
+
+
+def _heap(st: dict, side: str, neg: bool) -> list:
+    """Lazy best-price heap for one book side (transient, never
+    serialized — see ``_state_blob``).  Invariant: every key present in
+    ``st[side]`` has at least one heap entry; deletions leave stale
+    entries that peek time pops (lazy deletion), so maintenance is
+    amortized O(log levels) per update."""
+    h = st.get("_h_" + side)
+    if h is None:
+        h = [[(-float(p) if neg else float(p)), p] for p in st[side]]
+        heapq.heapify(h)
+        st["_h_" + side] = h
+    return h
+
+
+def _crossed(st: dict) -> bool:
+    """bid >= ask cross test in amortized O(log levels).  The naive
+    ``max(map(float, bids)) >= min(map(float, asks))`` scan is O(book)
+    PER EVENT and dominated the batch-replay profile (the book grows to
+    hundreds of levels within a segment)."""
+    bids, asks = st["bids"], st["asks"]
+    if not (bids and asks):
+        return False
+    hb = _heap(st, "bids", neg=True)
+    while hb[0][1] not in bids:
+        heapq.heappop(hb)
+    ha = _heap(st, "asks", neg=False)
+    while ha[0][1] not in asks:
+        heapq.heappop(ha)
+    return -hb[0][0] >= ha[0][0]
+
+
+def _state_blob(st: dict) -> str:
+    """Serialize the book state for persistence/transfer.  Transient
+    ``_``-prefixed caches (the best-price heaps) are derived from the
+    book dicts and rebuilt lazily on first use — never serialized."""
+    return json.dumps(
+        {k: v for k, v in st.items() if not k.startswith("_")}, default=str
+    )
 
 
 def _apply_delta(st: dict, ev: dict) -> None:
@@ -174,16 +222,15 @@ def _apply_delta(st: dict, ev: dict) -> None:
             # silently corrupts the book while it reports synced
             st["synced"] = False
             return
-    _apply_levels(st["bids"], ev["bids"])
-    _apply_levels(st["asks"], ev["asks"])
+    _apply_levels(st["bids"], ev["bids"], _heap(st, "bids", neg=True), neg=True)
+    _apply_levels(st["asks"], ev["asks"], _heap(st, "asks", neg=False))
     st["last_u"] = ev["u"]
     # book-spread invariant after every apply (websocket.py:336-345 →
     # mark_degraded): a crossed book proves missed/corrupt state — keep
     # applying deltas to it and a later uncrossing delta would let
     # degraded=False rows flow from a book that was never resynced
-    if st["bids"] and st["asks"]:
-        if max(map(float, st["bids"])) >= min(map(float, st["asks"])):
-            st["synced"] = False
+    if _crossed(st):
+        st["synced"] = False
 
 
 def _sync_from_snapshot(st: dict, snap: dict) -> None:
@@ -200,6 +247,8 @@ def _sync_from_snapshot(st: dict, snap: dict) -> None:
         return
     st["bids"] = {}
     st["asks"] = {}
+    st.pop("_h_bids", None)  # heaps mirror the dicts just rebuilt
+    st.pop("_h_asks", None)
     _apply_levels(st["bids"], snap["bids"])
     _apply_levels(st["asks"], snap["asks"])
     st["last_u"] = last_id
@@ -223,11 +272,10 @@ def _sync_from_snapshot(st: dict, snap: dict) -> None:
         # corrupt data and must not serve synced rows.  With pending
         # deltas the validation happens after each apply instead —
         # same as the reference's apply_event path.
-        if st["bids"] and st["asks"]:
-            if max(map(float, st["bids"])) >= min(map(float, st["asks"])):
-                st["synced"] = False
-                st["buffer"] = []
-                return
+        if _crossed(st):
+            st["synced"] = False
+            st["buffer"] = []
+            return
         # no buffered delta to bridge with: the NEXT live delta must be
         # admitted by the bridge rule, not pu-continuity (_apply_delta)
         st["await_bridge"] = True
@@ -305,7 +353,7 @@ def _process(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[p
     # every chunk of the group, not each Arrow batch independently
     chunks = [pdf for pdf in pdfs if len(pdf)]
     out_rows = _fold_batch(symbol, st, pd.concat(chunks)) if chunks else []
-    state.update((json.dumps(st, default=str),))
+    state.update((_state_blob(st),))
     if out_rows:
         yield pd.DataFrame(out_rows)
 
@@ -356,20 +404,45 @@ def book_state_stream(depth_events: DataFrame) -> DataFrame:
 def _fold_batch(symbol: str, st: dict, pdf: pd.DataFrame) -> list[dict]:
     """Apply one micro-batch of depth events to ``st`` in place and return
     the per-minute metric rows — the shared core of both streaming
-    backends (and of batch replay via ``book_state_stream``)."""
-    events = []
-    for r in pdf.itertuples(index=False):
-        events.append(
-            dict(
-                event_time=r.event_time,
-                kind=r.kind,
-                U=None if pd.isna(r.first_update_id) else int(r.first_update_id),
-                u=None if pd.isna(r.final_update_id) else int(r.final_update_id),
-                pu=None if pd.isna(r.prev_final_update_id) else int(r.prev_final_update_id),
-                bids=json.loads(r.bids) if r.bids else [],
-                asks=json.loads(r.asks) if r.asks else [],
-            )
+    backends (and of batch replay via ``book_state_stream``).
+
+    Column prep is vectorized (one ``dt.floor``/``isna`` pass per
+    column, not per event): at batch-replay scale the per-event
+    ``Timestamp.floor`` and ``pd.isna`` calls were ~half the fold's
+    profile."""
+    if not len(pdf):
+        return []
+
+    def _ids(col: str) -> list:
+        s = pdf[col]
+        return [
+            None if isna else int(v)
+            for v, isna in zip(s.tolist(), s.isna().tolist())
+        ]
+
+    minutes = pdf["event_time"].dt.floor("min").tolist()
+    events = [
+        dict(
+            event_time=t,
+            minute=m,
+            kind=k,
+            U=uu,
+            u=u,
+            pu=pu,
+            bids=json.loads(b) if b else [],
+            asks=json.loads(a) if a else [],
         )
+        for t, m, k, uu, u, pu, b, a in zip(
+            pdf["event_time"].tolist(),
+            minutes,
+            pdf["kind"].tolist(),
+            _ids("first_update_id"),
+            _ids("final_update_id"),
+            _ids("prev_final_update_id"),
+            pdf["bids"].tolist(),
+            pdf["asks"].tolist(),
+        )
+    ]
     events.sort(key=lambda e: (e["event_time"], -1 if e["kind"] == "snapshot" else e["u"] or 0))
 
     touched_minutes: dict = {}
@@ -382,8 +455,7 @@ def _fold_batch(symbol: str, st: dict, pdf: pd.DataFrame) -> list[dict]:
             st["buffer"].append(ev)  # buffer-until-snapshot
             if len(st["buffer"]) > MAX_BUFFERED_DELTAS:  # bound per-key state
                 del st["buffer"][: len(st["buffer"]) - MAX_BUFFERED_DELTAS]
-        minute = ev["event_time"].floor("min")
-        touched_minutes[minute] = True
+        touched_minutes[ev["minute"]] = True
     if not touched_minutes:
         return []
     # every emitted minute reflects the post-batch state, so compute the
@@ -422,7 +494,7 @@ def _make_book_processor():
             )
             chunks = [pdf for pdf in rows if len(pdf)]
             out_rows = _fold_batch(symbol, st, pd.concat(chunks)) if chunks else []
-            self._book.update((json.dumps(st, default=str),))
+            self._book.update((_state_blob(st),))
             if out_rows:
                 yield pd.DataFrame(out_rows)
 
@@ -642,38 +714,106 @@ def _tag_segments(depth_events: DataFrame) -> DataFrame:
     per-symbol sorted snapshot-key arrays are a tiny broadcast and
     seg = |keys ≤ this event's key| is a map-side expression — fully
     parallel over the event scan (plan-pinned windowless/broadcast by
-    ``test_scale_plans.py``)."""
+    ``test_scale_plans.py``).
+
+    The lookup is a VECTORIZED BINARY SEARCH (``np.searchsorted``)
+    inside Arrow-batched ``mapInPandas`` — O(log snapshots) per event
+    with numpy constants.  Two pure-Catalyst forms were built and
+    measured first (sf1, 1M events, 500 snapshots/symbol): the original
+    ``size(filter(keys, s -> s <= key))`` costs O(events x snapshots)
+    INTERPRETED comparisons (higher-order array functions don't
+    codegen; ~7 s, 60% of the query), and an unrolled 31-step
+    element_at binary search costs O(steps) chained projections that
+    each re-materialize the row INCLUDING the multi-KB key array
+    (~6.7 s).  The searchsorted pass is ~0.5 s.  This query is
+    designed-Python in the registry audit already (the phase-1 fold),
+    and the tag keeps its data movement contract: map-side over the
+    scan, no shuffle, no Window.
+
+    Tie semantics match the original filter-count exactly: a delta at a
+    snapshot's timestamp sorts AFTER it (d=true > d=false), so every
+    tied key counts; a snapshot row counts tied keys by u (its own key
+    included — sorted u within equal t, bisect right).  Null fields are
+    normalized exactly like the struct key did (t -> -inf, kind null ->
+    delta, u -> 0)."""
+    import numpy as np
     from pyspark.sql import functions as F
 
-    sort_key = F.struct(
-        F.col("event_time").alias("t"),
-        (F.col("kind") != "snapshot").alias("d"),
-        F.coalesce(F.col("final_update_id"), F.lit(0)).alias("u"),
-    )
-    snap_keys = (
+    MIN_NS = np.iinfo("int64").min
+
+    def _t_ns(col) -> np.ndarray:
+        ts = pd.to_datetime(col)
+        out = ts.values.astype("datetime64[ns]").astype("int64")
+        return np.where(ts.isna().to_numpy(), MIN_NS, out)
+
+    # tiny per-symbol snapshot-key table: one column-pruned pass over
+    # the snapshot rows only, collected and broadcast — the same
+    # "snapshots are RARE" size contract the broadcast join relied on
+    snap_rows = (
         depth_events.where(
             (F.col("kind") == "snapshot")
             & F.col("final_update_id").isNotNull()
         )
-        .groupBy("symbol")
-        .agg(F.sort_array(F.collect_list(sort_key)).alias("__snap_keys"))
+        .select("symbol", "event_time", F.col("final_update_id").alias("u"))
+        .collect()
     )
-    return (
-        depth_events.join(F.broadcast(snap_keys), "symbol", "left")
-        .withColumn(
-            "seg",
-            F.coalesce(
-                F.size(
-                    F.filter(
-                        F.col("__snap_keys"),
-                        lambda s: s <= sort_key,
-                    )
-                ),
-                F.lit(0),
-            ).cast("long"),
+    keys: dict = {}
+    for r in snap_rows:
+        t = r["event_time"]
+        t_ns = MIN_NS if t is None else pd.Timestamp(t).value
+        keys.setdefault(r["symbol"], []).append((t_ns, int(r["u"])))
+    kmap = {
+        sym: (
+            np.array([t for t, _ in sorted(ks)], dtype="int64"),
+            np.array([u for _, u in sorted(ks)], dtype="int64"),
         )
-        .drop("__snap_keys")
+        for sym, ks in keys.items()
+    }
+    bc = depth_events.sparkSession.sparkContext.broadcast(kmap)
+    # fresh StructType — StructType.add MUTATES the df's cached schema
+    out_schema = StructType(
+        list(depth_events.schema.fields) + [StructField("seg", LongType())]
     )
+
+    def _tag(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        km = bc.value
+        for pdf in batches:
+            seg = np.zeros(len(pdf), dtype="int64")
+            if len(pdf):
+                t_ns = _t_ns(pdf["event_time"])
+                u_raw = pdf["final_update_id"]
+                u_norm = np.where(
+                    u_raw.isna().to_numpy(),
+                    0,
+                    u_raw.fillna(0).to_numpy().astype("int64"),
+                )
+                is_snap = (pdf["kind"] == "snapshot").to_numpy()  # null -> delta
+                # null-symbol rows keep seg 0 (the join form never
+                # matched them either); pandas groupby drops NaN keys
+                for sym, idx in pdf.groupby("symbol", sort=False).indices.items():
+                    ks = km.get(sym)
+                    if ks is None:
+                        continue
+                    ts_keys, u_keys = ks
+                    sub_t = t_ns[idx]
+                    sub_u = u_norm[idx]
+                    sub_snap = is_snap[idx]
+                    # deltas sort after every tied snapshot key: count
+                    # of keys <= event = upper_bound on t alone
+                    hi = np.searchsorted(ts_keys, sub_t, side="right")
+                    s = hi.copy()
+                    # snapshot rows (rare by contract): tied keys count
+                    # by u — u ascends within equal t in the sorted key
+                    # table, so the tie range bisects directly
+                    for j in np.flatnonzero(sub_snap):
+                        lo = np.searchsorted(ts_keys, sub_t[j], side="left")
+                        s[j] = lo + np.searchsorted(
+                            u_keys[lo : hi[j]], sub_u[j], side="right"
+                        )
+                    seg[idx] = s
+            yield pdf.assign(seg=seg)
+
+    return depth_events.mapInPandas(_tag, out_schema)
 
 
 def replay_book_segmented(depth_events: DataFrame):
@@ -738,7 +878,7 @@ def replay_book_segmented(depth_events: DataFrame):
         return pd.DataFrame(
             {"symbol": [sym], "seg": [seg],
              "buffer_n": [len(st["buffer"])],
-             "state": [json.dumps(st, default=str)]}
+             "state": [_state_blob(st)]}
         )
 
     # phase-1 states (books + buffers) stay DISTRIBUTED in the executor
@@ -851,7 +991,7 @@ def replay_book_segmented(depth_events: DataFrame):
                     )
                     st = dict(_EMPTY, buffer=list(realized["buffer"]))
                     _fold_batch(sym, st, pdf)
-                    realized = json.loads(json.dumps(st, default=str))
+                    realized = json.loads(_state_blob(st))
             final_rows.append(
                 (
                     sym,

@@ -313,18 +313,22 @@ def test_ann_ivf_pca_plan_is_broadcast_fold(spark, sf_dir):
 
 def test_segment_tagging_is_broadcast_map_side(spark, sf_dir):
     # the segmented replay's phase-1 input: seg ids must come from a
-    # broadcast of the tiny per-symbol snapshot-key arrays evaluated
+    # broadcast of the tiny per-symbol snapshot-key table evaluated
     # map-side over the event scan -- NEVER a per-symbol Window running
     # sum, which would sort each symbol's whole history in one task
-    # (few hot symbols = the whole store on a handful of cores)
+    # (few hot symbols = the whole store on a handful of cores).
+    # Since round 11 the lookup is a vectorized searchsorted inside
+    # mapInPandas (the interpreted higher-order-function filter was
+    # O(events x snapshots) and 60% of the query's sf1 wall-clock); the
+    # contract stays: the event side is never hash-shuffled and never
+    # windowed -- the tag is one map pass.
     from crypto_datalake_spark.queries.streaming_q import synth_depth_events
     from crypto_datalake_spark.streaming.orderbook import _tag_segments
 
     tagged = _tag_segments(synth_depth_events(spark, sf_dir))
     p = plan_text(tagged, "simple")
     assert "Window" not in p
-    assert "BroadcastHashJoin" in p or "BroadcastNestedLoopJoin" in p
-    # exactly ONE hash exchange: the per-symbol snapshot-key aggregate
-    # (over snapshot rows only, the broadcast side); the event side
-    # itself must reach the join unshuffled
-    assert p.count("Exchange hashpartitioning") == 1
+    assert "MapInPandas" in p
+    # the event side must reach the tag unshuffled (the snapshot-key
+    # table is a separate column-pruned collect, not a join)
+    assert "Exchange hashpartitioning" not in p
