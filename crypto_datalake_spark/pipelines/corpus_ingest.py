@@ -291,11 +291,21 @@ def compact_bloom(spark: SparkSession, bloom_path: str) -> int:
     if retired and not fs.exists(base_p):
         # crash between the two renames: the aside IS the full store
         restored = retired.pop(0)
-        if not fs.rename(restored, base_p) and not fs.exists(base_p):
-            raise IOError(
-                f"compact_bloom: restoring aside {restored} failed — "
-                "store left missing, aside retained"
-            )
+        if not fs.rename(restored, base_p):
+            if not fs.exists(base_p):
+                raise IOError(
+                    f"compact_bloom: restoring aside {restored} failed — "
+                    "store left missing, aside retained"
+                )
+            # a concurrent append recreated the store MID-restore, so
+            # the rename was refused and the aside still sits beside
+            # the live store: push it back onto the retired list so
+            # THIS call folds its bits in — leaving it for the next
+            # compact_bloom would make membership reads miss those
+            # bits in between.  (An FS that nested it INSIDE the store
+            # instead is handled by the nested-dir sweep below.)
+            if fs.exists(restored):
+                retired.insert(0, restored)
     for p in retired:
         # an aside beside a live store may hold appends the swap window
         # parked there — fold them back (duplicate bits are safe, lost
@@ -307,6 +317,21 @@ def compact_bloom(spark: SparkSession, bloom_path: str) -> int:
         fs.delete(p, True)
     for p in compact_tmps:
         fs.delete(p, True)  # never swapped in: derived content only
+    if fs.exists(base_p):
+        # a crashed/failed un-nest (below) — or an FS whose dir rename
+        # nests instead of refusing — can leave a partially-folded
+        # __compact_ or __retired_ dir INSIDE the store, where the
+        # parent-level orphan sweep above never looks: fold its files
+        # in (bit_or-duplicate-safe) and drop it; on an incomplete fold
+        # keep the nest for the next call rather than lose bits
+        for st in fs.listStatus(base_p):
+            nm = st.getPath().getName()
+            if (
+                nm.startswith(name + "__compact_")
+                or nm.startswith(name + "__retired_")
+            ) and st.isDirectory():
+                if _fold_files_into_base(st.getPath()):
+                    fs.delete(st.getPath(), True)
 
     if not fs.exists(base_p):
         return 0
@@ -394,8 +419,20 @@ def compact_bloom(spark: SparkSession, bloom_path: str) -> int:
         else:
             # move the unreadable nest back OUT to a __compact_ orphan
             # so the store dir stays clean; the aside (kept below)
-            # still holds every original bit
-            fs.rename(nested, tmp_p)
+            # still holds every original bit.  If this rename ALSO
+            # fails the nest is stuck inside the store — say so loudly:
+            # the next call's recovery sweeps nested __compact_ dirs
+            # (above), so it is cleaned up then, but the caller should
+            # know the store dir is dirty now
+            if not fs.rename(nested, tmp_p) and fs.exists(nested):
+                _fold_aside_appends()  # best-effort; aside keeps them anyway
+                raise IOError(
+                    f"compact_bloom: fold into {base} incomplete AND the "
+                    f"partially-folded nest {nested} is stuck inside the "
+                    f"store (rename out failed) — aside {aside_p} retained; "
+                    "next-call recovery folds the nested __compact_ dir "
+                    "back in"
+                )
     _drop_aside_after(nested_ok, _fold_aside_appends())
     return merged.count()
 

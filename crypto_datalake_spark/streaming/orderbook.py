@@ -816,6 +816,31 @@ def _tag_segments(depth_events: DataFrame) -> DataFrame:
     return depth_events.mapInPandas(_tag, out_schema)
 
 
+def _post_repair_prefetch(order: list, segs: dict, k: int) -> list:
+    """Segment ids whose FULL phase-1 state the repair walk will need
+    after a repair at chain position ``k``, assuming every refold exits
+    with an empty buffer (true unless the repair cascades — rare).
+    Walk simulation on exit-buffer sizes alone: the segment at ``k`` is
+    refolded in Python (no fetch); afterwards a phase-1-realized
+    segment's content is needed iff its exit buffer is non-empty (it
+    feeds the NEXT refold, which then needs no fetch itself) or it is
+    the final segment (books feed the output).  Lets the driver batch
+    ALL post-repair fetches into the one up-front ``_fetch_states``
+    job; per-segment fallback fetches remain only for true cascades."""
+    needs = []
+    refold_next = True  # order[k] itself is refolded, never fetched
+    for seg_id in order[k:]:
+        if refold_next:
+            refold_next = False
+            continue
+        if segs[seg_id] != 0:
+            needs.append(seg_id)
+            refold_next = True
+        elif seg_id == order[-1]:
+            needs.append(seg_id)
+    return needs
+
+
 def replay_book_segmented(depth_events: DataFrame):
     """Segment-parallel EXACT replay of the stateful fold over a batch
     event store — the 100x mitigation for the fold's serial-within-a-
@@ -849,10 +874,13 @@ def replay_book_segmented(depth_events: DataFrame):
     ``(symbol, seg, buffer_n)`` — the walk's realization decision needs
     nothing but exit-buffer EMPTINESS — and full states (books +
     buffers) are fetched from the persisted, executor-cached phase-1
-    frame in ONE batched job for the final realized segment per symbol,
-    plus one targeted job per repair boundary (zero on a healthy
-    stream).  Driver memory is O(segments) light rows + O(symbols)
-    final books, not O(total levels across all segments).
+    frame in ONE batched job covering every clean symbol's final
+    segment, every repair's entry state, AND the optimistically
+    simulated post-repair chain (``_post_repair_prefetch``); targeted
+    fallback jobs fire only when a refold CASCADES (exits with a
+    non-empty buffer, diverging the walk from the simulation) — zero
+    on a healthy stream.  Driver memory is O(segments) light rows +
+    O(symbols) final books, not O(total levels across all segments).
 
     Reference analogue: the sequential ``DepthOrderBook`` recovery walk
     (websocket.py:234-345); the segmentation is this engine's
@@ -932,10 +960,15 @@ def replay_book_segmented(depth_events: DataFrame):
         # alone until the first boundary a non-empty buffer crosses.
         # Clean symbols resolve to their LAST segment; repair symbols
         # record (repair position, the realized segment whose buffer
-        # must cross).  One batched fetch then serves every clean
-        # symbol's final book and every repair's entry state.
+        # must cross) plus the OPTIMISTIC post-repair needs (every
+        # phase-1 state the walk consumes if no refold cascades).  One
+        # batched fetch then serves every clean symbol's final book,
+        # every repair's entry state, and the post-repair chain —
+        # per-segment fallback jobs fire only on true cascades (a
+        # refold exiting with a non-empty buffer).
         clean: dict = {}   # sym -> final seg id
         repairs: dict = {}  # sym -> (index into order, realized seg id)
+        prefetch: list = []  # (sym, seg) pairs the repair walks will need
         for sym, segs in by_symbol.items():
             order = sorted(segs)
             realized_seg = order[0]
@@ -950,10 +983,15 @@ def replay_book_segmented(depth_events: DataFrame):
                 clean[sym] = plan[1]
             else:
                 repairs[sym] = (plan[1], plan[2])
+                prefetch.extend(
+                    (sym, seg_id)
+                    for seg_id in _post_repair_prefetch(order, segs, plan[1])
+                )
 
         fetched = _fetch_states(
             [(sym, seg_id) for sym, seg_id in clean.items()]
             + [(sym, seg_id) for sym, (_, seg_id) in repairs.items()]
+            + prefetch
         )
 
         final_rows = []
@@ -975,9 +1013,12 @@ def replay_book_segmented(depth_events: DataFrame):
                         if segs[seg_id] == 0 and seg_id != order[-1]:
                             realized = {"buffer": []}
                             continue
-                        realized = _fetch_states([(sym, seg_id)])[
-                            (sym, seg_id)
-                        ]
+                        # served by the batched up-front fetch unless a
+                        # cascade diverged the walk from the optimistic
+                        # plan — only then a targeted fallback job
+                        realized = fetched.get((sym, seg_id)) or _fetch_states(
+                            [(sym, seg_id)]
+                        )[(sym, seg_id)]
                         continue
                     # a non-empty buffer crosses this boundary: refold
                     # just this segment with the realized entry buffer

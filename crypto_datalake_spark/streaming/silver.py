@@ -137,17 +137,19 @@ def foreach_batch_upsert_maintained(
         gid = txn.write_generation(state, view_path, [])
         txn.commit_manifest(spark, view_path, {txn.ROOT_PART: gid}, **extra)
 
-    def _frame_or_empty(df: DataFrame | None, manifest: dict, what: str):
+    def _frame_or_empty(df: DataFrame | None, manifest_thunk, what: str):
         """``read_table`` result, or a zero-row frame rebuilt from the
         manifest's recorded ``table_schema`` when the table is EMPTY
         ({} partition map).  Both the base (externally purged) and the
         view (committed empty after a purge) hit this: handing
         read_table's None onward would crash every restart — the
         streaming query crash-loops because ``view_of`` never
-        advances."""
+        advances.  ``manifest_thunk`` is a zero-arg callable so the
+        COMMON tick (non-empty table) never pays the manifest read —
+        only the empty-frame path resolves it."""
         if df is not None:
             return df
-        st = txn._manifest_struct(manifest)
+        st = txn._manifest_struct(manifest_thunk())
         if st is None:  # pre-schema manifest AND no partitions
             raise ValueError(
                 f"{what} is empty and records no table schema — "
@@ -158,14 +160,14 @@ def foreach_batch_upsert_maintained(
     def _base_frame(head: int) -> DataFrame:
         return _frame_or_empty(
             txn.read_table(spark, path, at_version=head),
-            txn._manifest_at(spark, path, head),
+            lambda: txn._manifest_at(spark, path, head),
             f"{path} v{head}",
         )
 
     def _view_frame(vm: dict) -> DataFrame:
         # `_commit_view` always records table_schema, even for empty commits
         return _frame_or_empty(
-            txn.read_table(spark, view_path), vm,
+            txn.read_table(spark, view_path), lambda: vm,
             f"{view_path} v{vm['version']}",
         )
 

@@ -614,3 +614,41 @@ def test_maintained_view_random_ops_property(spark, tmp_path):
             assert _rows(got.select(*want.columns)) == _rows(want), ops
 
     run()
+
+
+def test_recompute_tick_reads_manifest_lazily(spark, tmp_path, monkeypatch):
+    """ADVICE r10: `_base_frame` used to resolve the manifest
+    unconditionally, so every full-recompute tick paid a SECOND
+    manifest read even when read_table returned a non-empty frame.
+    The manifest thunk must resolve only on the empty-table path:
+    a first tick over a non-empty table performs exactly the ONE
+    `_manifest_at` read that read_table(at_version=head) itself does."""
+    from crypto_datalake_spark.streaming.silver import (
+        foreach_batch_upsert_maintained,
+    )
+
+    path = str(tmp_path / "lake")
+    view = str(tmp_path / "view")
+    sink = foreach_batch_upsert_maintained(
+        spark, path, view,
+        keys=["sym", "ts"], order_cols=["ts"], partition_cols=["day"],
+        group_keys=KEYS, measures=MEAS,
+    )
+
+    calls = []
+    real = txn._manifest_at
+
+    def counting(spark_, table_path, version):
+        calls.append((table_path, version))
+        return real(spark_, table_path, version)
+
+    monkeypatch.setattr(txn, "_manifest_at", counting)
+    # first tick: vm is None -> full recompute via _base_frame(head)
+    sink(_df(spark, [("A", _T(0), 1.0, "d1"), ("B", _T(1), 2.0, "d2")]), 0)
+    monkeypatch.undo()
+
+    base_reads = [c for c in calls if c[0] == path]
+    assert len(base_reads) == 1, base_reads  # read_table's own, no extra
+
+    got = {r["sym"]: r for r in state_view(txn.read_table(spark, view), MEAS).collect()}
+    assert got["A"]["v_sum"] == 1.0 and got["B"]["v_sum"] == 2.0

@@ -2089,3 +2089,150 @@ def test_incremental_update_property_converges_to_full_aggregate(
         assert got == want, steps
 
     run()
+
+
+def test_compact_bloom_restore_race_folds_aside_same_call(
+    spark, tmp_path, monkeypatch
+):
+    """ADVICE r10: the crash-recovery restore can race a concurrent
+    append that recreates the store BETWEEN the exists check and the
+    restore rename — the rename is refused (base exists again) and the
+    popped aside used to be neither restored nor folded until the NEXT
+    compact_bloom call, so membership reads in between missed its bits.
+    The aside must be folded back into the live store in THIS call."""
+    import os
+
+    from crypto_datalake_spark import txn as txn_mod
+    from crypto_datalake_spark.pipelines.corpus_ingest import (
+        _read_store,
+        compact_bloom,
+        default_bloom_path,
+        ingest_batch,
+    )
+
+    corpus = str(tmp_path / "corpus")
+    audit = str(tmp_path / "audit")
+    bloom_path = default_bloom_path(corpus)
+    ingest_batch(
+        spark,
+        spark.createDataFrame(
+            [(i, " ".join(f"w{i}q{j}" for j in range(20))) for i in range(3)],
+            "doc_id long, text string",
+        ),
+        corpus, audit, 0,
+    )
+
+    def bits():
+        return {
+            r["word_idx"]: r["bits"]
+            for r in _read_store(
+                spark, bloom_path, ["word_idx", "bits"],
+                "word_idx long, bits long",
+            ).groupBy("word_idx").agg(F.expr("bit_or(bits)").alias("bits"))
+            .collect()
+        }
+
+    before = bits()
+    # crash window: store renamed aside, compacted tmp never swapped in
+    os.rename(bloom_path, bloom_path + "__retired_cafe0000")
+    base_name = os.path.basename(bloom_path.rstrip("/"))
+
+    def trigger(src, dst):
+        return (
+            "__retired_" in src.getName()
+            and str(dst).rstrip("/").endswith(base_name)
+        )
+
+    def on_trigger(real, src, dst):
+        _drop_race_parquet(bloom_path)  # append recreates base post-check
+        return real.rename(src, dst)    # refused: dst exists again
+
+    real_fs = txn_mod._fs
+
+    def fake_fs(spark_, path):
+        jvm, fs, p = real_fs(spark_, path)
+        return jvm, _RaceFS(fs, trigger, on_trigger), p
+
+    monkeypatch.setattr(txn_mod, "_fs", fake_fs)
+    n = compact_bloom(spark, bloom_path)
+    monkeypatch.undo()
+
+    assert n > 0
+    want = dict(before)
+    want[999_999] = 1 << 5                     # the racing append's bits
+    assert bits() == want                      # aside folded THIS call
+    parent = os.path.dirname(bloom_path.rstrip("/"))
+    assert [p for p in os.listdir(parent)
+            if "__retired_" in p or "__compact_" in p] == []
+    assert all(
+        not os.path.isdir(os.path.join(bloom_path, p))
+        for p in os.listdir(bloom_path)
+    )
+
+
+def test_compact_bloom_sweeps_nest_stuck_inside_store(spark, tmp_path):
+    """ADVICE r10: a failed un-nest can leave a partially-folded
+    __compact_ (or nested-rename __retired_) dir INSIDE the store dir,
+    which the parent-level orphan sweep never lists — it used to stay
+    there indefinitely, breaking/polluting store reads.  The next call
+    must fold its files in and remove it."""
+    import os
+    import shutil
+
+    from crypto_datalake_spark.pipelines.corpus_ingest import (
+        _read_store,
+        compact_bloom,
+        default_bloom_path,
+        ingest_batch,
+    )
+
+    corpus = str(tmp_path / "corpus")
+    audit = str(tmp_path / "audit")
+    bloom_path = default_bloom_path(corpus)
+    ingest_batch(
+        spark,
+        spark.createDataFrame(
+            [(i, " ".join(f"w{i}n{j}" for j in range(20))) for i in range(3)],
+            "doc_id long, text string",
+        ),
+        corpus, audit, 0,
+    )
+
+    def bits():
+        return {
+            r["word_idx"]: r["bits"]
+            for r in _read_store(
+                spark, bloom_path, ["word_idx", "bits"],
+                "word_idx long, bits long",
+            ).groupBy("word_idx").agg(F.expr("bit_or(bits)").alias("bits"))
+            .collect()
+        }
+
+    before = bits()
+    base_name = os.path.basename(bloom_path.rstrip("/"))
+    # simulate the stuck nest: a __compact_ dir INSIDE the store holding
+    # bits the flat store files do not have
+    nest = os.path.join(bloom_path, base_name + "__compact_5ca1ab1e")
+    os.makedirs(nest)
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pq.write_table(
+        pa.table({
+            "word_idx": pa.array([888_888], pa.int64()),
+            "bits": pa.array([1 << 9], pa.int64()),
+        }),
+        os.path.join(nest, "part-nested-bits.parquet"),
+    )
+
+    n = compact_bloom(spark, bloom_path)
+    assert n > 0
+    want = dict(before)
+    want[888_888] = 1 << 9                     # nested bits folded in
+    assert bits() == want
+    assert not os.path.exists(nest)            # nest swept
+    assert all(
+        not os.path.isdir(os.path.join(bloom_path, p))
+        for p in os.listdir(bloom_path)
+    )
+    shutil.rmtree(corpus, ignore_errors=True)

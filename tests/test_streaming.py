@@ -1609,3 +1609,33 @@ def test_replay_segmented_property_equivalence(spark):
         assert got["buffered_count"] == len(want["buffer"]), ops
 
     run()
+
+
+def test_post_repair_prefetch_plan():
+    """ADVICE r10: the repair walk used to issue one targeted fetch job
+    per post-repair segment whose content it needed, serially.  The
+    optimistic simulation must enumerate exactly those needs (assuming
+    refolds exit empty) so the driver batches them into the ONE
+    up-front fetch: a refolded segment is never fetched, a realized
+    segment is fetched iff its exit buffer feeds the next refold or it
+    is the final segment."""
+    from crypto_datalake_spark.streaming.orderbook import (
+        _post_repair_prefetch,
+    )
+
+    order = [1, 2, 3, 4, 5]
+    # repair at k=1 (seg 2 refolds); seg 3 realized with a crossing
+    # buffer (fetched, feeds seg 4's refold); seg 5 realized final
+    assert _post_repair_prefetch(order, {1: 1, 2: 0, 3: 2, 4: 0, 5: 0}, 1) == [3, 5]
+    # healthy tail: only the final segment's books are needed
+    assert _post_repair_prefetch([1, 2, 3], {1: 1, 2: 0, 3: 0}, 1) == [3]
+    # the refolded segment IS the final one: nothing to fetch (its
+    # state comes from the refold, not phase 1)
+    assert _post_repair_prefetch([1, 2], {1: 1, 2: 7}, 1) == []
+    # back-to-back crossings: every other segment refolds, the realized
+    # ones in between are all fetched
+    assert _post_repair_prefetch(
+        [1, 2, 3, 4, 5, 6], {1: 1, 2: 0, 3: 1, 4: 0, 5: 1, 6: 0}, 1
+    ) == [3, 5]
+    # repair at the LAST boundary
+    assert _post_repair_prefetch([1, 2, 3], {1: 0, 2: 3, 3: 0}, 2) == []
