@@ -114,6 +114,7 @@ BENCH_QUERIES = [
     "st2_streaming_minute_agg",
     "st3_orderbook_replay",
     "orderbook_segmented_replay",
+    "st11_session_windows",  # ST11 stateful sessionization (SQL oracle)
 ]
 
 

@@ -72,6 +72,138 @@ def st2_streaming_minute_agg(spark, sf_dir):
     return spark.table(name)
 
 
+def _session_gap_minutes(sf_dir: str) -> int:
+    """Session gap threshold scaled to the synthetic events table's
+    density (~sf x 1M events per sf=1 over 30 days, near-uniform): a
+    FIXED gap is degenerate at some sf — never splitting on dense data
+    (one giant session per user, zero deterministic closures) or always
+    splitting on sparse data.  ~0.6x the per-user median inter-event
+    gap keeps the split rate non-trivial at every test sf (165 min at
+    sf0.01, 16 at sf0.1, 2 at sf1)."""
+    import os
+    import re
+
+    m = re.search(r"sf([0-9.]+)", os.path.basename(os.path.normpath(sf_dir)))
+    try:
+        sf = float(m.group(1)) if m else 0.1
+    except ValueError:
+        sf = 0.1
+    return max(1, round(1.65 / sf))
+
+
+def _st11_sql(sf_dir: str) -> str:
+    gap = _session_gap_minutes(sf_dir)
+    return f"""
+    WITH ev AS (
+      SELECT event_id % 64 AS user_id, ts, event_id,
+             coalesce(value, 0.0) AS value
+      FROM events WHERE ts IS NOT NULL
+    ),
+    marked AS (
+      SELECT user_id, ts, value, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts > lag(ts) OVER w + INTERVAL {gap} MINUTE
+                  THEN 1 ELSE 0 END AS new_s
+      FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+      SELECT user_id, ts, value,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM marked
+    ),
+    agg AS (
+      SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+             CAST(count(*) AS BIGINT) AS n_events,
+             round(sum(value), 6) AS total_value
+      FROM sess GROUP BY user_id, sid
+    ),
+    umax AS (
+      SELECT event_id % 64 AS user_id, max(ts) AS mt
+      FROM events WHERE ts IS NOT NULL GROUP BY 1
+    )
+    SELECT a.user_id, a.session_start, a.session_end, a.n_events,
+           a.total_value
+    FROM agg a JOIN umax u USING (user_id)
+    WHERE u.mt > a.session_end + INTERVAL {gap} MINUTE
+    """
+
+
+@register(
+    "st11_session_windows",
+    sql=_st11_sql,
+    doc="ST11: per-user session windows from a REAL stateful streaming "
+    "query — file source, availableNow, applyInPandasWithState with "
+    "EventTimeTimeout (streaming.sessions.session_stream; ref: the "
+    "per-key stateful accumulators, websocket.py:400-520), memory "
+    "sink.  The comparison keeps only the DETERMINISTIC emissions: "
+    "sessions an in-data closure proved (a later event > gap after "
+    "session_end exists for the user) — whether the final watermark's "
+    "timer batch also flushed each user's LAST session is trigger-"
+    "timing-dependent, so those rows are excluded on BOTH sides.  The "
+    "oracle recomputes the same sessions as batch gaps-and-islands "
+    "SQL: stream/batch parity is the assertion, same as st2.  Scale: "
+    "state is O(1) per live user; the only exchange is the hash "
+    "partition on user_id any per-user operator needs.",
+)
+def st11_session_windows(spark, sf_dir):
+    from crypto_datalake_spark.streaming import session_stream
+
+    name = "st11_sessions_sink"
+    for q in spark.streams.active:
+        if q.name == name:
+            q.stop()
+    gap_min = _session_gap_minutes(sf_dir)
+    stream = (
+        spark.readStream.schema(_EVENTS_PHYSICAL)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir.rstrip("/"))
+        .withColumn("ts", F.expr(_LONG_TO_NTZ))
+        .where(F.col("ts").isNotNull())
+        .select(
+            F.pmod(F.col("event_id"), F.lit(64)).cast("long").alias("user_id"),
+            F.col("event_id"),
+            F.col("ts"),
+            F.coalesce(F.col("value"), F.lit(0.0)).alias("value"),
+        )
+    )
+    q = (
+        session_stream(stream, gap_minutes=gap_min, watermark="10 minutes")
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    sessions = spark.table(name)
+    # deterministic subset: keep sessions whose closure is proven by the
+    # DATA (a later event exists past the gap) — per-user max ts is a
+    # 64-row broadcast
+    ev = t(spark, sf_dir, "events")
+    umax = (
+        ev.where(F.col("ts").isNotNull())
+        .groupBy(
+            F.pmod(F.col("event_id"), F.lit(64)).cast("long").alias("user_id")
+        )
+        .agg(F.max("ts").alias("__mt"))
+    )
+    return (
+        sessions.join(F.broadcast(umax), "user_id")
+        .where(
+            F.col("__mt")
+            > F.col("session_end") + F.expr(f"INTERVAL {gap_min} MINUTES")
+        )
+        .select(
+            "user_id",
+            "session_start",
+            "session_end",
+            "n_events",
+            F.round("total_value", 6).alias("total_value"),
+        )
+    )
+
+
 def synth_depth_events(spark, sf_dir):
     """Deterministic continuous depth-event stream from the events table
     (snapshot first, then pu-chained deltas) — shared by the registered

@@ -52,24 +52,41 @@ def _us(ts: pd.Series) -> np.ndarray:
 
 
 def _session_pdf(user_id, start_us, last_us, n, total) -> pd.DataFrame:
-    # Int64 (nullable), not int64: a NULL-keyed group's closing/timeout
-    # emission must carry user_id NULL — pd.array([None], dtype="int64")
-    # raises TypeError in the executor and crash-loops the query on
-    # checkpoint replay
+    return _closed_sessions_pdf(user_id, [(start_us, last_us, n, total)])
+
+
+def _closed_sessions_pdf(user_id, sessions: list) -> pd.DataFrame:
+    """ONE frame for a batch of closed (start_us, last_us, n, total)
+    tuples — a frame per session made batch replay O(sessions) pandas
+    constructions (~100 µs each, the whole cost of a dense replay).
+
+    user_id is Int64 (nullable), not int64: a NULL-keyed group's
+    closing/timeout emission must carry user_id NULL —
+    ``pd.array([None], dtype="int64")`` raises TypeError in the
+    executor and crash-loops the query on checkpoint replay."""
     return pd.DataFrame(
         {
-            "user_id": pd.array([user_id], dtype="Int64"),
-            "session_start": np.array([start_us], dtype="datetime64[us]"),
-            "session_end": np.array([last_us], dtype="datetime64[us]"),
-            "n_events": pd.array([n], dtype="int64"),
-            "total_value": pd.array([float(total)], dtype="float64"),
+            "user_id": pd.array([user_id] * len(sessions), dtype="Int64"),
+            "session_start": np.array(
+                [s for s, _, _, _ in sessions], dtype="datetime64[us]"
+            ),
+            "session_end": np.array(
+                [e for _, e, _, _ in sessions], dtype="datetime64[us]"
+            ),
+            "n_events": pd.array(
+                [n for _, _, n, _ in sessions], dtype="int64"
+            ),
+            "total_value": pd.array(
+                [float(t) for _, _, _, t in sessions], dtype="float64"
+            ),
         }
     )
 
 
 def _fold_events(user_id, pdf: pd.DataFrame, start, last, n, total, gap_us):
-    """Fold sorted events into the open session; yields closed sessions and
-    returns the updated open-session tuple. Shared by both backends.
+    """Fold sorted events into the open session; returns the closed
+    sessions as (start_us, last_us, n, total) tuples plus the updated
+    open-session tuple. Shared by both backends.
 
     All arithmetic is in MICROSECONDS (matching `ops.gaps.sessionize` and
     the lake's µs timestamps) so sub-second excess over the gap breaks the
@@ -84,11 +101,11 @@ def _fold_events(user_id, pdf: pd.DataFrame, start, last, n, total, gap_us):
     ``start - gap`` still folds into the open session rather than
     reconstructing an already-missed earlier one — the same
     once-emitted-is-final caveat every watermark streaming agg has.)"""
-    closed = []
+    closed = []  # (start_us, last_us, n, total) tuples, emission order
     for t, v in zip(_us(pdf["ts"]), pdf["value"].astype("float64").to_numpy()):
         t = int(t)
         if last is not None and t - last > gap_us:
-            closed.append(_session_pdf(user_id, start, last, n, total))
+            closed.append((start, last, n, total))
             start, n, total = None, 0, 0.0
         start = t if start is None else min(start, t)
         last = t if last is None else max(last, t)
@@ -118,7 +135,8 @@ def _session_fn(gap_us: int):
         # GroupState timeouts are in epoch-ms; round the µs deadline UP so
         # the timer never fires before the gap has truly elapsed.
         state.setTimeoutTimestamp(-(-(open_sess[1] + gap_us) // 1000))
-        yield from closed
+        if closed:
+            yield _closed_sessions_pdf(user_id, closed)
 
     return fn
 
@@ -242,7 +260,8 @@ def _make_processor(gap_seconds: int):
                 self._handle.deleteTimer(old)
             # TWS timers are epoch-ms; round the µs deadline up.
             self._handle.registerTimer(-(-(open_sess[1] + self._gap_us) // 1000))
-            yield from closed
+            if closed:
+                yield _closed_sessions_pdf(user_id, closed)
 
         def handleExpiredTimer(self, key, timer_values, expired_timer_info):
             if self._sess.exists():

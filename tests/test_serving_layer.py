@@ -703,3 +703,68 @@ def test_cache_adversarial_put_property():
                         assert rows3 == expected, (seq, end, n)
 
     run()
+
+
+def test_cache_equal_end_serves_under_ttl_expiry_property():
+    """Extends test_cache_adversarial_put_property with a TICKING clock:
+    entries expire (recent tier at 15 s, stable tier at 21 600 s)
+    between arbitrary puts and equal-end/sub-window serves.  The one
+    combination the frozen-clock sweep cannot generate is an entry
+    going stale MID-sequence and later puts rebuilding the segment map
+    over it — the serve invariant must survive that too: any
+    exact/superset hit returns exactly what a fresh compute at that end
+    would, never rows bled across an expiry or a merge hole."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    bars = [(float(t), 1000.0 + t) for t in range(0, 120)]
+
+    def compute(end: float, n: int):
+        return [r for r in bars if r[0] <= end][-n:]
+
+    action = st.one_of(
+        st.tuples(st.just("put"), st.integers(0, 119), st.integers(1, 8)),
+        st.tuples(st.just("get"), st.integers(0, 119), st.integers(1, 8)),
+        # 10 s: no expiry; 16 s: recent-tier expiry; 22 000 s: expires
+        # even entries the advancing clock promoted to the stable tier
+        st.tuples(
+            st.just("tick"),
+            st.sampled_from([10.0, 16.0, 22_000.0]),
+            st.just(0),
+        ),
+    )
+
+    @settings(deadline=None, max_examples=300)
+    @given(seq=st.lists(action, min_size=3, max_size=30))
+    def run(seq):
+        now = [0.0]
+        c = ServingCache(clock=lambda: now[0])
+        key = ("S", "1m")
+        for kind, a, b in seq:
+            if kind == "tick":
+                now[0] += a
+                continue
+            end, n = float(a), b
+            if kind == "put":
+                c.put(key, end, compute(end, n))
+                continue
+            hit, rows = c.get(key, end, n)
+            expected = compute(end, n)
+            if hit in ("exact", "superset"):
+                assert rows == expected, (seq, hit, end, n, rows, expected)
+            elif hit == "partial":
+                # same advisory-tail handling as the frozen-clock sweep:
+                # head-only put, then full-compute fallback self-heals
+                gap = int(end - rows[-1][0])
+                if 0 <= gap + 1 < n and len(expected) >= n:
+                    c.put(key, end, compute(end, gap + 1))
+                    hit2, rows2 = c.get(key, end, n)
+                    if hit2 in ("exact", "superset"):
+                        assert rows2 == expected, (seq, end, n)
+                    else:
+                        c.put(key, end, compute(end, n))
+                        hit3, rows3 = c.get(key, end, n)
+                        assert hit3 in ("exact", "superset"), (seq, end, n)
+                        assert rows3 == expected, (seq, end, n)
+
+    run()

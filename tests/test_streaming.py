@@ -1394,15 +1394,14 @@ def test_session_fold_split_invariance_property():
             closed.extend(out)
             lo = hi
 
-        def row(pdf):
-            r = pdf.iloc[0]
-            mins = lambda x: int(  # noqa: E731
-                (x - base.to_datetime64()) / pd.Timedelta(minutes=1)
-            )
-            return (mins(r["session_start"]), mins(r["session_end"]),
-                    int(r["n_events"]), float(r["total_value"]))
+        base_us0 = int(base.value // 1000)
 
-        assert [row(p) for p in closed] == want_closed, (deltas, cuts)
+        def row(t4):  # _fold_events now returns (start, last, n, total)
+            s, l, n, tot = t4
+            mins = lambda x: (x - base_us0) // 60_000_000  # noqa: E731
+            return (mins(s), mins(l), int(n), float(tot))
+
+        assert [row(t4) for t4 in closed] == want_closed, (deltas, cuts)
         s, l, n, tot = state
         us = lambda mi: mi * 60_000_000  # noqa: E731
         base_us = int(base.value // 1000)
