@@ -816,6 +816,133 @@ def _tag_segments(depth_events: DataFrame) -> DataFrame:
     return depth_events.mapInPandas(_tag, out_schema)
 
 
+def _fast_segment_state(pdf: pd.DataFrame) -> dict | None:
+    """Vectorized final state of ONE segment folded from empty entry
+    state — the hybrid tier VERDICT r10 asked for: inside a CONTINUOUS
+    segment (one leading snapshot-with-id, strictly increasing non-null
+    update ids, pu-chain intact, provably never crossed) the fold's
+    event-by-event checks all pass and its result reduces to
+    last-write-per-(side, price) over the snapshot + deltas.  Returns
+    None whenever ANY precondition fails — stales, gaps, null ids,
+    null times, extra/missing snapshots, possible crossing — and the
+    caller runs the exact Python fold instead, so semantics are pinned
+    by construction (plus the existing segmented equivalence property
+    sweep, which exercises both paths).
+
+    The crossing precondition is conservative but sound: best_bid at
+    any prefix is <= the max bid price ever written with qty > 0, and
+    best_ask >= the min ask price ever present, so
+    ``max_bid_written < min_ask_written`` proves no prefix ever
+    crossed.  Interleaved bid/ask price bands (a fast-moving market
+    within one segment) fail the test and take the exact fold — a
+    correctness fallback, not an error."""
+    n = len(pdf)
+    if n == 0:
+        return None
+    ts = pd.to_datetime(pdf["event_time"])
+    if ts.isna().any():
+        return None
+    t_ns = ts.values.astype("datetime64[ns]").astype("int64")
+    kind = pdf["kind"].to_numpy()
+    is_delta = kind != "snapshot"  # null kind buffers in the fold: but
+    # a null kind here means no snapshot row, which condition 1 rejects
+    u_raw = pdf["final_update_id"]
+    if u_raw.isna().any():
+        return None
+    u = u_raw.to_numpy().astype("int64")
+    order = _np_lexsort_fold_order(t_ns, is_delta, u)
+    kind_s, u_s = kind[order], u[order]
+    # exactly ONE snapshot, first in fold order
+    if kind_s[0] != "snapshot" or (kind_s == "snapshot").sum() != 1:
+        return None
+    snap_u = int(u_s[0])
+    du = u_s[1:]
+    if len(du) and not (
+        (du[1:] > du[:-1]).all() and du[0] > snap_u
+    ):
+        return None  # stale/duplicate ids: the fold's skip logic applies
+    if len(du):
+        U_raw = pdf["first_update_id"].to_numpy(dtype="object")[order][1:]
+        pu_raw = pdf["prev_final_update_id"].to_numpy(dtype="object")[order][1:]
+        U_na = pd.isna(U_raw)
+        pu_na = pd.isna(pu_raw)
+        # bridge: first delta must prove U <= snap_u + 1 <= u
+        if U_na[0] or not (int(U_raw[0]) <= snap_u + 1 <= int(du[0])):
+            return None
+        # pu-continuity for the rest (the bridge delta skips pu)
+        prev = du[:-1]
+        rest = slice(1, None)
+        ok_pu = ~pu_na[rest] & (
+            pd.array(pu_raw[rest], dtype="Int64").to_numpy(
+                dtype="int64", na_value=0
+            )
+            == prev[: len(du) - 1]
+        )
+        ok_U = (
+            pu_na[rest]
+            & ~U_na[rest]
+            & (
+                pd.array(U_raw[rest], dtype="Int64").to_numpy(
+                    dtype="int64", na_value=1 << 62
+                )
+                <= prev[: len(du) - 1] + 1
+            )
+        )
+        if not (ok_pu | ok_U).all():
+            return None
+    # ONE json parse per side for the whole segment (per-row loads was
+    # ~a third of the fold's remaining profile)
+    def _parse(col: pd.Series) -> list:
+        parts = ["[]" if (x is None or x == "") else x for x in col.tolist()]
+        return json.loads("[" + ",".join(parts) + "]")
+
+    bids_all = _parse(pdf["bids"].iloc[order])
+    asks_all = _parse(pdf["asks"].iloc[order])
+    max_bid = None
+    min_ask = None
+    for levels in bids_all:
+        for p, q in levels:
+            if float(q) > 0:
+                fp = float(p)
+                if max_bid is None or fp > max_bid:
+                    max_bid = fp
+    for levels in asks_all:
+        for p, q in levels:
+            if float(q) > 0:
+                fp = float(p)
+                if min_ask is None or fp < min_ask:
+                    min_ask = fp
+    if max_bid is not None and min_ask is not None and max_bid >= min_ask:
+        return None  # could have crossed at some prefix: exact fold decides
+    bids: dict = {}
+    asks: dict = {}
+    for book, all_levels in ((bids, bids_all), (asks, asks_all)):
+        for levels in all_levels:
+            for p, q in levels:
+                fq = float(q)
+                key = f"{float(p):.10g}"
+                if fq <= 0:
+                    book.pop(key, None)
+                else:
+                    book[key] = fq
+    return {
+        "bids": bids,
+        "asks": asks,
+        "last_u": int(u_s[-1]),
+        "synced": True,
+        "buffer": [],
+    }
+
+
+def _np_lexsort_fold_order(t_ns, is_delta, u):
+    """Stable fold ordering (event_time, snapshot-first, u) as index
+    array — mirrors ``_fold_batch``'s sort key exactly for non-null
+    times/ids (the only inputs the fast path accepts)."""
+    import numpy as np
+
+    return np.lexsort((u, is_delta, t_ns))
+
+
 def _post_repair_prefetch(order: list, segs: dict, k: int) -> list:
     """Segment ids whose FULL phase-1 state the repair walk will need
     after a repair at chain position ``k``, assuming every refold exits
@@ -901,8 +1028,14 @@ def replay_book_segmented(depth_events: DataFrame):
     def _fold_segment(pdf: pd.DataFrame) -> pd.DataFrame:
         sym = pdf["symbol"].iloc[0]
         seg = int(pdf["seg"].iloc[0])
-        st = dict(_EMPTY, buffer=[])
-        _fold_batch(sym, st, pdf.drop(columns=["seg"]))
+        body = pdf.drop(columns=["seg"])
+        # hybrid tier: continuous segments (the overwhelming majority on
+        # a healthy stream) reduce to a vectorized last-write-per-level;
+        # anything irregular falls back to the exact event-by-event fold
+        st = _fast_segment_state(body)
+        if st is None:
+            st = dict(_EMPTY, buffer=[])
+            _fold_batch(sym, st, body)
         return pd.DataFrame(
             {"symbol": [sym], "seg": [seg],
              "buffer_n": [len(st["buffer"])],

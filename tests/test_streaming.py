@@ -1638,3 +1638,71 @@ def test_post_repair_prefetch_plan():
     ) == [3, 5]
     # repair at the LAST boundary
     assert _post_repair_prefetch([1, 2, 3], {1: 0, 2: 3, 3: 0}, 2) == []
+
+
+def test_fast_segment_state_matrix():
+    """The hybrid fast path (r11): continuous segments produce exactly
+    the exact fold's state; every irregularity — stale ids, pu gaps,
+    possible crossing, null ids, extra snapshots — returns None so the
+    exact fold decides.  (The segmented property sweep exercises both
+    paths end-to-end; this pins the routing.)"""
+    import numpy as np
+    import pandas as pd
+
+    from crypto_datalake_spark.streaming.orderbook import (
+        _EMPTY,
+        _fast_segment_state,
+        _fold_batch,
+        _state_blob,
+    )
+
+    rng = np.random.default_rng(7)
+
+    def seg(n=60, stale=False, gap=False, cross=False, null_u=False,
+            two_snaps=False, pu_less=False):
+        rows = []
+        vals = rng.uniform(0.5, 20.0, n)
+        for i in range(n):
+            v = vals[i]
+            bid_p = 90 + v % 10
+            ask_p = (101 + v % 10) if not cross else (89 + v % 10)
+            u, U, pu = i + 1, i + 1, (i if i > 0 else None)
+            if stale and i == 5:
+                u, U, pu = 3, 3, 2
+            if gap and i == 7:
+                pu = 99999
+            if null_u and i == 9:
+                u = None
+            if pu_less and i > 0:
+                pu = None
+            kind = "snapshot" if (i == 0 or (two_snaps and i == 30)) else "delta"
+            qty = round(abs(v), 6) if i % 7 else 0.0   # deletions too
+            rows.append(dict(
+                symbol="S",
+                event_time=pd.Timestamp("2024-01-01") + pd.Timedelta(seconds=i),
+                kind=kind,
+                first_update_id=U if kind == "delta" else None,
+                final_update_id=u,
+                prev_final_update_id=pu if kind == "delta" else None,
+                bids=json.dumps([[round(bid_p, 6), qty]]),
+                asks=json.dumps([[round(ask_p, 6), round(abs(v), 6)]]),
+            ))
+        return pd.DataFrame(rows)
+
+    fast_cases = dict(clean=seg(), pu_less=seg(pu_less=True), snap_only=seg(1))
+    fallback_cases = dict(
+        stale=seg(stale=True), gap=seg(gap=True), cross=seg(cross=True),
+        null_u=seg(null_u=True), two_snaps=seg(two_snaps=True),
+    )
+    for name, pdf in fast_cases.items():
+        fast = _fast_segment_state(pdf)
+        assert fast is not None, name
+        st = dict(_EMPTY, buffer=[])
+        _fold_batch("S", st, pdf)
+        exact = json.loads(_state_blob(st))
+        got = json.loads(json.dumps(fast))
+        for k in ("bids", "asks", "last_u", "synced"):
+            assert got[k] == exact[k], (name, k)
+        assert exact["buffer"] == []
+    for name, pdf in fallback_cases.items():
+        assert _fast_segment_state(pdf) is None, name
