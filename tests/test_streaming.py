@@ -1706,3 +1706,59 @@ def test_fast_segment_state_matrix():
         assert exact["buffer"] == []
     for name, pdf in fallback_cases.items():
         assert _fast_segment_state(pdf) is None, name
+
+
+def test_tag_segments_matches_count_model(spark):
+    """Property sweep for the r11 searchsorted segment tagging: seg
+    must equal |normalized snapshot keys <= event key| — the exact
+    count the original broadcast filter computed — including timestamp
+    TIES between snapshots and deltas (delta sorts after: d=true),
+    tied snapshots ordered by u, duplicate keys, null update ids
+    (normalized 0), null kinds (delta), and symbols with no
+    snapshots (seg 0)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from crypto_datalake_spark.streaming.orderbook import _tag_segments
+
+    ev = st.tuples(
+        st.sampled_from(["A", "B"]),
+        st.integers(0, 5),                        # timestamp minute (ties!)
+        st.sampled_from(["snapshot", "delta", None]),
+        st.one_of(st.none(), st.integers(-2, 6)), # final_update_id
+    )
+
+    @settings(deadline=None, max_examples=12)
+    @given(rows=st.lists(ev, min_size=1, max_size=12))
+    def run(rows):
+        data = [
+            (sym, _t(m * 60), kind, None, u, None, "[]", "[]")
+            for sym, m, kind, u in rows
+        ]
+        df = spark.createDataFrame(
+            data,
+            "symbol string, event_time timestamp_ntz, kind string, "
+            "first_update_id long, final_update_id long, "
+            "prev_final_update_id long, bids string, asks string",
+        )
+        got = {
+            (r["symbol"], r["event_time"], r["kind"], r["final_update_id"]): r["seg"]
+            for r in _tag_segments(df).collect()
+        }
+
+        # model: per symbol, sorted normalized snapshot keys; count <=
+        def key(m, kind, u):
+            return (m, kind != "snapshot" if kind is not None else True,
+                    u if u is not None else 0)
+
+        snaps = {}
+        for sym, m, kind, u in rows:
+            if kind == "snapshot" and u is not None:
+                snaps.setdefault(sym, []).append(key(m, kind, u))
+        for ks in snaps.values():
+            ks.sort()
+        for sym, m, kind, u in rows:
+            want = sum(1 for k in snaps.get(sym, []) if k <= key(m, kind, u))
+            assert got[(sym, _t(m * 60), kind, u)] == want, (rows, sym, m, kind, u)
+
+    run()
