@@ -592,8 +592,11 @@ def lm_perplexity_buckets(d):
     """
     ex = _lm_exploded(d)
     bg = ex.where(F.col("w2").isNotNull())
-    c1 = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
     c12 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    # context counts marginalize the BIGRAM table (c1 = sum_w2 c12 —
+    # identical values by definition), never a second corpus-size
+    # aggregation over bg: at 100 TB that is one full pass saved
+    c1 = c12.groupBy("w1").agg(F.sum("c12").alias("c1"))
     vocab = ex.agg(F.countDistinct("w1").alias("vocab"))
     ds = _lm_doc_scores(bg, c12, c1, vocab)
     cuts = _lm_tercile_cuts(ds)
@@ -845,8 +848,11 @@ def lm_unk_model(d, k: int = _LM_UNK_K):
         .localCheckpoint()  # ≤ k rows; three consumers (k1, k2, vocab)
     )
     bg = _unk_map(ex, kept).where(F.col("w2").isNotNull()).localCheckpoint()
-    c1 = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
     c12 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    # marginalize c12 for the context counts (identical values, sum of
+    # the (k+1)^2-bounded table) instead of re-aggregating the mapped
+    # corpus-size bigram stream
+    c1 = c12.groupBy("w1").agg(F.sum("c12").alias("c1"))
     vocab = kept.agg((F.count(F.lit(1)) + F.lit(1)).alias("vocab"))
     return bg, c12, c1, vocab
 
