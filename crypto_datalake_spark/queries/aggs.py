@@ -47,7 +47,12 @@ from crypto_datalake_spark.queries.registry import register
     "websocket.py:1064-1088). Single hash-agg, map-side partials.",
 )
 def a1_minute_trade_rollup(spark, sf_dir):
-    ev = events(spark, sf_dir).withColumn(
+    from crypto_datalake_spark.queries.common import spread
+
+    # the per-row JSON parse is this query's dominant map-side cost —
+    # spread an under-parallel single-row-group scan before it
+    # (identity at scale; the a8/spread doctrine)
+    ev = spread(events(spark, sf_dir)).withColumn(
         "k", F.get_json_object("props", "$.k").cast("long")
     )
     zero = F.lit(0).cast("decimal(28,6)")
@@ -191,7 +196,9 @@ def a4_htf_bucket_agg(spark, sf_dir):
     "(ref: aggregator/aggregation_rules.py:138-160, liq_avg_fill_price).",
 )
 def a5_weighted_avg(spark, sf_dir):
-    ev = events(spark, sf_dir).withColumn(
+    from crypto_datalake_spark.queries.common import spread
+
+    ev = spread(events(spark, sf_dir)).withColumn(  # JSON-parse heavy
         "k", F.get_json_object("props", "$.k").cast("long")
     )
     return ev.groupBy("event_type").agg(
@@ -236,7 +243,9 @@ def a5_weighted_avg(spark, sf_dir):
     "entry remains registered.",
 )
 def a6_weighted_avg_fallback(spark, sf_dir):
-    ev = events(spark, sf_dir).select(
+    from crypto_datalake_spark.queries.common import spread
+
+    ev = spread(events(spark, sf_dir)).select(  # JSON-parse heavy x2
         "event_type",
         "value",
         F.get_json_object("props", "$.k").cast("long").alias("k"),
@@ -369,7 +378,9 @@ def a9_ohlc_complete_only(spark, sf_dir):
     "(ref: live_data_api_service/service.py:2283-2290; validation/dq.py:42-51).",
 )
 def a11_populated_count(spark, sf_dir):
-    ev = events(spark, sf_dir)
+    from crypto_datalake_spark.queries.common import spread
+
+    ev = spread(events(spark, sf_dir))  # JSON-parse heavy
     populated = (
         F.col("value").isNotNull()
         & F.col("props").isNotNull()

@@ -387,7 +387,12 @@ def j6_exact_asof_fallback(spark, sf_dir):
     "LIVE_ONLY preservation).",
 )
 def j8_overlay_coalesce(spark, sf_dir):
-    ev = events(spark, sf_dir)
+    from crypto_datalake_spark.queries.common import spread
+
+    # the live branch's JSON parse runs before the join's exchange —
+    # spread an under-parallel scan so it isn't single-task (identity
+    # at scale; the a8/spread doctrine)
+    ev = spread(events(spark, sf_dir))
     base = ev.select(
         "event_id",
         "user_id",
