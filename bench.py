@@ -79,7 +79,7 @@ BENCH_QUERIES = [
     "sample_temperature_mixture",    # XLM-R T=2 temperature sampling
     "sample_token_budget_plan",      # token-budget data recipe (full oracle)
     "dedup_ngram_jaccard",
-    "decontaminate_ngram_overlap",  # benchmark decontamination (bcast probe)
+    "decontam_ngram_overlap",  # benchmark decontamination (bcast probe)
     "doc_fingerprints",
     "text_profile",
     "text_tfidf_topk",

@@ -1047,97 +1047,3 @@ def exact_substring_runs(
         )
         .select("doc_a", "doc_b", "a_start", "b_start", "match_tokens")
     )
-
-
-# ------------------------------------------- benchmark decontamination
-
-_DECON_G = 5     # token n-gram size (GPT-3 used 13-grams; the synthetic
-                 # corpus's ~31-word vocabulary needs 5 to discriminate)
-_DECON_MOD = 97  # every 97th doc is "benchmark/eval"; the rest train
-
-
-@register(
-    "decontaminate_ngram_overlap",
-    sql=f"""
-    WITH tok AS (
-      SELECT doc_id, string_split(text, ' ') AS tok FROM documents
-    ),
-    g AS (
-      SELECT doc_id,
-             array_to_string(list_slice(tok, i, i + {_DECON_G - 1}), ' ')
-               AS gram
-      FROM tok, UNNEST(generate_series(1, len(tok) - {_DECON_G - 1}))
-                  AS t(i)
-      WHERE len(tok) >= {_DECON_G}
-    ),
-    ev AS (SELECT DISTINCT gram FROM g WHERE doc_id % {_DECON_MOD} = 0),
-    hits AS (
-      SELECT doc_id, CAST(count(DISTINCT gram) AS BIGINT) AS n_hit_grams
-      FROM g JOIN ev USING (gram)
-      WHERE doc_id % {_DECON_MOD} <> 0
-      GROUP BY 1
-    )
-    SELECT d.doc_id,
-           coalesce(h.n_hit_grams, 0) AS n_hit_grams,
-           coalesce(h.n_hit_grams, 0) > 0 AS contaminated
-    FROM documents d LEFT JOIN hits h USING (doc_id)
-    WHERE d.doc_id % {_DECON_MOD} <> 0
-    """,
-    doc=f"Benchmark decontamination (the GPT-3/Llama pretraining step): "
-    f"flag every TRAINING document sharing a verbatim token "
-    f"{_DECON_G}-gram with the eval/benchmark set (docs with doc_id % "
-    f"{_DECON_MOD} == 0 stand in for the benchmark).  Output: one row "
-    "per training doc with the count of distinct overlapping grams and "
-    "the contaminated flag.  Plan: grams are a row-local transform + "
-    "explode; the eval side is DISTINCT grams of the (small by nature) "
-    "benchmark set, BROADCAST onto the training grams — the 100-TB "
-    "corpus side never shuffles for the probe, only the HIT rows "
-    "(a vanishing fraction) hash to the per-doc count, then an "
-    "AQE-sized left join back onto the doc spine.  Exact semantics "
-    "(verbatim n-gram membership), so the DuckDB oracle mirrors it "
-    "1:1.",
-)
-def decontaminate_ngram_overlap(spark, sf_dir):
-    return decontaminate(
-        t(spark, sf_dir, "documents"), g=_DECON_G, eval_mod=_DECON_MOD
-    )
-
-
-def decontaminate(d, g: int = _DECON_G, eval_mod: int = _DECON_MOD):
-    """Per-training-doc n-gram-overlap contamination against the eval
-    subset (``doc_id % eval_mod == 0``) of a (doc_id, text) frame."""
-    tok = d.select("doc_id", F.split("text", " ").alias("tok"))
-    is_eval = F.col("doc_id") % eval_mod == 0
-    # CASE-guarded sequence like _SP_SHINGLES: filter pushdown can
-    # inline the transform before the size(tok) predicate short-circuits
-    grams = tok.where(F.size("tok") >= g).select(
-        "doc_id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(1), F.size("tok") - (g - 1)),
-                lambda i: F.concat_ws(" ", F.slice("tok", i, g)),
-            )
-        ).alias("gram"),
-    )
-    ev = grams.where(is_eval).select("gram").distinct()
-    hits = (
-        grams.where(~is_eval)
-        .join(F.broadcast(ev), "gram")
-        .groupBy("doc_id")
-        .agg(F.count_distinct("gram").alias("n_hit_grams"))
-    )
-    # NOT force-broadcast: hits is usually tiny (contamination is the
-    # exception) but is corpus-sized in the worst case — AQE broadcasts
-    # it when it measures small
-    return (
-        tok.where(~is_eval)
-        .select("doc_id")
-        .join(hits, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.coalesce(F.col("n_hit_grams"), F.lit(0)).alias("n_hit_grams"),
-            (F.coalesce(F.col("n_hit_grams"), F.lit(0)) > 0).alias(
-                "contaminated"
-            ),
-        )
-    )

@@ -707,34 +707,3 @@ def test_ngram_jaccard_cap_semantics_match_setmath(spark, docs, cap):
     for k, v in want.items():
         assert abs(got[k] - v) < 1e-12, (k, got[k], v)
 
-
-def test_decontaminate_flags_planted_overlap(spark):
-    """A training doc sharing a verbatim 5-token span with an eval doc
-    is flagged with the right distinct-gram count; disjoint docs are
-    not; eval docs never appear in the output; sub-gram-length docs
-    survive (guarded sequence) with zero hits."""
-    from crypto_datalake_spark.queries.dedup import decontaminate
-
-    span = "alpha beta gamma delta epsilon"          # one 5-gram
-    rows = [
-        (0, f"{span} zeta eta"),                     # eval (0 % 97 == 0)
-        (1, f"intro words {span} outro"),            # train: hits the span
-        (2, "totally different tokens here now ok"), # train: clean
-        (3, "tiny doc"),                             # train: < 5 tokens
-        (4, f"{span} {span}"),                       # train: span twice +
-                                                     # bridging grams
-    ]
-    d = spark.createDataFrame(rows, "doc_id long, text string")
-    got = {r["doc_id"]: r for r in decontaminate(d, g=5, eval_mod=97).collect()}
-
-    assert set(got) == {1, 2, 3, 4}                  # eval doc excluded
-    assert got[1]["contaminated"] and got[1]["n_hit_grams"] == 1
-    assert not got[2]["contaminated"] and got[2]["n_hit_grams"] == 0
-    assert not got[3]["contaminated"] and got[3]["n_hit_grams"] == 0
-    # doc 4: the span's own 5-gram plus the two bridging grams that are
-    # also eval 5-grams ("beta..span[0]" style) — count DISTINCT grams
-    # present in BOTH: span itself + "epsilon alpha beta gamma delta"?
-    # eval doc 0 = "<span> zeta eta": its grams are the span, then
-    # shifted ones ending in zeta/eta — only the span itself recurs in
-    # doc 4, so exactly 1 distinct hit gram.
-    assert got[4]["contaminated"] and got[4]["n_hit_grams"] == 1
