@@ -844,8 +844,8 @@ def _fast_segment_state(pdf: pd.DataFrame) -> dict | None:
         return None
     t_ns = ts.values.astype("datetime64[ns]").astype("int64")
     kind = pdf["kind"].to_numpy()
-    is_delta = kind != "snapshot"  # null kind buffers in the fold: but
-    # a null kind here means no snapshot row, which condition 1 rejects
+    is_delta = kind != "snapshot"  # a null kind sorts/applies as a
+    # delta, exactly like the fold's `ev["kind"] == "snapshot"` test
     u_raw = pdf["final_update_id"]
     if u_raw.isna().any():
         return None
