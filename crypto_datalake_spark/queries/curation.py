@@ -218,38 +218,52 @@ def decontam_ngram_overlap(spark, sf_dir):
 
 def decontam_overlap(docs, bench_mod: int = _BENCH_MOD, threshold: float = _CONTAM_MIN):
     """Benchmark-overlap decontamination over a (doc_id, text, ...) frame —
-    the DataFrame-level op behind ``decontam_ngram_overlap``."""
+    the DataFrame-level op behind ``decontam_ngram_overlap``.
+
+    ONE corpus gram pass: the distinct-gram arrays are exploded once to
+    (doc_id, gh) grain, the tiny benchmark-gram set is broadcast-left-joined
+    as a hit FLAG, and a single groupBy(doc_id) produces both n_grams
+    (count of distinct grams) and n_overlap (sum of hits). The earlier
+    shape evaluated the md5 gram expression three times (bench branch,
+    hits explode, final doc-spine join) over an uncached frame — at 100 TB
+    that is three full corpus hash passes instead of one.
+    """
     d = docs.select("doc_id", F.split("text", " ").alias("tok"))
     # CASE-guarded for the same reason as repetition_signals' bigrams: the
     # inferred-from-explode filter inlines this expr next to the size guard
     # and subexpression elimination defeats AND short-circuiting
-    g = d.where(F.size("tok") >= 3).select(
+    ge = d.where(F.size("tok") >= 3).select(
         "doc_id",
-        F.expr(
-            "CASE WHEN size(tok) >= 3 THEN array_distinct(transform("
-            f"sequence(0, size(tok) - 3), i -> {_SP_TRIH})) "
-            "ELSE CAST(array() AS array<bigint>) END"
-        ).alias("grams"),
+        F.explode(
+            F.expr(
+                "CASE WHEN size(tok) >= 3 THEN array_distinct(transform("
+                f"sequence(0, size(tok) - 3), i -> {_SP_TRIH})) "
+                "ELSE CAST(array() AS array<bigint>) END"
+            )
+        ).alias("gh"),
     )
+    # doc_id % mod pushes below the Generate to the scan, so the bench
+    # branch only hashes ~1/mod of the corpus
     bench = (
-        g.where(F.col("doc_id") % bench_mod == 0)
-        .select(F.explode("grams").alias("gh"))
+        ge.where(F.col("doc_id") % bench_mod == 0)
+        .select("gh")
         .distinct()
+        .withColumn("hit", F.lit(1))
     )
-    corp = g.where(F.col("doc_id") % bench_mod != 0)
-    hits = (
-        corp.select("doc_id", F.explode("grams").alias("gh"))
-        .join(F.broadcast(bench), "gh")
+    agg = (
+        ge.where(F.col("doc_id") % bench_mod != 0)
+        .join(F.broadcast(bench), "gh", "left")
         .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_hit"))
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("n_overlap"),
+        )
     )
-    frac = F.coalesce(F.col("n_hit"), F.lit(0)).cast("double") / F.size(
-        "grams"
-    ).cast("double")
-    return corp.join(hits, "doc_id", "left").select(
+    frac = F.col("n_overlap").cast("double") / F.col("n_grams").cast("double")
+    return agg.select(
         "doc_id",
-        F.size("grams").cast("long").alias("n_grams"),
-        F.coalesce(F.col("n_hit"), F.lit(0)).cast("long").alias("n_overlap"),
+        F.col("n_grams").cast("long").alias("n_grams"),
+        F.col("n_overlap").cast("long").alias("n_overlap"),
         frac.alias("overlap_frac"),
         (frac >= threshold).alias("contaminated"),
     )
