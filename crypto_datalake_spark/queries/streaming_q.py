@@ -15,6 +15,18 @@ from crypto_datalake_spark.queries.common import t
 from crypto_datalake_spark.queries.registry import register
 
 
+def _await_or_die(q, timeout_sec: int = 300) -> None:
+    """awaitTermination(timeout) returns False on timeout WITHOUT raising;
+    reading the memory sink after that would silently compare partial
+    results. Fail loudly instead (and stop the straggler query)."""
+    if not q.awaitTermination(timeout_sec):
+        q.stop()
+        raise TimeoutError(
+            f"streaming query {q.name!r} did not finish its availableNow "
+            f"run within {timeout_sec}s; refusing to read a partial sink"
+        )
+
+
 @register(
     "st2_streaming_minute_agg",
     sql="""
@@ -68,7 +80,7 @@ def st2_streaming_minute_agg(spark, sf_dir):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    _await_or_die(q, 300)
     return spark.table(name)
 
 
@@ -175,7 +187,7 @@ def st11_session_windows(spark, sf_dir):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    _await_or_die(q, 300)
     sessions = spark.table(name)
     # deterministic subset: keep sessions whose closure is proven by the
     # DATA (a later event exists past the gap) — per-user max ts is a

@@ -397,7 +397,7 @@ def test_streaming_maintained_view_bit_identical(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    assert q.awaitTermination(120)
+    assert q.awaitTermination(120), "stream timed out"
 
     def check():
         got = txn.read_table(spark, view)

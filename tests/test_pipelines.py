@@ -864,7 +864,7 @@ def test_corpus_ingest_stream_end_to_end(spark, tmp_path):
     ).coalesce(1).write.parquet(str(incoming / "f2"))
 
     q = corpus_ingest_stream(spark, str(incoming) + "/*", corpus, audit, ck)
-    assert q.awaitTermination(120)
+    assert q.awaitTermination(120), "stream timed out"
 
     got = {
         r["doc_id"]: (r["accepted"], r["reject_reason"], r["n_dup_existing"])
@@ -932,7 +932,7 @@ def test_corpus_ingest_crash_restart_checkpoint(spark, tmp_path):
         .start()
     )
     try:
-        q.awaitTermination(120)
+        assert q.awaitTermination(120), "stream timed out"
         raise AssertionError("injected crash did not surface")
     except StreamingQueryException:
         pass
@@ -941,7 +941,7 @@ def test_corpus_ingest_crash_restart_checkpoint(spark, tmp_path):
 
     # restart from the same checkpoint with the REAL sink
     q2 = corpus_ingest_stream(spark, str(incoming) + "/*", corpus, audit, ck)
-    assert q2.awaitTermination(120)
+    assert q2.awaitTermination(120), "stream timed out"
 
     # corpus: no double-append, no lost accept; batch 1's near-dup of an
     # ACCEPTED batch-0 doc stayed out even though batch 0 was replayed

@@ -79,7 +79,7 @@ def test_minute_features_streaming_equals_batch(spark, tmp_path, bronze_events):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), "stream timed out"
     got = spark.table("mf_stream")
     batch = minute_feature_stream(bronze_events)
     assert sorted(got.collect()) == sorted(batch.collect())
@@ -181,7 +181,7 @@ def test_book_buffer_until_snapshot_across_batches(spark, tmp_path, backend):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), "stream timed out"
     got = sorted(spark.table("book_stream").collect(), key=lambda r: r["minute_ts"])
     assert len(got) == 2
     assert not got[0]["synced"]           # pre-snapshot minute: buffered only
@@ -212,7 +212,7 @@ def test_foreach_batch_upsert_idempotent(spark, tmp_path, bronze_events):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(120)
+        assert q.awaitTermination(120), "stream timed out"
 
     run("ckpt1")
     run("ckpt2")  # full replay — upsert must keep the table deduplicated
@@ -293,7 +293,7 @@ def test_session_stream_matches_batch_sessionize(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), "stream timed out"
     got = {
         (r["user_id"], r["session_start"], r["session_end"], r["n_events"],
          r["total_value"])
@@ -515,7 +515,7 @@ def test_foreach_batch_upsert_atomic(spark, tmp_path, bronze_events):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(120)
+        assert q.awaitTermination(120), "stream timed out"
 
     run("ckpt_a1")
     run("ckpt_a2")  # full replay
@@ -552,7 +552,7 @@ def test_foreach_batch_upsert_records_skipping_stats(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), "stream timed out"
     m = current_manifest(spark, lake)
     assert "stats" in m and all("minute_ts" in s for s in m["stats"].values())
     # bounds before the table's first minute prune EVERYTHING
@@ -597,7 +597,7 @@ def test_session_stream_native_matches_batch(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), "stream timed out"
     got = {
         (r["user_id"], r["session_start"], r["session_end"], r["n_events"],
          r["total_value"])
@@ -652,7 +652,7 @@ def test_dedup_stream_within_watermark(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), "stream timed out"
     got = sorted(
         (r["user_id"], r["event_id"]) for r in spark.table("deduped_stream").collect()
     )
@@ -700,7 +700,7 @@ def test_interval_join_streams_matches_batch(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), "stream timed out"
     got = {(r["user_id"], r["trade_id"], r["mark_id"])
            for r in spark.table("ij_sink").collect()}
 
@@ -748,7 +748,7 @@ def test_book_first_delta_after_snapshot_bridges_across_batches(spark, tmp_path)
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), "stream timed out"
     got = sorted(spark.table("book_bridge_stream").collect(),
                  key=lambda r: r["minute_ts"])
     assert len(got) == 2
@@ -880,7 +880,7 @@ def test_stream_resume_same_checkpoint_is_incremental(spark, tmp_path, bronze_ev
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(120)
+        assert q.awaitTermination(120), "stream timed out"
 
     run()
     first_minutes = set().union(*seen) if seen else set()
@@ -1326,7 +1326,7 @@ def test_session_late_row_never_rewinds_open_session(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), "stream timed out"
     got = {
         (r["user_id"], r["session_start"], r["session_end"], r["n_events"],
          r["total_value"])
@@ -1762,3 +1762,35 @@ def test_tag_segments_matches_count_model(spark):
             assert got[(sym, _t(m * 60), kind, u)] == want, (rows, sym, m, kind, u)
 
     run()
+
+
+def test_await_or_die_raises_on_timeout_and_stops_query():
+    """Regression (round-11 ADVICE): st2/st11 read their memory sink right
+    after awaitTermination(300) without checking its boolean return, so a
+    timed-out run silently compared PARTIAL results. _await_or_die must
+    raise on a False return and stop the straggler query first."""
+    import pytest
+
+    from crypto_datalake_spark.queries.streaming_q import _await_or_die
+
+    class FakeQuery:
+        name = "fake_sink"
+
+        def __init__(self, done):
+            self._done = done
+            self.stopped = False
+
+        def awaitTermination(self, timeout):
+            return self._done
+
+        def stop(self):
+            self.stopped = True
+
+    ok = FakeQuery(done=True)
+    _await_or_die(ok, 1)
+    assert not ok.stopped
+
+    slow = FakeQuery(done=False)
+    with pytest.raises(TimeoutError, match="partial sink"):
+        _await_or_die(slow, 1)
+    assert slow.stopped

@@ -230,7 +230,7 @@ def test_kafka_transport_end_to_end(spark):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), "stream timed out"
     rows = spark.table(name).collect()
     assert len(rows) == 6  # GARBAGE dropped, six valid events parsed
     kinds = sorted(r["stream"] for r in rows)
