@@ -968,7 +968,7 @@ def _post_repair_prefetch(order: list, segs: dict, k: int) -> list:
     return needs
 
 
-def replay_book_segmented(depth_events: DataFrame):
+def replay_book_segmented(depth_events: DataFrame, path_counts: dict | None = None):
     """Segment-parallel EXACT replay of the stateful fold over a batch
     event store — the 100x mitigation for the fold's serial-within-a-
     symbol limit (SCALE.md): each snapshot starts a new segment, and a
@@ -1019,6 +1019,7 @@ def replay_book_segmented(depth_events: DataFrame):
             StructField("symbol", StringType()),
             StructField("seg", LongType()),
             StructField("buffer_n", LongType()),
+            StructField("fast", BooleanType()),
             StructField("state", StringType()),
         ]
     )
@@ -1033,12 +1034,13 @@ def replay_book_segmented(depth_events: DataFrame):
         # a healthy stream) reduce to a vectorized last-write-per-level;
         # anything irregular falls back to the exact event-by-event fold
         st = _fast_segment_state(body)
+        fast = st is not None
         if st is None:
             st = dict(_EMPTY, buffer=[])
             _fold_batch(sym, st, body)
         return pd.DataFrame(
             {"symbol": [sym], "seg": [seg],
-             "buffer_n": [len(st["buffer"])],
+             "buffer_n": [len(st["buffer"])], "fast": [fast],
              "state": [_state_blob(st)]}
         )
 
@@ -1051,11 +1053,23 @@ def replay_book_segmented(depth_events: DataFrame):
         .applyInPandas(_fold_segment, STATE_OUT)
         .persist()
     )
-    light = phase1.select("symbol", "seg", "buffer_n").collect()
+    light = phase1.select("symbol", "seg", "buffer_n", "fast").collect()
 
     by_symbol: dict = {}
     for r in light:
         by_symbol.setdefault(r["symbol"], {})[r["seg"]] = r["buffer_n"]
+    if path_counts is not None:
+        # router observability: how many phase-1 segments took the
+        # vectorized fast tier vs the exact fold — the equivalence
+        # property sweep asserts BOTH are > 0 across its examples, so a
+        # silently-always-falling-back (or always-fast) router cannot
+        # pass green
+        path_counts["fast"] = path_counts.get("fast", 0) + sum(
+            1 for r in light if r["fast"]
+        )
+        path_counts["fallback"] = path_counts.get("fallback", 0) + sum(
+            1 for r in light if not r["fast"]
+        )
 
     def _fetch_states(pairs: list) -> dict:
         """Full phase-1 states for the given (symbol, seg) pairs — one

@@ -1573,7 +1573,25 @@ def test_replay_segmented_property_equivalence(spark):
                   levels(BIDS), levels(ASKS)),
     )
 
+    # router coverage (VERDICT r11 item 6): accumulate phase-1 path
+    # counts across every example; the pinned @example cases force at
+    # least one fast-tier segment (clean snapshot + bridged chained
+    # delta, non-crossing) and one exact-fold segment (delta before any
+    # snapshot -> seg 0 has no leading snapshot), so a router that
+    # silently always falls back (or always fast-paths) fails below.
+    path_counts: dict = {}
+    from hypothesis import example
+
+    _FAST_OPS = [("snap", 0, [(99.0, 1.0)], [(101.0, 1.0)]),
+                 ("delta", (0, 0, "chain", False, False),
+                  [(100.0, 2.0)], [(102.0, 1.0)])]
+    _FALLBACK_OPS = [("delta", (0, 0, "none", False, False),
+                      [(99.0, 1.0)], []),
+                     ("snap", 0, [], [(101.0, 1.0)])]
+
     @settings(deadline=None, max_examples=10)
+    @example(ops=_FAST_OPS)
+    @example(ops=_FALLBACK_OPS)
     @given(ops=st.lists(op, min_size=2, max_size=14))
     def run(ops):
         gen_last = 10
@@ -1598,7 +1616,8 @@ def test_replay_segmented_property_equivalence(spark):
                          None if null_U else U, None if null_u else u, pu,
                          json.dumps(bids), json.dumps(asks)))
         got = _seg_state(
-            replay_book_segmented(_depth_rows(spark, rows)), "S"
+            replay_book_segmented(_depth_rows(spark, rows), path_counts),
+            "S",
         )
         want = _fold_whole("S", rows)
         assert got["synced"] == want["synced"], (ops, got, want)
@@ -1608,6 +1627,8 @@ def test_replay_segmented_property_equivalence(spark):
         assert got["buffered_count"] == len(want["buffer"]), ops
 
     run()
+    assert path_counts.get("fast", 0) > 0, path_counts
+    assert path_counts.get("fallback", 0) > 0, path_counts
 
 
 def test_post_repair_prefetch_plan():
