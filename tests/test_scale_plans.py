@@ -122,6 +122,11 @@ def test_decontam_benchmark_set_broadcasts(spark, sf_dir):
     p = plan_text(REGISTRY["decontam_ngram_overlap"].fn(spark, sf_dir), "simple")
     assert "BroadcastHashJoin" in p
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    # r12 single-pass shape: the hit flag rides the ONE broadcast join
+    # into the final groupBy(doc_id) — no shuffled doc-spine join may
+    # reappear (the r11 shape paid one, plus two extra md5 gram passes)
+    assert "SortMergeJoin" not in p and "ShuffledHashJoin" not in p
+    assert p.count("BroadcastHashJoin") == 1
 
 
 def test_repetition_signals_no_pairwise_blowup(spark, sf_dir):
