@@ -220,13 +220,17 @@ def decontam_overlap(docs, bench_mod: int = _BENCH_MOD, threshold: float = _CONT
     """Benchmark-overlap decontamination over a (doc_id, text, ...) frame —
     the DataFrame-level op behind ``decontam_ngram_overlap``.
 
-    ONE corpus gram pass: the distinct-gram arrays are exploded once to
-    (doc_id, gh) grain, the tiny benchmark-gram set is broadcast-left-joined
-    as a hit FLAG, and a single groupBy(doc_id) produces both n_grams
-    (count of distinct grams) and n_overlap (sum of hits). The earlier
-    shape evaluated the md5 gram expression three times (bench branch,
-    hits explode, final doc-spine join) over an uncached frame — at 100 TB
-    that is three full corpus hash passes instead of one.
+    ONE full-corpus gram pass plus a ~1/bench_mod bench pass: the
+    distinct-gram arrays are exploded once to (doc_id, gh) grain, the tiny
+    benchmark-gram set is broadcast-left-joined as a hit FLAG, and a single
+    groupBy(doc_id) produces both n_grams (count of distinct grams) and
+    n_overlap (sum of hits).  `ge` is deliberately uncached, so the bench
+    branch re-evaluates the md5 gram expression over the doc_id % bench_mod
+    slice — a second pass over ~1/bench_mod of the corpus, negligible next
+    to the full pass.  The earlier shape evaluated the gram expression
+    three times at FULL corpus grain (bench branch, hits explode, final
+    doc-spine join) — at 100 TB that is three full corpus hash passes
+    instead of ~1.05.
     """
     d = docs.select("doc_id", F.split("text", " ").alias("tok"))
     # CASE-guarded for the same reason as repetition_signals' bigrams: the

@@ -50,12 +50,20 @@ _BM25_STOP_DF_PCT = 90
 def _bm25_scored(
     tf, qterms, k1: float = _K1, b: float = _B,
     stop_df_pct: int = _BM25_STOP_DF_PCT,
+    decimal_scores: bool = True,
 ):
     """Per-(qid, doc_id) BM25 decimal scores from a term-frequency frame
     ``tf`` (doc_id, n_tok, term, term_count — curation._tfidf_tf_frame
     shape) and a query-bag frame ``qterms`` (qid, term).  ``stop_df_pct``:
     terms in more than this percentage of documents are stop terms and
-    score nothing (exact integer predicate df*100 <= N*pct)."""
+    score nothing (exact integer predicate df*100 <= N*pct).
+
+    ``decimal_scores=False`` is the production knob (VERDICT r12 item 3):
+    plain-double idf x saturation products double-summed — same ranking in
+    practice, but the score sum becomes partition-order-dependent in the
+    last ulps, so the ORACLE-FACING registered queries keep the exact
+    DECIMAL(12,7) path (bit-stable across engines and partitionings).
+    Measured tax of the decimal path: see SCALE.md's BM25 note."""
     # corpus stats off the already-collapsed tf frame: df is a
     # vocab-size agg, N / avgdl come from the one-row-per-doc lengths —
     # never a second corpus scan (the text_tfidf_topk doctrine)
@@ -68,34 +76,31 @@ def _bm25_scored(
             F.sum("dl").alias("sum_dl"),
         )
     )
-    idf = F.round(
-        F.log(
-            (
-                F.col("n_docs").cast("double")
-                - F.col("df_docs").cast("double")
-                + F.lit(0.5)
-            )
-            / (F.col("df_docs").cast("double") + F.lit(0.5))
-            + F.lit(1.0)
-        ),
-        7,
-    ).cast("decimal(12,7)")
+    idf = F.log(
+        (
+            F.col("n_docs").cast("double")
+            - F.col("df_docs").cast("double")
+            + F.lit(0.5)
+        )
+        / (F.col("df_docs").cast("double") + F.lit(0.5))
+        + F.lit(1.0)
+    )
+    if decimal_scores:
+        idf = F.round(idf, 7).cast("decimal(12,7)")
     # avgdl = sum_dl / n_docs: exactly-rounded IEEE division of exact
     # integers — bitwise identical across engines
     avgdl = F.col("sum_dl").cast("double") / F.col("n_docs").cast("double")
     tf_d = F.col("term_count").cast("double")
-    sat = F.round(
-        (tf_d * F.lit(k1 + 1.0))
-        / (
-            tf_d
-            + F.lit(k1)
-            * (
-                F.lit(1.0 - b)
-                + F.lit(b) * (F.col("dl").cast("double") / avgdl)
-            )
-        ),
-        7,
-    ).cast("decimal(12,7)")
+    sat = (tf_d * F.lit(k1 + 1.0)) / (
+        tf_d
+        + F.lit(k1)
+        * (
+            F.lit(1.0 - b)
+            + F.lit(b) * (F.col("dl").cast("double") / avgdl)
+        )
+    )
+    if decimal_scores:
+        sat = F.round(sat, 7).cast("decimal(12,7)")
     # ALL arithmetic happens at corpus/vocab size, BEFORE the query-bag
     # join: idf once per vocab term, the saturation factor once per
     # (doc, term) posting, and their exact decimal product w once per
@@ -134,11 +139,16 @@ def _bm25_scored(
     )
 
 
-def bm25_topk(d, q_mod: int = _Q_MOD, k: int = _K, only_qid: int | None = None):
+def bm25_topk(
+    d, q_mod: int = _Q_MOD, k: int = _K, only_qid: int | None = None,
+    decimal_scores: bool = True,
+):
     """Top-``k`` BM25 hits for every corpus-derived query over a
     (doc_id, text) frame — the DataFrame op behind ``search_bm25_topk``.
     ``only_qid`` restricts the query set to one document (the hybrid-RRF
-    fusion's single-query shape) without changing corpus statistics."""
+    fusion's single-query shape) without changing corpus statistics.
+    ``decimal_scores=False``: production double-scoring knob — see
+    ``_bm25_scored``; registered queries keep the default."""
     from crypto_datalake_spark.queries.curation import _tfidf_tf_frame
 
     # one tokenize + (doc, term) count pass feeds postings, df, AND the
@@ -150,7 +160,7 @@ def bm25_topk(d, q_mod: int = _Q_MOD, k: int = _K, only_qid: int | None = None):
     if only_qid is not None:
         qpred = qpred & (F.col("doc_id") == only_qid)
     qterms = tf.where(qpred).select(F.col("doc_id").alias("qid"), "term")
-    scored = _bm25_scored(tf, qterms)
+    scored = _bm25_scored(tf, qterms, decimal_scores=decimal_scores)
     w = Window.partitionBy("qid").orderBy(
         F.col("score_dec").desc(), F.col("doc_id").asc()
     )

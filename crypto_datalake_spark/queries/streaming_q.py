@@ -8,6 +8,8 @@ oracle-checked against batch SQL, proving stream/batch semantic parity
 
 from __future__ import annotations
 
+import contextlib
+
 from pyspark.sql import functions as F
 
 from crypto_datalake_spark.io import _EVENTS_PHYSICAL, _LONG_TO_NTZ
@@ -20,7 +22,12 @@ def _await_or_die(q, timeout_sec: int = 300) -> None:
     reading the memory sink after that would silently compare partial
     results. Fail loudly instead (and stop the straggler query)."""
     if not q.awaitTermination(timeout_sec):
-        q.stop()
+        # stop() may itself throw (e.g. the query died with an error
+        # between awaitTermination returning False and this call) —
+        # never let that mask the TimeoutError and its 'partial sink'
+        # diagnostic (ADVICE r12)
+        with contextlib.suppress(Exception):
+            q.stop()
         raise TimeoutError(
             f"streaming query {q.name!r} did not finish its availableNow "
             f"run within {timeout_sec}s; refusing to read a partial sink"
@@ -154,7 +161,13 @@ def _st11_sql(sf_dir: str) -> str:
     "timer batch also flushed each user's LAST session is trigger-"
     "timing-dependent, so those rows are excluded on BOTH sides.  The "
     "oracle recomputes the same sessions as batch gaps-and-islands "
-    "SQL: stream/batch parity is the assertion, same as st2.  Scale: "
+    "SQL: stream/batch parity is the assertion, same as st2.  The "
+    "parity argument additionally assumes availableNow delivers ALL "
+    "events in ONE micro-batch — true here because the source is the "
+    "single events.parquet file and no maxFilesPerTrigger is set; a "
+    "multi-file source could split the run into several batches, "
+    "where intermediate watermark advances may flush sessions the "
+    "deterministic-subset filter does not model (ADVICE r11).  Scale: "
     "state is O(1) per live user; the only exchange is the hash "
     "partition on user_id any per-user operator needs.",
 )

@@ -103,8 +103,15 @@ def _apply_levels(book_side: dict, levels: list, heap: list | None = None, neg: 
                 # 2-element LISTS, not tuples: callers may round-trip the
                 # whole state through JSON (which turns tuples into
                 # lists), and heapq comparisons between a pushed tuple
-                # and a reloaded list would TypeError
-                heapq.heappush(heap, [(-fp if neg else fp), key])
+                # and a reloaded list would TypeError.
+                # float(key), NOT fp: the heap float must derive from the
+                # canonical .10g key string so a pushed entry orders
+                # identically to _heap's lazy rebuild (which only has the
+                # key) — prices differing past 10 significant digits
+                # would otherwise give _crossed a different verdict
+                # pushed vs rebuilt (ADVICE r11)
+                fk = float(key)
+                heapq.heappush(heap, [(-fk if neg else fk), key])
             book_side[key] = float(qty)
 
 
@@ -925,13 +932,21 @@ def _fast_segment_state(pdf: pd.DataFrame) -> dict | None:
                     book.pop(key, None)
                 else:
                     book[key] = fq
-    return {
+    state = {
         "bids": bids,
         "asks": asks,
         "last_u": int(u_s[-1]),
         "synced": True,
         "buffer": [],
     }
+    if not len(du):
+        # snapshot-only segment: the exact fold leaves await_bridge=True
+        # (no buffered delta bridged, so the NEXT live delta must pass
+        # the bridge rule, not pu-continuity).  Match the full state
+        # blob, not just books — a resumed/diffed segment state would
+        # otherwise diverge between tiers (ADVICE r11)
+        state["await_bridge"] = True
+    return state
 
 
 def _np_lexsort_fold_order(t_ns, is_delta, u):

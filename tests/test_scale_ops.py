@@ -986,6 +986,31 @@ def test_bm25_served_matches_inquery_on_training_corpus(spark, sf_dir):
     assert base == served and len(base) > 0
 
 
+def test_bm25_double_scoring_knob_same_ranking(spark, sf_dir):
+    """VERDICT r12 item 3: the production `decimal_scores=False` knob
+    (plain-double products, double sum) must return the SAME (qid,
+    doc_id, rank, n_hit_terms) top-k as the shipped exact-decimal path
+    on this corpus, with scores equal to 7 decimals — the decimal path
+    buys bit-stable cross-engine ordering, not different answers."""
+    from crypto_datalake_spark.queries.common import t
+    from crypto_datalake_spark.queries.retrieval import bm25_topk
+
+    docs = t(spark, sf_dir, "documents")
+    dec = {
+        (r["qid"], r["doc_id"]): (r["rank"], r["n_hit_terms"], r["bm25"])
+        for r in bm25_topk(docs).collect()
+    }
+    dbl = {
+        (r["qid"], r["doc_id"]): (r["rank"], r["n_hit_terms"], r["bm25"])
+        for r in bm25_topk(docs, decimal_scores=False).collect()
+    }
+    assert set(dec) == set(dbl) and len(dec) > 0
+    for key, (rank, nh, score) in dec.items():
+        d_rank, d_nh, d_score = dbl[key]
+        assert (rank, nh) == (d_rank, d_nh), (key, dec[key], dbl[key])
+        assert abs(score - d_score) < 1e-6, (key, score, d_score)
+
+
 def test_bm25_serve_drops_oov_and_length_normalizes(spark, sf_dir):
     """Serving NEW documents against the frozen fit: OOV terms score
     nothing (vocab-join drop) but still count toward the doc's length

@@ -959,6 +959,36 @@ def test_book_crossed_by_deltas_desyncs(spark):
     assert len(out) == 1 and not out[0]["synced"]
 
 
+def test_crossed_heap_float_canonicalization():
+    """ADVICE r11: `_apply_levels` must push float(key) — the float of
+    the canonical .10g key string — not the raw parsed price, so a
+    pushed heap entry orders identically to `_heap`'s lazy rebuild
+    (which only has the key).  Price pair differing only PAST 10
+    significant digits: bid 99.99999999999 keys to "100", same as the
+    ask at 100.0 — the rebuilt heap says crossed (100.0 >= 100.0);
+    pre-fix the pushed heap compared the raw 99.99999999999 and said
+    NOT crossed."""
+    from crypto_datalake_spark.streaming.orderbook import (
+        _apply_levels,
+        _crossed,
+        _heap,
+    )
+
+    def _book(with_heap: bool) -> dict:
+        st = {"bids": {}, "asks": {}}
+        hb = _heap(st, "bids", neg=True) if with_heap else None
+        ha = _heap(st, "asks", neg=False) if with_heap else None
+        _apply_levels(st["bids"], [(99.99999999999, 1.0)], hb, neg=True)
+        _apply_levels(st["asks"], [(100.0, 1.0)], ha)
+        return st
+
+    pushed = _book(with_heap=True)
+    rebuilt = _book(with_heap=False)  # heaps absent: _crossed lazily rebuilds
+    # both sides keyed "100": the two paths must agree on the verdict
+    assert set(pushed["bids"]) == set(rebuilt["bids"]) == {"100"}
+    assert _crossed(pushed) is _crossed(rebuilt) is True
+
+
 def test_book_null_id_snapshot_and_buffered_delta_no_crash(spark):
     """Null final_update_id on a snapshot (cannot anchor the bridge) or
     on a buffered delta must degrade/skip, never TypeError the task into
@@ -1589,11 +1619,7 @@ def test_replay_segmented_property_equivalence(spark):
                       [(99.0, 1.0)], []),
                      ("snap", 0, [], [(101.0, 1.0)])]
 
-    @settings(deadline=None, max_examples=10)
-    @example(ops=_FAST_OPS)
-    @example(ops=_FALLBACK_OPS)
-    @given(ops=st.lists(op, min_size=2, max_size=14))
-    def run(ops):
+    def _exec(ops, counts):
         gen_last = 10
         rows = []
         for i, (kind, arg, bids, asks) in enumerate(ops):
@@ -1616,7 +1642,7 @@ def test_replay_segmented_property_equivalence(spark):
                          None if null_U else U, None if null_u else u, pu,
                          json.dumps(bids), json.dumps(asks)))
         got = _seg_state(
-            replay_book_segmented(_depth_rows(spark, rows), path_counts),
+            replay_book_segmented(_depth_rows(spark, rows), counts),
             "S",
         )
         want = _fold_whole("S", rows)
@@ -1626,9 +1652,26 @@ def test_replay_segmented_property_equivalence(spark):
         assert json.loads(got["asks"]) == want["asks"], ops
         assert got["buffered_count"] == len(want["buffer"]), ops
 
+    @settings(deadline=None, max_examples=10)
+    @example(ops=_FAST_OPS)
+    @example(ops=_FALLBACK_OPS)
+    @given(ops=st.lists(op, min_size=2, max_size=14))
+    def run(ops):
+        _exec(ops, path_counts)
+
     run()
     assert path_counts.get("fast", 0) > 0, path_counts
     assert path_counts.get("fallback", 0) > 0, path_counts
+    # ADVICE r12: the aggregate counters above could be satisfied by a
+    # random example even if a pinned one silently routed to the wrong
+    # tier — run each pin with a FRESH counter and lock it to its tier
+    fast_counts: dict = {}
+    _exec(_FAST_OPS, fast_counts)
+    assert fast_counts.get("fast", 0) >= 1, fast_counts
+    assert fast_counts.get("fallback", 0) == 0, fast_counts
+    fb_counts: dict = {}
+    _exec(_FALLBACK_OPS, fb_counts)
+    assert fb_counts.get("fallback", 0) >= 1, fb_counts
 
 
 def test_post_repair_prefetch_plan():
@@ -1722,9 +1765,15 @@ def test_fast_segment_state_matrix():
         _fold_batch("S", st, pdf)
         exact = json.loads(_state_blob(st))
         got = json.loads(json.dumps(fast))
-        for k in ("bids", "asks", "last_u", "synced"):
-            assert got[k] == exact[k], (name, k)
+        # FULL state-dict equality (ADVICE r11): a snapshot-only segment
+        # must carry await_bridge=True exactly like the exact fold — a
+        # resumed or diffed segment state may not diverge between tiers
+        assert got == exact, (name, got, exact)
         assert exact["buffer"] == []
+        if name == "snap_only":
+            assert got.get("await_bridge") is True, got
+        else:
+            assert "await_bridge" not in got, (name, got)
     for name, pdf in fallback_cases.items():
         assert _fast_segment_state(pdf) is None, name
 
@@ -1815,3 +1864,13 @@ def test_await_or_die_raises_on_timeout_and_stops_query():
     with pytest.raises(TimeoutError, match="partial sink"):
         _await_or_die(slow, 1)
     assert slow.stopped
+
+    # ADVICE r12: stop() itself throwing (query died between the False
+    # return and the stop call) must NOT mask the TimeoutError — the
+    # 'partial sink' diagnostic is the actionable message
+    class DeadQuery(FakeQuery):
+        def stop(self):
+            raise RuntimeError("query terminated with exception")
+
+    with pytest.raises(TimeoutError, match="partial sink"):
+        _await_or_die(DeadQuery(done=False), 1)
