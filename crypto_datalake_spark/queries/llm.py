@@ -583,6 +583,113 @@ def lsh_multiprobe_topk(e_raw):
     )
 
 
+# Hard-negative mining knobs: every _HN_MOD-th vector is an "anchor"
+# (stands in for a contrastive-training batch's query side), _HN_K
+# negatives are mined per anchor, and candidates with cosine >= _HN_MAX_SIM
+# are dropped as probable FALSE negatives (a near-identical vector carrying
+# a different label is label noise / an unmarked duplicate, not a hard
+# negative — the cheap-threshold stand-in for RocketQA-style denoising).
+_HN_MOD = 50
+_HN_K = 5
+_HN_MAX_SIM = 0.995
+
+
+@register(
+    "mine_hard_negatives",
+    sql=f"""
+    WITH bk AS (
+      SELECT vec_id, label, embedding, {_dk_bucket("embedding")} AS bucket
+      FROM embeddings
+    ),
+    anchors AS (
+      SELECT vec_id AS anchor_id, label AS a_label,
+             embedding AS av, bucket AS ab
+      FROM bk WHERE vec_id % {_HN_MOD} = 0
+    ),
+    cand AS (
+      SELECT a.anchor_id, e.vec_id, e.label,
+             round({_DK_COS.format(a="e.embedding", b="a.av")}, 9) AS sim
+      FROM bk e JOIN anchors a ON e.bucket = a.ab
+      WHERE e.vec_id <> a.anchor_id AND e.label <> a.a_label
+    ),
+    ranked AS (
+      SELECT anchor_id, vec_id, label, sim,
+             row_number() OVER (
+               PARTITION BY anchor_id ORDER BY sim DESC, vec_id ASC
+             ) AS rank
+      FROM cand WHERE sim < {_HN_MAX_SIM}
+    )
+    SELECT anchor_id, vec_id, label, round(sim, 6) AS cosine,
+           CAST(rank AS BIGINT) AS rank
+    FROM ranked WHERE rank <= {_HN_K}
+    """,
+    doc="Contrastive hard-negative mining (DPR/SimCSE training-data "
+    f"prep): for every anchor vector (vec_id % {_HN_MOD} = 0 stands in "
+    f"for a training batch's query side), the top-{_HN_K} most-similar "
+    "DIFFERENT-label vectors in the anchor's LSH bucket — similar "
+    "enough to be confusable, provably not positives. Candidates with "
+    f"cosine >= {_HN_MAX_SIM} are dropped as probable false negatives "
+    "(near-identical vector, different label = label noise), the cheap-"
+    "threshold stand-in for cross-encoder denoising. Plan: the corpus "
+    "is bucketed by the shared 4-plane LSH projection (one narrow "
+    "map), the bounded anchor batch broadcasts, and the bucket "
+    "equi-join caps candidates at ~1/16 of the corpus per anchor — "
+    "the corpus never self-joins and never shuffles except the one "
+    "per-anchor top-k window exchange. At 100 TB: anchors are a "
+    "training batch (bounded, broadcast); recall is tunable with the "
+    "sibling multi-probe machinery. Ranking on round(cos, 9) — the "
+    "IVF precedent — so float association can never flip an order "
+    "across engines.",
+)
+def mine_hard_negatives(spark, sf_dir):
+    return hard_negatives(t(spark, sf_dir, "embeddings"))
+
+
+def hard_negatives(
+    e_raw, mod: int = _HN_MOD, k: int = _HN_K, max_sim: float = _HN_MAX_SIM
+):
+    """Per-anchor top-``k`` different-label LSH-bucket neighbors below the
+    ``max_sim`` false-negative cap — the DataFrame op behind
+    ``mine_hard_negatives``."""
+    from pyspark.sql import Window
+
+    e = e_raw.withColumn("bucket", _sp_bucket("embedding"))
+    anchors = e.where(F.col("vec_id") % mod == 0).select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("label").alias("a_label"),
+        F.col("embedding").alias("av"),
+        F.col("bucket").alias("ab"),
+    )
+    cand = (
+        e.join(F.broadcast(anchors), e.bucket == anchors.ab)
+        .where(
+            (F.col("vec_id") != F.col("anchor_id"))
+            & (F.col("label") != F.col("a_label"))
+        )
+        .select(
+            "anchor_id",
+            "vec_id",
+            "label",
+            F.round(_cosine(F.col("embedding"), F.col("av")), 9).alias("sim"),
+        )
+        .where(F.col("sim") < max_sim)
+    )
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.col("sim").desc(), F.col("vec_id").asc()
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select(
+            "anchor_id",
+            "vec_id",
+            "label",
+            F.round(F.col("sim"), 6).alias("cosine"),
+            "rank",
+        )
+    )
+
+
 @register(
     "multimodal_feature_extract",
     sql="""

@@ -583,3 +583,65 @@ def test_dsir_serve_null_cut_keeps_nothing(spark, sf_dir):
     (row,) = dsir_serve(docs, ratio, meta).collect()
     assert row["keep"] is False            # definite, not NULL
     assert row["dsir_logw"] == 0.0
+
+
+def test_hard_negatives_label_cap_and_bucket_semantics(spark):
+    """mine_hard_negatives witnesses (synthetic, constraints asserted
+    in-test so environment drift is loud): a near-identical DIFFERENT-
+    label vector (cos >= cap) is dropped as a probable FALSE negative;
+    a confusable same-label vector is never a negative; ranking is by
+    cosine among surviving different-label bucket-mates; an opposite-
+    bucket vector is outside the candidate set (the LSH recall
+    trade-off, tunable via the sibling multi-probe machinery)."""
+    import numpy as np
+
+    from crypto_datalake_spark.queries.llm import (
+        _HN_MAX_SIM,
+        _PLANES,
+        hard_negatives,
+    )
+
+    P = np.array(_PLANES)                      # 4 x 64 hyperplanes
+    rng = np.random.default_rng(13)
+    v = P.sum(axis=0).astype(float)            # dots(v, p_j) ~ 64: deep in-bucket
+
+    def bucket(x):
+        return "".join("1" if d >= 0 else "0" for d in P @ x)
+
+    def cos(a, b):
+        return float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+
+    def perturb(scale):
+        d = rng.normal(size=64)
+        d *= scale * np.linalg.norm(v) / np.linalg.norm(d)
+        return v + d
+
+    v_dup = perturb(0.005)     # cos ~ 0.99999 >= cap: false negative
+    v_hard = perturb(0.20)     # cos ~ 0.98 < cap: the hard negative
+    v_hard2 = perturb(0.45)    # weaker negative: must rank BELOW v_hard
+    v_pos = perturb(0.20)      # confusable but SAME label: a positive
+    v_far = -v                 # opposite bucket: outside the block
+    # construction validity — these make the expectations non-brittle
+    for x in (v_dup, v_hard, v_hard2, v_pos):
+        assert bucket(x) == bucket(v), "perturbation flipped a plane"
+    assert bucket(v_far) != bucket(v)
+    assert cos(v, v_dup) >= _HN_MAX_SIM
+    assert cos(v, v_hard2) < cos(v, v_hard) < _HN_MAX_SIM
+
+    rows = [
+        (0, [float(x) for x in v], 1),        # anchor (0 % mod == 0)
+        (1, [float(x) for x in v_dup], 2),    # false negative: dropped
+        (2, [float(x) for x in v_hard], 2),   # hard negative: rank 1
+        (3, [float(x) for x in v_pos], 1),    # same label: never emitted
+        (4, [float(x) for x in v_far], 3),    # other bucket: not a candidate
+        (5, [float(x) for x in v_hard2], 3),  # weaker negative: rank 2
+    ]
+    e = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    got = hard_negatives(e).collect()
+    assert [(r["anchor_id"], r["vec_id"], r["rank"]) for r in got] == [
+        (0, 2, 1),
+        (0, 5, 2),
+    ], got
+    assert all(r["cosine"] < _HN_MAX_SIM for r in got)

@@ -133,6 +133,19 @@ def test_decontam_benchmark_set_broadcasts(spark, sf_dir):
     assert len(gh_joins) == 1, (gh_joins, p)
 
 
+def test_hard_negatives_plan_broadcast_anchors_no_self_shuffle(spark, sf_dir):
+    # the anchor batch (bounded in production: a training batch) must
+    # broadcast into the bucket equi-join; the corpus may never
+    # self-join, co-shuffle, or cartesian — its only exchange is the
+    # per-anchor top-k window, with the rank limit pushed map-side
+    p = plan_text(REGISTRY["mine_hard_negatives"].fn(spark, sf_dir), "simple")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p and "ShuffledHashJoin" not in p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    assert "WindowGroupLimit" in p
+    assert p.count("Exchange hashpartitioning(anchor_id") == 1
+
+
 def test_repetition_signals_no_pairwise_blowup(spark, sf_dir):
     # explode + groupBy shape: linear in document length, no cross joins,
     # no Python in the plan
