@@ -905,18 +905,24 @@ def _fast_segment_state(pdf: pd.DataFrame) -> dict | None:
 
     bids_all = _parse(pdf["bids"].iloc[order])
     asks_all = _parse(pdf["asks"].iloc[order])
+    # CANONICAL floats (float of the .10g key string), not raw parses:
+    # the exact fold's _crossed compares key-derived floats, so a raw
+    # bid infinitesimally below a raw ask that rounds to the SAME key
+    # would read not-crossed here but crossed in the fold — the fast
+    # path would then claim synced=True where the fold says False
+    # (same family as the _apply_levels heap-float fix, ADVICE r11)
     max_bid = None
     min_ask = None
     for levels in bids_all:
         for p, q in levels:
             if float(q) > 0:
-                fp = float(p)
+                fp = float(f"{float(p):.10g}")
                 if max_bid is None or fp > max_bid:
                     max_bid = fp
     for levels in asks_all:
         for p, q in levels:
             if float(q) > 0:
-                fp = float(p)
+                fp = float(f"{float(p):.10g}")
                 if min_ask is None or fp < min_ask:
                     min_ask = fp
     if max_bid is not None and min_ask is not None and max_bid >= min_ask:

@@ -1753,10 +1753,27 @@ def test_fast_segment_state_matrix():
             ))
         return pd.DataFrame(rows)
 
+    # canonical-key crossing (r13, same family as the heap-float fix): a
+    # raw bid infinitesimally BELOW the ask that rounds to the SAME .10g
+    # key ("100") — the exact fold's key-derived _crossed says crossed
+    # (synced=False), so the fast path's superset pre-check must also
+    # compare canonical floats and route this segment to the exact fold
+    canon_cross = pd.DataFrame([dict(
+        symbol="S",
+        event_time=pd.Timestamp("2024-01-01"),
+        kind="snapshot",
+        first_update_id=None,
+        final_update_id=1,
+        prev_final_update_id=None,
+        bids=json.dumps([[99.99999999999, 1.0]]),
+        asks=json.dumps([[100.0, 1.0]]),
+    )])
+
     fast_cases = dict(clean=seg(), pu_less=seg(pu_less=True), snap_only=seg(1))
     fallback_cases = dict(
         stale=seg(stale=True), gap=seg(gap=True), cross=seg(cross=True),
         null_u=seg(null_u=True), two_snaps=seg(two_snaps=True),
+        canon_cross=canon_cross,
     )
     for name, pdf in fast_cases.items():
         fast = _fast_segment_state(pdf)
@@ -1776,6 +1793,11 @@ def test_fast_segment_state_matrix():
             assert "await_bridge" not in got, (name, got)
     for name, pdf in fallback_cases.items():
         assert _fast_segment_state(pdf) is None, name
+    # ...and the exact fold the canon_cross segment routes to must judge
+    # it CROSSED (the whole reason the fast path may not accept it)
+    st = dict(_EMPTY, buffer=[])
+    _fold_batch("S", st, canon_cross)
+    assert st["synced"] is False
 
 
 def test_tag_segments_matches_count_model(spark):

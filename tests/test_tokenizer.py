@@ -121,7 +121,12 @@ def test_serve_plan_one_broadcast_join_no_python(spark, sf_dir):
 
     df = REGISTRY["tokenize_bpe"].fn(spark, sf_dir)
     p = plan_text(df, "simple")
-    assert p.count("BroadcastHashJoin") == 1
+    # pin the ONE broadcast join ON THE WORD KEY, not a raw occurrence
+    # count — an optimizer reprint of the same exchange must not flip
+    # the test (the decontam plan-pin precedent, ADVICE r12)
+    import re
+
+    assert len(re.findall(r"BroadcastHashJoin \[word#\d+\]", p)) == 1, p
     assert "SortMergeJoin" not in p and "CartesianProduct" not in p
     assert p.count("Exchange hashpartitioning") <= 2
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p

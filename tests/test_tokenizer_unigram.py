@@ -109,6 +109,10 @@ def test_serve_plan_single_broadcast_no_python(spark, sf_dir):
     from tests.test_scale_plans import plan_text
 
     p = plan_text(REGISTRY["tokenize_unigram"].fn(spark, sf_dir), "simple")
-    assert p.count("BroadcastHashJoin") == 1
+    # keyed pin, not a raw occurrence count (the decontam plan-pin
+    # precedent, ADVICE r12)
+    import re
+
+    assert len(re.findall(r"BroadcastHashJoin \[word#\d+\]", p)) == 1, p
     assert "SortMergeJoin" not in p
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
