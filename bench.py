@@ -107,6 +107,7 @@ BENCH_QUERIES = [
     "ann_ivf_pq",
     "ann_ivf_pca",                   # probe in PCA space, full-dim re-rank
     "mine_hard_negatives",           # contrastive hard-negative mining (full oracle)
+    "mine_hard_negatives_probe2",    # multi-probe recall variant (full oracle)
     "dq_expectations",               # one-scan declarative DQ rule gate
     "feature_quantile_bins",         # exact nearest-rank discretization
     "feature_target_encode",         # leave-one-out categorical encoding

@@ -635,9 +635,13 @@ _HN_MAX_SIM = 0.995
     "map), the bounded anchor batch broadcasts, and the bucket "
     "equi-join caps candidates at ~1/16 of the corpus per anchor — "
     "the corpus never self-joins and never shuffles except the one "
-    "per-anchor top-k window exchange. At 100 TB: anchors are a "
-    "training batch (bounded, broadcast); recall is tunable with the "
-    "sibling multi-probe machinery. Ranking on round(cos, 9) — the "
+    "per-anchor top-k window exchange. At 100 TB: pass a genuinely "
+    "bounded anchor frame (a training batch) via hard_negatives("
+    "anchors=...) — the mod carve-out here is corpus-PROPORTIONAL "
+    "(1/mod of the corpus, embeddings included) and only broadcast-"
+    "safe if mod scales with corpus size (ADVICE r13); recall is "
+    "tunable with hard_negatives(probes=N) — see "
+    "mine_hard_negatives_probe2. Ranking on round(cos, 9) — the "
     "IVF precedent — so float association can never flip an order "
     "across engines.",
 )
@@ -645,21 +649,156 @@ def mine_hard_negatives(spark, sf_dir):
     return hard_negatives(t(spark, sf_dir, "embeddings"))
 
 
+def _hn_probe2_sql() -> str:
+    """DuckDB oracle for the probes=2 miner: per-anchor margin ranking
+    picks each anchor's lowest-|margin| hyperplane, whose flip is the
+    second probed bucket (the ann_lsh_multiprobe sequence restricted to
+    probes=2, partitioned by anchor instead of the single query)."""
+    ad_rows = " UNION ALL ".join(
+        f"SELECT anchor_id, {i} AS i, {_dk_plane_dot('av', p)} AS d FROM anchors"
+        for i, p in enumerate(_PLANES)
+    )
+    return f"""
+    WITH bk AS (
+      SELECT vec_id, label, embedding, {_dk_bucket("embedding")} AS bucket
+      FROM embeddings
+    ),
+    anchors AS (
+      SELECT vec_id AS anchor_id, label AS a_label,
+             embedding AS av, bucket AS ab
+      FROM bk WHERE vec_id % {_HN_MOD} = 0
+    ),
+    ad AS ({ad_rows}),
+    sel AS (
+      SELECT anchor_id, min(CASE WHEN r = 1 THEN i END) AS p1
+      FROM (SELECT anchor_id, i,
+                   row_number() OVER (
+                     PARTITION BY anchor_id ORDER BY abs(d) ASC, i ASC
+                   ) AS r
+            FROM ad)
+      GROUP BY anchor_id
+    ),
+    probes AS (
+      SELECT anchor_id, a_label, av, ab AS pb FROM anchors
+      UNION ALL
+      SELECT a.anchor_id, a.a_label, a.av, {_flip_sql("ab", "p1")}
+      FROM anchors a JOIN sel USING (anchor_id)
+    ),
+    cand AS (
+      SELECT p.anchor_id, e.vec_id, e.label,
+             round({_DK_COS.format(a="e.embedding", b="p.av")}, 9) AS sim
+      FROM bk e JOIN probes p ON e.bucket = p.pb
+      WHERE e.vec_id <> p.anchor_id AND e.label <> p.a_label
+    ),
+    ranked AS (
+      SELECT anchor_id, vec_id, label, sim,
+             row_number() OVER (
+               PARTITION BY anchor_id ORDER BY sim DESC, vec_id ASC
+             ) AS rank
+      FROM cand WHERE sim < {_HN_MAX_SIM}
+    )
+    SELECT anchor_id, vec_id, label, round(sim, 6) AS cosine,
+           CAST(rank AS BIGINT) AS rank
+    FROM ranked WHERE rank <= {_HN_K}
+    """
+
+
+@register(
+    "mine_hard_negatives_probe2",
+    sql=_hn_probe2_sql(),
+    doc="Multi-probe hard-negative mining (VERDICT r13 item 3): each "
+    "anchor probes its own LSH bucket PLUS the bucket reached by "
+    "flipping its lowest-|margin| hyperplane — the plane most likely "
+    "to have mis-binned a confusable different-label neighbor "
+    "(Lv et al. multi-probe, the ann_lsh_multiprobe sequence at "
+    "probes=2). Candidates ≈ 2/16 of the corpus per anchor; the probe "
+    "frame is anchors × 2 rows (bounded when the anchor frame is — "
+    "same mod-scaling caveat as mine_hard_negatives) and stays "
+    "broadcast-side, so the corpus still never self-joins and still "
+    "pays only the one per-anchor top-k window exchange. Margins "
+    "rounded(9) pre-ranking — cross-engine-deterministic probe "
+    "choice, the ann_lsh_multiprobe precedent.",
+)
+def mine_hard_negatives_probe2(spark, sf_dir):
+    return hard_negatives(t(spark, sf_dir, "embeddings"), probes=2)
+
+
 def hard_negatives(
-    e_raw, mod: int = _HN_MOD, k: int = _HN_K, max_sim: float = _HN_MAX_SIM
+    e_raw,
+    mod: int = _HN_MOD,
+    k: int = _HN_K,
+    max_sim: float = _HN_MAX_SIM,
+    anchors=None,
+    probes: int = 1,
 ):
     """Per-anchor top-``k`` different-label LSH-bucket neighbors below the
     ``max_sim`` false-negative cap — the DataFrame op behind
-    ``mine_hard_negatives``."""
+    ``mine_hard_negatives``.
+
+    ``anchors``: the production path. Pass a genuinely BOUNDED
+    (vec_id, label, embedding) frame — a contrastive training batch —
+    which is what makes the anchor broadcast safe at any corpus size.
+    The default ``vec_id % mod == 0`` carve-out is the self-contained
+    oracle stand-in and is corpus-PROPORTIONAL (1/mod of the corpus,
+    full embeddings included): at 100 TB the default mod=50 would blow
+    the broadcast limit, so mod must scale with corpus size whenever
+    the carve-out is used beyond test scale (ADVICE r13).
+
+    ``probes`` (1..4): LSH buckets probed per anchor. 1 = the anchor's
+    own bucket; 2+ add the buckets reached by flipping the 1-2
+    lowest-|margin| hyperplanes (the ``ann_lsh_multiprobe`` sequence:
+    own, flip(p1), flip(p2), flip(p1,p2)) — recall is traded for
+    compute at mine time without touching the index. The probe frame
+    stays anchor-sized × probes (bounded ⇒ broadcast-safe); each
+    corpus vector lives in exactly one bucket and probe buckets are
+    distinct, so no (anchor, candidate) pair can duplicate."""
     from pyspark.sql import Window
 
+    if not 1 <= probes <= 4:
+        raise ValueError(f"probes must be in 1..4, got {probes}")
     e = e_raw.withColumn("bucket", _sp_bucket("embedding"))
-    anchors = e.where(F.col("vec_id") % mod == 0).select(
-        F.col("vec_id").alias("anchor_id"),
-        F.col("label").alias("a_label"),
-        F.col("embedding").alias("av"),
-        F.col("bucket").alias("ab"),
-    )
+    if anchors is None:
+        anchors = e.where(F.col("vec_id") % mod == 0).select(
+            F.col("vec_id").alias("anchor_id"),
+            F.col("label").alias("a_label"),
+            F.col("embedding").alias("av"),
+            F.col("bucket").alias("ab"),
+        )
+    else:
+        anchors = anchors.select(
+            F.col("vec_id").alias("anchor_id"),
+            F.col("label").alias("a_label"),
+            F.col("embedding").alias("av"),
+            _sp_bucket("embedding").alias("ab"),
+        )
+    if probes > 1:
+        # per-anchor margin ranking over a #planes-row frame (bounded:
+        # anchors × 4 rows), exactly the lsh_multiprobe_topk machinery
+        # but partitioned by anchor_id instead of the single query
+        dots = anchors.select(
+            "anchor_id", F.posexplode(_sp_plane_dots("av")).alias("i", "d")
+        )
+        w_m = Window.partitionBy("anchor_id").orderBy(
+            F.abs(F.col("d")).asc(), F.col("i").asc()
+        )
+        sel = (
+            dots.withColumn("r", F.row_number().over(w_m))
+            .groupBy("anchor_id")
+            .agg(
+                F.min(F.when(F.col("r") == 1, F.col("i"))).alias("p1"),
+                F.min(F.when(F.col("r") == 2, F.col("i"))).alias("p2"),
+            )
+        )
+        f1 = _flip_sql("ab", "p1")
+        f2 = _flip_sql("ab", "p2")
+        f12 = _flip_sql(f"({f1})", "p2")
+        probe_exprs = [F.col("ab"), F.expr(f1), F.expr(f2), F.expr(f12)]
+        anchors = anchors.join(sel, "anchor_id").select(
+            "anchor_id",
+            "a_label",
+            "av",
+            F.explode(F.array(*probe_exprs[:probes])).alias("ab"),
+        )
     cand = (
         e.join(F.broadcast(anchors), e.bucket == anchors.ab)
         .where(

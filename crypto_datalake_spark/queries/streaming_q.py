@@ -8,8 +8,6 @@ oracle-checked against batch SQL, proving stream/batch semantic parity
 
 from __future__ import annotations
 
-import contextlib
-
 from pyspark.sql import functions as F
 
 from crypto_datalake_spark.io import _EVENTS_PHYSICAL, _LONG_TO_NTZ
@@ -25,13 +23,18 @@ def _await_or_die(q, timeout_sec: int = 300) -> None:
         # stop() may itself throw (e.g. the query died with an error
         # between awaitTermination returning False and this call) —
         # never let that mask the TimeoutError and its 'partial sink'
-        # diagnostic (ADVICE r12)
-        with contextlib.suppress(Exception):
+        # diagnostic (ADVICE r12), but CHAIN it so the query's actual
+        # death cause stays visible under the TimeoutError instead of
+        # being discarded (ADVICE r13)
+        stop_exc: Exception | None = None
+        try:
             q.stop()
+        except Exception as exc:
+            stop_exc = exc
         raise TimeoutError(
             f"streaming query {q.name!r} did not finish its availableNow "
             f"run within {timeout_sec}s; refusing to read a partial sink"
-        )
+        ) from stop_exc
 
 
 @register(

@@ -645,3 +645,104 @@ def test_hard_negatives_label_cap_and_bucket_semantics(spark):
         (0, 5, 2),
     ], got
     assert all(r["cosine"] < _HN_MAX_SIM for r in got)
+
+
+def test_hard_negatives_multiprobe_witness(spark):
+    """VERDICT r13 item 3: a hard negative whose bucket differs from the
+    anchor's by EXACTLY the anchor's lowest-|margin| hyperplane must be
+    found at probes=2 but not probes=1 (single-probe's lost recall is
+    exactly the mis-binned neighbor the flipped probe recovers).
+    Construction validity asserted in-test so environment drift is loud."""
+    import numpy as np
+
+    from crypto_datalake_spark.queries.llm import (
+        _HN_MAX_SIM,
+        _PLANES,
+        hard_negatives,
+    )
+
+    P = np.array(_PLANES)                      # 4 x 64 hyperplanes
+    rng = np.random.default_rng(7)
+
+    def bucket(x):
+        return "".join("1" if d >= 0 else "0" for d in P @ x)
+
+    def cos(a, b):
+        return float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+
+    v0 = P.sum(axis=0).astype(float)
+    d0 = P @ v0
+    j0 = int(np.argmin(np.abs(d0)))
+    # squeeze plane j0's margin to a small positive value so j0 is
+    # unambiguously the anchor's lowest-|margin| plane — the ONE plane
+    # the probes=2 expansion flips (dot(p_j0, p_j0) = 64 exactly)
+    v = v0 - ((d0[j0] - 3.0) / 64.0) * P[j0]
+    dv = P @ v
+    assert int(np.argmin(np.abs(dv))) == j0 and abs(dv[j0] - 3.0) < 1e-9
+
+    # cross-bucket hard negative: flip ONLY plane j0's sign, then add
+    # noise to push cosine below the false-negative cap
+    v2 = v - ((dv[j0] + 3.0) / 64.0) * P[j0]
+    noise = rng.normal(size=64)
+    noise *= 0.18 * np.linalg.norm(v2) / np.linalg.norm(noise)
+    v_flip = v2 + noise
+    # in-bucket weaker negative: the probes=1 baseline must still mine it
+    d_in = rng.normal(size=64)
+    d_in *= 0.45 * np.linalg.norm(v) / np.linalg.norm(d_in)
+    v_in = v + d_in
+
+    # construction validity — these make the expectations non-brittle
+    want_flip = bucket(v)[:j0] + ("0" if bucket(v)[j0] == "1" else "1") + bucket(v)[j0 + 1:]
+    assert bucket(v_flip) == want_flip, "noise moved the flipped bucket"
+    assert bucket(v_in) == bucket(v), "in-bucket perturbation flipped a plane"
+    assert cos(v, v_flip) < _HN_MAX_SIM
+    assert cos(v, v_in) < cos(v, v_flip), "flipped neighbor must be the harder negative"
+
+    rows = [
+        (0, [float(x) for x in v], 1),       # anchor (0 % mod == 0)
+        (1, [float(x) for x in v_in], 2),    # own-bucket negative
+        (2, [float(x) for x in v_flip], 2),  # 1-plane-flipped hard negative
+    ]
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+
+    got1 = [(r["anchor_id"], r["vec_id"], r["rank"]) for r in hard_negatives(e).collect()]
+    assert got1 == [(0, 1, 1)], got1           # probes=1 misses the flipped one
+
+    got2 = [
+        (r["anchor_id"], r["vec_id"], r["rank"])
+        for r in hard_negatives(e, probes=2).collect()
+    ]
+    assert got2 == [(0, 2, 1), (0, 1, 2)], got2  # found AND ranks harder
+
+    import pytest as _pytest
+
+    for bad in (0, 5):
+        with _pytest.raises(ValueError, match="probes"):
+            hard_negatives(e, probes=bad)
+
+
+def test_hard_negatives_explicit_anchor_frame(spark, sf_dir):
+    """ADVICE r13: the production path passes a genuinely BOUNDED anchor
+    frame instead of the corpus-proportional mod carve-out. An explicit
+    frame equal to the carve-out must reproduce the default bit-for-bit,
+    and a 2-anchor training batch must equal the default restricted to
+    those anchors (anchor choice never perturbs other anchors' mining)."""
+    from crypto_datalake_spark.queries.llm import hard_negatives
+
+    e = _embeddings(spark, sf_dir)
+    key = lambda r: (r["anchor_id"], r["rank"])  # noqa: E731
+    default = sorted(hard_negatives(e).collect(), key=key)
+    assert len(default) > 0
+
+    explicit = sorted(
+        hard_negatives(e, anchors=e.where(F.col("vec_id") % 50 == 0)).collect(),
+        key=key,
+    )
+    assert default == explicit
+
+    batch_ids = sorted({r["anchor_id"] for r in default})[:2]
+    batch = sorted(
+        hard_negatives(e, anchors=e.where(F.col("vec_id").isin(batch_ids))).collect(),
+        key=key,
+    )
+    assert batch == [r for r in default if r["anchor_id"] in batch_ids]

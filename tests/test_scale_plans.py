@@ -69,9 +69,12 @@ def test_asof_join_is_single_sort_shuffle(spark, sf_dir):
 
 def test_fact_fact_join_and_agg_codegen(spark, sf_dir):
     p = plan_text(REGISTRY["q1_pricing_summary"].fn(spark, sf_dir), "simple")
-    # partial aggregation happens map-side before the single shuffle
+    # partial aggregation happens map-side before the single shuffle;
+    # keyed-set pin (ADVICE r13 family): reprints of the same exchange
+    # must not flip the count, and no non-groupBy-key exchange may appear
     assert p.count("HashAggregate") >= 2
-    assert p.count("Exchange hashpartitioning") == 1
+    ex_keys = set(re.findall(r"Exchange hashpartitioning\((\w+)", p))
+    assert ex_keys == {"l_returnflag"}, (ex_keys, p)
     # agg pipeline stays inside whole-stage codegen (JVM, no Python boundary)
     pc = plan_text(REGISTRY["q1_pricing_summary"].fn(spark, sf_dir), "codegen")
     assert "WholeStageCodegen subtrees" in pc
@@ -112,7 +115,9 @@ def test_stratified_sample_single_stratum_shuffle(spark, sf_dir):
     # exact-k per stratum = one hash exchange on the stratum key (plus AQE
     # reads); no join, no extra aggregation exchanges
     p = plan_text(REGISTRY["sample_stratified"].fn(spark, sf_dir), "simple")
-    assert p.count("Exchange hashpartitioning(lang") == 1
+    # keyed-set pin (ADVICE r13 family): robust to exchange reprints
+    ex_keys = set(re.findall(r"Exchange hashpartitioning\((\w+)", p))
+    assert ex_keys == {"lang"}, (ex_keys, p)
     assert "Join" not in p
 
 
@@ -143,7 +148,30 @@ def test_hard_negatives_plan_broadcast_anchors_no_self_shuffle(spark, sf_dir):
     assert "SortMergeJoin" not in p and "ShuffledHashJoin" not in p
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
     assert "WindowGroupLimit" in p
-    assert p.count("Exchange hashpartitioning(anchor_id") == 1
+    # keyed pin, not a raw occurrence count (ADVICE r13): optimizer/AQE
+    # reprints of the SAME exchange must not flip the test. The set of
+    # hash-exchange keys collapses reprints; corpus co-shuffle would
+    # surface as a bucket/vec_id key here.
+    ex_keys = set(re.findall(r"Exchange hashpartitioning\((\w+)", p))
+    assert ex_keys == {"anchor_id"}, (ex_keys, p)
+
+
+def test_hard_negatives_probe2_union_stays_broadcast_side(spark, sf_dir):
+    # the probes=2 variant expands each anchor to (own bucket, flipped
+    # lowest-margin bucket) — the expansion (margin window, p1 join,
+    # explode) must stay entirely on the bounded anchor side, inside the
+    # BroadcastExchange: the corpus still joins ONE BroadcastHashJoin on
+    # the bucket key and still never self-joins or co-shuffles; every
+    # hash exchange (margin window + top-k) keys on anchor_id only
+    p = plan_text(REGISTRY["mine_hard_negatives_probe2"].fn(spark, sf_dir), "simple")
+    assert "SortMergeJoin" not in p and "ShuffledHashJoin" not in p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    assert "WindowGroupLimit" in p
+    # the probe union is the explode feeding the broadcast build side
+    bx = p.find("BroadcastExchange")
+    assert bx != -1 and "Generate explode" in p[bx:], p
+    ex_keys = set(re.findall(r"Exchange hashpartitioning\((\w+)", p))
+    assert ex_keys == {"anchor_id"}, (ex_keys, p)
 
 
 def test_repetition_signals_no_pairwise_blowup(spark, sf_dir):

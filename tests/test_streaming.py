@@ -1896,3 +1896,36 @@ def test_await_or_die_raises_on_timeout_and_stops_query():
 
     with pytest.raises(TimeoutError, match="partial sink"):
         _await_or_die(DeadQuery(done=False), 1)
+
+
+def test_await_or_die_chains_stop_exception():
+    """Regression (round-13 ADVICE): the stop-side exception used to be
+    suppressed entirely, discarding the query's actual death cause. It
+    must now ride along as __cause__ of the TimeoutError (raise ... from
+    stop_exc) so both the 'partial sink' diagnostic AND the root cause
+    surface; a clean stop leaves __cause__ unset."""
+    import pytest
+
+    from crypto_datalake_spark.queries.streaming_q import _await_or_die
+
+    class FakeQuery:
+        name = "fake_sink"
+
+        def awaitTermination(self, timeout):
+            return False
+
+        def stop(self):
+            pass
+
+    class DeadQuery(FakeQuery):
+        def stop(self):
+            raise RuntimeError("root cause: executor lost")
+
+    with pytest.raises(TimeoutError, match="partial sink") as ei:
+        _await_or_die(DeadQuery(), 1)
+    assert isinstance(ei.value.__cause__, RuntimeError)
+    assert "root cause: executor lost" in str(ei.value.__cause__)
+
+    with pytest.raises(TimeoutError, match="partial sink") as ei:
+        _await_or_die(FakeQuery(), 1)
+    assert ei.value.__cause__ is None
