@@ -141,14 +141,20 @@ def _bm25_scored(
 
 def bm25_topk(
     d, q_mod: int = _Q_MOD, k: int = _K, only_qid: int | None = None,
-    decimal_scores: bool = True,
+    decimal_scores: bool = True, rank_rounded: bool = False,
 ):
     """Top-``k`` BM25 hits for every corpus-derived query over a
     (doc_id, text) frame — the DataFrame op behind ``search_bm25_topk``.
     ``only_qid`` restricts the query set to one document (the hybrid-RRF
     fusion's single-query shape) without changing corpus statistics.
     ``decimal_scores=False``: production double-scoring knob — see
-    ``_bm25_scored``; registered queries keep the default."""
+    ``_bm25_scored``; registered queries keep the default except
+    ``search_bm25_topk_fast``. ``rank_rounded=True`` quantizes the score
+    to 7 decimals BEFORE the top-k ranking: with double scoring the raw
+    sum is associativity-noisy in the last ulps (partition-order- and
+    engine-dependent), so ranking on the quantized score is what makes
+    the fast path's ORDER deterministic and oracle-able — double sums
+    agree with the oracle's to ~1e-14, far inside the 1e-7 quantum."""
     from crypto_datalake_spark.queries.curation import _tfidf_tf_frame
 
     # one tokenize + (doc, term) count pass feeds postings, df, AND the
@@ -161,6 +167,8 @@ def bm25_topk(
         qpred = qpred & (F.col("doc_id") == only_qid)
     qterms = tf.where(qpred).select(F.col("doc_id").alias("qid"), "term")
     scored = _bm25_scored(tf, qterms, decimal_scores=decimal_scores)
+    if rank_rounded:
+        scored = scored.withColumn("score_dec", F.round("score_dec", 7))
     w = Window.partitionBy("qid").orderBy(
         F.col("score_dec").desc(), F.col("doc_id").asc()
     )
@@ -267,6 +275,93 @@ def _bm25_sql(qid_pred: str = "") -> str:
 )
 def search_bm25_topk(spark, sf_dir):
     return bm25_topk(t(spark, sf_dir, "documents"))
+
+
+def _bm25_fast_sql() -> str:
+    """Oracle for the production double-scoring path: identical statement
+    shape to ``_bm25_sql`` but idf × saturation stay PLAIN DOUBLES (no
+    per-factor round, no decimal cast) and the ranking key is the
+    double sum quantized to 7 decimals — the only quantization in the
+    plan, mirroring ``bm25_topk(decimal_scores=False,
+    rank_rounded=True)``. Engine double-sums differ by ~1e-14
+    (association order + last-ulp ln), seven orders of magnitude inside
+    the 1e-7 ranking quantum."""
+    return f"""
+    WITH tk AS (
+      SELECT doc_id, string_split(text, ' ') AS tok FROM documents
+    ),
+    ex AS (
+      SELECT doc_id, len(tok) AS n_tok, unnest(tok) AS term FROM tk
+    ),
+    tf AS (
+      SELECT doc_id, n_tok, term, CAST(count(*) AS BIGINT) AS term_count
+      FROM ex GROUP BY 1, 2, 3
+    ),
+    dfc AS (
+      SELECT term, CAST(count(*) AS BIGINT) AS df_docs FROM tf GROUP BY 1
+    ),
+    dl AS (SELECT doc_id, any_value(n_tok) AS dl FROM tf GROUP BY 1),
+    stats AS (
+      SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM dl
+    ),
+    qterms AS (
+      SELECT doc_id AS qid, term FROM tf
+      WHERE doc_id % {_Q_MOD} = 0
+    ),
+    contrib AS (
+      SELECT qid, tf.doc_id,
+             ln((CAST(n_docs AS DOUBLE) - CAST(df_docs AS DOUBLE) + 0.5)
+                / (CAST(df_docs AS DOUBLE) + 0.5) + 1.0)
+             * ((CAST(term_count AS DOUBLE) * {_K1 + 1.0})
+                / (CAST(term_count AS DOUBLE)
+                   + {_K1} * ({1.0 - _B}
+                              + {_B} * (CAST(n_tok AS DOUBLE)
+                                        / (CAST(sum_dl AS DOUBLE)
+                                           / CAST(n_docs AS DOUBLE)))))) AS w
+      FROM tf
+      JOIN qterms USING (term)
+      JOIN dfc USING (term)
+      CROSS JOIN stats
+      WHERE tf.doc_id <> qid AND df_docs * 100 <= n_docs * {_BM25_STOP_DF_PCT}
+    ),
+    scored AS (
+      SELECT qid, doc_id, round(sum(w), 7) AS score,
+             CAST(count(*) AS BIGINT) AS n_hit_terms
+      FROM contrib GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (
+               PARTITION BY qid ORDER BY score DESC, doc_id) AS rank
+      FROM scored
+    )
+    SELECT qid, doc_id, CAST(score AS DOUBLE) AS bm25,
+           n_hit_terms, CAST(rank AS BIGINT) AS rank
+    FROM ranked WHERE rank <= {_K}
+    """
+
+
+@register(
+    "search_bm25_topk_fast",
+    sql=_bm25_fast_sql(),
+    doc="The PRODUCTION BM25 plan (VERDICT r13 item 2): same statement "
+    "as search_bm25_topk but scores are plain-double idf × saturation "
+    "products double-summed — no per-posting decimal rounds, no "
+    "decimal aggregation — which the r13 A/B measured at ~1.8-2.0× "
+    "faster than the bit-stable decimal path "
+    "(tools/measure_bm25_decimal_tax.py; SCALE.md). Determinism comes "
+    "from ONE quantization at the end: the sum is rounded to 7 "
+    "decimals BEFORE the per-query top-k ranking, so ordering cannot "
+    "depend on partition/association order (double-sum noise ~1e-14 "
+    "vs the 1e-7 quantum) and the DuckDB oracle hash-matches rank, "
+    "top-k membership, AND the quantized score. Plan shape is "
+    "identical to search_bm25_topk: one checkpointed tf pass, stats "
+    "at posting grain before the query fan-out, stop-term df cut, "
+    "WindowGroupLimit top-k.",
+)
+def search_bm25_topk_fast(spark, sf_dir):
+    return bm25_topk(
+        t(spark, sf_dir, "documents"), decimal_scores=False, rank_rounded=True
+    )
 
 
 # ------------------------------------------------- hybrid RRF fusion

@@ -1011,6 +1011,30 @@ def test_bm25_double_scoring_knob_same_ranking(spark, sf_dir):
         assert abs(score - d_score) < 1e-6, (key, score, d_score)
 
 
+def test_bm25_fast_registered_same_topk_as_decimal(spark, sf_dir):
+    """VERDICT r13 item 2: the REGISTERED production entry
+    (search_bm25_topk_fast: double scoring, score quantized to 7
+    decimals before ranking) must return the same (qid, doc_id, rank,
+    n_hit_terms) top-k as the bit-stable decimal entry, with scores
+    within the quantum — the fast path changes the arithmetic cost,
+    never the retrieval answer."""
+    from crypto_datalake_spark.queries import REGISTRY
+
+    dec = {
+        (r["qid"], r["doc_id"]): (r["rank"], r["n_hit_terms"], r["bm25"])
+        for r in REGISTRY["search_bm25_topk"].fn(spark, sf_dir).collect()
+    }
+    fast = {
+        (r["qid"], r["doc_id"]): (r["rank"], r["n_hit_terms"], r["bm25"])
+        for r in REGISTRY["search_bm25_topk_fast"].fn(spark, sf_dir).collect()
+    }
+    assert set(dec) == set(fast) and len(dec) > 0
+    for key, (rank, nh, score) in dec.items():
+        f_rank, f_nh, f_score = fast[key]
+        assert (rank, nh) == (f_rank, f_nh), (key, dec[key], fast[key])
+        assert abs(score - f_score) < 1e-6, (key, score, f_score)
+
+
 def test_bm25_serve_drops_oov_and_length_normalizes(spark, sf_dir):
     """Serving NEW documents against the frozen fit: OOV terms score
     nothing (vocab-join drop) but still count toward the doc's length

@@ -281,6 +281,22 @@ def test_bm25_plan_topk_pushdown_and_bounded_exchanges(spark, sf_dir):
     assert p.count("Exchange hashpartitioning") <= 5
 
 
+def test_bm25_fast_plan_no_decimal_same_shape(spark, sf_dir):
+    # the production path (VERDICT r13 item 2) must keep the exact plan
+    # shape of search_bm25_topk — same exchange budget, group-limited
+    # top-k, no cartesian — while carrying ZERO decimal arithmetic
+    # anywhere (the measured ~2x tax is entirely the decimal ops; a
+    # decimal reappearing here silently re-pays it)
+    p = plan_text(REGISTRY["search_bm25_topk_fast"].fn(spark, sf_dir), "simple")
+    assert "WindowGroupLimit" in p
+    assert "CartesianProduct" not in p
+    assert p.count("Exchange hashpartitioning") <= 5
+    assert "decimal" not in p.lower(), p
+    # the bit-stable sibling DOES pay decimals — the knob is real
+    pb = plan_text(REGISTRY["search_bm25_topk"].fn(spark, sf_dir), "simple")
+    assert "decimal" in pb.lower()
+
+
 def test_aqe_splits_hot_key_join(spark):
     """SCALE.md leans on 'AQE skew territory' for hot-key joins; this
     MEASURES it under the session's own knobs (adaptive + skewJoin
