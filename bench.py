@@ -85,6 +85,7 @@ BENCH_QUERIES = [
     "text_tfidf_topk",
     "search_bm25_topk",              # lexical retrieval (full oracle)
     "search_bm25_topk_fast",         # production double-scoring plan (full oracle)
+    "quality_lm_perplexity_fast",    # production LM scoring plan (full oracle)
     "search_bm25_topk_served",       # persisted-corpus-stats serve
     "search_hybrid_rrf",             # BM25 + LSH-ANN fusion (full oracle)
     "text_tfidf_topk_served",        # persisted-vocab serve

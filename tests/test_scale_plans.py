@@ -297,6 +297,33 @@ def test_bm25_fast_plan_no_decimal_same_shape(spark, sf_dir):
     assert "decimal" in pb.lower()
 
 
+def test_lm_fast_plan_no_decimal(spark, sf_dir):
+    # the LM production twin must carry zero decimal arithmetic while
+    # the bit-stable sibling pays it (same knob discipline as BM25).
+    # The registered queries localCheckpoint the scoring frame (the
+    # final plan prints only "Scan ExistingRDD"), so the pin targets
+    # the scoring stage itself, un-checkpointed.
+    from crypto_datalake_spark.queries import curation as C
+    from crypto_datalake_spark.queries.common import t as load
+
+    d = load(spark, sf_dir, "documents")
+    ex = C._lm_exploded(d, checkpoint=False)
+    bg = ex.where(F.col("w2").isNotNull())
+    c12 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    c1 = c12.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    vocab = ex.agg(F.countDistinct("w1").alias("vocab"))
+    p_fast = plan_text(
+        C._lm_doc_scores(bg, c12, c1, vocab, checkpoint=False, decimal_costs=False),
+        "simple",
+    )
+    assert "decimal" not in p_fast.lower(), p_fast
+    assert "CartesianProduct" not in p_fast and "BatchEvalPython" not in p_fast
+    p_dec = plan_text(
+        C._lm_doc_scores(bg, c12, c1, vocab, checkpoint=False), "simple"
+    )
+    assert "decimal" in p_dec.lower()
+
+
 def test_aqe_splits_hot_key_join(spark):
     """SCALE.md leans on 'AQE skew territory' for hot-key joins; this
     MEASURES it under the session's own knobs (adaptive + skewJoin
