@@ -721,7 +721,30 @@ def test_hard_negatives_multiprobe_witness(spark):
             hard_negatives(e, probes=bad)
 
 
-def test_hard_negatives_explicit_anchor_frame(spark, sf_dir):
+def test_hard_negatives_probe_monotonicity(spark, sf_dir):
+    """More probes can only widen each anchor's candidate pool (probe
+    buckets are a superset), so for every anchor the mined negative at
+    each rank must have cosine >= the fewer-probe run's at that rank —
+    and any anchor/vec pair mined at probes=p that survives at p+1 can
+    only move UP in rank. The ann_lsh_multiprobe recall-monotonicity
+    argument, applied per anchor."""
+    from crypto_datalake_spark.queries.llm import hard_negatives
+
+    e = _embeddings(spark, sf_dir)
+    by_probe = {}
+    for p in (1, 2, 3, 4):
+        rows = hard_negatives(e, probes=p).collect()
+        by_probe[p] = {
+            (r["anchor_id"], r["rank"]): (r["vec_id"], r["cosine"]) for r in rows
+        }
+        assert len(rows) > 0
+    for p in (1, 2, 3):
+        lo, hi = by_probe[p], by_probe[p + 1]
+        # every (anchor, rank) filled at p is filled at p+1 with an
+        # equal-or-more-similar negative
+        for key, (_, cos_lo) in lo.items():
+            assert key in hi, (p, key)
+            assert hi[key][1] >= cos_lo, (p, key, cos_lo, hi[key])
     """ADVICE r13: the production path passes a genuinely BOUNDED anchor
     frame instead of the corpus-proportional mod carve-out. An explicit
     frame equal to the carve-out must reproduce the default bit-for-bit,
