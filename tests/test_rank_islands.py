@@ -115,7 +115,27 @@ def test_o1_plan_prunes_before_global_window(spark, sf_dir):
 
     plan = _plan(REGISTRY["o1_sort_rank_nulls_last"].fn(spark, sf_dir))
     win_lines = [l for l in plan.splitlines() if "Window [" in l]
-    assert any("__pid" in l for l in win_lines), plan  # local prune window
-    # the global-rank window must sit above the local top-k filter, i.e.
-    # there is a Filter on __local_rk between the scan and it
-    assert "__local_rk" in plan
+    # the local prune is a sorted-position filter (monotonically_increasing_id
+    # decomposition, r14) — NO per-partition window, NO hashpartitioning(__pid)
+    # exchange; the only window left is the bounded global rank over the ≤ k·P
+    # survivors, sitting above the __local_rk prune filter
+    assert len(win_lines) == 1, plan
+    assert "__pid" not in plan, plan
+    # the prune filter survives as the collapsed sorted-position predicate
+    assert "monotonically_increasing_id" in plan, plan
+    assert "pmod(__mid" in plan, plan
+
+
+def test_ranked_topk_plan_has_no_local_exchange(spark):
+    # the prune phase must not exchange: the only Exchange in a ranked_topk
+    # plan is the SinglePartition one feeding the bounded final window
+    df = spark.range(0, 3000).repartition(8).select(
+        F.col("id"), F.pmod(F.col("id") * 31, F.lit(500)).alias("v")
+    )
+    order = [F.col("v").desc(), F.col("id").asc()]
+    plan = _plan(ranked_topk(df, order, 100))
+    ex_lines = [
+        l for l in plan.splitlines()
+        if "Exchange" in l and "REPARTITION" not in l
+    ]
+    assert all("SinglePartition" in l for l in ex_lines), plan

@@ -1,0 +1,63 @@
+#!/usr/bin/env python
+"""Capture .explain("formatted") for bench queries into plans/<tag>/.
+
+Usage: python tools/capture_plans.py <tag> [query ...]
+  tag    subdirectory under plans/ plus the _before/_after suffix,
+         e.g. "r14/search_bm25_topk_before" comes from
+         `python tools/capture_plans.py r14 --suffix before search_bm25_topk`.
+
+With no query list, captures every BENCH_QUERIES entry.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from bench import BENCH_QUERIES  # noqa: E402
+from crypto_datalake_spark.queries import REGISTRY  # noqa: E402
+from crypto_datalake_spark.session import get_spark  # noqa: E402
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("tag", help="plans/ subdirectory (e.g. r14)")
+    ap.add_argument("--suffix", default="before", choices=["before", "after"])
+    ap.add_argument("queries", nargs="*", help="query names (default: all benched)")
+    args = ap.parse_args()
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    out_dir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "plans", args.tag,
+    )
+    os.makedirs(out_dir, exist_ok=True)
+
+    spark = get_spark("cds-plans", master=f"local[{cpus}]")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    names = args.queries or BENCH_QUERIES
+    for name in names:
+        q = REGISTRY[name]
+        try:
+            df = q.fn(spark, sf_dir)
+            plan = df._jdf.queryExecution().explainString(
+                spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                    "formatted"
+                )
+            )
+        except Exception as e:  # noqa: BLE001
+            plan = f"ERROR capturing plan: {e!r}\n"
+        path = os.path.join(out_dir, f"{name}_{args.suffix}.txt")
+        with open(path, "w") as fh:
+            fh.write(plan)
+        print(f"wrote {path} ({len(plan)} chars)")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
