@@ -259,17 +259,32 @@ def _dk_bucket(col: str) -> str:
     return " || ".join(bits)
 
 
+def _sp_arr(vals) -> str:
+    """SQL double-array literal with exact round-trip values.  Built as a
+    STRING so the whole expression reaches the JVM in ONE call —
+    ``F.lit(list)`` expands to one py4j round trip per element (65 per
+    64-dim plane), which made plan CONSTRUCTION, not execution, the
+    dominant cost of every LSH/PCA consumer at bench scale (r14)."""
+    return "array(" + ",".join(f"CAST('{v!r}' AS DOUBLE)" for v in vals) + ")"
+
+
+def _sp_plane_dot_sql(col: str, plane) -> str:
+    """One plane dot as a SQL aggregate fold — the identical IEEE op
+    sequence as the former Column-built ``aggregate(zip_with(...))``
+    (and as the DuckDB ``list_sum`` oracle), so values are bit-unchanged."""
+    return (
+        f"aggregate(zip_with({col}, {_sp_arr(plane)}, "
+        "(x, y) -> CAST(x AS DOUBLE) * y), CAST(0.0 AS DOUBLE), "
+        "(acc, v) -> acc + v)"
+    )
+
+
 def _sp_bucket(col):
-    bits = []
-    for p in _PLANES:
-        arr = F.array(*[F.lit(v) for v in p])
-        dot = F.aggregate(
-            F.zip_with(F.col(col), arr, lambda x, y: x.cast("double") * y),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-        bits.append(F.when(dot >= 0, "1").otherwise("0"))
-    return F.concat(*bits)
+    bits = [
+        f"CASE WHEN {_sp_plane_dot_sql(col, p)} >= 0 THEN '1' ELSE '0' END"
+        for p in _PLANES
+    ]
+    return F.expr("concat(" + ", ".join(bits) + ")")
 
 
 # cell-size guard for pairwise scoring: label cells larger than this are
@@ -289,61 +304,90 @@ def _norm_expr(col):
     )
 
 
+def _cell_pair_scorer(threshold: float):
+    """Per-cell pairwise cosine scorer for ``applyInPandas`` — the whole
+    cell's vectors arrive ONCE as one Arrow batch and the O(n²·d) pair
+    arithmetic runs vectorized in numpy instead of as per-pair JVM
+    higher-order-function folds (HOF lambdas are interpreted per element,
+    never codegen'd — measured ~2.4× on this op at sf0.1, r14).
+
+    BIT-EXACT by construction: every reduction is a dimension-ordered
+    left fold of (multiply, add) — ``acc += E[:,d] (*) E[:,d]`` per
+    dimension — which performs the identical sequence of IEEE-754 double
+    operations as the JVM ``aggregate(zip_with(a, b, *), 0.0, +)`` fold
+    and DuckDB's ``list_sum(list_transform(...))``, so the scores (and
+    the oracle hash) are unchanged down to the last ulp.  numpy ufuncs
+    do not fuse multiply-add, so no FMA can perturb the rounding."""
+    import numpy as np
+    import pandas as pd
+
+    def score(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        out_cols = {"vec_a": "int64", "vec_b": "int64",
+                    "label": "object", "cos_raw": "float64"}
+        if n < 2:
+            return pd.DataFrame({c: pd.Series(dtype=t) for c, t in out_cols.items()})
+        pdf = pdf.sort_values("vec_id")
+        E = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+        d = E.shape[1]
+        dots = np.zeros((n, n), dtype=np.float64)
+        sq = np.zeros(n, dtype=np.float64)
+        for k in range(d):  # dimension-ordered left fold (see docstring)
+            col = E[:, k]
+            dots += np.multiply.outer(col, col)
+            sq += col * col
+        if np.any(sq == 0.0):
+            # preserve the JVM path's fail-loud contract: an all-zero
+            # vector's norm-0 division was an ANSI error, never a NaN
+            raise ValueError("zero-norm embedding in cosine pair cell")
+        nrm = np.sqrt(sq)
+        cos = dots / np.multiply.outer(nrm, nrm)
+        ia, ib = np.triu_indices(n, 1)  # vec_id-sorted → vec_a < vec_b
+        c = cos[ia, ib]
+        keep = c >= threshold
+        ids = pdf["vec_id"].to_numpy()
+        return pd.DataFrame({
+            "vec_a": ids[ia[keep]],
+            "vec_b": ids[ib[keep]],
+            "label": pdf["label"].iloc[0],
+            "cos_raw": c[keep],
+        })
+
+    return score
+
+
 def embedding_cosine_pairs(e, cap=_CELL_CAP, threshold=0.3):
     """Within-cell cosine pair scoring with a hot-cell guard.
 
-    Per-ROW work: one norm + one hyperplane signature (linear scans).
-    Per-PAIR work: one dot product — the norms are joined in, never
-    recomputed per pair. Cells with more than ``cap`` rows get the
-    4-bit hyperplane signature appended to the join key, so the
-    equi-join itself never materializes a quadratic hot cell."""
+    Cells (label, plus the 4-bit hyperplane signature appended for cells
+    above ``cap`` rows, so no single hot label can go quadratic) are
+    scored by ``applyInPandas``: each cell's vectors cross to Python ONCE
+    (O(rows·d) Arrow bytes — the former self-join materialized both
+    arrays per PAIR row, O(pairs·d)), and the pair dots run as one
+    vectorized numpy fold per dimension (`_cell_pair_scorer`, bit-exact
+    vs the JVM fold).  Per-cell memory is bounded by the cap (≤ cap²
+    doubles).  The final round(6) stays JVM-side so rounding semantics
+    are byte-identical to every other registered query."""
     from pyspark.sql import Window
 
     base = e.select(
         "vec_id",
         "label",
-        # cast float->double ONCE per row: every row joins into many
-        # candidate pairs, and an in-HOF cast would re-run per element
-        # per PAIR — hoisting it makes the per-pair work a bare
-        # multiply-add
         F.col("embedding").cast("array<double>").alias("embedding"),
-        _norm_expr("embedding").alias("nrm"),
         _sp_bucket("embedding").alias("sub"),
     ).withColumn("cell_n", F.count(F.lit(1)).over(Window.partitionBy("label")))
     keyed = base.select(
         "vec_id",
         "label",
         "embedding",
-        "nrm",
         F.when(F.col("cell_n") > cap, F.col("sub")).otherwise(F.lit("")).alias("jk"),
     )
-    a = keyed.select(
-        F.col("vec_id").alias("vec_a"),
-        "label",
-        "jk",
-        F.col("embedding").alias("ea"),
-        F.col("nrm").alias("na"),
+    label_t = e.schema["label"].dataType.simpleString()
+    paired = keyed.groupBy("label", "jk").applyInPandas(
+        _cell_pair_scorer(threshold),
+        f"vec_a long, vec_b long, label {label_t}, cos_raw double",
     )
-    b = keyed.select(
-        F.col("vec_id").alias("vec_b"),
-        "label",
-        "jk",
-        F.col("embedding").alias("eb"),
-        F.col("nrm").alias("nb"),
-    )
-    dot = F.aggregate(
-        F.zip_with("ea", "eb", lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
-    paired = (
-        a.join(b, ["label", "jk"])
-        .where(F.col("vec_a") < F.col("vec_b"))
-        .select(
-            "vec_a", "vec_b", "label", (dot / (F.col("na") * F.col("nb"))).alias("cos_raw")
-        )
-    )
-    return paired.where(F.col("cos_raw") >= threshold).select(
+    return paired.select(
         "vec_a", "vec_b", "label", F.round("cos_raw", 6).alias("cosine")
     )
 
@@ -440,17 +484,13 @@ def _dk_plane_dot(col: str, plane: list[float]) -> str:
 def _sp_plane_dots(col):
     """Array of per-plane dot products, rounded(9) so cross-engine float
     association can never flip the margin ORDERING (which picks the probe
-    planes)."""
-    dots = []
-    for p in _PLANES:
-        arr = F.array(*[F.lit(v) for v in p])
-        dot = F.aggregate(
-            F.zip_with(F.col(col), arr, lambda x, y: x.cast("double") * y),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-        dots.append(F.round(dot, 9))
-    return F.array(*dots)
+    planes).  SQL-string build (see ``_sp_arr``) — one py4j call, same
+    bit-exact fold."""
+    return F.expr(
+        "array("
+        + ", ".join(f"round({_sp_plane_dot_sql(col, p)}, 9)" for p in _PLANES)
+        + ")"
+    )
 
 
 def _flip_sql(bucket_expr: str, pos_expr: str) -> str:

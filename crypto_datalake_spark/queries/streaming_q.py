@@ -195,15 +195,33 @@ def st11_session_windows(spark, sf_dir):
             F.coalesce(F.col("value"), F.lit(0.0)).alias("value"),
         )
     )
-    q = (
-        session_stream(stream, gap_minutes=gap_min, watermark="10 minutes")
-        .writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    _await_or_die(q, 300)
+    # Skip the trailing NO-DATA micro-batch for this availableNow replay
+    # (r14 optimization): after the single data batch, Spark schedules an
+    # empty batch solely to fire event-time timers, whose only emissions
+    # are each user's LAST (still-open) session — rows the deterministic-
+    # subset filter below discards unconditionally (no later event exists
+    # past their session_end).  The empty batch costs a full state-store
+    # load/commit cycle across every state partition (~2 s measured at
+    # sf0.1: addBatch 2011 ms for 0 input rows) for output that is thrown
+    # away.  Output identity with the flush ON is pinned by
+    # test_st11_nodata_batch_skip_is_output_identical; a LIVE stream must
+    # keep no-data batches (timers must fire between arrivals), so the
+    # conf is scoped to this replay and restored.
+    nodata_key = "spark.sql.streaming.noDataMicroBatches.enabled"
+    prev_nodata = spark.conf.get(nodata_key, "true")
+    spark.conf.set(nodata_key, "false")
+    try:
+        q = (
+            session_stream(stream, gap_minutes=gap_min, watermark="10 minutes")
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        _await_or_die(q, 300)
+    finally:
+        spark.conf.set(nodata_key, prev_nodata)
     sessions = spark.table(name)
     # deterministic subset: keep sessions whose closure is proven by the
     # DATA (a later event exists past the gap) — per-user max ts is a

@@ -769,3 +769,54 @@ def test_hard_negatives_probe_monotonicity(spark, sf_dir):
         key=key,
     )
     assert batch == [r for r in default if r["anchor_id"] in batch_ids]
+
+
+def test_embedding_cosine_numpy_scorer_matches_jvm_fold(spark, sf_dir):
+    """r14: dedup_embedding_cosine moved pair scoring into a per-cell
+    numpy applyInPandas (O(rows·d) Arrow bytes instead of O(pairs·d)
+    JVM HOF folds).  The scorer emulates the dimension-ordered left
+    fold, so its output must be BIT-identical to the former JVM
+    self-join + aggregate(zip_with) formulation."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from crypto_datalake_spark.queries import REGISTRY
+    from crypto_datalake_spark.queries.common import t
+    from crypto_datalake_spark.queries.llm import (
+        _CELL_CAP,
+        _norm_expr,
+        _sp_bucket,
+    )
+
+    e = t(spark, sf_dir, "embeddings")
+    base = e.select(
+        "vec_id", "label",
+        F.col("embedding").cast("array<double>").alias("embedding"),
+        _norm_expr("embedding").alias("nrm"),
+        _sp_bucket("embedding").alias("sub"),
+    ).withColumn("cell_n", F.count(F.lit(1)).over(Window.partitionBy("label")))
+    keyed = base.select(
+        "vec_id", "label", "embedding", "nrm",
+        F.when(F.col("cell_n") > _CELL_CAP, F.col("sub"))
+        .otherwise(F.lit("")).alias("jk"),
+    )
+    a = keyed.select(F.col("vec_id").alias("vec_a"), "label", "jk",
+                     F.col("embedding").alias("ea"), F.col("nrm").alias("na"))
+    b = keyed.select(F.col("vec_id").alias("vec_b"), "label", "jk",
+                     F.col("embedding").alias("eb"), F.col("nrm").alias("nb"))
+    dot = F.aggregate(F.zip_with("ea", "eb", lambda x, y: x * y),
+                      F.lit(0.0), lambda acc, v: acc + v)
+    jvm = (
+        a.join(b, ["label", "jk"]).where(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", "label",
+                (dot / (F.col("na") * F.col("nb"))).alias("cos_raw"))
+        .where(F.col("cos_raw") >= 0.3)
+        .select("vec_a", "vec_b", "label", F.round("cos_raw", 6).alias("cosine"))
+    )
+    want = {(r[0], r[1]): (r[2], r[3]) for r in jvm.collect()}
+    got = {
+        (r[0], r[1]): (r[2], r[3])
+        for r in REGISTRY["dedup_embedding_cosine"].fn(spark, sf_dir).collect()
+    }
+    assert want == got
+    assert len(got) > 0

@@ -22,6 +22,9 @@ DESIGNED_PYTHON = {
     "multimodal_decode_roundtrip",  # REAL wav/bmp codecs (same module)
     "dedup_exact_substring",     # Karp-Rabin grams (functions/rollinghash.py)
     "scrub_exact_substrings",    # same run finder under the scrub policy
+    "dedup_embedding_cosine",    # per-cell pairwise numpy scorer (r14):
+    # O(rows·d) Arrow bytes per cell instead of O(pairs·d) JVM HOF folds;
+    # bit-exact left-fold emulation pinned in test_ann.py
 }
 # orderbook_segmented_replay is ALSO designed-Python (the stateful fold
 # under applyInPandas, segment-parallel) but runs its phases eagerly

@@ -1929,3 +1929,32 @@ def test_await_or_die_chains_stop_exception():
     with pytest.raises(TimeoutError, match="partial sink") as ei:
         _await_or_die(FakeQuery(), 1)
     assert ei.value.__cause__ is None
+
+
+def test_st11_nodata_batch_skip_is_output_identical(spark, sf_dir):
+    """r14 optimization: st11_session_windows disables the trailing
+    no-data micro-batch for its availableNow replay (the empty batch
+    exists only to fire event-time timers, whose emissions — each user's
+    last open session — the deterministic-subset filter discards).  The
+    registered output must be IDENTICAL with the flush batch forced back
+    on; and the registered path must restore the session conf."""
+    from crypto_datalake_spark.queries import REGISTRY
+
+    key = "spark.sql.streaming.noDataMicroBatches.enabled"
+    spark.conf.set(key, "true")
+    fast = sorted(map(tuple, REGISTRY["st11_session_windows"].fn(spark, sf_dir).collect()))
+    # the registered path must have restored the conf it scoped
+    assert spark.conf.get(key) == "true"
+    # reference run with the timer-flush batch forced on: monkey-set the
+    # conf inside a wrapper that pins it for the whole run
+    import crypto_datalake_spark.queries.streaming_q as sq
+
+    orig_set = spark.conf.set
+    try:
+        # neutralize the query's scoped disable so the flush batch runs
+        spark.conf.set = lambda k, v: None if k == key else orig_set(k, v)
+        ref = sorted(map(tuple, REGISTRY["st11_session_windows"].fn(spark, sf_dir).collect()))
+    finally:
+        spark.conf.set = orig_set
+    assert fast == ref
+    assert len(fast) > 0
