@@ -903,51 +903,68 @@ def lm_unk_model(d, k: int = _LM_UNK_K):
     ``ranked_topk`` — per-partition prune to k, then a final window
     over ≤ k·P survivors, so the open vocabulary is never globally
     ranked or memory-pinned just to pick k rows. The kept set (≤ k
-    rows, checkpointed once) broadcasts into the two mapping joins, so
-    UNK-mapping adds zero shuffle to the corpus stream.
-    Returns (bg, c12, c1, vocab): the mapped bigram stream
-    (checkpointed — three consumers), both bounded count tables, and
-    the 1-row vocab frame (|kept| + 1, counting <unk> itself).
+    rows — the bounded-collect tier, the eigenfit precedent) lands on
+    the driver once and the mapping runs as plain codegen ``isin``
+    expressions, so UNK-mapping adds zero shuffle AND zero join to the
+    corpus stream (r14: previously a checkpointed kept frame fed two
+    broadcast joins — three extra jobs plus a corpus-size re-
+    materialization of the mapped stream; the expression form keeps the
+    mapped stream fully pipelined into its consumers).
+    Returns (bg, c12, c1, vocab): the mapped bigram stream, both
+    bounded count tables, and the 1-row vocab frame (|kept| + 1,
+    counting <unk> itself).
     """
     from crypto_datalake_spark.ops.rank import ranked_topk
 
     ex = _lm_exploded(d)
     cnt = ex.groupBy("w1").agg(F.countDistinct("doc_id").alias("c"))
-    kept = (
-        ranked_topk(cnt, [F.col("c").desc(), F.col("w1").asc()], k)
-        .select(F.col("w1").alias("tokk"))
-        .localCheckpoint()  # ≤ k rows; three consumers (k1, k2, vocab)
+    toks = sorted(
+        r["w1"]
+        for r in ranked_topk(
+            cnt, [F.col("c").desc(), F.col("w1").asc()], k
+        ).select("w1").collect()
     )
-    bg = _unk_map(ex, kept).where(F.col("w2").isNotNull()).localCheckpoint()
+    bg = _unk_map_tokens(ex, toks).where(F.col("w2").isNotNull())
     c12 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
     # marginalize c12 for the context counts (identical values, sum of
     # the (k+1)^2-bounded table) instead of re-aggregating the mapped
     # corpus-size bigram stream
     c1 = c12.groupBy("w1").agg(F.sum("c12").alias("c1"))
-    vocab = kept.agg((F.count(F.lit(1)) + F.lit(1)).alias("vocab"))
+    vocab = d.sparkSession.createDataFrame(
+        [(len(toks) + 1,)], "vocab long"
+    )
     return bg, c12, c1, vocab
+
+
+def _unk_map_tokens(ex, toks: list):
+    """UNK-map an exploded (doc_id, w1, w2) stream against a DRIVER-side
+    kept-token list (≤ k entries by the cap's contract): membership is a
+    codegen ``isin`` over the literal set — no join, no broadcast, no
+    shuffle, and the mapped stream stays pipelined into its consumers.
+    Null membership (w1 can't be null from split; a null w2 is the
+    doc-end marker) reproduces the former left-join-miss semantics:
+    ``isin`` yields null ⇒ the WHEN falls through exactly like a join
+    miss did."""
+    in1 = F.col("w1").isin(toks) if toks else F.lit(False)
+    in2 = F.col("w2").isin(toks) if toks else F.lit(False)
+    return ex.select(
+        "doc_id",
+        F.when(in1, F.col("w1")).otherwise(F.lit(_LM_UNK)).alias("w1"),
+        F.when(F.col("w2").isNull(), F.lit(None).cast("string"))
+        .when(in2, F.col("w2"))
+        .otherwise(F.lit(_LM_UNK))
+        .alias("w2"),
+    )
 
 
 def _unk_map(ex, kept):
     """UNK-map an exploded (doc_id, w1, w2) stream against a kept-token
-    set: both joins BROADCAST (kept is ≤ k rows), so the mapping adds
-    zero shuffle — ONE definition shared by the in-query fit and the
-    persisted-model serve path."""
-    k1 = kept.withColumnRenamed("tokk", "__k1")
-    k2 = kept.withColumnRenamed("tokk", "__k2")
-    return (
-        ex.join(F.broadcast(k1), F.col("w1") == F.col("__k1"), "left")
-        .join(F.broadcast(k2), F.col("w2") == F.col("__k2"), "left")
-        .select(
-            "doc_id",
-            F.when(F.col("__k1").isNull(), F.lit(_LM_UNK))
-            .otherwise(F.col("w1"))
-            .alias("w1"),
-            F.when(F.col("w2").isNull(), F.lit(None).cast("string"))
-            .when(F.col("__k2").isNull(), F.lit(_LM_UNK))
-            .otherwise(F.col("w2"))
-            .alias("w2"),
-        )
+    FRAME (≤ k rows by the cap's contract, e.g. the persisted
+    ``lm_unk_kept`` table): bounded collect, then the shared
+    expression mapping — ONE mapping definition for the in-query fit
+    and the persisted-model serve path (via :func:`_unk_map_tokens`)."""
+    return _unk_map_tokens(
+        ex, sorted(r["tokk"] for r in kept.select("tokk").collect())
     )
 
 
