@@ -402,7 +402,11 @@ def ngram_jaccard_pairs(d, cap: int = _NGJ_DF_CAP, threshold: float = 0.3):
         lambda x: x["doc_a"] < x["doc_b"],
     )
     inter0 = (
-        pl.where(F.size("dl") <= cap)
+        # size >= 2 first (same reasoning as exact_substring_runs): a
+        # singleton posting list yields no doc_a < doc_b pair, so the
+        # interpreted pair expansion is skipped for the dominant
+        # unique-gram population — identical output.
+        pl.where((F.size("dl") >= 2) & (F.size("dl") <= cap))
         .select(F.explode(pairs).alias("m"))
         .groupBy(F.col("m.doc_a").alias("doc_a"), F.col("m.doc_b").alias("doc_b"))
         .agg(F.count(F.lit(1)).alias("inter0"))
@@ -1019,8 +1023,17 @@ def exact_substring_runs(
         lambda x: x["doc_a"] < x["doc_b"],
     )
     m = (
+        # size >= 2 first: a singleton posting list can never produce a
+        # cross-document pair (explode of its empty pairs array emits no
+        # rows), and most windows are unique, so short-circuiting here
+        # skips the INTERPRETED pair expansion + distinct-doc cap check
+        # (higher-order transforms never enter codegen) on the dominant
+        # gram population — same output, pair arithmetic only runs where
+        # a pair is possible.
         pl.where(
-            (
+            (F.size("pl") >= 2)
+            & (F.size("pl") <= pos_cap)
+            & (
                 F.size(
                     F.array_distinct(
                         F.transform(F.col("pl"), lambda x: x["doc_id"])
@@ -1028,7 +1041,6 @@ def exact_substring_runs(
                 )
                 <= cap
             )
-            & (F.size("pl") <= pos_cap)
         )
         .select(F.explode(pairs).alias("m"))
         .select("m.doc_a", "m.doc_b", "m.pos_a", "m.pos_b")
