@@ -304,6 +304,39 @@ def test_exact_substring_pos_cap_drops_degenerate_repetition(spark):
     assert exact_substring_runs(d, n=8, pos_cap=256).count() > 0
 
 
+def test_singleton_posting_skip_preserves_pair_semantics(spark):
+    """The size >= 2 short-circuit on posting lists (the interpreted
+    pair-expansion skip) must be output-neutral: all-unique corpora and
+    a window repeated only WITHIN one doc still yield zero pairs (the
+    skipped expansion emitted none), while a genuine 2-doc share still
+    pairs (guards against the conjunct being inverted or > 2)."""
+    from crypto_datalake_spark.queries.dedup import (
+        exact_substring_runs,
+        ngram_jaccard_pairs,
+    )
+
+    def _jd(rows):  # ngram_jaccard_pairs wants the lang/n_chars columns
+        return spark.createDataFrame(
+            [(i, "en", 50, t) for i, t in rows],
+            "doc_id long, lang string, n_chars long, text string",
+        )
+
+    uniq = [
+        (1, " ".join(f"a{i}" for i in range(12))),
+        (2, " ".join(f"b{i}" for i in range(12))),
+    ]
+    assert exact_substring_runs(_docs(spark, uniq), n=8).count() == 0
+    assert ngram_jaccard_pairs(_jd(uniq)).count() == 0
+
+    run = " ".join(f"r{i}" for i in range(8))
+    same_doc_only = _docs(spark, [(1, run + " mid " + run)])
+    assert exact_substring_runs(same_doc_only, n=8).count() == 0
+
+    shared = [(1, run), (2, run)]
+    assert exact_substring_runs(_docs(spark, shared), n=8).count() == 1
+    assert ngram_jaccard_pairs(_jd(shared), threshold=0.9).count() == 1
+
+
 def test_exact_substring_gram_tiers_agree(spark):
     """The rolling Karp-Rabin tier and the pure-JVM slice tier must
     produce IDENTICAL runs — same equivalence classes, same downstream
