@@ -47,23 +47,21 @@ _B = 0.75     # BM25 length normalization (exactly representable)
 _BM25_STOP_DF_PCT = 90
 
 
-def _bm25_scored(
-    tf, qterms, k1: float = _K1, b: float = _B,
+def _bm25_weights(
+    tf, k1: float = _K1, b: float = _B,
     stop_df_pct: int = _BM25_STOP_DF_PCT,
     decimal_scores: bool = True,
+    unscaled: bool = False,
 ):
-    """Per-(qid, doc_id) BM25 decimal scores from a term-frequency frame
-    ``tf`` (doc_id, n_tok, term, term_count — curation._tfidf_tf_frame
-    shape) and a query-bag frame ``qterms`` (qid, term).  ``stop_df_pct``:
-    terms in more than this percentage of documents are stop terms and
-    score nothing (exact integer predicate df*100 <= N*pct).
-
-    ``decimal_scores=False`` is the production knob (VERDICT r12 item 3):
-    plain-double idf x saturation products double-summed — same ranking in
-    practice, but the score sum becomes partition-order-dependent in the
-    last ulps, so the ORACLE-FACING registered queries keep the exact
-    DECIMAL(12,7) path (bit-stable across engines and partitionings).
-    Measured tax of the decimal path: see SCALE.md's BM25 note."""
+    """Per-posting BM25 weights (doc_id, term, w) from a term-frequency
+    frame ``tf`` (doc_id, n_tok, term, term_count —
+    curation._tfidf_tf_frame shape): the pre-fan-out stage shared by the
+    join and numpy scorers so their arithmetic cannot drift.
+    ``unscaled=True`` (decimal path only) emits ``w_u`` = the exact
+    unscaled long of the DECIMAL(25,14) product (idf_u·sat_u with each
+    factor's ×10⁷ unscaled long — long×long ≤ ~1e15, far inside int64),
+    so integer sums downstream equal the decimal sum bit-for-bit."""
+    assert not (unscaled and not decimal_scores)
     # corpus stats off the already-collapsed tf frame: df is a
     # vocab-size agg, N / avgdl come from the one-row-per-doc lengths —
     # never a second corpus scan (the text_tfidf_topk doctrine)
@@ -102,10 +100,10 @@ def _bm25_scored(
     if decimal_scores:
         sat = F.round(sat, 7).cast("decimal(12,7)")
     # ALL arithmetic happens at corpus/vocab size, BEFORE the query-bag
-    # join: idf once per vocab term, the saturation factor once per
+    # fan-out: idf once per vocab term, the saturation factor once per
     # (doc, term) posting, and their exact decimal product w once per
-    # posting — the fanned-out |queries|×|postings| stage below is then
-    # pure join + decimal sum (measured 1.7x at sf0.1 vs computing
+    # posting — the fanned-out |queries|×|postings| stage downstream is
+    # then pure join + decimal sum (measured 1.7x at sf0.1 vs computing
     # ln/round/multiply per fanned row).
     # STOP-TERM CAP (the dedup_exact_substring posting-cap policy, df-
     # RELATIVE because BM25's vocabulary is open-ended): a term in more
@@ -114,21 +112,52 @@ def _bm25_scored(
     # 100 TB. Cut it from the postings entirely; exact-integer
     # comparison, mirrored verbatim by every oracle and applied at FIT
     # time for the served twin (so OOV-drop serve semantics inherit it).
-    dfc_idf = (
-        dfc.crossJoin(F.broadcast(stats))
-        .where(
-            F.col("df_docs") * 100 <= F.col("n_docs") * F.lit(stop_df_pct)
-        )
-        .select("term", idf.alias("idf"))
+    stopped = dfc.crossJoin(F.broadcast(stats)).where(
+        F.col("df_docs") * 100 <= F.col("n_docs") * F.lit(stop_df_pct)
     )
-    weights = (
+    if unscaled:
+        dfc_idf = stopped.select(
+            "term", (idf * F.lit(10**7)).cast("long").alias("idf_u")
+        )
+        w = (F.col("idf_u") * (sat * F.lit(10**7)).cast("long")).alias("w_u")
+    else:
+        dfc_idf = stopped.select("term", idf.alias("idf"))
+        # DECIMAL × DECIMAL is exact — no re-round, no float sum
+        w = (F.col("idf") * sat).alias("w")
+    return (
         tf.withColumn("dl", F.col("n_tok"))
         .crossJoin(F.broadcast(stats))
         # NOT force-broadcast: the vocabulary is open-ended at 100 TB;
         # AQE broadcasts it when it measures small (it does at bench SF)
         .join(dfc_idf, "term")
-        # DECIMAL × DECIMAL is exact — no re-round, no float sum
-        .select("doc_id", "term", (F.col("idf") * sat).alias("w"))
+        .select("doc_id", "term", w)
+    ), stats
+
+
+def _bm25_scored(
+    tf, qterms, k1: float = _K1, b: float = _B,
+    stop_df_pct: int = _BM25_STOP_DF_PCT,
+    decimal_scores: bool = True,
+):
+    """Per-(qid, doc_id) BM25 decimal scores via the query-bag JOIN —
+    the open-ended fan-out plan (weights ⋈ qterms on term, decimal sum).
+    ``stop_df_pct``: terms in more than this percentage of documents are
+    stop terms and score nothing (exact integer predicate
+    df*100 <= N*pct).
+
+    ``decimal_scores=False`` is the production knob (VERDICT r12 item 3):
+    plain-double idf x saturation products double-summed — same ranking in
+    practice, but the score sum becomes partition-order-dependent in the
+    last ulps, so the ORACLE-FACING registered queries keep the exact
+    DECIMAL(12,7) path (bit-stable across engines and partitionings).
+    Measured tax of the decimal path: see SCALE.md's BM25 note.
+
+    The registered decimal queries normally take the numpy scatter-add
+    scorer (:func:`_bm25_scored_np`) instead — bit-identical output, the
+    fan-out aggregated map-side — and fall back to this join when the
+    query bag exceeds the broadcast cap."""
+    weights, _ = _bm25_weights(
+        tf, k1, b, stop_df_pct, decimal_scores=decimal_scores
     )
     contrib = weights.join(qterms, "term").where(
         F.col("doc_id") != F.col("qid")
@@ -136,6 +165,178 @@ def _bm25_scored(
     return contrib.groupBy("qid", "doc_id").agg(
         F.sum("w").alias("score_dec"),
         F.count(F.lit(1)).alias("n_hit_terms"),
+    )
+
+
+# Collected-query-bag cap for the numpy scorer: above this the bag is no
+# longer "a bounded query workload" and the open-ended join plan takes
+# over (the hard_negatives anchor-bound doctrine — never broadcast a
+# corpus-proportional frame).
+_QBAG_NP_MAX = 2_000_000
+
+
+def _np_qbag(qterms, cap: int | None = None):
+    """Driver-side query-bag index for the numpy scorer: term →
+    contiguous slice of query positions, plus the qid catalog. Returns
+    None when the bag exceeds ``cap`` rows (caller falls back to the
+    join plan). The collect is bounded by cap+1 by construction."""
+    import numpy as np
+
+    cap = _QBAG_NP_MAX if cap is None else cap
+    rows = qterms.limit(cap + 1).collect()
+    if len(rows) > cap:
+        return None
+    qid_list = sorted({r["qid"] for r in rows})
+    qpos = {q: i for i, q in enumerate(qid_list)}
+    per_term: dict = {}
+    bag_sizes: dict = {}
+    for r in rows:
+        per_term.setdefault(r["term"], []).append(qpos[r["qid"]])
+        bag_sizes[r["qid"]] = bag_sizes.get(r["qid"], 0) + 1
+    terms = list(per_term)
+    codedict = {t: i for i, t in enumerate(terms)}
+    flat = (
+        np.concatenate(
+            [np.asarray(sorted(per_term[t]), dtype=np.int64) for t in terms]
+        )
+        if terms
+        else np.zeros(0, np.int64)
+    )
+    cnts = np.asarray([len(per_term[t]) for t in terms], dtype=np.int64)
+    starts = (
+        np.concatenate([[0], np.cumsum(cnts)[:-1]]).astype(np.int64)
+        if terms
+        else np.zeros(0, np.int64)
+    )
+    qid_arr = np.asarray(qid_list, dtype=np.int64)
+    max_bag = max(bag_sizes.values()) if bag_sizes else 0
+    return codedict, flat, cnts, starts, qid_arr, len(qid_list), max_bag
+
+
+def _np_fanout_scorer(bc):
+    """Arrow-batched scatter-add scorer over (doc_id, term, w_u): each
+    batch expands its postings against the broadcast query-bag index and
+    emits per-batch partial (qid, doc_id, s, c) — the |q|×|postings|
+    fan-out aggregated MAP-SIDE as vectorized int64 (exact: every value
+    is an unscaled decimal, sums are order-free integers), so only
+    |docs-in-batch|×|q| partials ever reach the shuffle instead of one
+    row per (q, doc, term) contribution."""
+    def score(it):
+        import numpy as np
+        import pandas as pd
+
+        codedict, flat, cnts, starts, qid_arr, nq, _ = bc.value
+        for batch in it:
+            if len(batch) == 0 or nq == 0:
+                continue
+            codes = batch["term"].map(codedict).to_numpy(dtype="float64")
+            keep = ~np.isnan(codes)
+            codes = codes[keep].astype(np.int64)
+            if len(codes) == 0:
+                continue
+            docs = batch["doc_id"].to_numpy()[keep]
+            wv = batch["w_u"].to_numpy()[keep]
+            c = cnts[codes]
+            total = int(c.sum())
+            if total == 0:
+                continue
+            row_rep = np.repeat(np.arange(len(codes)), c)
+            cum = np.cumsum(c)
+            pos = np.arange(total) - np.repeat(cum - c, c)
+            q_exp = flat[starts[codes][row_rep] + pos]
+            udoc, dcode = np.unique(docs[row_rep], return_inverse=True)
+            key = dcode * nq + q_exp
+            size = len(udoc) * nq
+            s = np.zeros(size, dtype=np.int64)
+            np.add.at(s, key, wv[row_rep])
+            cct = np.bincount(key, minlength=size)
+            nz = np.nonzero(cct)[0]
+            yield pd.DataFrame(
+                {
+                    "qid": qid_arr[nz % nq],
+                    "doc_id": udoc[nz // nq],
+                    "s": s[nz],
+                    "c": cct[nz].astype(np.int64),
+                }
+            )
+
+    return score
+
+
+def _bm25_scored_np(
+    tf, qterms, k1: float = _K1, b: float = _B,
+    stop_df_pct: int = _BM25_STOP_DF_PCT,
+    weights_unscaled=None, n_docs: int | None = None,
+):
+    """Per-(qid, doc_id) BM25 scores via the numpy scatter-add scorer:
+    (qid, doc_id, s, n_hit_terms) with ``s`` the exact unscaled (×10¹⁴)
+    long of the decimal score sum — bit-identical to
+    ``_bm25_scored(...).score_dec`` by construction (integer sums are
+    order-free; every w_u is the exact unscaled DECIMAL(25,14) product).
+    Returns None when the query bag exceeds the broadcast cap or the
+    analytic int64 bound fails — the caller falls back to the join plan,
+    so the open-ended 100 TB shape is unchanged.
+
+    ``weights_unscaled``/``n_docs`` let the serve path inject its
+    frozen-idf weights frame and fit-corpus N; the fit path derives both
+    from ``tf``."""
+    if weights_unscaled is None:
+        weights_unscaled, stats = _bm25_weights(
+            tf, k1, b, stop_df_pct, unscaled=True
+        )
+        n_docs = stats.collect()[0]["n_docs"]  # 1-row agg: bounded
+    bag = _np_qbag(qterms)
+    if bag is None:
+        return None
+    max_bag = bag[6]
+    # loud analytic int64 bound (data-independent w ceiling): every
+    # per-(q,d) sum is ≤ max_bag terms × w_u ceiling; partial sums of
+    # positives never exceed the total, so ONE plan-time check covers
+    # the Python partials AND the JVM long sum of partials.
+    import math
+
+    w_ceil = int(
+        (round(math.log(2 * max(n_docs, 1) + 1), 7) * 10**7 + 1)
+        * ((k1 + 1.0) * 10**7 + 1)
+    )
+    if max_bag * w_ceil >= 2**62:
+        return None
+    spark = tf.sparkSession
+    bc = spark.sparkContext.broadcast(bag)
+    part = weights_unscaled.mapInPandas(
+        _np_fanout_scorer(bc), "qid long, doc_id long, s long, c long"
+    )
+    return (
+        part.groupBy("qid", "doc_id")
+        .agg(F.sum("s").alias("s"), F.sum("c").alias("n_hit_terms"))
+        .where(F.col("doc_id") != F.col("qid"))
+    )
+
+
+def _np_topk_select(scored_np, k: int):
+    """Top-k + output columns over the numpy scorer's (qid, doc_id, s,
+    n_hit_terms): rank on the unscaled long (a monotone bijection of the
+    exact decimal sum, so the order is identical), then
+    round-half-up(s/10¹⁴, 7) as pure integer arithmetic and ONE exact
+    IEEE division — the same correctly-rounded rational the decimal
+    round+double-cast produces, so the emitted double is bit-identical
+    (s ≥ 0: idf and saturation are strictly positive)."""
+    w = Window.partitionBy("qid").orderBy(
+        F.col("s").desc(), F.col("doc_id").asc()
+    )
+    return (
+        scored_np.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select(
+            "qid",
+            "doc_id",
+            (
+                F.expr("(s + 5000000) DIV 10000000").cast("double")
+                / F.lit(1e7)
+            ).alias("bm25"),
+            F.col("n_hit_terms").cast("long").alias("n_hit_terms"),
+            "rank",
+        )
     )
 
 
@@ -166,6 +367,20 @@ def bm25_topk(
     if only_qid is not None:
         qpred = qpred & (F.col("doc_id") == only_qid)
     qterms = tf.where(qpred).select(F.col("doc_id").alias("qid"), "term")
+    if decimal_scores and not rank_rounded and only_qid is None:
+        # preferred plan: the numpy scatter-add scorer aggregates the
+        # |q|×|postings| fan-out map-side on exact unscaled longs —
+        # bit-identical output, no per-contribution join row, no decimal
+        # in flight (r14 §15; measured 3.1→1.3 s at sf0.1). None means
+        # the query bag is beyond the broadcast cap → open-ended join.
+        # (rank_rounded is the fast path's pre-rank quantization knob —
+        # it ranks a DIFFERENT key, so it stays on the join plan; the
+        # only_qid single-query shape keeps the join too — its fan-out
+        # is one bag's postings, smaller than the scorer's two bounded
+        # plan-time driver jobs are worth, measured a wash at sf0.1.)
+        scored_np = _bm25_scored_np(tf, qterms)
+        if scored_np is not None:
+            return _np_topk_select(scored_np, k)
     scored = _bm25_scored(tf, qterms, decimal_scores=decimal_scores)
     if rank_rounded:
         scored = scored.withColumn("score_dec", F.round("score_dec", 7))
@@ -261,15 +476,18 @@ def _bm25_sql(qid_pred: str = "") -> str:
     "generation) complementing the dense ANN family. Plan: ONE tokenize "
     "+ (doc, term) count shuffle (checkpointed, shared by postings, df, "
     "and query bags), df and doc-length stats are vocab-/doc-size aggs "
-    "over the collapsed tf frame, N+avgdl broadcast as one row, the "
-    "posting-list join touches only the query terms' postings, and the "
-    "per-query top-k window partitions by qid. At 100 TB the posting "
-    f"join shuffles on term; terms in more than {_BM25_STOP_DF_PCT}% of "
-    "documents are stop terms cut from the postings BEFORE the fan-out "
-    "(near-zero idf, mirrored exactly by the oracle and applied at fit "
-    "time for the served twin), with AQE splitting any residual skew "
-    "(or the query bag broadcasts when the query set is small); scores "
-    "are "
+    "over the collapsed tf frame, N+avgdl broadcast as one row, and the "
+    "per-query top-k window partitions by qid. The |q|x|postings| "
+    "fan-out is aggregated MAP-SIDE by the numpy scatter-add scorer "
+    "(r14: exact unscaled int64 weights, broadcast query-bag index, "
+    "per-batch partial (qid, doc) sums — bit-identical to the decimal "
+    "join sum because integer addition is order-free), falling back to "
+    "the open-ended weights-join plan when the query bag exceeds the "
+    f"broadcast cap. At 100 TB terms in more than {_BM25_STOP_DF_PCT}% "
+    "of documents are stop terms cut from the postings BEFORE the "
+    "fan-out (near-zero idf, mirrored exactly by the oracle and applied "
+    "at fit time for the served twin), with AQE splitting any residual "
+    "skew on the fallback join; scores are "
     "exact DECIMAL(12,7) products decimal-summed, so ranking is "
     "bit-stable across engines and partitionings.",
 )
@@ -602,6 +820,28 @@ def bm25_topk_serve(
         ),
         7,
     ).cast("decimal(12,7)")
+    # preferred plan (the bm25_topk discipline): the numpy scatter-add
+    # scorer over the same frozen-idf weights, exact unscaled longs —
+    # bit-identical scores, fan-out aggregated map-side; falls back to
+    # the open-ended join when the query bag exceeds the broadcast cap.
+    wl = (
+        tf.crossJoin(F.broadcast(meta))
+        .join(F.broadcast(vocab.select("term", "idf")), "term")
+        .select(
+            "doc_id",
+            "term",
+            (
+                (F.col("idf") * F.lit(10**7)).cast("long")
+                * (sat * F.lit(10**7)).cast("long")
+            ).alias("w_u"),
+        )
+    )
+    n_docs = meta.collect()[0]["n_docs"]  # frozen 1-row fit meta
+    scored_np = _bm25_scored_np(
+        tf, qterms, weights_unscaled=wl, n_docs=n_docs
+    )
+    if scored_np is not None:
+        return _np_topk_select(scored_np, k)
     weights = (
         tf.crossJoin(F.broadcast(meta))
         .join(F.broadcast(vocab.select("term", "idf")), "term")
@@ -703,8 +943,11 @@ def _bm25_served_sql(sf_dir: str) -> str:
     "shuffle, one broadcast vocab join and a multiply — zero ln calls, "
     "no df recount, frozen N/avgdl (the incremental-corpus production "
     "shape: new batches rank against the fit corpus's statistics; "
-    "refits are explicit). OOV terms drop, so new documents serve "
-    "correctly. On the fit corpus with an uncapped vocabulary the "
+    "refits are explicit); the query fan-out runs through the same "
+    "numpy scatter-add scorer as search_bm25_topk (exact unscaled "
+    "int64 of the frozen-idf decimal products, bit-identical scores, "
+    "join fallback above the bag cap). OOV terms drop, so new "
+    "documents serve correctly. On the fit corpus with an uncapped vocabulary the "
     "output equals search_bm25_topk (pinned in tests). SURROGATE "
     "oracle: DuckDB recomputes the serving policy conditional on the "
     "persisted tables through the oracle-first pre-build guard.",

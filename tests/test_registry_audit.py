@@ -25,6 +25,13 @@ DESIGNED_PYTHON = {
     "dedup_embedding_cosine",    # per-cell pairwise numpy scorer (r14):
     # O(rows·d) Arrow bytes per cell instead of O(pairs·d) JVM HOF folds;
     # bit-exact left-fold emulation pinned in test_ann.py
+    # BM25 numpy scatter-add scorer (r14 §15): the |q|×|postings|
+    # fan-out aggregated map-side on exact unscaled longs — bit-exact
+    # vs the decimal join plan (test_scale_ops), join fallback above
+    # the query-bag broadcast cap (search_hybrid_rrf's single-query
+    # sparse arm deliberately stays on the join — see bm25_topk)
+    "search_bm25_topk",
+    "search_bm25_topk_served",
 }
 # orderbook_segmented_replay is ALSO designed-Python (the stateful fold
 # under applyInPandas, segment-parallel) but runs its phases eagerly

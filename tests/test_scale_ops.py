@@ -1019,6 +1019,68 @@ def test_bm25_served_matches_inquery_on_training_corpus(spark, sf_dir):
     assert base == served and len(base) > 0
 
 
+def test_bm25_np_scorer_bit_equals_join_and_falls_back(spark, sf_dir, monkeypatch):
+    """The numpy scatter-add scorer (the registered decimal plan) must be
+    bit-identical to the decimal join plan on the same tf/qterms — scores,
+    n_hit_terms, ranks, tie-breaks — and above the query-bag broadcast cap
+    the query must FALL BACK to the open-ended join with identical output
+    (the 100 TB shape is the join; numpy is the bounded-bag accelerator)."""
+    from pyspark.sql import Window
+
+    from crypto_datalake_spark.queries import retrieval as R
+    from crypto_datalake_spark.queries.common import t
+    from crypto_datalake_spark.queries.curation import _tfidf_tf_frame
+
+    d = t(spark, sf_dir, "documents")
+    tf = _tfidf_tf_frame(d).localCheckpoint()
+    qterms = tf.where(F.col("doc_id") % 101 == 0).select(
+        F.col("doc_id").alias("qid"), "term"
+    )
+    np_scored = R._bm25_scored_np(tf, qterms)
+    assert np_scored is not None
+    got_np = {tuple(r) for r in R._np_topk_select(np_scored, 10).collect()}
+
+    scored = R._bm25_scored(tf, qterms)
+    w = Window.partitionBy("qid").orderBy(
+        F.col("score_dec").desc(), F.col("doc_id").asc()
+    )
+    got_join = {
+        tuple(r)
+        for r in scored.withColumn(
+            "rank", F.row_number().over(w).cast("long")
+        )
+        .where(F.col("rank") <= 10)
+        .select(
+            "qid",
+            "doc_id",
+            F.round(F.col("score_dec"), 7).cast("double").alias("bm25"),
+            F.col("n_hit_terms").cast("long").alias("n_hit_terms"),
+            "rank",
+        )
+        .collect()
+    }
+    assert got_np == got_join and len(got_np) > 0
+
+    # registered plan carries the numpy tier; above the cap it must not
+    base = {tuple(r) for r in R.bm25_topk(d).collect()}
+    assert base == got_np
+    p = R.bm25_topk(d)._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "simple"
+        )
+    )
+    assert "MapInPandas" in p
+    monkeypatch.setattr(R, "_QBAG_NP_MAX", 0)
+    fb = R.bm25_topk(d)
+    pfb = fb._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "simple"
+        )
+    )
+    assert "MapInPandas" not in pfb
+    assert {tuple(r) for r in fb.collect()} == base
+
+
 def test_bm25_double_scoring_knob_same_ranking(spark, sf_dir):
     """VERDICT r12 item 3: the production `decimal_scores=False` knob
     (plain-double products, double sum) must return the SAME (qid,
