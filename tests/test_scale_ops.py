@@ -1081,6 +1081,78 @@ def test_bm25_np_scorer_bit_equals_join_and_falls_back(spark, sf_dir, monkeypatc
     assert {tuple(r) for r in fb.collect()} == base
 
 
+def test_bm25_np_scorer_bounded_paths_bit_equal(spark, sf_dir, monkeypatch):
+    """VERDICT r15 item 1: the dense scatter buffer is (batch-docs × |q|)
+    int64 cells, so a high-|q| bag under the row cap must never allocate
+    it unbounded — the scorer chunks the batch's posting rows and
+    switches to the sparse sort+segment-sum aggregation above the cell
+    bound.  Forcing pathological bounds (1-cell dense cap, 7-contribution
+    chunks) must leave the scorer's aggregated output — and the
+    registered query — bit-identical: every path is an order-free int64
+    sum."""
+    import pandas as pd
+
+    from crypto_datalake_spark.queries import retrieval as R
+    from crypto_datalake_spark.queries.common import t
+    from crypto_datalake_spark.queries.curation import _tfidf_tf_frame
+
+    d = t(spark, sf_dir, "documents")
+    tf = _tfidf_tf_frame(d).localCheckpoint()
+    qterms = tf.where(F.col("doc_id") % 101 == 0).select(
+        F.col("doc_id").alias("qid"), "term"
+    )
+    bag = R._np_qbag(qterms)
+    assert bag is not None and bag[5] > 1  # nq > 1: the grid is real
+
+    class _BC:
+        value = bag
+
+    pdf = (
+        R._bm25_weights(tf, unscaled=True)[0]
+        .toPandas()
+        .sort_values(["doc_id", "term"])
+        .reset_index(drop=True)
+    )
+    assert len(pdf) > 20  # enough rows that 7-contribution chunks matter
+
+    def agg(frames):
+        out = pd.concat(list(frames), ignore_index=True)
+        return (
+            out.groupby(["qid", "doc_id"], as_index=False)[["s", "c"]]
+            .sum()
+            .sort_values(["qid", "doc_id"])
+            .reset_index(drop=True)
+        )
+
+    dense = agg(R._np_fanout_scorer(_BC())(iter([pdf])))
+    chunked = agg(
+        R._np_fanout_scorer(_BC(), max_cells=1, chunk_contribs=7)(
+            iter([pdf])
+        )
+    )
+    pd.testing.assert_frame_equal(dense, chunked)
+    assert len(dense) > 0
+
+    # end-to-end: the registered plan under the pathological bounds
+    # (baked into the closure at plan time) returns the same rows
+    base = {tuple(r) for r in R.bm25_topk(d).collect()}
+    monkeypatch.setattr(R, "_NP_SCATTER_MAX_CELLS", 1)
+    monkeypatch.setattr(R, "_NP_CHUNK_CONTRIBS", 7)
+    bounded = {tuple(r) for r in R.bm25_topk(d).collect()}
+    assert bounded == base and len(base) > 0
+
+    # the byte companion of the row cap forces the join fallback
+    monkeypatch.setattr(R, "_QBAG_NP_MAX_BYTES", 1)
+    fb = R.bm25_topk(d)
+    pfb = fb._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "simple"
+        )
+    )
+    assert "MapInPandas" not in pfb
+    assert {tuple(r) for r in fb.collect()} == base
+
+
 def test_bm25_double_scoring_knob_same_ranking(spark, sf_dir):
     """VERDICT r12 item 3: the production `decimal_scores=False` knob
     (plain-double products, double sum) must return the SAME (qid,
