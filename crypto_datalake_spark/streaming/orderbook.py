@@ -779,13 +779,23 @@ def _tag_segments(depth_events: DataFrame) -> DataFrame:
     bc = depth_events.sparkSession.sparkContext.broadcast(kmap)
     # fresh StructType — StructType.add MUTATES the df's cached schema
     out_schema = StructType(
-        list(depth_events.schema.fields) + [StructField("seg", LongType())]
+        list(depth_events.schema.fields)
+        + [StructField("seg", LongType()), StructField("fin", BooleanType())]
     )
 
     def _tag(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         km = bc.value
         for pdf in batches:
             seg = np.zeros(len(pdf), dtype="int64")
+            # fin: this event belongs to its symbol's FINAL segment.  The
+            # final segment id is |snapshot keys| (the last snapshot row
+            # always counts its own key, so some row always reaches it);
+            # symbols with no keyed snapshots — including null symbols,
+            # which groupby drops — have only seg 0, their final segment.
+            # Known at TAG time from the broadcast key table, this saves
+            # the replay a whole driver job: the fold's light collect can
+            # carry the final-segment states along (r15, VERDICT item 2).
+            fin = np.ones(len(pdf), dtype=bool)
             if len(pdf):
                 t_ns = _t_ns(pdf["event_time"])
                 u_raw = pdf["final_update_id"]
@@ -818,7 +828,8 @@ def _tag_segments(depth_events: DataFrame) -> DataFrame:
                             u_keys[lo : hi[j]], sub_u[j], side="right"
                         )
                     seg[idx] = s
-            yield pdf.assign(seg=seg)
+                    fin[idx] = s == len(ts_keys)
+            yield pdf.assign(seg=seg, fin=fin)
 
     return depth_events.mapInPandas(_tag, out_schema)
 
@@ -1018,13 +1029,15 @@ def replay_book_segmented(depth_events: DataFrame, path_counts: dict | None = No
     Equivalence with folding the whole history sequentially is exact —
     ``tests/test_streaming.py`` pins it directly and by property sweep,
     including desync/bridge-buffer cascades.  The driver never holds
-    every segment's book: phase 2's chain walk collects only
+    every segment's book: phase 2's chain walk collects
     ``(symbol, seg, buffer_n)`` — the walk's realization decision needs
-    nothing but exit-buffer EMPTINESS — and full states (books +
-    buffers) are fetched from the persisted, executor-cached phase-1
-    frame in ONE batched job covering every clean symbol's final
-    segment, every repair's entry state, AND the optimistically
-    simulated post-repair chain (``_post_repair_prefetch``); targeted
+    nothing but exit-buffer EMPTINESS — plus each symbol's FINAL-
+    segment state in the SAME collect (the final segment id is known at
+    tag time from the snapshot-key table, so the fold phase runs ONE
+    driver job on a healthy stream; r15, VERDICT item 2).  Repair entry
+    states and the optimistically simulated post-repair chain
+    (``_post_repair_prefetch``) are fetched from the persisted,
+    executor-cached phase-1 frame in one batched job; targeted
     fallback jobs fire only when a refold CASCADES (exits with a
     non-empty buffer, diverging the walk from the simulation) — zero
     on a healthy stream.  Driver memory is O(segments) light rows +
@@ -1041,6 +1054,7 @@ def replay_book_segmented(depth_events: DataFrame, path_counts: dict | None = No
             StructField("seg", LongType()),
             StructField("buffer_n", LongType()),
             StructField("fast", BooleanType()),
+            StructField("is_final", BooleanType()),
             StructField("state", StringType()),
         ]
     )
@@ -1050,7 +1064,8 @@ def replay_book_segmented(depth_events: DataFrame, path_counts: dict | None = No
     def _fold_segment(pdf: pd.DataFrame) -> pd.DataFrame:
         sym = pdf["symbol"].iloc[0]
         seg = int(pdf["seg"].iloc[0])
-        body = pdf.drop(columns=["seg"])
+        is_final = bool(pdf["fin"].iloc[0])  # constant per (symbol, seg)
+        body = pdf.drop(columns=["seg", "fin"])
         # hybrid tier: continuous segments (the overwhelming majority on
         # a healthy stream) reduce to a vectorized last-write-per-level;
         # anything irregular falls back to the exact event-by-event fold
@@ -1062,23 +1077,32 @@ def replay_book_segmented(depth_events: DataFrame, path_counts: dict | None = No
         return pd.DataFrame(
             {"symbol": [sym], "seg": [seg],
              "buffer_n": [len(st["buffer"])], "fast": [fast],
-             "state": [_state_blob(st)]}
+             "is_final": [is_final], "state": [_state_blob(st)]}
         )
 
     # phase-1 states (books + buffers) stay DISTRIBUTED in the executor
-    # cache; the driver's chain walk needs only exit-buffer EMPTINESS,
-    # so it collects the 3-column light projection — O(segments) tiny
-    # rows, never every segment's book
+    # cache; the driver's chain walk needs only exit-buffer EMPTINESS
+    # plus each symbol's FINAL-segment state (known at tag time — the
+    # `fin` flag), so ONE collect serves both: O(segments) light rows +
+    # O(symbols) final states, never every segment's book.  On a healthy
+    # stream this is the fold phase's ONLY driver job (r15: previously
+    # the clean-symbol final states cost a second, batched fetch job).
     phase1 = (
         tagged.groupBy("symbol", "seg")
         .applyInPandas(_fold_segment, STATE_OUT)
         .persist()
     )
-    light = phase1.select("symbol", "seg", "buffer_n", "fast").collect()
+    light = phase1.select(
+        "symbol", "seg", "buffer_n", "fast",
+        F.when(F.col("is_final"), F.col("state")).alias("state"),
+    ).collect()
 
     by_symbol: dict = {}
+    final_states: dict = {}
     for r in light:
         by_symbol.setdefault(r["symbol"], {})[r["seg"]] = r["buffer_n"]
+        if r["state"] is not None:
+            final_states[(r["symbol"], r["seg"])] = json.loads(r["state"])
     if path_counts is not None:
         # router observability: how many phase-1 segments took the
         # vectorized fast tier vs the exact fold — the equivalence
@@ -1156,11 +1180,22 @@ def replay_book_segmented(depth_events: DataFrame, path_counts: dict | None = No
                     for seg_id in _post_repair_prefetch(order, segs, plan[1])
                 )
 
-        fetched = _fetch_states(
-            [(sym, seg_id) for sym, seg_id in clean.items()]
-            + [(sym, seg_id) for sym, (_, seg_id) in repairs.items()]
-            + prefetch
-        )
+        # clean symbols' final states already rode the light collect
+        # (`final_states`); only repair entry states and post-repair
+        # prefetches that are NOT final segments still need the batched
+        # fetch — an empty list runs zero Spark jobs on a healthy stream
+        fetched = dict(final_states)
+        fetched.update(_fetch_states(
+            [
+                p
+                for p in (
+                    [(sym, seg_id) for sym, seg_id in clean.items()]
+                    + [(sym, seg_id) for sym, (_, seg_id) in repairs.items()]
+                    + prefetch
+                )
+                if p not in fetched
+            ]
+        ))
 
         final_rows = []
         for sym, segs in by_symbol.items():
@@ -1195,7 +1230,7 @@ def replay_book_segmented(depth_events: DataFrame, path_counts: dict | None = No
                             (F.col("symbol").eqNullSafe(F.lit(sym)))
                             & (F.col("seg") == seg_id)
                         )
-                        .drop("seg")
+                        .drop("seg", "fin")
                         .toPandas()
                     )
                     st = dict(_EMPTY, buffer=list(realized["buffer"]))

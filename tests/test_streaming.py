@@ -1674,6 +1674,62 @@ def test_replay_segmented_property_equivalence(spark):
     assert fb_counts.get("fallback", 0) >= 1, fb_counts
 
 
+def test_replay_segmented_healthy_stream_is_one_fold_job(spark):
+    """VERDICT r15 item 2: on a healthy multi-symbol store the fold
+    phase runs ONE driver action — the light collect carries each
+    symbol's final-segment state (its id is known at tag time), so the
+    former clean-symbol batched fetch (broadcast build + leftsemi
+    collect) never fires.  AQE splits one collect into several scheduler
+    jobs, so the pin is the set of driver-action CALL SITES observed:
+    exactly two (the tag phase's snapshot-key collect + the fused fold
+    collect), and none inside ``_fetch_states``."""
+    import re
+
+    from crypto_datalake_spark.streaming.orderbook import (
+        replay_book_segmented,
+    )
+
+    rows = []
+    for sym, base in (("BTC", 100), ("ETH", 500)):
+        rows += [
+            (sym, _t(1), "snapshot", None, base, None,
+             json.dumps([[99.0, 1.0]]), json.dumps([[101.0, 1.0]])),
+            (sym, _t(2), "delta", base - 1, base + 5, None,
+             json.dumps([[99.5, 2.0]]), json.dumps([])),
+            # segment 2: fresh snapshot + chained delta
+            (sym, _t(3), "snapshot", None, base + 100, None,
+             json.dumps([[98.0, 5.0]]), json.dumps([[103.0, 5.0]])),
+            (sym, _t(4), "delta", base + 101, base + 105, base + 100,
+             json.dumps([[98.5, 1.5]]), json.dumps([])),
+        ]
+    sc = spark.sparkContext
+    group = "seg-replay-fused-job-count"
+    sc.setJobGroup(group, "segmented replay fold phase")
+    try:
+        df = replay_book_segmented(_depth_rows(spark, rows))
+        st = sc.statusTracker()
+        callsites = set()
+        for j in st.getJobIdsForGroup(group):
+            info = st.getJobInfo(j)
+            for s in (info.stageIds if info else []):
+                si = st.getStageInfo(s)
+                m = si and re.search(r"at (\S+:\d+)", si.name)
+                if m:
+                    callsites.add(m.group(1))
+    finally:
+        sc.setJobGroup(None, None)
+    assert len(callsites) == 2, callsites
+    # and the fused collect did not change the answer
+    for sym in ("BTC", "ETH"):
+        got = _seg_state(df, sym)
+        want = _fold_whole(sym, [r for r in rows if r[0] == sym])
+        assert got["synced"] == want["synced"] is True
+        assert got["last_u"] == want["last_u"]
+        assert json.loads(got["bids"]) == want["bids"]
+        assert json.loads(got["asks"]) == want["asks"]
+        assert got["buffered_count"] == len(want["buffer"]) == 0
+
+
 def test_post_repair_prefetch_plan():
     """ADVICE r10: the repair walk used to issue one targeted fetch job
     per post-repair segment whose content it needed, serially.  The
