@@ -1799,7 +1799,13 @@ def _dsir_gumbel_sql() -> str:
 def _dsir_ex(docs, n_buckets: int = _DSIR_B):
     """(doc_id, lang, b): one row per hashed unigram/bigram feature
     occurrence.  CASE-guarded like repetition_signals so the inlined
-    sequence() stays total if pushed past the size check."""
+    sequence() stays total if pushed past the size check.
+
+    Since r15 the queries consume the (doc_id, lang, b, n) COUNT grain
+    (:func:`_dsir_doc_bucket_counts`) instead of this occurrence stream;
+    this JVM-expression form stays as the independent reference twin the
+    parity test aggregates against, so a tokenize/hash drift in the
+    Arrow pass cannot land silently."""
     base = docs.select("doc_id", "lang", F.split(F.col("text"), " ").alias("tok"))
     feats = F.expr(
         "concat("
@@ -1815,14 +1821,114 @@ def _dsir_ex(docs, n_buckets: int = _DSIR_B):
     )
 
 
-def _dsir_ratio_tot(ex, n_buckets: int = _DSIR_B, target_lang: str = _DSIR_TARGET):
+# memo bound for the per-task feature→bucket cache (guide §4.5): the
+# synthetic vocabulary is tiny so the cache all but eliminates md5 calls,
+# while the cap keeps a 100 TB open-vocabulary task's memory bounded
+_DSIR_MEMO_CAP = 1 << 20
+
+
+def _dsir_doc_bucket_counts(docs, n_buckets: int = _DSIR_B):
+    """(doc_id, lang, b, n): per-document hashed-feature bucket COUNTS in
+    one Arrow-batched pass — the BM25 map-side precedent (guide §2.3/
+    §4.2) applied to the DSIR feature stream: tokenize, build the
+    unigram/bigram features, md5-bucket and bincount per document inside
+    ``mapInPandas``, so only the (doc, bucket) grain (~0.6× the
+    occurrence stream here, ≤ B rows per doc at any scale) is ever
+    materialized/checkpointed — the occurrence-grain explode never
+    exists.  Exact twin of ``_dsir_ex`` aggregated by (doc_id, lang, b):
+    same split-on-space tokens, same 'u:'/'b:' feature strings, and the
+    bucket is ``int(md5(feature)[:15 hex], 16) % B`` — precisely the
+    ``_SP_H`` bridge — so every downstream count and decimal ratio sum
+    is bit-identical (pinned by
+    test_dsir_bucket_counts_match_exploded_grain)."""
+    n_buckets = int(n_buckets)
+
+    def gen(it):
+        import hashlib
+
+        import numpy as np
+        import pandas as pd
+
+        memo: dict = {}
+
+        def bucket(f: str) -> int:
+            h = memo.get(f)
+            if h is None:
+                h = (
+                    int(hashlib.md5(f.encode("utf-8")).hexdigest()[:15], 16)
+                    % n_buckets
+                )
+                if len(memo) < _DSIR_MEMO_CAP:
+                    memo[f] = h
+            return h
+
+        for pdf in it:
+            if not len(pdf):
+                continue
+            doc_l: list = []
+            lang_l: list = []
+            nfeat: list = []
+            flat: list = []
+            for doc_id, lang, text in zip(
+                pdf["doc_id"].tolist(), pdf["lang"].tolist(),
+                pdf["text"].tolist(),
+            ):
+                if text is None:
+                    continue  # split(NULL) explodes to zero rows
+                tok = text.split(" ")
+                fs = ["u:" + t for t in tok]
+                if len(tok) >= 2:
+                    fs += [
+                        "b:" + tok[i] + " " + tok[i + 1]
+                        for i in range(len(tok) - 1)
+                    ]
+                doc_l.append(doc_id)
+                lang_l.append(lang)
+                nfeat.append(len(fs))
+                flat.extend(fs)
+            if not doc_l:
+                continue
+            b = np.fromiter(
+                (bucket(f) for f in flat), dtype=np.int64, count=len(flat)
+            )
+            didx = np.repeat(
+                np.arange(len(doc_l), dtype=np.int64),
+                np.asarray(nfeat, dtype=np.int64),
+            )
+            cnt = np.bincount(
+                didx * n_buckets + b, minlength=len(doc_l) * n_buckets
+            )
+            nz = np.nonzero(cnt)[0]
+            di = nz // n_buckets
+            yield pd.DataFrame(
+                {
+                    "doc_id": np.asarray(doc_l, dtype=np.int64)[di],
+                    "lang": np.asarray(lang_l, dtype=object)[di],
+                    "b": (nz % n_buckets).astype(np.int64),
+                    "n": cnt[nz].astype(np.int64),
+                }
+            )
+
+    return docs.select("doc_id", "lang", "text").mapInPandas(
+        gen, "doc_id long, lang string, b long, n long"
+    )
+
+
+def _dsir_ratio_tot(exc, n_buckets: int = _DSIR_B, target_lang: str = _DSIR_TARGET):
     """(b, r, tr, tt) per fit-seen bucket: the add-one-smoothed log
     probability ratio (decimal-rounded so per-doc sums are engine-exact,
     the _lm discipline) plus the corpus totals — ONE corpus pass fits
-    BOTH bucket LMs (raw = count, target = the lang slice)."""
-    cnt = ex.groupBy("b").agg(
-        F.count(F.lit(1)).alias("cr"),
-        F.count(F.when(F.col("lang") == target_lang, 1)).alias("ct"),
+    BOTH bucket LMs (raw = count, target = the lang slice).  ``exc`` is
+    the (doc_id, lang, b, n) bucket-count grain
+    (:func:`_dsir_doc_bucket_counts`); summing its counts equals
+    counting the occurrence stream exactly."""
+    cnt = exc.groupBy("b").agg(
+        F.sum("n").alias("cr"),
+        F.sum(
+            F.when(F.col("lang") == target_lang, F.col("n")).otherwise(
+                F.lit(0)
+            )
+        ).alias("ct"),
     )
     # totals via a window over the ALREADY-AGGREGATED <=B-row frame
     # (sample_domain_mixture precedent) — the corpus is counted once
@@ -1863,13 +1969,16 @@ def dsir_frame(
     log-weight, Gumbel key, and selection rank."""
     from crypto_datalake_spark.ops.rank import global_row_number
 
-    # consumers: bucket fit + per-doc scoring
-    ex = _dsir_ex(docs, n_buckets).localCheckpoint()
-    ratio = _dsir_ratio_tot(ex, n_buckets, target_lang).select("b", "r")
+    # consumers: bucket fit + per-doc scoring.  The checkpoint holds the
+    # (doc, lang, b, n) count grain, not the occurrence explode (r15):
+    # the per-doc decimal sum Σ n·r is the occurrence sum exactly
+    # (decimal × integer is exact, decimal adds are order-free).
+    exc = _dsir_doc_bucket_counts(docs, n_buckets).localCheckpoint()
+    ratio = _dsir_ratio_tot(exc, n_buckets, target_lang).select("b", "r")
     sc = (
-        ex.join(F.broadcast(ratio), "b")
+        exc.join(F.broadcast(ratio), "b")
         .groupBy("doc_id", "lang")
-        .agg(F.sum("r").alias("s"))
+        .agg(F.sum(F.col("r") * F.col("n").cast("decimal(10,0)")).alias("s"))
         .select("doc_id", "lang", F.col("s").cast("double").alias("dsir_logw"))
     )
     scored = sc.withColumn("gumbel_key", _dsir_gumbel_col())
@@ -1878,7 +1987,11 @@ def dsir_frame(
         [F.col("gumbel_key").desc(), F.col("doc_id").asc()],
         out_col="__rk",
     )
-    n = scored.agg(F.count(F.lit(1)).alias("__n"))
+    # count over `ranked`, not `scored`: ranked reads global_row_number's
+    # materialized range checkpoint, while `scored` would re-evaluate the
+    # whole ratio-join + doc aggregation a second time (~0.5 s at sf0.1,
+    # a full corpus pass at 100 TB — the LM c12 double-evaluation class)
+    n = ranked.agg(F.count(F.lit(1)).alias("__n"))
     return (
         ranked.crossJoin(F.broadcast(n))
         .where(F.col("__rk") <= F.floor(F.col("__n") / keep_den))
@@ -1950,10 +2063,14 @@ def dsir_frame(
     "the _lm discipline), then the paper's Gumbel-top-k resample made "
     "deterministic: gumbel_key = logw - ln(-ln(u)) with u a seeded-md5 "
     "uniform of the doc key, keep the global top floor(n/4) by key. "
-    "Scale shape: ONE checkpointed feature explode feeds both the "
-    f"{_DSIR_B}-row bucket fit (map-side combine to <=B rows; totals via "
-    "a window over the aggregated frame, never the corpus) and the "
-    "per-doc score (broadcast ratio join + one doc_id shuffle); "
+    "Scale shape (r15): ONE Arrow-batched pass computes per-document "
+    "hashed-bucket COUNTS map-side (tokenize→feature→md5 bucket→"
+    f"bincount, guide §2.3/§4.2) so only the (doc, bucket, n) grain — "
+    f"≤ {_DSIR_B} rows per doc at any corpus size — is checkpointed and "
+    f"feeds both the {_DSIR_B}-row bucket fit (totals via a window over "
+    "the aggregated frame, never the corpus) and the per-doc score "
+    "(broadcast ratio join + one doc_id shuffle; Σ n·r is the exact "
+    "decimal occurrence sum, pinned against the JVM explode twin); "
     "selection is the two-phase global rank — no all-pairs, no "
     "corpus-size window, two corpus passes total at 100 TB. The "
     "production seam mirrors tfidf/lm served: persist the B-row ratio "
@@ -1988,7 +2105,7 @@ def dsir_model_tables(spark, sf_dir):
 
     def build_ratio():
         return (
-            _dsir_ratio_tot(_dsir_ex(t(spark, sf_dir, "documents")))
+            _dsir_ratio_tot(_dsir_doc_bucket_counts(t(spark, sf_dir, "documents")))
             .select("b", "r")
             .coalesce(1)
         )
@@ -1998,7 +2115,7 @@ def dsir_model_tables(spark, sf_dir):
     def build_meta():
         docs = t(spark, sf_dir, "documents")
         tots = (
-            _dsir_ratio_tot(_dsir_ex(docs))
+            _dsir_ratio_tot(_dsir_doc_bucket_counts(docs))
             .select("tr", "tt")
             .limit(1)
         )
@@ -2036,14 +2153,18 @@ def dsir_serve(docs, ratio, meta):
     (unseen buckets coalesce to the persisted r_oov — real OOV
     handling, the lm-served precedent), Gumbel key from the doc id, and
     ``keep`` = key ≥ the persisted training cutoff.  Shuffle shape: one
-    feature explode + one doc_id aggregation; both fit tables broadcast
-    — no refit, no corpus recount, no global rank."""
-    ex = _dsir_ex(docs)
+    Arrow-batched bucket-count pass + one doc_id aggregation; both fit
+    tables broadcast — no refit, no corpus recount, no global rank."""
+    exc = _dsir_doc_bucket_counts(docs)
     sc = (
-        ex.join(F.broadcast(ratio), "b", "left")
+        exc.join(F.broadcast(ratio), "b", "left")
         .crossJoin(F.broadcast(meta.select("r_oov")))
         .groupBy("doc_id", "lang")
-        .agg(F.sum(F.coalesce("r", "r_oov")).alias("s"))
+        .agg(
+            F.sum(
+                F.coalesce("r", "r_oov") * F.col("n").cast("decimal(10,0)")
+            ).alias("s")
+        )
         .select("doc_id", "lang", F.col("s").cast("double").alias("dsir_logw"))
     )
     return (

@@ -32,7 +32,19 @@ DESIGNED_PYTHON = {
     # sparse arm deliberately stays on the join — see bm25_topk)
     "search_bm25_topk",
     "search_bm25_topk_served",
+    # DSIR bucket counting (r15): per-doc hashed-feature bucket counts
+    # computed map-side in one Arrow pass (the BM25 precedent) — the
+    # occurrence-grain explode never materializes; md5/tokenize parity
+    # vs the JVM expression twin pinned in test_scale_ops
+    "sample_dsir",
+    "sample_dsir_served",
 }
+# Designed-Python members whose Arrow stage sits BEHIND an eager
+# localCheckpoint, so the registered plan shows Scan ExistingRDD rather
+# than the Python node — the "actually IS Python-backed" back-check
+# below cannot see them; their Python tier is pinned by dedicated tests
+# instead (sample_dsir: test_dsir_bucket_counts_match_exploded_grain).
+_PYTHON_BEHIND_CHECKPOINT = {"sample_dsir"}
 # orderbook_segmented_replay is ALSO designed-Python (the stateful fold
 # under applyInPandas, segment-parallel) but runs its phases eagerly
 # inside the registry fn and returns a driver-built frame, so this plan
@@ -70,7 +82,7 @@ def test_registry_plans_python_and_cartesian(spark, sf_dir):
     assert not cartesian, f"CartesianProduct in plans: {cartesian}"
     # the designed tier actually IS Python-backed (a silent rewrite to a
     # broken JVM path would otherwise pass the checks above)
-    for name in DESIGNED_PYTHON:
+    for name in DESIGNED_PYTHON - _PYTHON_BEHIND_CHECKPOINT:
         p = REGISTRY[name].fn(spark, sf_dir)._jdf.queryExecution(
         ).explainString(
             spark._jvm.org.apache.spark.sql.execution.ExplainMode

@@ -1153,6 +1153,51 @@ def test_bm25_np_scorer_bounded_paths_bit_equal(spark, sf_dir, monkeypatch):
     assert {tuple(r) for r in fb.collect()} == base
 
 
+def test_dsir_bucket_counts_match_exploded_grain(spark, sf_dir):
+    """r15: the Arrow-batched per-doc bucket-count pass must equal the
+    JVM occurrence explode (_dsir_ex) aggregated to the (doc_id, lang,
+    b) grain — same split-on-space tokens, same 'u:'/'b:' features, same
+    md5 bucket — on the real corpus AND on the edge cases the explode
+    semantics define (null text → no rows, null lang passes through,
+    empty text → one 'u:' feature, single token → no bigrams)."""
+    from crypto_datalake_spark.queries import curation as C
+    from crypto_datalake_spark.queries.common import t
+
+    def grain(df):
+        return {
+            (r["doc_id"], r["lang"], r["b"]): r["n"]
+            for r in df.collect()
+        }
+
+    def ref(docs):
+        return (
+            C._dsir_ex(docs)
+            .groupBy("doc_id", "lang", "b")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+
+    docs = t(spark, sf_dir, "documents")
+    got = grain(C._dsir_doc_bucket_counts(docs))
+    want = grain(ref(docs))
+    assert got == want and len(got) > 0
+
+    edge = spark.createDataFrame(
+        [
+            (1, "en", None),            # null text: explodes to nothing
+            (2, None, "a b a"),         # null lang passes through
+            (3, "de", ""),              # empty text: one 'u:' feature
+            (4, "en", "solo"),          # single token: no bigrams
+            (5, "en", "x  y"),          # double space: empty middle token
+        ],
+        "doc_id long, lang string, text string",
+    )
+    got_e = grain(C._dsir_doc_bucket_counts(edge))
+    want_e = grain(ref(edge))
+    assert got_e == want_e
+    assert not any(d == 1 for d, _, _ in got_e)  # null text dropped
+    assert any(d == 2 and lang is None for d, lang, _ in got_e)
+
+
 def test_bm25_double_scoring_knob_same_ranking(spark, sf_dir):
     """VERDICT r12 item 3: the production `decimal_scores=False` knob
     (plain-double products, double sum) must return the SAME (qid,
