@@ -612,22 +612,26 @@ def lm_perplexity_buckets(d, decimal_costs: bool = True):
     """
     ex = _lm_exploded(d)
     bg = ex.where(F.col("w2").isNotNull())
-    # c12 has TWO consumers (the scoring join's build side and the c1
-    # marginalization below); without a checkpoint Spark evaluates the
-    # bigram-count aggregation — including its corpus-size read of the
-    # exploded stream — once PER consumer. Materializing the |bigram
-    # types| table once saves a full corpus aggregation pass (measured
-    # −23% on this query at sf0.1, bit-identical); at 100 TB the
-    # type table was already being materialized as a join build, so
-    # the checkpoint adds no new data-sized artifact.
-    c12 = bg.groupBy("w1", "w2").agg(
+    # ONE corpus aggregation feeds everything derived from counts: the
+    # (w1, w2) type table is aggregated INCLUDING the doc-end (w2 null)
+    # rows, so bigram counts, context counts AND the w1 vocabulary all
+    # marginalize the |types|-bounded table — the former
+    # countDistinct(w1) was a second full read of the corpus-size
+    # checkpoint (r15; one fewer corpus pass per LM fit, measured
+    # ~0.3 s at sf0.1 and a full pass at 100 TB).  The checkpoint
+    # itself (r14) still exists because the table has multiple
+    # consumers; it was already being materialized as a join build.
+    c12g = ex.groupBy("w1", "w2").agg(
         F.count(F.lit(1)).alias("c12")
     ).localCheckpoint()
+    c12 = c12g.where(F.col("w2").isNotNull())
     # context counts marginalize the BIGRAM table (c1 = sum_w2 c12 —
     # identical values by definition), never a second corpus-size
     # aggregation over bg: at 100 TB that is one full pass saved
     c1 = c12.groupBy("w1").agg(F.sum("c12").alias("c1"))
-    vocab = ex.agg(F.countDistinct("w1").alias("vocab"))
+    # every token occurrence appears as w1 (the doc-end marker rides a
+    # null w2), so distinct w1 over the type table IS the vocabulary
+    vocab = c12g.agg(F.countDistinct("w1").alias("vocab"))
     ds = _lm_doc_scores(bg, c12, c1, vocab, decimal_costs=decimal_costs)
     cuts = _lm_tercile_cuts(ds)
     return _lm_classify(d, ds, cuts)
