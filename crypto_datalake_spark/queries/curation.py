@@ -1006,12 +1006,50 @@ def _lm_unk_map_sql(ex_src: str, kept_src: str) -> str:
     bgm AS (SELECT doc_id, w1, w2 FROM mx WHERE w2 IS NOT NULL)"""
 
 
+def _lm_doc_scores_composed(bg, c12, c1, vocab):
+    """Per-doc (log_ppl, n_bigrams) with the per-bigram decimal cost
+    composed at TYPE grain: one round(-ln P, 7) per (w1, w2) TYPE
+    instead of per occurrence, then ONE broadcast join onto the bigram
+    stream.  Summing the identical decimals gives a bit-identical
+    result to :func:`_lm_doc_scores`; the saved work is corpus-
+    proportional (ln/round/decimal-cast per occurrence → per type).
+
+    ONLY for fits whose count tables are BOUNDED (the UNK cap: ≤ (k+1)²
+    rows, broadcast forever) — composing the open-vocabulary fit's
+    |types|-sized cost table was measured SLOWER in r14 (it blocked the
+    stream), which is why the open fit keeps the per-occurrence form."""
+    p = (F.col("c12") + F.lit(_PPL_ALPHA)) / (
+        F.col("c1") + F.lit(_PPL_ALPHA) * F.col("vocab")
+    )
+    cost_tbl = (
+        c12.join(c1, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "w1", "w2", F.round(-F.log(p), 7).cast("decimal(28,7)").alias("c")
+        )
+    )
+    ds = (
+        bg.join(F.broadcast(cost_tbl), ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            (
+                F.sum("c").cast("double") / F.count(F.lit(1)).cast("double")
+            ).alias("log_ppl"),
+            F.count(F.lit(1)).alias("n_bigrams"),
+        )
+    )
+    # three consumers downstream (rank, count, final join) — same
+    # checkpoint contract as _lm_doc_scores
+    return ds.localCheckpoint()
+
+
 def lm_perplexity_buckets_unk(d, k: int = _LM_UNK_K):
     """quality_lm_perplexity with the UNK-capped vocabulary — same
     decimal-sum scoring and two-phase tercile discipline, bounded count
-    tables (see :func:`lm_unk_model`)."""
+    tables (see :func:`lm_unk_model`); the per-bigram cost composes at
+    the (k+1)²-bounded type grain (:func:`_lm_doc_scores_composed`)."""
     bg, c12, c1, vocab = lm_unk_model(d, k)
-    ds = _lm_doc_scores(bg, c12, c1, vocab)
+    ds = _lm_doc_scores_composed(bg, c12, c1, vocab)
     cuts = _lm_tercile_cuts(ds)
     return _lm_classify(d, ds, cuts)
 
