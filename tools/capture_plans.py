@@ -7,6 +7,15 @@ Usage: python tools/capture_plans.py <tag> [query ...]
          `python tools/capture_plans.py r14 --suffix before search_bm25_topk`.
 
 With no query list, captures every BENCH_QUERIES entry.
+
+--no-checkpoint (VERDICT r14 item 3): localCheckpoint truncates the
+plan at a Scan ExistingRDD, so work upstream of a checkpoint is
+invisible in the default dumps and claims about it were not
+plan-checkable.  The flag monkeypatches DataFrame.localCheckpoint to
+identity while building the plan (semantically a no-op — checkpoints
+here only pin materialization), writing `<name>_<suffix>_nockpt.txt`
+with the FULL logical tree.  These dumps show the would-be-executed
+shape, not the executed stages; read them alongside the default dumps.
 """
 
 from __future__ import annotations
@@ -26,6 +35,11 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("tag", help="plans/ subdirectory (e.g. r14)")
     ap.add_argument("--suffix", default="before", choices=["before", "after"])
+    ap.add_argument(
+        "--no-checkpoint", action="store_true",
+        help="patch localCheckpoint to identity so pre-checkpoint "
+        "subtrees appear in the dump (files get a _nockpt suffix)",
+    )
     ap.add_argument("queries", nargs="*", help="query names (default: all benched)")
     args = ap.parse_args()
 
@@ -40,6 +54,13 @@ def main() -> None:
     spark = get_spark("cds-plans", master=f"local[{cpus}]")
     spark.sparkContext.setLogLevel("ERROR")
 
+    file_suffix = args.suffix
+    if args.no_checkpoint:
+        from pyspark.sql import DataFrame
+
+        DataFrame.localCheckpoint = lambda self, eager=True: self
+        file_suffix = f"{args.suffix}_nockpt"
+
     names = args.queries or BENCH_QUERIES
     for name in names:
         q = REGISTRY[name]
@@ -52,7 +73,7 @@ def main() -> None:
             )
         except Exception as e:  # noqa: BLE001
             plan = f"ERROR capturing plan: {e!r}\n"
-        path = os.path.join(out_dir, f"{name}_{args.suffix}.txt")
+        path = os.path.join(out_dir, f"{name}_{file_suffix}.txt")
         with open(path, "w") as fh:
             fh.write(plan)
         print(f"wrote {path} ({len(plan)} chars)")
