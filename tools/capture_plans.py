@@ -56,9 +56,18 @@ def main() -> None:
 
     file_suffix = args.suffix
     if args.no_checkpoint:
+        # patch the CONCRETE class too: Spark 4 instances are
+        # pyspark.sql.classic.dataframe.DataFrame, which overrides
+        # localCheckpoint, so patching only the base alias is a no-op
         from pyspark.sql import DataFrame
 
         DataFrame.localCheckpoint = lambda self, eager=True: self
+        try:
+            from pyspark.sql.classic.dataframe import DataFrame as _CDF
+
+            _CDF.localCheckpoint = lambda self, eager=True: self
+        except ImportError:
+            pass
         file_suffix = f"{args.suffix}_nockpt"
 
     names = args.queries or BENCH_QUERIES
